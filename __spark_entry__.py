@@ -3,36 +3,52 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Implementation lives in ``real_time_mobility_heatmap_spark/``; this module
+only assembles the registry. Every query aliases its computed columns with
+the same names used in its oracle SQL (the driver sorts columns by name
+before hashing).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from real_time_mobility_heatmap_spark.config import DEFAULT as CFG
+from real_time_mobility_heatmap_spark.operators import tiles
+from real_time_mobility_heatmap_spark.sources.tables import (
+    PINGS_ORACLE_SQL,
+    pings_from_events,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the mobility tile aggregate."""
+    return tiles.tile_aggregate(pings_from_events(spark, "/root/testdata/sf0.001"))
+
+
+def _q_mobility_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiles.tile_aggregate(pings_from_events(spark, sf_dir), CFG)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "mobility_tiles": _q_mobility_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins of ``queries()`` (same column names, same rounding)."""
+    return {
+        "mobility_tiles": tiles.tiles_oracle_sql(PINGS_ORACLE_SQL, CFG),
+    }

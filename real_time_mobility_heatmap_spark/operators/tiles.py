@@ -1,0 +1,117 @@
+"""Tumbling-window tile aggregation — the engine's core query.
+
+Parity with reference heatmap_stream.py:96-132: validate -> cell snap ->
+groupBy(window(eventTs, 5 min), cellId) -> count / avg(speed) / centroid ->
+tile projection with deterministic `_id` and `staleAt` retention stamp.
+
+Spark-first notes (vs reference):
+- the snap is pure column arithmetic (functions/grid.py), so the whole
+  scan->filter->project->partial-agg pipeline is one WholeStageCodegen span
+  with no Python round trip;
+- the aggregate is a plain hash aggregate (partial map-side combine ->
+  shuffle on (window, cellId) -> final), which is exactly the shape that
+  scales: tile cardinality (cells x windows), not input rows, crosses the
+  shuffle;
+- `_id`/`staleAt` are built executor-side as columns, not in a sink loop
+  (reference heatmap_stream.py:168-187 shapes documents on the driver).
+
+Double-typed aggregates are rounded (ROUND_*) identically here and in the
+oracle so cross-engine float accumulation order cannot flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.grid import cell_id, cell_id_sql
+from ..functions.keys import tile_id, tile_id_sql
+from .validate import VALID_SQL, validate_pings
+
+ROUND_AVG = 6  # decimal places for avg() aggregates in oracle-checked output
+
+
+def snap_pings(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """validate + cell snap + null-cell drop (reference P4-P6 + F1)."""
+    return (
+        validate_pings(pings)
+        .withColumn("cell_id", cell_id(F.col("lat"), F.col("lon"), cfg.grid_scale))
+        .filter(F.col("cell_id").isNotNull())
+    )
+
+
+def tile_aggregate(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """The flagship tile query (reference A1-A3 + W1 + P8 + F3-F5)."""
+    snapped = snap_pings(pings, cfg)
+    agg = snapped.groupBy(
+        F.window("eventTs", cfg.window_duration).alias("w"), F.col("cell_id")
+    ).agg(
+        F.count(F.lit(1)).alias("ping_count"),
+        F.round(F.avg("speedKmh"), ROUND_AVG).alias("avg_speed_kmh"),
+        F.round(F.avg("lon"), ROUND_AVG).alias("centroid_lon"),
+        F.round(F.avg("lat"), ROUND_AVG).alias("centroid_lat"),
+    )
+    return agg.select(
+        tile_id(cfg.city, cfg.grid_name, F.col("cell_id"), F.col("w.start")).alias("tile_id"),
+        F.lit(cfg.city).alias("city"),
+        F.lit(cfg.grid_name).alias("grid"),
+        "cell_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "ping_count",
+        "avg_speed_kmh",
+        "centroid_lon",
+        "centroid_lat",
+        (F.col("w.end") + F.expr(f"INTERVAL {cfg.ttl_minutes} MINUTES")).alias("stale_at"),
+    )
+
+
+def snapped_oracle_cte(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:
+    """DuckDB CTE mirroring ``snap_pings`` over a pings projection."""
+    return f"""
+        WITH pings AS ({pings_sql}),
+        snapped AS (
+            SELECT *, {cell_id_sql('lat', 'lon', cfg.grid_scale)} AS cell_id
+            FROM pings
+            WHERE {VALID_SQL}
+        )
+    """
+
+
+def tiles_oracle_sql(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:
+    """DuckDB twin of ``tile_aggregate``.
+
+    time_bucket() and Spark's window() both align N-minute buckets on
+    instants that are whole multiples of the width from midnight, so the
+    bucket starts agree for any width dividing 24h (verified in tests).
+    """
+    w = f"time_bucket(INTERVAL '{cfg.tile_minutes} minutes', eventTs)"
+    return f"""
+        {snapped_oracle_cte(pings_sql, cfg)},
+        agg AS (
+            SELECT
+                {w} AS window_start,
+                {w} + INTERVAL '{cfg.tile_minutes} minutes' AS window_end,
+                cell_id,
+                count(*) AS ping_count,
+                round(avg(speedKmh), {ROUND_AVG}) AS avg_speed_kmh,
+                round(avg(lon), {ROUND_AVG}) AS centroid_lon,
+                round(avg(lat), {ROUND_AVG}) AS centroid_lat
+            FROM snapped
+            GROUP BY 1, 2, 3
+        )
+        SELECT
+            {tile_id_sql(cfg.city, cfg.grid_name, 'cell_id', 'window_start')} AS tile_id,
+            '{cfg.city}' AS city,
+            '{cfg.grid_name}' AS grid,
+            cell_id,
+            window_start,
+            window_end,
+            ping_count,
+            avg_speed_kmh,
+            centroid_lon,
+            centroid_lat,
+            window_end + INTERVAL '{cfg.ttl_minutes} minutes' AS stale_at
+        FROM agg
+    """

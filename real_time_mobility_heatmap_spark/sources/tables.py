@@ -1,0 +1,88 @@
+"""Batch table sources over the driver-generated parquet fixtures.
+
+The engine's native source is a Kafka JSON stream with a fixed schema
+(reference heatmap_stream.py:79-93); for batch/correctness work the same
+operators run over parquet tables (TESTDATA.md). ``pings_from_events``
+adapts the fixture ``events`` table onto the reference's GPS-ping schema
+(FIXTURES.md §C): user_id -> vehicleId, event_type -> provider,
+value -> speedKmh, and deterministic lat/lon derivation that is exact,
+SQL-expressible column math in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# SQL fragments for the deterministic geo derivation — kept as single
+# source of truth so the DuckDB oracles embed the *same* expressions.
+# The explicit DOUBLE casts force IEEE double arithmetic in both engines
+# (DuckDB would otherwise parse `100.0` as DECIMAL and compute exactly,
+# which drifts from Spark's double math in the last ulp).
+LAT_SQL = "CAST(42.0 AS DOUBLE) + (user_id % 100) / CAST(100 AS DOUBLE)"
+LON_SQL = "CAST(-71.0 AS DOUBLE) - (event_id % 100) / CAST(100 AS DOUBLE)"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read it as nanos-since-epoch
+    (legacy long mode) and convert to a proper microsecond TimestampType
+    column. The fixture values carry no sub-microsecond component, so the
+    conversion is lossless and matches what DuckDB sees.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def pings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> GPS-ping stream shape (reference schema heatmap_stream.py:52-61).
+
+    provider/vehicleId/eventTs/lat/lon/speedKmh — the engine's canonical
+    input relation for every mobility operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("provider"),
+        F.col("user_id").cast("string").alias("vehicleId"),
+        F.col("ts").alias("eventTs"),
+        F.expr(LAT_SQL).alias("lat"),
+        F.expr(LON_SQL).alias("lon"),
+        F.col("value").alias("speedKmh"),
+        F.col("event_id"),
+        F.col("props"),
+    )
+
+
+# DuckDB-side equivalent of ``pings_from_events`` — the FROM clause every
+# oracle builds on. Must stay in lockstep with the Spark projection above.
+PINGS_ORACLE_SQL = f"""
+    SELECT
+        event_type AS provider,
+        CAST(user_id AS VARCHAR) AS vehicleId,
+        ts AS eventTs,
+        {LAT_SQL} AS lat,
+        {LON_SQL} AS lon,
+        value AS speedKmh,
+        event_id,
+        props
+    FROM events
+"""

@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from real_time_mobility_heatmap_spark.config import EngineConfig
+from real_time_mobility_heatmap_spark.operators.tiles import snap_pings, tile_aggregate
+from real_time_mobility_heatmap_spark.schema import PING_SCHEMA
+from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+
+
+def _ping(provider="mbta", vid="v1", ts="2024-01-01T10:02:00", lat=42.35, lon=-71.06, speed=20.0):
+    return Row(
+        provider=provider,
+        vehicleId=vid,
+        eventTs=dt.datetime.fromisoformat(ts),
+        lat=lat,
+        lon=lon,
+        speedKmh=speed,
+        event_id=1,
+        props=None,
+    )
+
+
+def test_validate_drops_bad_rows(spark):
+    rows = [
+        _ping(),
+        _ping(provider=None),
+        _ping(vid=None),
+        _ping(lat=95.0),
+        _ping(lon=-185.0),
+        _ping(lat=None),
+    ]
+    df = spark.createDataFrame(rows, PING_SCHEMA)
+    snapped = snap_pings(df)
+    assert snapped.count() == 1
+    assert snapped.first()["cell_id"] == "847:-1422"  # floor(42.35*20)=847, floor(-71.06*20)=-1422
+
+
+def test_tile_aggregate_small(spark):
+    cfg = EngineConfig()
+    rows = [
+        _ping(ts="2024-01-01T10:02:00", speed=10.0),
+        _ping(ts="2024-01-01T10:04:59", speed=30.0),   # same 10:00 window, same cell
+        _ping(ts="2024-01-01T10:05:00", speed=50.0),   # next window
+        _ping(ts="2024-01-01T10:03:00", lat=40.0, lon=-70.0, speed=None),  # other cell, null speed
+    ]
+    out = {r["tile_id"]: r for r in tile_aggregate(spark.createDataFrame(rows, PING_SCHEMA), cfg).collect()}
+    k1 = "boston|grid20|847:-1422|2024-01-01T10:00:00Z"
+    assert out[k1]["ping_count"] == 2
+    assert out[k1]["avg_speed_kmh"] == 20.0
+    assert out[k1]["window_end"] == dt.datetime(2024, 1, 1, 10, 5)
+    assert out[k1]["stale_at"] == dt.datetime(2024, 1, 1, 10, 50)
+    k2 = "boston|grid20|847:-1422|2024-01-01T10:05:00Z"
+    assert out[k2]["ping_count"] == 1
+    # null speed -> avg over zero non-null values -> null (avg skips nulls)
+    k3 = "boston|grid20|800:-1400|2024-01-01T10:00:00Z"
+    assert out[k3]["avg_speed_kmh"] is None
+
+
+def test_window_alignment_matches_duckdb_time_bucket(spark):
+    """Spark window() bucket starts == DuckDB time_bucket for 5-min widths."""
+    ts = [
+        "2024-01-01T00:00:00", "2024-01-01T00:04:59", "2024-01-01T00:05:00",
+        "2024-02-29T23:57:31", "2024-07-04T12:34:56",
+    ]
+    df = spark.createDataFrame([(dt.datetime.fromisoformat(t),) for t in ts], "ts timestamp")
+    spark_starts = sorted(
+        r[0] for r in df.select(F.window("ts", "5 minutes").start.alias("s")).distinct().collect()
+    )
+    duck = sorted(
+        r[0] for r in duckdb.sql(
+            "SELECT DISTINCT time_bucket(INTERVAL '5 minutes', CAST(t AS TIMESTAMP)) "
+            "FROM (SELECT UNNEST(?) AS t)", params=[ts]
+        ).fetchall()
+    )
+    assert spark_starts == duck
+
+
+def test_pings_loader(spark, sf_dir):
+    pings = pings_from_events(spark, sf_dir)
+    assert pings.columns[:6] == ["provider", "vehicleId", "eventTs", "lat", "lon", "speedKmh"]
+    row = pings.orderBy("event_id").first()
+    assert 42.0 <= row["lat"] <= 43.0 and -72.0 <= row["lon"] <= -71.0
+    assert pings.count() == 1000

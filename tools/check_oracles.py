@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, sorted column names, and order-insensitive values. Use while
+iterating; the real gate is the driver's CORRECTNESS_r{N}.json.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from real_time_mobility_heatmap_spark.session import get_spark  # noqa: E402
+from real_time_mobility_heatmap_spark.sources.tables import TABLES  # noqa: E402
+
+
+def _norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None) if v.tzinfo else v
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
+        return float(v)
+    return v
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows, key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    spark = get_spark("oracle-check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP  {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        ok = True
+        if len(sdf) != len(odf):
+            print(f"FAIL  {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
+            ok = False
+        elif sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+            ok = False
+        else:
+            a, b = _canon(sdf), _canon(odf)
+            if a != b:
+                ok = False
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL  {name}: values differ; first diffs: {diff}")
+        if ok:
+            print(f"OK    {name} ({len(sdf)} rows)")
+        else:
+            failures.append(name)
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}")
+        return 1
+    print("\nall queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
