@@ -24,7 +24,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from real_time_mobility_heatmap_spark.config import DEFAULT as CFG
-from real_time_mobility_heatmap_spark.operators import tiles
+from real_time_mobility_heatmap_spark.operators import decode, latest, tiles
 from real_time_mobility_heatmap_spark.sources.tables import (
     PINGS_ORACLE_SQL,
     pings_from_events,
@@ -43,7 +43,20 @@ def _q_mobility_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
+        # core mobility pipeline (SURVEY §2.1-2.5)
         "mobility_tiles": _q_mobility_tiles,
+        # decode / normalization (§2.2, §2.8)
+        "json_decode": decode.q_json_decode,
+        "wire_roundtrip": decode.q_wire_roundtrip,
+        "normalize": decode.q_normalize,
+        # latest-per-key family (§2.3, §2.4, §2.6)
+        "latest_maxby": latest.q_latest_maxby,
+        "latest_join": latest.q_latest_join,
+        "latest_rownum": latest.q_latest_rownum,
+        "latest_positions": latest.q_latest_positions,
+        "top_window": latest.q_top_window,
+        "latest_window_snapshot": latest.q_latest_window_snapshot,
+        "watermark_latedrop": latest.q_watermark_latedrop,
     }
 
 
@@ -51,4 +64,14 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
         "mobility_tiles": tiles.tiles_oracle_sql(PINGS_ORACLE_SQL, CFG),
+        "json_decode": decode.JSON_DECODE_ORACLE,
+        "wire_roundtrip": decode.WIRE_ROUNDTRIP_ORACLE,
+        "normalize": decode.NORMALIZE_ORACLE,
+        "latest_maxby": latest.LATEST_MAXBY_ORACLE,
+        "latest_join": latest.LATEST_JOIN_ORACLE,
+        "latest_rownum": latest.LATEST_ROWNUM_ORACLE,
+        "latest_positions": latest.LATEST_POSITIONS_ORACLE,
+        "top_window": latest.top_window_oracle(CFG),
+        "latest_window_snapshot": latest.latest_window_snapshot_oracle(CFG),
+        "watermark_latedrop": latest.WATERMARK_LATEDROP_ORACLE,
     }
