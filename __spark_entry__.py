@@ -24,7 +24,13 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from real_time_mobility_heatmap_spark.config import DEFAULT as CFG
-from real_time_mobility_heatmap_spark.operators import decode, latest, tiles
+from real_time_mobility_heatmap_spark.operators import (
+    decode,
+    latest,
+    multiplex,
+    relational,
+    tiles,
+)
 from real_time_mobility_heatmap_spark.sources.tables import (
     PINGS_ORACLE_SQL,
     pings_from_events,
@@ -57,6 +63,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_window": latest.q_top_window,
         "latest_window_snapshot": latest.q_latest_window_snapshot,
         "watermark_latedrop": latest.q_watermark_latedrop,
+        # multiplex/demux (§2.7)
+        "multiplex_summary": multiplex.q_multiplex_summary,
+        "demux_tiles": multiplex.q_demux_tiles,
+        # relational generalizations (§2.3-2.4, §2.6)
+        "pricing_summary": relational.q_pricing_summary,
+        "shipping_priority": relational.q_shipping_priority,
+        "local_supplier_volume": relational.q_local_supplier_volume,
+        "orders_with_big_items": relational.q_orders_with_big_items,
+        "customers_without_orders": relational.q_customers_without_orders,
+        "brand_volume": relational.q_brand_volume,
+        "sales_rollup": relational.q_sales_rollup,
+        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
+        "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
     }
 
 
@@ -74,4 +93,16 @@ def oracle_sql() -> dict[str, str]:
         "top_window": latest.top_window_oracle(CFG),
         "latest_window_snapshot": latest.latest_window_snapshot_oracle(CFG),
         "watermark_latedrop": latest.WATERMARK_LATEDROP_ORACLE,
+        "multiplex_summary": multiplex.multiplex_summary_oracle(CFG),
+        "demux_tiles": multiplex.demux_tiles_oracle(CFG),
+        "pricing_summary": relational.PRICING_SUMMARY_ORACLE,
+        "shipping_priority": relational.SHIPPING_PRIORITY_ORACLE,
+        "local_supplier_volume": relational.LOCAL_SUPPLIER_VOLUME_ORACLE,
+        "orders_with_big_items": relational.ORDERS_WITH_BIG_ITEMS_ORACLE,
+        "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+        "brand_volume": relational.BRAND_VOLUME_ORACLE,
+        "sales_rollup": relational.SALES_ROLLUP_ORACLE,
+        "distinct_vehicles_per_cell": relational.distinct_vehicles_oracle(CFG),
+        # approx_distinct_vehicles: no oracle — HLL sketch estimates are
+        # engine-specific; driver records rows-only check.
     }

@@ -1,0 +1,326 @@
+"""Relational generalizations of the reference's primitives (SURVEY.md §2.3,
+§2.4, §2.7 — "engine should still expose broadcast/sort-merge equi-join,
+left/semi/anti, distinct aggregation").
+
+The reference's only join is the argmax back-join (heatmap_stream.py:205) and
+its only aggregates are count/avg/max (heatmap_stream.py:118-123, 201-203).
+These queries exercise the same physical primitives — hash aggregate,
+shuffle/broadcast equi-join, semi/anti, rollup — at benchable scale over the
+TPC-H-ish star schema, which is what the 100 TB story actually runs on.
+
+Scale notes per query are in the docstrings; the common rules:
+- dimension tables (region/nation/part/supplier/customer at this ratio) are
+  broadcast — no shuffle of the fact table for those joins;
+- aggregates are declared so partial (map-side) aggregation applies: the
+  shuffle carries group cardinality, not input rows;
+- double sums/avgs are rounded identically in the oracle (see tiles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..operators.tiles import snap_pings, snapped_oracle_cte
+from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
+
+CUTOFF = "1998-09-02"  # fixture l_shipdate spans 1995..2001
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: wide hash aggregate with arithmetic expressions.
+
+    One shuffle on (l_returnflag, l_linestatus) — 6 groups — after map-side
+    partial agg; the scan only reads the 7 referenced columns.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_ORACLE = f"""
+    SELECT
+        l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 6) AS avg_qty,
+        round(avg(l_extendedprice), 6) AS avg_price,
+        round(avg(l_discount), 6) AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k by revenue.
+
+    customer(BUILDING) is broadcast into orders; the orders->lineitem join
+    shuffles on l_orderkey (the fact key). Top-10 is TakeOrderedAndProject —
+    no global sort. Revenue is rounded before ranking and tie-broken by
+    key so ordering is engine-independent.
+    """
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    o = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    l = lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+SHIPPING_PRIORITY_ORACLE = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, revenue per nation.
+
+    All dimensions (region->nation->customer, supplier) broadcast; only the
+    orders<->lineitem fact-fact join shuffles. The c_nationkey = s_nationkey
+    constraint makes it a genuine multi-dim correlation, not a snowflake
+    lookup.
+    """
+    n = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    c = customer.join(F.broadcast(n), customer.c_nationkey == n.n_nationkey)
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_ORACLE = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+def orders_with_big_items(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """LEFT SEMI join: orders having at least one near-max-quantity item.
+
+    Semi joins ship only the key set across the shuffle — at 100 TB this is
+    the shape to prefer over join+distinct.
+    """
+    big = lineitem.filter(F.col("l_quantity") >= 49.5)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+ORDERS_WITH_BIG_ITEMS_ORACLE = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.5
+    )
+"""
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI join: customers with no order since 2001-01-01.
+
+    (The fixture graph is fully connected — every customer has *some*
+    order — so the anti-join is scoped to recent orders to be non-trivial.)
+    """
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+"""
+
+
+def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Explicit broadcast-hash dim join: per-brand item volume."""
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("item_count"),
+            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+        )
+    )
+
+
+BRAND_VOLUME_ORACLE = """
+    SELECT p_brand, count(*) AS item_count, round(sum(l_extendedprice), 2) AS brand_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""
+
+
+def sales_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows.
+
+    Grouping-set aggregates the reference lacks but any OLAP surface needs;
+    Spark expands to a single-pass Expand + hash aggregate.
+    """
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+SALES_ROLLUP_ORACLE = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def distinct_vehicles_per_cell(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """count_distinct per cell — the "unique vehicles per tile" stat the
+    reference's tile doc is missing (SURVEY.md §2.4). Exact distinct: Spark
+    plans a two-phase aggregate (expand on the distinct key)."""
+    snapped = snap_pings(pings, cfg)
+    return snapped.groupBy("cell_id").agg(
+        F.count_distinct("vehicleId").alias("unique_vehicles"),
+        F.count(F.lit(1)).alias("ping_count"),
+    )
+
+
+def distinct_vehicles_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)}
+        SELECT cell_id,
+               count(DISTINCT vehicleId) AS unique_vehicles,
+               count(*) AS ping_count
+        FROM snapped GROUP BY cell_id
+    """
+
+
+def approx_distinct_vehicles(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per cell — the scale path for
+    the distinct stat: constant-size sketch state instead of an expand.
+    No DuckDB oracle (sketch estimates are engine-specific); rows-only check."""
+    snapped = snap_pings(pings, cfg)
+    return snapped.groupBy("cell_id").agg(
+        F.approx_count_distinct("vehicleId", 0.02).alias("approx_unique_vehicles")
+    )
+
+
+# queries() adapters ---------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orders_with_big_items(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brand_volume(load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part"))
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sales_rollup(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_distinct_vehicles_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_vehicles_per_cell(pings_from_events(spark, sf_dir))
+
+
+def q_approx_distinct_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_distinct_vehicles(pings_from_events(spark, sf_dir))

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from real_time_mobility_heatmap_spark.operators.multiplex import TAG, multiplexed
+from real_time_mobility_heatmap_spark.operators.relational import (
+    customers_without_orders,
+    orders_with_big_items,
+    sales_rollup,
+)
+from real_time_mobility_heatmap_spark.schema import PING_SCHEMA
+
+
+def test_semi_anti_semantics(spark):
+    orders = spark.createDataFrame(
+        [(1, "O", 10.0, dt.datetime(2001, 2, 1)), (2, "F", 20.0, dt.datetime(2000, 1, 1))],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 50.0), (1, 3.0), (2, 10.0)], "l_orderkey long, l_quantity double"
+    )
+    semi = orders_with_big_items(orders, lineitem).collect()
+    # only order 1 has a >=49.5 item; semi join emits it once despite 2 items
+    assert [r["o_orderkey"] for r in semi] == [1]
+
+    customer = spark.createDataFrame(
+        [(10, "a", "BUILDING"), (20, "b", "AUTO")],
+        "c_custkey long, c_name string, c_mktsegment string",
+    )
+    orders2 = spark.createDataFrame(
+        [(100, 10, dt.datetime(2001, 6, 1)), (101, 20, dt.datetime(1999, 1, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    anti = customers_without_orders(customer, orders2).collect()
+    # customer 20's only order predates 2001 -> appears; customer 10 doesn't
+    assert [r["c_custkey"] for r in anti] == [20]
+
+
+def test_rollup_has_subtotals_and_grand_total(spark):
+    li = spark.createDataFrame(
+        [("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 3.0)],
+        "l_returnflag string, l_linestatus string, l_quantity double",
+    )
+    rows = sales_rollup(li).collect()
+    # 3 leaf groups + 2 flag subtotals + 1 grand total
+    assert len(rows) == 6
+    grand = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    assert grand[0]["n_items"] == 3 and grand[0]["sum_qty"] == 6.0
+
+
+def test_multiplex_null_fill(spark):
+    pings = spark.createDataFrame(
+        [("mbta", "v1", dt.datetime(2024, 1, 1, 10, 2), 42.1, -71.1, 5.0, 1, None)],
+        PING_SCHEMA,
+    )
+    u = multiplexed(pings)
+    tiles_part = u.where(F.col(TAG) == "tiles")
+    latest_part = u.where(F.col(TAG) == "latest")
+    # missing columns null-filled on the opposite branch (U1 contract)
+    assert tiles_part.where(F.col("vehicleId").isNull()).count() == tiles_part.count() == 1
+    assert latest_part.where(F.col("tile_id").isNull()).count() == latest_part.count() == 1
