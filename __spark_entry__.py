@@ -35,6 +35,8 @@ from real_time_mobility_heatmap_spark.sources.tables import (
     PINGS_ORACLE_SQL,
     pings_from_events,
 )
+from real_time_mobility_heatmap_spark.serving import geojson
+from real_time_mobility_heatmap_spark.streaming.assembly import run_streaming_tiles
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -76,6 +78,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": relational.q_sales_rollup,
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
         "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
+        # streaming assembly (§2.9): live Structured Streaming query whose
+        # final sink snapshot must equal the batch tile aggregate
+        "streaming_tiles": run_streaming_tiles,
+        # serving projections (§2.8 F2-F4, ST7, EP3)
+        "tile_features_flat": geojson.q_tile_features_flat,
+        "tile_feature_collection": geojson.q_tile_feature_collection,
+        "position_features": geojson.q_position_features,
+        "fresh_tiles": geojson.q_fresh_tiles,
     }
 
 
@@ -105,4 +115,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_vehicles_per_cell": relational.distinct_vehicles_oracle(CFG),
         # approx_distinct_vehicles: no oracle — HLL sketch estimates are
         # engine-specific; driver records rows-only check.
+        "streaming_tiles": tiles.tiles_oracle_sql(PINGS_ORACLE_SQL, CFG),
+        "tile_features_flat": geojson.tile_features_flat_oracle(CFG),
+        # tile_feature_collection: no oracle — nested GeoJSON structs are
+        # not portable through the flat hash compare; rows-only check.
+        "position_features": geojson.POSITION_FEATURES_ORACLE,
+        "fresh_tiles": geojson.fresh_tiles_oracle(CFG),
     }

@@ -1,0 +1,147 @@
+"""Structured Streaming assembly of the L1 operators (SURVEY.md §7 M4).
+
+Reference EP2 (heatmap_stream.py:96-132, 241-247) as idiomatic Spark:
+
+  source -> validate -> grid snap -> withWatermark -> window agg
+         -> outputMode(update) -> foreachBatch(idempotent keyed merge)
+
+Design departures from the reference, per SURVEY.md §4.2:
+- TWO queries with separate checkpoints (tiles agg; latest positions)
+  instead of union-tag multiplexing one query — each plan stays minimal,
+  and the idempotent sinks make cross-query atomicity unnecessary;
+- per-batch argmax for positions uses max_by (one shuffle), with
+  cross-batch correctness from the sink's ts-monotonic merge (ST4):
+  streaming state stays bounded by the watermark, per-key "latest"
+  state lives in the sink exactly as in the reference;
+- sink writes are Spark jobs (executor-parallel), never toLocalIterator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.grid import cell_id
+from ..functions.keys import position_id, tile_id
+from ..operators.validate import validate_pings
+from .sinks import KeyedParquetStore
+
+
+def windowed_tiles_stream(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Streaming tile aggregate: watermark + tumbling window + hash agg.
+
+    Identical logical shape to the batch twin (operators/tiles.py), minus
+    rounding (sink values are exact; rounding is an oracle-comparison aid).
+    """
+    snapped = (
+        validate_pings(pings)
+        .withColumn("cell_id", cell_id(F.col("lat"), F.col("lon"), cfg.grid_scale))
+        .filter(F.col("cell_id").isNotNull())
+        .withWatermark("eventTs", cfg.watermark)
+    )
+    agg = snapped.groupBy(
+        F.window("eventTs", cfg.window_duration).alias("w"), F.col("cell_id")
+    ).agg(
+        F.count(F.lit(1)).alias("ping_count"),
+        F.avg("speedKmh").alias("avg_speed_kmh"),
+        F.avg("lon").alias("centroid_lon"),
+        F.avg("lat").alias("centroid_lat"),
+    )
+    return agg.select(
+        tile_id(cfg.city, cfg.grid_name, F.col("cell_id"), F.col("w.start")).alias("tile_id"),
+        F.lit(cfg.city).alias("city"),
+        F.lit(cfg.grid_name).alias("grid"),
+        "cell_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "ping_count",
+        "avg_speed_kmh",
+        "centroid_lon",
+        "centroid_lat",
+        (F.col("w.end") + F.expr(f"INTERVAL {cfg.ttl_minutes} MINUTES")).alias("stale_at"),
+    )
+
+
+def start_tiles_query(
+    pings: DataFrame,
+    store: KeyedParquetStore,
+    checkpoint: str,
+    cfg: EngineConfig = DEFAULT,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Tiles query: update mode emits only changed (cell, window) aggregates
+    per micro-batch (ST2); the sink merge makes replays idempotent (ST6)."""
+    tiles = windowed_tiles_stream(pings, cfg)
+    writer = (
+        tiles.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda batch_df, epoch_id: store.merge(batch_df, epoch_id))
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def run_streaming_tiles(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """End-to-end streaming run over the fixture events: file-source stream
+    -> windowed agg (update mode) -> idempotent keyed store; returns the
+    final store snapshot, rounded like the batch twin so it hash-matches
+    the SAME DuckDB oracle as ``mobility_tiles``.
+
+    The whole fixture arrives as one availableNow micro-batch, so no rows
+    are watermark-dropped and the store must equal the batch aggregate —
+    which is exactly the property worth checking.
+    """
+    import tempfile
+
+    from .sinks import tile_store
+    from .sources import pings_stream_from_events
+
+    tmp = tempfile.mkdtemp(prefix="streaming-tiles-")
+    store = tile_store(f"{tmp}/store")
+    q = start_tiles_query(pings_stream_from_events(spark, sf_dir), store, f"{tmp}/ckpt", cfg)
+    q.awaitTermination()
+    snap = store.read(spark)
+    return snap.withColumn("avg_speed_kmh", F.round("avg_speed_kmh", 6)).withColumn(
+        "centroid_lon", F.round("centroid_lon", 6)
+    ).withColumn("centroid_lat", F.round("centroid_lat", 6))
+
+
+def positions_batch(batch_df: DataFrame) -> DataFrame:
+    """Per-batch argmax to the positions_latest document shape (A4 via
+    max_by — single shuffle, no back-join; SURVEY.md §4.2)."""
+    return (
+        validate_pings(batch_df)
+        .groupBy("provider", "vehicleId")
+        .agg(
+            F.max("eventTs").alias("event_ts"),
+            F.max_by("lon", "eventTs").alias("loc_lon"),
+            F.max_by("lat", "eventTs").alias("loc_lat"),
+        )
+        .select(
+            position_id(F.col("provider"), F.col("vehicleId")).alias("position_id"),
+            "provider",
+            "vehicleId",
+            "event_ts",
+            "loc_lon",
+            "loc_lat",
+        )
+    )
+
+
+def start_positions_query(
+    pings: DataFrame,
+    store: KeyedParquetStore,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Latest-positions query: append-shape stream, per-batch argmax in the
+    sink, cross-batch monotonicity from the store's conditional merge."""
+    writer = (
+        pings.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda batch_df, epoch_id: store.merge(positions_batch(batch_df), epoch_id))
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -1,0 +1,100 @@
+"""Streaming sources.
+
+The engine's production source is Kafka JSON (reference heatmap_stream.py:
+79-93): subscribe -> binary value -> cast string -> from_json(fixed schema)
+-> to_timestamp. ``kafka_ping_stream`` reproduces that plan verbatim; it
+needs the spark-sql-kafka connector package and a broker, neither of which
+exists in the test container, so tests use ``json_ping_stream`` — a file
+source over JSON lines with the SAME wire schema and decode chain, which
+exercises every post-source operator identically (the source swap is the
+only difference in the logical plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.keys import ISO_FMT
+from ..schema import WIRE_SCHEMA
+
+
+def decode_pings(raw: DataFrame) -> DataFrame:
+    """Wire-schema struct -> typed ping relation (heatmap_stream.py:88-93)."""
+    return raw.withColumn("eventTs", F.to_timestamp("ts", ISO_FMT)).select(
+        "provider",
+        "vehicleId",
+        "eventTs",
+        "lat",
+        "lon",
+        "speedKmh",
+    )
+
+
+def kafka_ping_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source (reference S1): requires the spark-sql-kafka package.
+
+    The ``from_json`` decode is PERMISSIVE — malformed payloads become
+    all-null structs and are dropped by validate_pings downstream, matching
+    the reference's contract (SURVEY.md §1.2).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), WIRE_SCHEMA).alias("j")
+    ).select("j.*")
+    return decode_pings(parsed)
+
+
+def json_ping_stream(spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source twin of the Kafka stream: JSON lines, same wire schema."""
+    reader = spark.readStream.schema(WIRE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(input_dir)
+    return decode_pings(raw)
+
+
+def pings_stream_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sources.tables.pings_from_events: the fixture
+    events parquet as a file-source stream with the same ping projection
+    (nanos ts read as long, same deterministic geo derivation)."""
+    from pyspark.sql import types as T
+
+    from ..sources.tables import LAT_SQL, LON_SQL
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file source needs a directory; glob-filter down to the events table
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return ev.select(
+        F.col("event_type").alias("provider"),
+        F.col("user_id").cast("string").alias("vehicleId"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("eventTs"),
+        F.expr(LAT_SQL).alias("lat"),
+        F.expr(LON_SQL).alias("lon"),
+        F.col("value").alias("speedKmh"),
+    )

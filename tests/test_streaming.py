@@ -1,0 +1,142 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_mobility_heatmap_spark.operators.tiles import tile_aggregate
+from real_time_mobility_heatmap_spark.schema import PING_SCHEMA
+from real_time_mobility_heatmap_spark.streaming.assembly import (
+    start_positions_query,
+    start_tiles_query,
+)
+from real_time_mobility_heatmap_spark.streaming.sinks import positions_store, tile_store
+from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+
+
+def _write_json(dir_path: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _wire(vid: str, ts: str, lat=42.35, lon=-71.06, speed=10.0, provider="mbta") -> dict:
+    return {
+        "provider": provider,
+        "vehicleId": vid,
+        "lat": lat,
+        "lon": lon,
+        "speedKmh": speed,
+        "bearing": None,
+        "accuracyM": None,
+        "ts": ts,
+    }
+
+
+def _run_tiles(spark, input_dir, store, checkpoint):
+    q = start_tiles_query(json_ping_stream(spark, input_dir), store, checkpoint)
+    q.awaitTermination()
+
+
+def _run_positions(spark, input_dir, store, checkpoint):
+    q = start_positions_query(json_ping_stream(spark, input_dir), store, checkpoint)
+    q.awaitTermination()
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "in": str(tmp_path / "in"),
+        "store": str(tmp_path / "store"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "ckpt2": str(tmp_path / "ckpt2"),
+    }
+
+
+ROWS = [
+    _wire("v1", "2024-01-01T10:02:00Z", speed=10.0),
+    _wire("v1", "2024-01-01T10:04:00Z", speed=30.0),
+    _wire("v2", "2024-01-01T10:03:00Z", lat=42.36, speed=20.0),
+    _wire("v2", "2024-01-01T10:07:00Z", lat=42.36, speed=40.0),
+    _wire("bad", "2024-01-01T10:03:00Z", lat=99.0),  # invalid -> dropped
+]
+
+
+def test_tiles_stream_matches_batch_twin(spark, dirs):
+    _write_json(dirs["in"], "b1.json", ROWS)
+    store = tile_store(dirs["store"])
+    _run_tiles(spark, dirs["in"], store, dirs["ckpt"])
+
+    got = {
+        r["tile_id"]: r
+        for r in store.read(spark).withColumn("avg_speed_kmh", F.round("avg_speed_kmh", 6)).collect()
+    }
+
+    # batch twin over the same rows
+    batch_pings = spark.createDataFrame(
+        [
+            (r["provider"], r["vehicleId"],
+             __import__("datetime").datetime.fromisoformat(r["ts"].replace("Z", "")),
+             r["lat"], r["lon"], r["speedKmh"], 0, None)
+            for r in ROWS
+        ],
+        PING_SCHEMA,
+    )
+    want = {r["tile_id"]: r for r in tile_aggregate(batch_pings).collect()}
+
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["ping_count"] == want[k]["ping_count"]
+        assert got[k]["avg_speed_kmh"] == want[k]["avg_speed_kmh"]
+
+
+def test_tiles_replay_is_idempotent(spark, dirs):
+    _write_json(dirs["in"], "b1.json", ROWS)
+    store = tile_store(dirs["store"])
+    _run_tiles(spark, dirs["in"], store, dirs["ckpt"])
+    first = sorted(store.read(spark).collect(), key=lambda r: r["tile_id"])
+
+    # replay the whole input with a FRESH checkpoint into the same store
+    _run_tiles(spark, dirs["in"], store, dirs["ckpt2"])
+    second = sorted(store.read(spark).collect(), key=lambda r: r["tile_id"])
+    assert first == second
+
+
+def test_positions_conditional_upsert_out_of_order(spark, dirs):
+    store = positions_store(dirs["store"])
+    _write_json(dirs["in"], "b1.json", [_wire("v1", "2024-01-01T10:10:00Z", lat=42.50)])
+    _run_positions(spark, dirs["in"], store, dirs["ckpt"])
+
+    # second batch arrives LATE with an older position for v1 + a new v3
+    _write_json(dirs["in"], "b2.json", [
+        _wire("v1", "2024-01-01T10:05:00Z", lat=41.00),
+        _wire("v3", "2024-01-01T10:01:00Z", lat=42.70),
+    ])
+    _run_positions(spark, dirs["in"], store, dirs["ckpt"])
+
+    got = {r["vehicleId"]: r for r in store.read(spark).collect()}
+    assert got["v1"]["loc_lat"] == 42.50  # older update was a no-op (S5 guard)
+    assert got["v3"]["loc_lat"] == 42.70  # new key inserted
+    assert len(got) == 2
+
+
+def test_watermark_drops_very_late_rows(spark, dirs):
+    store = tile_store(dirs["store"])
+    # run 1: event at T and T+20min -> watermark advances to T+10
+    _write_json(dirs["in"], "b1.json", [
+        _wire("v1", "2024-01-01T10:00:00Z"),
+        _wire("v1", "2024-01-01T10:20:00Z"),
+    ])
+    _run_tiles(spark, dirs["in"], store, dirs["ckpt"])
+
+    # run 2 (same checkpoint): a row landing in the already-closed 10:00
+    # window — beyond the restored watermark, must be dropped (ST3)
+    _write_json(dirs["in"], "b2.json", [_wire("v2", "2024-01-01T10:01:00Z")])
+    _run_tiles(spark, dirs["in"], store, dirs["ckpt"])
+
+    tiles = {r["window_start"].isoformat(): r["ping_count"] for r in store.read(spark).collect()}
+    assert tiles["2024-01-01T10:00:00"] == 1  # late row did NOT increment
+    assert tiles["2024-01-01T10:20:00"] == 1
