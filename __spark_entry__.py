@@ -26,9 +26,13 @@ if str(_REPO) not in sys.path:
 from real_time_mobility_heatmap_spark.config import DEFAULT as CFG
 from real_time_mobility_heatmap_spark.operators import (
     decode,
+    dedup,
     latest,
+    multimodal,
     multiplex,
     relational,
+    similarity,
+    textops,
     tiles,
 )
 from real_time_mobility_heatmap_spark.sources.tables import (
@@ -86,6 +90,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_feature_collection": geojson.q_tile_feature_collection,
         "position_features": geojson.q_position_features,
         "fresh_tiles": geojson.q_fresh_tiles,
+        # text analysis (§2.11)
+        "token_count": textops.q_token_count,
+        "quality_score": textops.q_quality_score,
+        "lang_id": textops.q_lang_id,
+        "fingerprint": textops.q_fingerprint,
+        "corpus_stats": textops.q_corpus_stats,
+        "term_frequencies": textops.q_term_frequencies,
+        # deduplication (§2.11)
+        "exact_dedup": dedup.q_exact_dedup,
+        "minhash_signatures": dedup.q_minhash_signatures,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "simhash": dedup.q_simhash,
+        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
+        # similarity search (§2.11)
+        "topk_cosine": similarity.q_topk_cosine,
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
+        "lsh_buckets": similarity.q_lsh_buckets,
+        # multimodal columns (§2.11)
+        "media_metadata": multimodal.q_media_metadata,
+        "media_features": multimodal.q_media_features,
     }
 
 
@@ -121,4 +146,23 @@ def oracle_sql() -> dict[str, str]:
         # not portable through the flat hash compare; rows-only check.
         "position_features": geojson.POSITION_FEATURES_ORACLE,
         "fresh_tiles": geojson.fresh_tiles_oracle(CFG),
+        "token_count": textops.TOKEN_COUNT_ORACLE,
+        "quality_score": textops.QUALITY_SCORE_ORACLE,
+        "lang_id": textops.LANG_ID_ORACLE,
+        "fingerprint": textops.FINGERPRINT_ORACLE,
+        "corpus_stats": textops.CORPUS_STATS_ORACLE,
+        "term_frequencies": textops.term_frequencies_oracle(),
+        "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
+        "minhash_signatures": dedup.minhash_signatures_oracle(),
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(),
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_ORACLE,
+        "simhash": dedup.simhash_oracle(),
+        "streaming_exact_dedup": dedup.STREAMING_EXACT_DEDUP_ORACLE,
+        "topk_cosine": similarity.TOPK_COSINE_ORACLE,
+        "topk_cosine_blocked": similarity.TOPK_COSINE_BLOCKED_ORACLE,
+        "lsh_buckets": similarity.lsh_buckets_oracle(),
+        "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
+        # media_features: no oracle — Arrow-batched pandas extraction over
+        # binary blobs is not expressible in DuckDB SQL; rows-only check
+        # (its byte_len column is cross-checked by media_metadata's oracle).
     }

@@ -1,0 +1,180 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.11).
+
+- ``topk_cosine``        — brute-force top-k: exact baseline. The query set
+                           is broadcast; candidate scan is embarrassingly
+                           parallel; per-query top-k via ranking window.
+- ``topk_cosine_blocked``— IVF-style: candidates restricted to the query's
+                           coarse cell (the fixture ``label`` stands in for
+                           a centroid assignment). The probe-subset pattern
+                           is the actual scale path: score 1/nlist of the
+                           corpus instead of all of it.
+- ``lsh_buckets``        — sign-random-projection (SimHash-for-vectors):
+                           16 deterministic ±1 hyperplanes shared as
+                           literals with the oracle; bucket = bit pattern
+                           of projection signs. Bucket equi-join replaces
+                           the all-pairs product for near-dup mining.
+
+All cosine math is double-precision column arithmetic (zip_with +
+aggregate fold — sequential, matching DuckDB's list_dot_product order),
+rounded before ranking so cross-engine float noise cannot flip an order.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+N_QUERIES = 5      # vec_id < 5 are the query vectors
+TOP_K = 3
+N_PLANES = 16
+DIM = 64
+ROUND_COS = 6
+
+
+def _as_double(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _with_norm(df: DataFrame, prefix: str) -> DataFrame:
+    emb = _as_double("embedding")
+    return df.select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        F.col("label").alias(f"{prefix}_label"),
+        emb.alias(f"{prefix}_emb"),
+        F.sqrt(_dot(emb, emb)).alias(f"{prefix}_norm"),
+    )
+
+
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def topk_cosine(embeddings: DataFrame) -> DataFrame:
+    """Exact brute-force top-k cosine per query vector."""
+    q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
+    c = _with_norm(embeddings, "cand")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("query_emb"), F.col("cand_emb"))
+                / (F.col("query_norm") * F.col("cand_norm")),
+                ROUND_COS,
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)
+
+
+_COS_DUCK = (
+    "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+    f", {ROUND_COS})"
+)
+
+TOPK_COSINE_ORACLE = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def topk_cosine_blocked(embeddings: DataFrame) -> DataFrame:
+    """IVF-style top-k: only candidates in the query's coarse cell (label)."""
+    q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
+    c = _with_norm(embeddings, "cand")
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_label") == F.col("query_label"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("query_emb"), F.col("cand_emb"))
+                / (F.col("query_norm") * F.col("cand_norm")),
+                ROUND_COS,
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)
+
+
+TOPK_COSINE_BLOCKED_ORACLE = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.label = q.label AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes, identical literals in Spark and SQL."""
+    rng = random.Random(7)
+    return [[float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(N_PLANES)]
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """Sign-random-projection bucket per vector (16-bit code)."""
+    emb = _as_double("embedding")
+    bucket = None
+    for p, weights in enumerate(_planes()):
+        w = F.array(*[F.lit(v) for v in weights])
+        bit = F.when(_dot(emb, w) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select("vec_id", "label", bucket.alias("bucket"))
+
+
+def lsh_buckets_oracle() -> str:
+    terms = []
+    for p, weights in enumerate(_planes()):
+        arr = "[" + ", ".join(repr(v) for v in weights) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0"
+            f" THEN {2**p} ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return f"SELECT vec_id, label, {expr} AS bucket FROM embeddings"
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_topk_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_cosine_blocked(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_buckets(load_table(spark, sf_dir, "embeddings"))

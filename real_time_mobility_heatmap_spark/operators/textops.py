@@ -1,0 +1,199 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.11).
+
+Large-scale training-data pipeline primitives: token counting, quality
+scoring, language-ID heuristic, document fingerprinting, corpus stats.
+Everything is built-in column expressions (whole-stage codegen, no Python),
+and every query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import STOPWORDS, TOKENS_DUCK, tokens
+from ..sources.tables import load_table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_text_chars"),
+    )
+
+
+TOKEN_COUNT_ORACLE = f"""
+    SELECT doc_id,
+           len({TOKENS_DUCK}) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_text_chars
+    FROM documents
+"""
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score.
+
+    length / punctuation ratio / stopword ratio / mean word length — the
+    standard cheap filters a pretraining pipeline applies before anything
+    model-based.
+    """
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct = F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9\\s]"))
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("n_text_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(n_stop / n_toks, 6).alias("stopword_ratio"),
+        F.round((F.length("text") - n_toks + 1) / n_toks, 6).alias("mean_word_len"),
+    )
+    return d.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
+            + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.25
+            + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.25,
+            6,
+        ),
+    )
+
+
+QUALITY_SCORE_ORACLE = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_text_chars,
+               len({TOKENS_DUCK}) AS n_tokens,
+               round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+               round(len(list_filter({TOKENS_DUCK}, t -> t IN ({_STOP_IN}))) / CAST(len({TOKENS_DUCK}) AS DOUBLE), 6) AS stopword_ratio,
+               round((CAST(length(text) AS DOUBLE) - len({TOKENS_DUCK}) + 1) / len({TOKENS_DUCK}), 6) AS mean_word_len
+        FROM documents
+    )
+    SELECT *,
+           round(least(n_tokens / CAST(50.0 AS DOUBLE), 1.0) * 0.5
+                 + (1 - least(punct_ratio * 5, CAST(1.0 AS DOUBLE))) * 0.25
+                 + least(stopword_ratio * 4, CAST(1.0 AS DOUBLE)) * 0.25, 6) AS quality_score
+    FROM feats
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language-ID heuristic.
+
+    Real language-ID is n-gram profiles over a trained table; the engine
+    pattern is the same — a pure-column score + threshold. Compares the
+    prediction against the fixture's ``lang`` column.
+    """
+    toks = tokens(F.col("text"))
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
+    pred = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_stopword_ratio"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("pred_matches"),
+    )
+
+
+LANG_ID_ORACLE = f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               round(len(list_filter({TOKENS_DUCK}, t -> t IN ({_STOP_IN}))) / CAST(len({TOKENS_DUCK}) AS DOUBLE), 6) AS en_stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang, en_stopword_ratio,
+           CASE WHEN en_stopword_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang,
+           (CASE WHEN en_stopword_ratio >= 0.05 THEN 'en' ELSE 'unknown' END) = lang AS pred_matches
+    FROM s
+"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-
+    collapsed text (plus sha256 of the raw text for exact identity)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fingerprint"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+FINGERPRINT_ORACLE = """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_fingerprint,
+           sha256(text) AS content_sha256
+    FROM documents
+"""
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Corpus composition: per (lang, source) doc counts and length stats."""
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+CORPUS_STATS_ORACLE = """
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+"""
+
+
+def term_frequencies(docs: DataFrame, min_count: int = 100) -> DataFrame:
+    """Global term frequency: explode tokens -> count per token (the tf
+    half of tf-idf; the shuffle carries one row per token occurrence,
+    combined map-side)."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .filter(F.col("term_count") >= min_count)
+    )
+
+
+def term_frequencies_oracle(min_count: int = 100) -> str:
+    return f"""
+        SELECT token, count(*) AS term_count
+        FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
+        GROUP BY token HAVING count(*) >= {min_count}
+    """
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_frequencies(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+from real_time_mobility_heatmap_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from real_time_mobility_heatmap_spark.operators.multimodal import media_features
+from real_time_mobility_heatmap_spark.operators.similarity import lsh_buckets, topk_cosine
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i}", len(t)) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+
+
+def test_exact_dedup_groups_identical_content(spark):
+    docs = _docs(spark, ["a b c d", "a b c d", "x y z w"])
+    out = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_finds_near_duplicates_and_skips_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # high shingle overlap
+    other = "completely different words appear inside this unrelated sentence structure here"
+    docs = _docs(spark, [base, near, other])
+    pairs = minhash_lsh_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] > 0.5
+
+    # ground-truth variant agrees
+    gt = ngram_jaccard_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in gt] == [(0, 1)]
+
+
+def test_identical_docs_have_equal_signatures_and_simhash(spark):
+    docs = _docs(spark, ["alpha beta gamma delta epsilon", "alpha beta gamma delta epsilon"])
+    sigs = minhash_signatures(docs).collect()
+    assert sigs[0][1:] == sigs[1][1:]
+    sh = simhash(docs).collect()
+    assert sh[0]["simhash16"] == sh[1]["simhash16"]
+    assert 0 <= sh[0]["simhash16"] < 2**16
+
+
+def test_topk_cosine_self_similarity(spark):
+    # vec 0 == vec 5 (identical direction) -> top-1 neighbor with cosine 1.0
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0], 0),
+        (2, [0.6, 0.8, 0.0], 0),
+        (5, [2.0, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["query_id"], r["rank"]): r for r in topk_cosine(emb).collect()}
+    assert out[(0, 1)]["cand_id"] == 5 and out[(0, 1)]["cosine"] == 1.0
+
+
+def test_lsh_buckets_identical_vectors_collide(spark):
+    import random
+
+    rng = random.Random(1)
+    v = [rng.uniform(-1, 1) for _ in range(64)]
+    emb = spark.createDataFrame(
+        [(0, v, 0), (1, v, 0), (2, [-x for x in v], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb).collect()}
+    assert out[0] == out[1]          # same vector -> same bucket
+    assert out[2] == 65535 - out[0]  # negated vector -> complement bits
+
+
+def test_media_features_deterministic_plumbing(spark):
+    docs = _docs(spark, ["hello world", "hello world", "abc"])
+    feats = {r["doc_id"]: r for r in media_features(docs).collect()}
+    assert feats[0]["byte_len"] == 11 and feats[2]["byte_len"] == 3
+    assert feats[0]["checksum"] == feats[1]["checksum"]
+    assert feats[0]["checksum"] == sum(b"hello world") % 65521
