@@ -33,7 +33,7 @@ from ..functions.textfns import (
     shingles_duck,
     tokens,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 N_HASHES = 8          # MinHash signature length
 N_BANDS = 4           # LSH bands (2 rows per band)
@@ -60,7 +60,7 @@ EXACT_DEDUP_ORACLE = """
 
 def _shingled(docs: DataFrame) -> DataFrame:
     """doc_id + distinct 3-gram shingle set (docs with >= 3 tokens)."""
-    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    t = spread(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
     return (
         t.filter(F.size("toks") >= 3)
         .select("doc_id", shingles("toks").alias("sh"))
@@ -76,26 +76,52 @@ _SHINGLED_DUCK = f"""
 """
 
 
-def _mh_expr_spark(k: int) -> str:
-    seeded = hash60_spark_sql(f"concat('s{k}|', x)")
-    return f"array_min(transform(sh, x -> {seeded}))"
+# k hash functions derived from ONE md5 per shingle by affine mixing mod a
+# Mersenne prime: h_k(x) = (a_k * (h(x) % P) + b_k) % P. One string hash
+# instead of k — 8x less md5 work — and (h%P) < 2^31, a_k < 2^31, so the
+# product stays under 2^62: exact in signed 64-bit integer arithmetic in
+# both engines (no overflow, no float).
+MERSENNE_P = 2147483647  # 2^31 - 1
+_MIX = [(1103515245, 12345), (1229782938, 2749), (1012345679, 999331),
+        (715827883, 453), (999999937, 71993), (824633721, 1299827),
+        (537847123, 65537), (190739471, 7919)]
+assert len(_MIX) == N_HASHES
 
 
-def _mh_expr_duck(k: int) -> str:
-    seeded = hash60_duck_sql(f"concat('s{k}|', x)")
-    return f"list_min(list_transform(sh, x -> {seeded}))"
+def _mh_expr(k: int, hash60_sql) -> str:
+    a, b = _MIX[k]
+    base = f"({hash60_sql('x')} % {MERSENNE_P})"
+    return f"(({a} * {base} + {b}) % {MERSENNE_P})"
+
+
+def _mh_from_hashed(k: int) -> str:
+    """min over pre-hashed shingles of the k-th affine mix (md5 hoisted)."""
+    a, b = _MIX[k]
+    return f"array_min(transform(shl, h -> ({a} * (h % {MERSENNE_P}) + {b}) % {MERSENNE_P}))"
+
+
+def _mh_duck(k: int) -> str:
+    return f"list_min(list_transform(sh, x -> {_mh_expr(k, hash60_duck_sql)}))"
+
+
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + 60-bit-hashed shingle array. The md5 pass happens ONCE in
+    this projection; signatures/bands/verify all derive from the integer
+    array (Spark won't CSE md5 across 8 separate lambdas otherwise)."""
+    return _shingled(docs).select(
+        "doc_id", F.expr(f"transform(sh, x -> {hash60_spark_sql('x')})").alias("shl")
+    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """k seeded min-hashes per document (the MinHash signature)."""
-    shingled = _shingled(docs)
-    return shingled.select(
-        "doc_id", *[F.expr(_mh_expr_spark(k)).alias(f"mh{k}") for k in range(N_HASHES)]
+    """k min-hashes per document (the MinHash signature)."""
+    return _hashed_shingles(docs).select(
+        "doc_id", *[F.expr(_mh_from_hashed(k)).alias(f"mh{k}") for k in range(N_HASHES)]
     )
 
 
 def minhash_signatures_oracle() -> str:
-    cols = ", ".join(f"{_mh_expr_duck(k)} AS mh{k}" for k in range(N_HASHES))
+    cols = ", ".join(f"{_mh_duck(k)} AS mh{k}" for k in range(N_HASHES))
     return f"WITH {_SHINGLED_DUCK} SELECT doc_id, {cols} FROM shingled"
 
 
@@ -137,23 +163,24 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     return _verify_jaccard(docs, candidates)
 
 
-def _verify_jaccard(docs: DataFrame, candidates: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs, thresholded."""
-    sh = _shingled(docs)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inter = (
-        candidates.join(ex.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
-        .join(
-            ex.alias("eb"),
-            (F.col("doc_b") == F.col("eb.doc_id")) & (F.col("ea.s") == F.col("eb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+def _exploded_hashed(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, shingle-hash) rows + per-doc set sizes.
+
+    Shingles are hashed to 60-bit ints *before* any join: integer join keys
+    shuffle a fraction of the bytes of long n-gram strings. The same hash is
+    applied in the oracle, so even the (negligible) collision behavior is
+    identical in both engines.
+    """
+    hashed = _hashed_shingles(docs)
+    ex = hashed.select("doc_id", F.explode("shl").alias("s_h"))
+    sizes = hashed.select("doc_id", F.size("shl").alias("n_sh"))
+    return ex, sizes
+
+
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     out = (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -165,12 +192,27 @@ def _verify_jaccard(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     return out.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+def _verify_jaccard(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, thresholded."""
+    ex, sizes = _exploded_hashed(docs)
+    inter = (
+        candidates.join(ex.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
+        .join(
+            ex.alias("eb"),
+            (F.col("doc_b") == F.col("eb.doc_id")) & (F.col("ea.s_h") == F.col("eb.s_h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_inter(inter, sizes)
+
+
 def minhash_lsh_pairs_oracle() -> str:
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, {_band_hash_duck(b)} AS bh FROM sigs"
         for b in range(N_BANDS)
     )
-    sig_cols = ", ".join(f"{_mh_expr_duck(k)} AS mh{k}" for k in range(N_HASHES))
+    sig_cols = ", ".join(f"{_mh_duck(k)} AS mh{k}" for k in range(N_HASHES))
     return f"""
         WITH {_SHINGLED_DUCK},
         sigs AS (SELECT doc_id, {sig_cols} FROM shingled),
@@ -179,13 +221,13 @@ def minhash_lsh_pairs_oracle() -> str:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         ),
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        ex AS (SELECT doc_id, unnest(list_transform(sh, x -> {hash60_duck_sql('x')})) AS s_h FROM shingled),
         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
         inter AS (
             SELECT doc_a, doc_b, count(*) AS n_inter
             FROM candidates
             JOIN ex ea ON doc_a = ea.doc_id
-            JOIN ex eb ON doc_b = eb.doc_id AND ea.s = eb.s
+            JOIN ex eb ON doc_b = eb.doc_id AND ea.s_h = eb.s_h
             GROUP BY doc_a, doc_b
         )
         SELECT doc_a, doc_b,
@@ -198,25 +240,29 @@ def minhash_lsh_pairs_oracle() -> str:
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Ground-truth near-dup pairs: candidates = any shared shingle."""
-    sh = _shingled(docs)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    candidates = (
+    """Ground-truth near-dup pairs: candidates = any shared shingle.
+
+    The intersection count falls straight out of the shingle self-join
+    (shingle sets are distinct, so count(*) per pair == |A ∩ B|) — one
+    aggregation, no candidate->re-explode verify pass.
+    """
+    ex, sizes = _exploded_hashed(docs)
+    inter = (
         ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .join(ex.alias("b"), (F.col("a.s_h") == F.col("b.s_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _verify_jaccard(docs, candidates)
+    return _jaccard_from_inter(inter, sizes)
 
 
 NGRAM_JACCARD_ORACLE = f"""
     WITH {_SHINGLED_DUCK},
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    ex AS (SELECT doc_id, unnest(list_transform(sh, x -> {hash60_duck_sql('x')})) AS s_h FROM shingled),
     sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
     inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.s) AS n_inter
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s_h = b.s_h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -234,7 +280,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     Token multiplicity is the weight (classic SimHash). 16 bits keeps the
     fingerprint SQL-portable; production would use 64 via the same plan.
     """
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
+    tok = spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
     h = F.expr(hash60_spark_sql("tk"))
     tok = tok.select("doc_id", h.alias("h"))
     bit_sums = [

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -90,7 +90,7 @@ def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def media_features(docs: DataFrame) -> DataFrame:
     """binary column -> feature columns via mapInPandas (Arrow batches)."""
-    media = media_table(docs).select("doc_id", "content")
+    media = media_table(spread(docs)).select("doc_id", "content")
     return media.mapInPandas(fake_features, FEATURE_SCHEMA)
 
 

@@ -26,7 +26,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 N_QUERIES = 5      # vec_id < 5 are the query vectors
 TOP_K = 3
@@ -65,7 +65,7 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
 def topk_cosine(embeddings: DataFrame) -> DataFrame:
     """Exact brute-force top-k cosine per query vector."""
     q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
-    c = _with_norm(embeddings, "cand")
+    c = _with_norm(spread(embeddings), "cand")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -107,7 +107,7 @@ TOPK_COSINE_ORACLE = f"""
 def topk_cosine_blocked(embeddings: DataFrame) -> DataFrame:
     """IVF-style top-k: only candidates in the query's coarse cell (label)."""
     q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
-    c = _with_norm(embeddings, "cand")
+    c = _with_norm(spread(embeddings), "cand")
     scored = (
         c.join(F.broadcast(q), F.col("cand_label") == F.col("query_label"))
         .filter(F.col("cand_id") != F.col("query_id"))

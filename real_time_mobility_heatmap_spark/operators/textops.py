@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textfns import STOPWORDS, TOKENS_DUCK, tokens
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
 BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -176,19 +176,19 @@ def term_frequencies_oracle(min_count: int = 100) -> str:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_count(load_table(spark, sf_dir, "documents"))
+    return token_count(spread(load_table(spark, sf_dir, "documents")))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_score(load_table(spark, sf_dir, "documents"))
+    return quality_score(spread(load_table(spark, sf_dir, "documents")))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(load_table(spark, sf_dir, "documents"))
+    return lang_id(spread(load_table(spark, sf_dir, "documents")))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprint(load_table(spark, sf_dir, "documents"))
+    return fingerprint(spread(load_table(spark, sf_dir, "documents")))
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,4 +196,4 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return term_frequencies(load_table(spark, sf_dir, "documents"))
+    return term_frequencies(spread(load_table(spark, sf_dir, "documents")))

@@ -36,6 +36,22 @@ LAT_SQL = "CAST(42.0 AS DOUBLE) + (user_id % 100) / CAST(100 AS DOUBLE)"
 LON_SQL = "CAST(-71.0 AS DOUBLE) - (event_id % 100) / CAST(100 AS DOUBLE)"
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure at least one input partition per core.
+
+    The fixture tables are single-file / single-row-group parquet, so Spark
+    scans them as ONE partition and every expression-heavy pipeline
+    (regexp, md5, pandas batches) runs single-threaded until the first
+    shuffle. A real deployment reads many splits and never needs this; here
+    a tiny round-robin repartition stands in for that layout. No-op when
+    the scan already has enough splits.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
@@ -59,6 +75,9 @@ def pings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider/vehicleId/eventTs/lat/lon/speedKmh — the engine's canonical
     input relation for every mobility operator.
     """
+    # no spread() here: the ping pipeline is arithmetic-light, and a
+    # repartition shuffle of the raw rows costs more than the parallelism
+    # buys (measured at sf0.1); the heavy text/vector operators do spread.
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_type").alias("provider"),
