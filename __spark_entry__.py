@@ -25,6 +25,7 @@ if str(_REPO) not in sys.path:
 
 from real_time_mobility_heatmap_spark.config import DEFAULT as CFG
 from real_time_mobility_heatmap_spark.operators import (
+    asof,
     decode,
     dedup,
     latest,
@@ -34,6 +35,7 @@ from real_time_mobility_heatmap_spark.operators import (
     similarity,
     textops,
     tiles,
+    windows,
 )
 from real_time_mobility_heatmap_spark.sources.tables import (
     PINGS_ORACLE_SQL,
@@ -111,6 +113,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal columns (§2.11)
         "media_metadata": multimodal.q_media_metadata,
         "media_features": multimodal.q_media_features,
+        # as-of join + window-family generalizations (§2.3, §2.5)
+        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
+        "sliding_cell_counts": windows.q_sliding_cell_counts,
+        "vehicle_sessions": windows.q_vehicle_sessions,
+        "salted_cell_counts": windows.q_salted_cell_counts,
+        "value_percentiles": windows.q_value_percentiles,
+        "approx_value_percentiles": windows.q_approx_value_percentiles,
     }
 
 
@@ -165,4 +174,12 @@ def oracle_sql() -> dict[str, str]:
         # media_features: no oracle — Arrow-batched pandas extraction over
         # binary blobs is not expressible in DuckDB SQL; rows-only check
         # (its byte_len column is cross-checked by media_metadata's oracle).
+        "asof_clicks_last_purchase": asof.CLICKS_LAST_PURCHASE_ORACLE,
+        "sliding_cell_counts": windows.sliding_cell_counts_oracle(CFG),
+        "vehicle_sessions": windows.vehicle_sessions_oracle(),
+        "salted_cell_counts": windows.salted_cell_counts_oracle(CFG),
+        "value_percentiles": windows.VALUE_PERCENTILES_ORACLE,
+        # approx_value_percentiles: no oracle — KLL sketch estimates are
+        # engine-specific; rows-only (value_percentiles carries the exact
+        # cross-check of the same statistic).
     }

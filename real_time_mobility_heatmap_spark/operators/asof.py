@@ -1,0 +1,107 @@
+"""As-of (latest-before) join — the temporal generalization of the
+reference's argmax pattern (SURVEY.md §2.3: J1's semantics, "newest row per
+key, tie-tolerant", IS the as-of pattern).
+
+Spark has no ASOF JOIN operator; the scalable composition is the
+merge-union trick:
+
+  1. tag both sides and union them on the shared (key, ts) spine;
+  2. one window pass per key ordered by (ts, side): ``last(right-cols,
+     ignoreNulls)`` carries the most recent right row forward;
+  3. keep left rows, now annotated with their as-of match.
+
+One shuffle on the key — same cost as a plain equi-join — versus the naive
+range-join (key equality + ts inequality) which degenerates to a per-key
+cross product. Ordering puts the right side first at equal timestamps, so
+matches are inclusive (ts_left >= ts_right), exactly DuckDB's ASOF
+semantics — which is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row: columns of the newest right row with
+    right.ts <= left.ts and matching key (null when none precedes)."""
+    l_tagged = left.withColumn("__side", F.lit(1))
+    r_tagged = right.select(
+        key, ts, *right_cols
+    ).withColumn("__side", F.lit(0))
+
+    # align schemas: left gets null right-cols; right gets null left-extras
+    carried = [f"__r_{c}" for c in right_cols]
+    l_aligned = l_tagged.select(
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carried)]
+    )
+    r_aligned = r_tagged.select(
+        key,
+        ts,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (key, ts)],
+        F.col("__side"),
+        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+    )
+    unioned = l_aligned.unionByName(r_aligned)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(rc, ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c, rc in zip(right_cols, carried)
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_cols
+    ]
+    return filled.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def clicks_with_last_purchase(events: DataFrame) -> DataFrame:
+    """For every click event: the user's most recent purchase at-or-before
+    it (classic as-of use: enrich a fact stream with the latest state)."""
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("asof_purchase_event_id").alias("purchase_event_id"),
+        F.col("asof_purchase_value").alias("purchase_value"),
+    )
+
+
+CLICKS_LAST_PURCHASE_ORACLE = """
+    SELECT c.event_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_clicks_with_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clicks_with_last_purchase(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,197 @@
+"""Window-family generalizations beyond the reference's single tumbling
+window (SURVEY.md §2.5 — the reference roadmap hints at multi-window merges;
+a real deployment needs sliding and session windows, and hot-cell skew
+handling).
+
+- sliding window: ``window(ts, width, slide)`` — each event lands in
+  width/slide buckets. Oracle: union of shifted tumbling buckets.
+- session window: ``session_window(ts, gap)`` — per-key activity sessions.
+  Oracle: classic gaps-and-islands (lag + cumulative session counter).
+- salted aggregation: two-phase groupBy that pre-splits hot keys across
+  ``N_SALTS`` partial groups before the final combine. Result is identical
+  to the plain aggregate (the oracle IS the plain aggregate) — the point is
+  the shuffle shape: a hot cell's rows spread over N_SALTS reducers instead
+  of one.
+- percentiles: exact interpolated percentiles (Spark ``percentile`` ==
+  DuckDB ``quantile_cont``) + approx variant (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..operators.tiles import snap_pings, snapped_oracle_cte
+from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
+
+SLIDE_MIN = 5
+WIDTH_MIN = 10
+SESSION_GAP_MIN = 30
+N_SALTS = 8
+
+
+def sliding_cell_counts(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """10-minute windows sliding every 5: overlapping hot-spot smoothing."""
+    snapped = snap_pings(pings, cfg)
+    return (
+        snapped.groupBy(
+            F.window("eventTs", f"{WIDTH_MIN} minutes", f"{SLIDE_MIN} minutes").alias("w"),
+            "cell_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("ping_count"),
+            F.round(F.avg("speedKmh"), 6).alias("avg_speed_kmh"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell_id",
+            "ping_count",
+            "avg_speed_kmh",
+        )
+    )
+
+
+def sliding_cell_counts_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    # each event belongs to WIDTH/SLIDE = 2 sliding windows: the one whose
+    # start is its 5-min bucket, and the one starting 5 minutes earlier
+    shifts = ", ".join(str(k * SLIDE_MIN) for k in range(WIDTH_MIN // SLIDE_MIN))
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        assigned AS (
+            SELECT s.*,
+                   time_bucket(INTERVAL '{SLIDE_MIN} minutes', eventTs)
+                       - to_minutes(shift.s) AS window_start
+            FROM snapped s, (SELECT unnest([{shifts}]) AS s) shift
+        )
+        SELECT window_start,
+               window_start + INTERVAL '{WIDTH_MIN} minutes' AS window_end,
+               cell_id,
+               count(*) AS ping_count,
+               round(avg(speedKmh), 6) AS avg_speed_kmh
+        FROM assigned
+        GROUP BY window_start, cell_id
+    """
+
+
+def vehicle_sessions(pings: DataFrame) -> DataFrame:
+    """Per-vehicle activity sessions: a new session starts after a
+    >30-minute silence. Streaming twin: ``F.session_window`` (same gap
+    semantics; Spark merges windows in state)."""
+    s = F.session_window("eventTs", f"{SESSION_GAP_MIN} minutes")
+    return (
+        pings.groupBy("provider", "vehicleId", s.alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.round(F.avg("speedKmh"), 6).alias("avg_speed_kmh"),
+        )
+        .select(
+            "provider",
+            "vehicleId",
+            F.col("s.start").alias("session_start"),
+            "n_pings",
+            "avg_speed_kmh",
+        )
+    )
+
+
+def vehicle_sessions_oracle() -> str:
+    return f"""
+        WITH pings AS ({PINGS_ORACLE_SQL}),
+        flagged AS (
+            SELECT provider, vehicleId, eventTs, speedKmh,
+                   CASE WHEN eventTs - lag(eventTs) OVER w > INTERVAL '{SESSION_GAP_MIN} minutes'
+                             OR lag(eventTs) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM pings
+            WINDOW w AS (PARTITION BY provider, vehicleId ORDER BY eventTs)
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY provider, vehicleId ORDER BY eventTs) AS session_no
+            FROM flagged
+        )
+        SELECT provider, vehicleId,
+               min(eventTs) AS session_start,
+               count(*) AS n_pings,
+               round(avg(speedKmh), 6) AS avg_speed_kmh
+        FROM numbered
+        GROUP BY provider, vehicleId, session_no
+    """
+
+
+def salted_cell_counts(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Skew-resistant two-phase aggregate for hot cells (a city-center cell
+    is the classic skew key — SURVEY.md §7). Phase 1 groups on
+    (cell, salt) so a hot cell's rows land on N_SALTS reducers; phase 2
+    combines the partials. Output == plain groupBy (the oracle)."""
+    snapped = snap_pings(pings, cfg).withColumn(
+        "__salt", F.pmod(F.xxhash64("vehicleId", "eventTs"), F.lit(N_SALTS))
+    )
+    partial = snapped.groupBy("cell_id", "__salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("speedKmh").alias("s"),
+    )
+    # sum (not avg): per-cell ping counts here are powers of two, so an avg
+    # terminates exactly on the round() half-boundary where Spark
+    # (BigDecimal HALF_UP) and DuckDB (binary rounding) legitimately differ
+    return partial.groupBy("cell_id").agg(
+        F.sum("c").alias("ping_count"),
+        F.round(F.sum("s"), 2).alias("sum_speed_kmh"),
+    )
+
+
+def salted_cell_counts_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)}
+        SELECT cell_id, count(*) AS ping_count,
+               round(sum(speedKmh), 2) AS sum_speed_kmh
+        FROM snapped GROUP BY cell_id
+    """
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of event value per event_type."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+VALUE_PERCENTILES_ORACLE = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+"""
+
+
+def approx_value_percentiles(events: DataFrame) -> DataFrame:
+    """Sketch-based percentiles (KLL-style approx_percentile): the 100 TB
+    path — mergeable constant-size state. Rows-only check (sketch results
+    are engine-specific)."""
+    return events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").alias("approx_pcts")
+    )
+
+
+def q_sliding_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_cell_counts(pings_from_events(spark, sf_dir))
+
+
+def q_vehicle_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vehicle_sessions(pings_from_events(spark, sf_dir))
+
+
+def q_salted_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_cell_counts(pings_from_events(spark, sf_dir))
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_value_percentiles(load_table(spark, sf_dir, "events"))

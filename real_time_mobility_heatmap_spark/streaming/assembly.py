@@ -130,6 +130,60 @@ def positions_batch(batch_df: DataFrame) -> DataFrame:
     )
 
 
+def start_multiplexed_query(
+    pings: DataFrame,
+    tile_store: KeyedParquetStore,
+    pos_store: KeyedParquetStore,
+    checkpoint: str,
+    cfg: EngineConfig = DEFAULT,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Reference-fidelity union-tag multiplex (U1 + P9, heatmap_stream.py:
+    136-154): ONE streaming query / ONE checkpoint feeds both sinks. The
+    windowed tiles and the raw stream are tagged, unionByName'd with
+    null-fill, and demuxed inside foreachBatch.
+
+    Kept alongside the two-query design because the single checkpoint
+    commits both outputs from the same micro-batch; the price is a wider
+    union schema through the plan (SURVEY.md §2.7 documents the tradeoff).
+    """
+    tiles = windowed_tiles_stream(pings, cfg).withColumn("__part", F.lit("tiles"))
+    raw = validate_pings(pings).withColumn("__part", F.lit("latest"))
+    unioned = tiles.unionByName(raw, allowMissingColumns=True)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            tile_cols = [c for c in tiles.columns if c != "__part"]
+            tile_store.merge(
+                batch_df.where(F.col("__part") == "tiles").select(tile_cols), epoch_id
+            )
+            raw_cols = [c for c in raw.columns if c != "__part"]
+            pos_store.merge(
+                positions_batch(batch_df.where(F.col("__part") == "latest").select(raw_cols)),
+                epoch_id,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        unioned.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_sink)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def streaming_dedup(pings: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup bounded by watermark (SURVEY.md §2.11):
+    duplicate pings (same key within the watermark horizon) are emitted
+    once; state for old keys is evicted as the watermark advances."""
+    return pings.withWatermark("eventTs", watermark).dropDuplicatesWithinWatermark(
+        ["provider", "vehicleId", "eventTs"]
+    )
+
+
 def start_positions_query(
     pings: DataFrame,
     store: KeyedParquetStore,
