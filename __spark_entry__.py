@@ -36,6 +36,7 @@ from real_time_mobility_heatmap_spark.operators import (
     textops,
     tiles,
     windows,
+    wire,
 )
 from real_time_mobility_heatmap_spark.sources.tables import (
     PINGS_ORACLE_SQL,
@@ -113,6 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal columns (§2.11)
         "media_metadata": multimodal.q_media_metadata,
         "media_features": multimodal.q_media_features,
+        # wire encode / color ramp / raw SQL surface (§2.8 F8-F9, EP2)
+        "wire_encode": wire.q_wire_encode,
+        "tile_colors": wire.q_tile_colors,
+        "sql_pricing_summary": wire.q_sql_pricing_summary,
         # as-of join + window-family generalizations (§2.3, §2.5)
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
         "sliding_cell_counts": windows.q_sliding_cell_counts,
@@ -174,6 +179,9 @@ def oracle_sql() -> dict[str, str]:
         # media_features: no oracle — Arrow-batched pandas extraction over
         # binary blobs is not expressible in DuckDB SQL; rows-only check
         # (its byte_len column is cross-checked by media_metadata's oracle).
+        "wire_encode": wire.WIRE_ENCODE_ORACLE,
+        "tile_colors": wire.tile_colors_oracle(CFG),
+        "sql_pricing_summary": relational.PRICING_SUMMARY_ORACLE,
         "asof_clicks_last_purchase": asof.CLICKS_LAST_PURCHASE_ORACLE,
         "sliding_cell_counts": windows.sliding_cell_counts_oracle(CFG),
         "vehicle_sessions": windows.vehicle_sessions_oracle(),

@@ -71,7 +71,6 @@ COLOR_RAMP = [
 def tile_colors(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """Server-side choropleth bucket per tile (F9 engine analog)."""
     t = tile_aggregate(pings, cfg)
-    color = F
     expr = None
     for threshold, hexcode in COLOR_RAMP[:-1]:
         cond = F.col("ping_count") > threshold
