@@ -156,8 +156,7 @@ def oracle_sql() -> dict[str, str]:
         # engine-specific; driver records rows-only check.
         "streaming_tiles": tiles.tiles_oracle_sql(PINGS_ORACLE_SQL, CFG),
         "tile_features_flat": geojson.tile_features_flat_oracle(CFG),
-        # tile_feature_collection: no oracle — nested GeoJSON structs are
-        # not portable through the flat hash compare; rows-only check.
+        "tile_feature_collection": geojson.tile_feature_collection_json_oracle(CFG),
         "position_features": geojson.POSITION_FEATURES_ORACLE,
         "fresh_tiles": geojson.fresh_tiles_oracle(CFG),
         "token_count": textops.TOKEN_COUNT_ORACLE,
@@ -169,7 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "minhash_signatures": dedup.minhash_signatures_oracle(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(),
-        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_ORACLE,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_oracle(),
         "simhash": dedup.simhash_oracle(),
         "streaming_exact_dedup": dedup.STREAMING_EXACT_DEDUP_ORACLE,
         "topk_cosine": similarity.TOPK_COSINE_ORACLE,

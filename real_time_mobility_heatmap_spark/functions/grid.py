@@ -20,10 +20,17 @@ from pyspark.sql import functions as F
 
 
 def cell_id(lat: Column, lon: Column, scale: int) -> Column:
-    """Snap coordinates to a uniform grid cell id (codegen-friendly)."""
-    y = F.floor(lat * F.lit(scale)).cast("bigint")
-    x = F.floor(lon * F.lit(scale)).cast("bigint")
-    return F.concat_ws(":", y, x)
+    """Snap coordinates to a uniform grid cell id (codegen-friendly).
+
+    Uses null-propagating ``concat`` (NOT ``concat_ws``, which skips null
+    args and would emit malformed ids like ``"12"`` for a null coordinate):
+    a null lat/lon yields a null cell id, matching the oracle's ``||`` and
+    making the downstream ``cell_id IS NOT NULL`` drop meaningful for
+    snappers that can return null (e.g. the H3 plug-in).
+    """
+    y = F.floor(lat * F.lit(scale)).cast("bigint").cast("string")
+    x = F.floor(lon * F.lit(scale)).cast("bigint").cast("string")
+    return F.concat(y, F.lit(":"), x)
 
 
 def cell_id_sql(lat_sql: str, lon_sql: str, scale: int) -> str:

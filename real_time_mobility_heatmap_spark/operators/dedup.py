@@ -13,23 +13,32 @@ the DuckDB oracle can reproduce them bit-for-bit; see functions/textfns.py):
 - ngram-jaccard: ground-truth near-dup pairs via shared-shingle equi-join
                (the verify stage without the LSH prefilter).
 
-Scale notes: every pair-generating join is an equi-join on a hash key
-(band hash / shingle), so Spark shuffles on that key; hot shingles (very
-common n-grams) are the skew risk — mitigated by dropping top-frequency
-shingles (stopword shingles carry no dedup signal anyway) the same way in
-both engines.
+Scale notes: pair generation never self-joins the exploded shingle table
+(a self-join computes the whole shingling subplan once per side and its
+fanout is quadratic in the hottest shingle's document frequency). Instead
+both pair generators group by the hash key (shingle / band hash) into a
+doc-list bucket, drop buckets larger than ``df_cap`` — a shingle present
+in more than ``HOT_SHINGLE_DF_FRAC`` of the corpus (bounded by
+``HOT_SHINGLE_DF_MAX``) is boilerplate with no dedup signal — and explode
+the i<j pairs inside each surviving bucket. One shingling pass, two
+shuffles, and per-bucket fanout bounded by C(df_cap, 2). The identical
+cap is applied in the DuckDB oracles (HAVING on shingle df), so the
+results match bit-for-bit; at fixture scale no shingle crosses the cap,
+which also proves the cap is output-invariant on clean corpora.
+Set sizes (Jaccard denominators) remain the full shingle-set sizes;
+only intersection counting skips hot shingles — documented convention,
+mirrored in both engines.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import (
     TOKENS_DUCK,
     hash60_duck_sql,
     hash60_spark_sql,
-    shingles,
     shingles_duck,
     tokens,
 )
@@ -40,6 +49,9 @@ N_BANDS = 4           # LSH bands (2 rows per band)
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
+HOT_SHINGLE_DF_FRAC = 0.10   # shingle in > this corpus fraction = boilerplate
+HOT_SHINGLE_DF_MIN = 16      # never treat a df <= this as hot (tiny corpora)
+HOT_SHINGLE_DF_MAX = 10_000  # absolute bound: C(cap, 2) limits bucket fanout
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -58,12 +70,34 @@ EXACT_DEDUP_ORACLE = """
 """
 
 
-def _shingled(docs: DataFrame) -> DataFrame:
-    """doc_id + distinct 3-gram shingle set (docs with >= 3 tokens)."""
-    t = spread(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 3-gram shingle) rows for docs with >= 3 tokens.
+
+    Built as posexplode + two window ``lead``s + concat rather than a
+    higher-order ``transform(sequence, i -> concat_ws(slice(...)))`` over
+    token arrays: array slicing inside ``transform`` is interpreted (not
+    codegen) and allocates per shingle — the window form measured ~4x
+    faster at sf0.1 and scales as a plain shuffle-by-doc_id sort, which a
+    real cluster does per-partition. Output strings are identical, so the
+    DuckDB oracles keep the list-comprehension form.
+    """
+    tok = (
+        spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        t.filter(F.size("toks") >= 3)
-        .select("doc_id", shingles("toks").alias("sh"))
+        tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
+        .select(
+            "doc_id",
+            "tk",
+            F.lead("tk", 1).over(w).alias("t1"),
+            F.lead("tk", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tk", "t1", "t2").alias("s"))
+        .distinct()
     )
 
 
@@ -94,30 +128,29 @@ def _mh_expr(k: int, hash60_sql) -> str:
     return f"(({a} * {base} + {b}) % {MERSENNE_P})"
 
 
-def _mh_from_hashed(k: int) -> str:
-    """min over pre-hashed shingles of the k-th affine mix (md5 hoisted)."""
-    a, b = _MIX[k]
-    return f"array_min(transform(shl, h -> ({a} * (h % {MERSENNE_P}) + {b}) % {MERSENNE_P}))"
-
-
 def _mh_duck(k: int) -> str:
     return f"list_min(list_transform(sh, x -> {_mh_expr(k, hash60_duck_sql)}))"
 
 
-def _hashed_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id + 60-bit-hashed shingle array. The md5 pass happens ONCE in
-    this projection; signatures/bands/verify all derive from the integer
-    array (Spark won't CSE md5 across 8 separate lambdas otherwise)."""
-    return _shingled(docs).select(
-        "doc_id", F.expr(f"transform(sh, x -> {hash60_spark_sql('x')})").alias("shl")
+def _hashed_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, 60-bit shingle hash) rows. The md5 pass happens ONCE here;
+    signatures/bands/verify all derive from this integer column."""
+    return _shingle_rows(docs).select(
+        "doc_id", F.expr(hash60_spark_sql("s")).alias("s_h")
     )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """k min-hashes per document (the MinHash signature)."""
-    return _hashed_shingles(docs).select(
-        "doc_id", *[F.expr(_mh_from_hashed(k)).alias(f"mh{k}") for k in range(N_HASHES)]
-    )
+    """k min-hashes per document (the MinHash signature).
+
+    Plain codegen'd min() aggregates over the hashed shingle rows — one
+    shuffle on doc_id, map-side partial mins, no per-array lambda work.
+    """
+    mixes = [
+        F.min(F.expr(f"({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}")).alias(f"mh{k}")
+        for k, (a, b) in enumerate(_MIX)
+    ]
+    return _hashed_rows(docs).groupBy("doc_id").agg(*mixes)
 
 
 def minhash_signatures_oracle() -> str:
@@ -135,12 +168,71 @@ def _band_hash_duck(b: int) -> str:
     return f"md5(concat_ws(':', {parts}))"
 
 
+def _doc_cap(docs: DataFrame) -> DataFrame:
+    """1-row frame with the effective hot-key document-frequency cap:
+    least(frac * corpus size, absolute max). Broadcast into bucket filters
+    so the threshold scales with the corpus without a driver-side action."""
+    return docs.agg(
+        F.greatest(
+            F.least(
+                F.floor(F.count(F.lit(1)) * F.lit(HOT_SHINGLE_DF_FRAC)).cast("bigint"),
+                F.lit(HOT_SHINGLE_DF_MAX).cast("bigint"),
+            ),
+            F.lit(HOT_SHINGLE_DF_MIN).cast("bigint"),
+        ).alias("df_cap")
+    )
+
+
+# sorted bucket array -> all i<j pair structs; callers filter size>=2 first
+# (sequence(1, 0) would produce a DESCENDING sequence, not an empty one)
+_PAIRS_WITH_SIZES = (
+    "flatten(transform(sequence(1, size(ds) - 1), i -> "
+    "transform(slice(ds, i + 1, size(ds) - i), y -> "
+    "struct(element_at(ds, i).doc_id AS doc_a, element_at(ds, i).n_sh AS n_a, "
+    "y.doc_id AS doc_b, y.n_sh AS n_b))))"
+)
+_PAIRS_IDS = (
+    "flatten(transform(sequence(1, size(ds) - 1), i -> "
+    "transform(slice(ds, i + 1, size(ds) - i), y -> "
+    "struct(element_at(ds, i) AS doc_a, y AS doc_b))))"
+)
+
+
+def _exploded_hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, full-set size, shingle-hash) rows.
+
+    Shingles are hashed to 60-bit ints *before* any shuffle: integer keys
+    move a fraction of the bytes of long n-gram strings. The per-doc set
+    size rides along each row (one tiny int, via a partition window) so
+    Jaccard denominators never need a separate sizes join. The same hash
+    is applied in the oracle, so even the (negligible) collision behavior
+    is identical in both engines.
+    """
+    return _hashed_rows(docs).select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+        "s_h",
+    )
+
+
+def _jaccard(inter: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) -> thresholded rounded Jaccard."""
+    j = F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+    return (
+        inter.select("doc_a", "doc_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash -> LSH banding -> candidate pairs -> exact-Jaccard verify.
 
-    Emits (doc_a, doc_b, jaccard) for verified near-duplicates. The band
-    bucket join only compares documents agreeing on a full band — at scale
-    this is a shuffle on band_hash, not an all-pairs product.
+    Emits (doc_a, doc_b, jaccard) for verified near-duplicates. Candidates
+    come from grouping (band, band-hash) into doc-list buckets and exploding
+    i<j pairs inside each bucket — one pass over the signatures (a self-join
+    would compute them once per side) and, with the df_cap bucket filter,
+    per-bucket fanout bounded by C(df_cap, 2) even on degenerate corpora.
+    At 100 TB this is a shuffle on band_hash, never an all-pairs product.
     """
     sigs = minhash_signatures(docs)
     bands = F.array(
@@ -152,59 +244,70 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     exploded = sigs.select("doc_id", F.explode(bands).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .crossJoin(F.broadcast(_doc_cap(docs)))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
+    )
     candidates = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(_PAIRS_IDS)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     return _verify_jaccard(docs, candidates)
 
 
-def _exploded_hashed(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(doc_id, shingle-hash) rows + per-doc set sizes.
-
-    Shingles are hashed to 60-bit ints *before* any join: integer join keys
-    shuffle a fraction of the bytes of long n-gram strings. The same hash is
-    applied in the oracle, so even the (negligible) collision behavior is
-    identical in both engines.
-    """
-    hashed = _hashed_shingles(docs)
-    ex = hashed.select("doc_id", F.explode("shl").alias("s_h"))
-    sizes = hashed.select("doc_id", F.size("shl").alias("n_sh"))
-    return ex, sizes
-
-
-def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame) -> DataFrame:
-    out = (
-        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
-    )
-    return out.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-
-
 def _verify_jaccard(docs: DataFrame, candidates: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs, thresholded."""
-    ex, sizes = _exploded_hashed(docs)
+    """Exact shingle-set Jaccard for candidate pairs, thresholded.
+
+    Hot shingles (document frequency above df_cap) are excluded from
+    intersection counting — same convention as ``ngram_jaccard_pairs`` —
+    while denominators stay the full set sizes. Candidates are tiny
+    relative to the corpus, so both intersection joins are candidate-driven
+    (broadcast); the only full-corpus work is the one df aggregation.
+    """
+    ex = _exploded_hashed(docs)
+    hot = (
+        ex.groupBy("s_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(_doc_cap(docs)))
+        .filter(F.col("df") > F.col("df_cap"))
+        .select("s_h")
+    )
+    exc = ex.join(F.broadcast(hot), "s_h", "left_anti")
     inter = (
-        candidates.join(ex.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
+        candidates.join(exc.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
         .join(
-            ex.alias("eb"),
+            exc.alias("eb"),
             (F.col("doc_b") == F.col("eb.doc_id")) & (F.col("ea.s_h") == F.col("eb.s_h")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("ea.n_sh").alias("n_a"),
+            F.first("eb.n_sh").alias("n_b"),
+        )
     )
-    return _jaccard_from_inter(inter, sizes)
+    return _jaccard(inter)
+
+
+_DF_CAP_DUCK = (
+    f"greatest(least(CAST(floor((SELECT count(*) FROM documents) * {HOT_SHINGLE_DF_FRAC})"
+    f" AS BIGINT), {HOT_SHINGLE_DF_MAX}), {HOT_SHINGLE_DF_MIN})"
+)
+
+_EX_DUCK = (
+    f"SELECT doc_id, len(sh) AS n_sh,"
+    f" unnest(list_transform(sh, x -> {hash60_duck_sql('x')})) AS s_h FROM shingled"
+)
+
+_JACCARD_TAIL_DUCK = f"""
+    SELECT doc_a, doc_b,
+           round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    WHERE round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
 
 
 def minhash_lsh_pairs_oracle() -> str:
@@ -217,61 +320,74 @@ def minhash_lsh_pairs_oracle() -> str:
         WITH {_SHINGLED_DUCK},
         sigs AS (SELECT doc_id, {sig_cols} FROM shingled),
         bands AS ({band_rows}),
+        okb AS (
+            SELECT band, bh FROM bands GROUP BY band, bh
+            HAVING count(*) >= 2 AND count(*) <= {_DF_CAP_DUCK}
+        ),
         candidates AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            FROM bands a
+            JOIN okb ON a.band = okb.band AND a.bh = okb.bh
+            JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         ),
-        ex AS (SELECT doc_id, unnest(list_transform(sh, x -> {hash60_duck_sql('x')})) AS s_h FROM shingled),
-        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+        ex AS ({_EX_DUCK}),
+        hot AS (SELECT s_h FROM ex GROUP BY s_h HAVING count(*) > {_DF_CAP_DUCK}),
+        exc AS (SELECT ex.* FROM ex ANTI JOIN hot USING (s_h)),
         inter AS (
-            SELECT doc_a, doc_b, count(*) AS n_inter
+            SELECT doc_a, doc_b, count(*) AS n_inter,
+                   any_value(ea.n_sh) AS n_a, any_value(eb.n_sh) AS n_b
             FROM candidates
-            JOIN ex ea ON doc_a = ea.doc_id
-            JOIN ex eb ON doc_b = eb.doc_id AND ea.s_h = eb.s_h
+            JOIN exc ea ON doc_a = ea.doc_id
+            JOIN exc eb ON doc_b = eb.doc_id AND ea.s_h = eb.s_h
             GROUP BY doc_a, doc_b
         )
-        SELECT doc_a, doc_b,
-               round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+        {_JACCARD_TAIL_DUCK}
     """
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Ground-truth near-dup pairs: candidates = any shared shingle.
 
-    The intersection count falls straight out of the shingle self-join
-    (shingle sets are distinct, so count(*) per pair == |A ∩ B|) — one
-    aggregation, no candidate->re-explode verify pass.
+    Shape: one shingling pass -> groupBy(shingle-hash) doc-list buckets ->
+    df_cap filter (hot/boilerplate shingles carry no dedup signal and are
+    the quadratic-fanout risk) -> explode i<j pairs per bucket -> count
+    per pair (shingle sets are distinct, so the pair count == |A ∩ B|).
+    Per-doc set sizes ride inside the bucket structs, so no sizes join.
     """
-    ex, sizes = _exploded_hashed(docs)
-    inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s_h") == F.col("b.s_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    ex = _exploded_hashed(docs)
+    buckets = (
+        ex.groupBy("s_h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .crossJoin(F.broadcast(_doc_cap(docs)))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
     )
-    return _jaccard_from_inter(inter, sizes)
+    pairs = buckets.select(F.explode(F.expr(_PAIRS_WITH_SIZES)).alias("p")).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    return _jaccard(inter)
 
 
-NGRAM_JACCARD_ORACLE = f"""
-    WITH {_SHINGLED_DUCK},
-    ex AS (SELECT doc_id, unnest(list_transform(sh, x -> {hash60_duck_sql('x')})) AS s_h FROM shingled),
-    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM ex a JOIN ex b ON a.s_h = b.s_h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
-"""
+def ngram_jaccard_oracle() -> str:
+    return f"""
+        WITH {_SHINGLED_DUCK},
+        ex AS ({_EX_DUCK}),
+        ok AS (
+            SELECT s_h FROM ex GROUP BY s_h
+            HAVING count(*) >= 2 AND count(*) <= {_DF_CAP_DUCK}
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+            FROM ex a
+            JOIN ok ON a.s_h = ok.s_h
+            JOIN ex b ON a.s_h = b.s_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        {_JACCARD_TAIL_DUCK}
+    """
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -316,13 +432,26 @@ def simhash_oracle() -> str:
 
 
 def streaming_exact_dedup(events: DataFrame) -> DataFrame:
-    """Batch twin of streaming dropDuplicates on the natural event key
-    (streaming variant: dropDuplicatesWithinWatermark, tested in tests/)."""
-    return events.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+    """Batch twin of streaming dedup on the natural event key (streaming
+    variant: dropDuplicatesWithinWatermark, tested in tests/).
+
+    The kept row is DETERMINISTIC: min by (ts, user_id, event_type), not
+    Spark's arbitrary dropDuplicates survivor — an arbitrary survivor only
+    hash-matches an (equally arbitrary) DISTINCT ON oracle while duplicate
+    rows happen to carry identical payloads.
+    """
+    tiebreak = F.struct("ts", "user_id", "event_type")
+    keep = F.min_by(F.struct("user_id", "event_type"), tiebreak)
+    return (
+        events.groupBy("event_id")
+        .agg(keep.alias("k"))
+        .select("event_id", F.col("k.user_id").alias("user_id"), F.col("k.event_type").alias("event_type"))
+    )
 
 
 STREAMING_EXACT_DEDUP_ORACLE = """
-    SELECT DISTINCT ON (event_id) event_id, user_id, event_type FROM events
+    SELECT DISTINCT ON (event_id) event_id, user_id, event_type
+    FROM events ORDER BY event_id, ts, user_id, event_type
 """
 
 

@@ -171,9 +171,16 @@ VALUE_PERCENTILES_ORACLE = """
 def approx_value_percentiles(events: DataFrame) -> DataFrame:
     """Sketch-based percentiles (KLL-style approx_percentile): the 100 TB
     path — mergeable constant-size state. Rows-only check (sketch results
-    are engine-specific)."""
-    return events.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").alias("approx_pcts")
+    are engine-specific); the array result is split into scalar columns so
+    row-count/schema harnesses can still process the output."""
+    agg = events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").alias("p")
+    )
+    return agg.select(
+        "event_type",
+        F.col("p").getItem(0).alias("p50_approx"),
+        F.col("p").getItem(1).alias("p95_approx"),
+        F.col("p").getItem(2).alias("p99_approx"),
     )
 
 

@@ -9,8 +9,9 @@ projections:
 - flat corner columns (``tile_features_flat``) — pure column math,
   oracle-checked;
 - the real nested GeoJSON Feature struct (``tile_feature_collection``) —
-  same data shaped as structs/arrays; rows-only checked (nested struct
-  equality is not portable across engines' hash comparison);
+  same data shaped as structs/arrays (pytest + serving use), with a
+  ``to_json``-serialized twin (``tile_feature_collection_json``) that is
+  fully oracle-checked (flat strings hash portably across engines);
 - Point features for positions (oracle-checked, flat);
 - TTL read-filter at a deterministic reference instant (ST7).
 """
@@ -91,6 +92,57 @@ def tile_feature_collection(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> Da
     )
 
 
+def tile_feature_collection_json(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Hash-safe projection of ``tile_feature_collection``: geometry and
+    properties serialized with ``to_json`` so the output is flat strings
+    (nested arrays crash order-insensitive hash comparison harnesses).
+
+    Byte-parity with the DuckDB oracle holds because both engines use
+    shortest-round-trip double rendering, which agrees for magnitudes in
+    [1e-3, 1e7) — grid corners (multiples of 1/scale) and rounded speed
+    averages (>= 0.01 in fixtures) stay inside that band. Outside it Spark
+    switches to scientific notation earlier than DuckDB.
+    """
+    fc = tile_feature_collection(pings, cfg)
+    return fc.select(
+        "type",
+        "id",
+        F.to_json(F.col("geometry")).alias("geometry_json"),
+        F.to_json(F.col("properties"), {"ignoreNullFields": "false"}).alias("properties_json"),
+    )
+
+
+def tile_feature_collection_json_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    s = f"CAST({cfg.grid_scale} AS DOUBLE)"
+    return f"""
+        WITH tiles AS ({tiles_oracle_sql(PINGS_ORACLE_SQL, cfg)}),
+        corners AS (
+            SELECT *,
+                CAST(split_part(cell_id, ':', 1) AS BIGINT) / {s} AS lat0,
+                (CAST(split_part(cell_id, ':', 1) AS BIGINT) + 1) / {s} AS lat1,
+                CAST(split_part(cell_id, ':', 2) AS BIGINT) / {s} AS lon0,
+                (CAST(split_part(cell_id, ':', 2) AS BIGINT) + 1) / {s} AS lon1
+            FROM tiles
+        )
+        SELECT
+            'Feature' AS type,
+            tile_id AS id,
+            to_json(struct_pack(
+                type := 'Polygon',
+                coordinates := [[[lon0, lat0], [lon1, lat0], [lon1, lat1],
+                                 [lon0, lat1], [lon0, lat0]]]
+            ))::VARCHAR AS geometry_json,
+            to_json(struct_pack(
+                cell_id := cell_id,
+                ping_count := ping_count,
+                avg_speed_kmh := avg_speed_kmh,
+                windowStart := {iso_ts_sql('window_start')},
+                windowEnd := {iso_ts_sql('window_end')}
+            ))::VARCHAR AS properties_json
+        FROM corners
+    """
+
+
 def position_features(pings: DataFrame) -> DataFrame:
     """Latest positions as flat Point-feature columns (app.py:71-88)."""
     p = latest_positions(pings)
@@ -133,7 +185,10 @@ def q_tile_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tile_feature_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tile_feature_collection(pings_from_events(spark, sf_dir))
+    # registered variant is the JSON-serialized projection: same data, but
+    # flat string columns survive the driver's order-insensitive hashing
+    # (the nested-struct tile_feature_collection stays for pytest/serving)
+    return tile_feature_collection_json(pings_from_events(spark, sf_dir))
 
 
 def q_position_features(spark: SparkSession, sf_dir: str) -> DataFrame:
