@@ -9,21 +9,42 @@ delivery through two sink-side invariants (SURVEY.md ST6):
      stored" — replays and out-of-order batches are no-ops
      (heatmap_stream.py:219-228).
 
-``KeyedParquetStore`` implements both invariants over a parquet snapshot so
-the contract is testable without MongoDB; a production deployment swaps in
-a transactional keyed store (Delta ``MERGE``, Mongo bulk upsert) behind the
-same two merge modes. Unlike the reference — which funnels every row
-through the driver with ``toLocalIterator`` (heatmap_stream.py:163,210),
+``KeyedParquetStore`` implements both invariants over a bucketed parquet
+layout so the contract is testable without MongoDB; a production deployment
+swaps in a transactional keyed store (Delta ``MERGE``, Mongo bulk upsert)
+behind the same two merge modes. Unlike the reference — which funnels every
+row through the driver with ``toLocalIterator`` (heatmap_stream.py:163,210),
 its scalability ceiling — the merge here is a Spark plan: union + argmax
 per key, computed executor-side and written in parallel.
+
+Storage layout (the 100 TB story — a micro-batch must never rewrite the
+whole store):
+
+  - rows are hash-partitioned into ``n_buckets`` by ``xxhash64(key)``;
+  - each bucket's current data lives in its own parquet directory;
+  - ``MANIFEST.json`` maps bucket id -> data directory and is replaced
+    with a single atomic ``os.replace`` — a crash at any point leaves the
+    previous manifest (and therefore the previous consistent snapshot)
+    fully intact;
+  - a merge reads and rewrites ONLY the buckets the batch touches
+    (partition pruning by construction); untouched buckets' files are not
+    opened, let alone rewritten.
+
+Replay safety comes from the merge modes being idempotent: the same batch
+merged twice converges to the same state. Deliberately NO epoch-id skip
+list: epoch ids restart at 0 for every new checkpoint (so they are not
+globally unique keys for a store that outlives queries), and an early
+return would leave the micro-batch unconsumed, which Spark's state-store
+commit validation rejects (`foreachBatch` must process every partition).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,7 +52,7 @@ from pyspark.sql import functions as F
 
 @dataclass
 class KeyedParquetStore:
-    """A keyed table as an atomically-swapped parquet snapshot.
+    """A keyed table as bucketed parquet dirs behind an atomic manifest.
 
     merge semantics:
       - ``newer_col=None``  -> last-writer-wins upsert by key ($set style);
@@ -42,31 +63,81 @@ class KeyedParquetStore:
     path: str
     key_cols: list[str]
     newer_col: str | None = None
-    _epoch_seen: set = field(default_factory=set)
+    n_buckets: int = 32
 
-    def _snapshot_dir(self) -> str:
-        return os.path.join(self.path, "snapshot")
+    # -- manifest -----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "MANIFEST.json")
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"buckets": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Single-syscall atomic swap: the manifest IS the snapshot."""
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=0, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
+    # -- reads --------------------------------------------------------------
+
+    def _bucket_dirs(self, buckets=None) -> list[str]:
+        entries = self._load_manifest()["buckets"]
+        if buckets is not None:
+            keys = [str(b) for b in buckets]
+            entries = {k: v for k, v in entries.items() if k in keys}
+        return [os.path.join(self.path, rel) for rel in entries.values()]
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        snap = self._snapshot_dir()
-        if not os.path.exists(snap):
+        dirs = self._bucket_dirs()
+        if not dirs:
             return None
-        return spark.read.parquet(snap)
+        return spark.read.parquet(*dirs)
+
+    # -- merge --------------------------------------------------------------
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
 
     def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
-        """Idempotent keyed merge of one micro-batch.
+        """Idempotent keyed merge of one micro-batch into touched buckets.
 
         The tag column ranks incoming over stored for plain upsert; for the
         conditional mode, ordering by (newer_col, is_stored) keeps the
         stored row on ties — i.e. incoming wins only when strictly newer.
+
+        ``epoch_id`` is accepted for `foreachBatch` signature compatibility
+        but intentionally unused — see the module docstring.
         """
+        del epoch_id
         spark = batch_df.sparkSession
-        incoming = batch_df.withColumn("__stored", F.lit(0))
-        existing = self.read(spark)
-        if existing is None:
-            merged_src = incoming
+        incoming = batch_df.withColumn("__bucket", self._bucket_col()).withColumn(
+            "__stored", F.lit(0)
+        )
+        # driver-side metadata only (<= n_buckets ints), the moral
+        # equivalent of a Delta transaction's touched-file list
+        touched = sorted(
+            r["__bucket"] for r in incoming.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            return
+
+        stored_dirs = self._bucket_dirs(touched)
+        if stored_dirs:
+            existing = (
+                spark.read.parquet(*stored_dirs)
+                .withColumn("__bucket", self._bucket_col())
+                .withColumn("__stored", F.lit(1))
+            )
+            merged_src = existing.unionByName(incoming)
         else:
-            merged_src = existing.withColumn("__stored", F.lit(1)).unionByName(incoming)
+            merged_src = incoming
 
         if self.newer_col is None:
             order = [F.asc("__stored")]  # incoming (0) outranks stored (1)
@@ -80,20 +151,25 @@ class KeyedParquetStore:
             .drop("__rn", "__stored")
         )
 
-        tmp = os.path.join(self.path, f"tmp-{uuid.uuid4().hex}")
-        merged.write.mode("overwrite").parquet(tmp)
-        self._swap(tmp)
+        out = os.path.join(self.path, f"data-{uuid.uuid4().hex}")
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(out)
 
-    def _swap(self, new_dir: str) -> None:
-        snap = self._snapshot_dir()
-        old = snap + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(snap):
-            os.rename(snap, old)
-        os.rename(new_dir, snap)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        manifest = self._load_manifest()
+        replaced = []
+        for b in touched:
+            bucket_dir = os.path.join(out, f"__bucket={b}")
+            if not os.path.isdir(bucket_dir):  # all rows of b deduped away
+                continue
+            prev = manifest["buckets"].get(str(b))
+            if prev:
+                replaced.append(prev)
+            manifest["buckets"][str(b)] = os.path.relpath(bucket_dir, self.path)
+        self._commit_manifest(manifest)
+        # superseded bucket dirs are garbage once the manifest points away
+        # (harness reads/merges are sequential; a versioned-GC store like
+        # Delta handles concurrent readers in production)
+        for rel in replaced:
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
 
 def tile_store(path: str) -> KeyedParquetStore:

@@ -140,3 +140,66 @@ def test_watermark_drops_very_late_rows(spark, dirs):
     tiles = {r["window_start"].isoformat(): r["ping_count"] for r in store.read(spark).collect()}
     assert tiles["2024-01-01T10:00:00"] == 1  # late row did NOT increment
     assert tiles["2024-01-01T10:20:00"] == 1
+
+
+def _bucket_files(store) -> dict[str, dict[str, tuple[float, int]]]:
+    """manifest bucket -> {file: (mtime, size)} for rewrite detection."""
+    out = {}
+    manifest = store._load_manifest()["buckets"]
+    for b, rel in manifest.items():
+        d = os.path.join(store.path, rel)
+        out[b] = {
+            f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    from real_time_mobility_heatmap_spark.streaming.sinks import KeyedParquetStore
+
+    store = KeyedParquetStore(str(tmp_path / "s"), key_cols=["k"], n_buckets=8)
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(40)], "k string, v int")
+    store.merge(base, epoch_id=0)
+    before = _bucket_files(store)
+    assert len(before) > 1  # keys spread over several buckets
+
+    # merge a single-key batch: exactly one bucket may change
+    one = spark.createDataFrame([("k3", 99)], "k string, v int")
+    touched_bucket = str(
+        one.select(store._bucket_col().alias("b")).collect()[0]["b"]
+    )
+    store.merge(one, epoch_id=1)
+    after = _bucket_files(store)
+
+    assert set(after) == set(before)
+    for b in before:
+        if b == touched_bucket:
+            assert after[b] != before[b]  # rewritten with the upsert
+        else:
+            # untouched buckets: same files, same bytes, not rewritten
+            assert after[b] == before[b]
+
+    got = {r["k"]: r["v"] for r in store.read(spark).collect()}
+    assert got["k3"] == 99 and len(got) == 40
+
+
+def test_merge_replay_is_idempotent_and_manifest_swap_is_atomic(spark, tmp_path):
+    from real_time_mobility_heatmap_spark.streaming.sinks import KeyedParquetStore
+
+    store = KeyedParquetStore(str(tmp_path / "s"), key_cols=["k"], n_buckets=4)
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    store.merge(batch, epoch_id=0)
+    first = sorted(store.read(spark).collect())
+
+    # replaying the identical batch (at-least-once delivery) converges
+    store.merge(batch, epoch_id=0)
+    assert sorted(store.read(spark).collect()) == first
+
+    # every referenced bucket dir exists and no tmp manifest is left behind
+    # (the manifest is replaced with a single atomic os.replace)
+    for d in store._bucket_dirs():
+        assert os.path.isdir(d)
+    leftovers = [f for f in os.listdir(store.path) if f.startswith("MANIFEST.json.tmp")]
+    assert leftovers == []
