@@ -175,6 +175,45 @@ def start_multiplexed_query(
     return writer.start()
 
 
+def windowed_sessions_stream(
+    pings: DataFrame, cfg: EngineConfig = DEFAULT, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming per-vehicle session windows (SURVEY.md §2.5 gap family).
+
+    ``session_window`` merges overlapping/adjacent windows in state as new
+    events arrive: an event within ``gap_minutes`` of an open session
+    EXTENDS it (same start, later end), a farther event opens a new
+    session. Spark only supports APPEND output for streaming session
+    aggregations — a session is emitted exactly once, when the watermark
+    passes its end (i.e. no further event can extend it) — so the sink
+    sees only finalized sessions and needs no upsert. Watermark bounds
+    session state exactly like the tumbling-window aggregate.
+    Batch twin: ``operators.windows.vehicle_sessions`` (oracle-checked
+    gaps-and-islands SQL).
+    """
+    return (
+        validate_pings(pings)
+        .withWatermark("eventTs", cfg.watermark)
+        .groupBy(
+            "provider",
+            "vehicleId",
+            F.session_window("eventTs", f"{gap_minutes} minutes").alias("s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.avg("speedKmh").alias("avg_speed_kmh"),
+        )
+        .select(
+            "provider",
+            "vehicleId",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_pings",
+            "avg_speed_kmh",
+        )
+    )
+
+
 def streaming_dedup(pings: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup bounded by watermark (SURVEY.md §2.11):
     duplicate pings (same key within the watermark horizon) are emitted

@@ -152,7 +152,12 @@ class KeyedParquetStore:
         )
 
         out = os.path.join(self.path, f"data-{uuid.uuid4().hex}")
-        merged.write.partitionBy("__bucket").mode("overwrite").parquet(out)
+        # co-partition on __bucket before partitionBy: each bucket dir is
+        # written by exactly one task (one file per bucket), instead of
+        # every task spraying a sliver into every bucket dir
+        merged.repartition(F.col("__bucket")).write.partitionBy("__bucket").mode(
+            "overwrite"
+        ).parquet(out)
 
         manifest = self._load_manifest()
         replaced = []

@@ -61,3 +61,21 @@ def test_multiplex_null_fill(spark):
     # missing columns null-filled on the opposite branch (U1 contract)
     assert tiles_part.where(F.col("vehicleId").isNull()).count() == tiles_part.count() == 1
     assert latest_part.where(F.col("tile_id").isNull()).count() == latest_part.count() == 1
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    """HLL++ (rsd=0.02) estimate per cell must land within ±5% of the exact
+    count_distinct on the fixture — a quantitative bound, not a row count."""
+    from real_time_mobility_heatmap_spark.operators.relational import (
+        approx_distinct_vehicles,
+        distinct_vehicles_per_cell,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+
+    pings = pings_from_events(spark, "/root/testdata/sf0.01")
+    exact = {r["cell_id"]: r["unique_vehicles"] for r in distinct_vehicles_per_cell(pings).collect()}
+    approx = {r["cell_id"]: r["approx_unique_vehicles"] for r in approx_distinct_vehicles(pings).collect()}
+
+    assert set(exact) == set(approx)
+    worst = max(abs(approx[c] - exact[c]) / exact[c] for c in exact)
+    assert worst <= 0.05, f"worst per-cell HLL error {worst:.3f} > 5%"

@@ -203,3 +203,60 @@ def test_merge_replay_is_idempotent_and_manifest_swap_is_atomic(spark, tmp_path)
         assert os.path.isdir(d)
     leftovers = [f for f in os.listdir(store.path) if f.startswith("MANIFEST.json.tmp")]
     assert leftovers == []
+
+
+def test_session_window_stream_merges_state_across_batches(spark, dirs):
+    """F.session_window (append mode — the only mode Spark supports for
+    streaming session aggs): an event inside the gap MERGES into the open
+    session in state; a session is emitted exactly once, when the
+    watermark passes its end (SURVEY.md §2.5)."""
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        windowed_sessions_stream,
+    )
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+
+    emitted: list[list] = []
+
+    def _run():
+        q = (
+            windowed_sessions_stream(json_ping_stream(spark, dirs["in"]))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(lambda df, _eid: emitted.append(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _sessions():
+        return {
+            (r["vehicleId"], r["session_start"].isoformat()): r["n_pings"]
+            for batch in emitted
+            for r in batch
+        }
+
+    # run 1: two pings 10 min apart -> ONE open session [10:00, 10:40);
+    # watermark only reaches 10:00, so nothing is finalized yet
+    _write_json(dirs["in"], "b1.json", [
+        _wire("v1", "2024-01-01T10:00:00Z"),
+        _wire("v1", "2024-01-01T10:10:00Z"),
+    ])
+    _run()
+    assert _sessions() == {}
+
+    # run 2 (same checkpoint): 10:20 is inside the 30-min gap -> MERGES the
+    # open session to [10:00, 10:50) n=3; 12:00 opens a new session and
+    # pushes the watermark to 11:50 > 10:50, closing+emitting the merged one
+    emitted.clear()
+    _write_json(dirs["in"], "b2.json", [
+        _wire("v1", "2024-01-01T10:20:00Z"),
+        _wire("v1", "2024-01-01T12:00:00Z"),
+    ])
+    _run()
+    assert _sessions() == {("v1", "2024-01-01T10:00:00"): 3}
+
+    # run 3: a far-future ping closes and emits the 12:00 session (n=1)
+    emitted.clear()
+    _write_json(dirs["in"], "b3.json", [_wire("v1", "2024-01-01T14:00:00Z")])
+    _run()
+    assert _sessions() == {("v1", "2024-01-01T12:00:00"): 1}
