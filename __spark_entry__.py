@@ -83,6 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": relational.q_customers_without_orders,
         "brand_volume": relational.q_brand_volume,
         "sales_rollup": relational.q_sales_rollup,
+        "cube_sales": relational.q_cube_sales,
+        "event_type_pivot": relational.q_event_type_pivot,
+        "moving_avg_speed": relational.q_moving_avg_speed,
+        "active_cells_setops": relational.q_active_cells_setops,
+        "conversion_window_counts": relational.q_conversion_window_counts,
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
         "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
         # streaming assembly (§2.9): live Structured Streaming query whose
@@ -98,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textops.q_quality_score,
         "lang_id": textops.q_lang_id,
         "fingerprint": textops.q_fingerprint,
+        "rolling_fingerprint": textops.q_rolling_fingerprint,
         "corpus_stats": textops.q_corpus_stats,
         "term_frequencies": textops.q_term_frequencies,
         # deduplication (§2.11)
@@ -111,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": similarity.q_topk_cosine,
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
         "lsh_buckets": similarity.q_lsh_buckets,
+        "embedding_neardup": similarity.q_embedding_neardup,
         # multimodal columns (§2.11)
         "media_metadata": multimodal.q_media_metadata,
         "media_features": multimodal.q_media_features,
@@ -151,6 +158,11 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "brand_volume": relational.BRAND_VOLUME_ORACLE,
         "sales_rollup": relational.SALES_ROLLUP_ORACLE,
+        "cube_sales": relational.CUBE_SALES_ORACLE,
+        "event_type_pivot": relational.EVENT_TYPE_PIVOT_ORACLE,
+        "moving_avg_speed": relational.MOVING_AVG_SPEED_ORACLE,
+        "active_cells_setops": relational.active_cells_setops_oracle(CFG),
+        "conversion_window_counts": relational.CONVERSION_WINDOW_ORACLE,
         "distinct_vehicles_per_cell": relational.distinct_vehicles_oracle(CFG),
         # approx_distinct_vehicles: no oracle — HLL sketch estimates are
         # engine-specific; driver records rows-only check.
@@ -163,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.QUALITY_SCORE_ORACLE,
         "lang_id": textops.LANG_ID_ORACLE,
         "fingerprint": textops.FINGERPRINT_ORACLE,
+        "rolling_fingerprint": textops.ROLLING_FINGERPRINT_ORACLE,
         "corpus_stats": textops.CORPUS_STATS_ORACLE,
         "term_frequencies": textops.term_frequencies_oracle(),
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
@@ -174,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine": similarity.TOPK_COSINE_ORACLE,
         "topk_cosine_blocked": similarity.TOPK_COSINE_BLOCKED_ORACLE,
         "lsh_buckets": similarity.lsh_buckets_oracle(),
+        "embedding_neardup": similarity.embedding_neardup_oracle(),
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         # media_features: no oracle — Arrow-batched pandas extraction over
         # binary blobs is not expressible in DuckDB SQL; rows-only check

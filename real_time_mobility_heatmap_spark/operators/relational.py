@@ -273,6 +273,148 @@ def approx_distinct_vehicles(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> D
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+SPLIT_TS = "2024-01-16 00:00:00"  # fixture events span 2024-01-01..01-30
+
+
+def cube_sales(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    Expand + hash-aggregate pass (complements the ROLLUP variant)."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+CUBE_SALES_ORACLE = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def event_type_pivot(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """PIVOT: per-cell ping counts fanned into one column per provider
+    (event_type). The value list is explicit, so the plan is a single
+    aggregate — no extra distinct-values scan, and the output schema is
+    deterministic (both matter at 100 TB)."""
+    snapped = snap_pings(pings, cfg)
+    return (
+        snapped.groupBy("cell_id")
+        .pivot("provider", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+EVENT_TYPE_PIVOT_ORACLE = f"""
+    {snapped_oracle_cte(PINGS_ORACLE_SQL, DEFAULT)}
+    SELECT cell_id,
+           {", ".join(f"count(*) FILTER (provider = '{t}') AS {t}" for t in EVENT_TYPES)}
+    FROM snapped GROUP BY cell_id
+"""
+
+
+def moving_avg_speed(pings: DataFrame) -> DataFrame:
+    """Windowed frame aggregate: per-vehicle moving average over the last
+    3 pings (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The order key
+    includes event_id so frame contents are deterministic under ts ties."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("provider", "vehicleId")
+        .orderBy("eventTs", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return pings.select(
+        "provider",
+        "vehicleId",
+        "event_id",
+        F.round(F.avg("speedKmh").over(w), 6).alias("speed_ma3"),
+    )
+
+
+MOVING_AVG_SPEED_ORACLE = f"""
+    WITH pings AS ({PINGS_ORACLE_SQL})
+    SELECT provider, vehicleId, event_id,
+           round(avg(speedKmh) OVER (
+               PARTITION BY provider, vehicleId
+               ORDER BY eventTs, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS speed_ma3
+    FROM pings
+"""
+
+
+def active_cells_setops(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """INTERSECT / EXCEPT over the active-cell sets of two halves of the
+    month — the set operators the reference's surface lacks (§2.7), each
+    planned as a shuffle on the full row (here: one string column)."""
+    snapped = snap_pings(pings, cfg)
+    first = snapped.filter(
+        F.col("eventTs") < F.lit(SPLIT_TS).cast("timestamp")
+    ).select("cell_id").distinct()
+    second = snapped.filter(
+        F.col("eventTs") >= F.lit(SPLIT_TS).cast("timestamp")
+    ).select("cell_id").distinct()
+    both = first.intersect(second).select("cell_id", F.lit("both").alias("activity"))
+    only_first = first.subtract(second).select("cell_id", F.lit("only_first").alias("activity"))
+    only_second = second.subtract(first).select("cell_id", F.lit("only_second").alias("activity"))
+    return both.unionByName(only_first).unionByName(only_second)
+
+
+def active_cells_setops_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        first_half AS (SELECT cell_id FROM snapped WHERE eventTs < TIMESTAMP '{SPLIT_TS}'),
+        second_half AS (SELECT cell_id FROM snapped WHERE eventTs >= TIMESTAMP '{SPLIT_TS}')
+        SELECT cell_id, 'both' AS activity FROM (SELECT cell_id FROM first_half INTERSECT SELECT cell_id FROM second_half)
+        UNION ALL
+        SELECT cell_id, 'only_first' FROM (SELECT cell_id FROM first_half EXCEPT SELECT cell_id FROM second_half)
+        UNION ALL
+        SELECT cell_id, 'only_second' FROM (SELECT cell_id FROM second_half EXCEPT SELECT cell_id FROM first_half)
+    """
+
+
+def conversion_window_counts(events: DataFrame) -> DataFrame:
+    """Equi + range join: per purchase, clicks by the same user within the
+    following hour. The equi key (user_id) carries the shuffle; the range
+    predicate prunes inside each key group — the scalable shape for
+    "conversion window" joins (a pure range join would need an interval
+    index; keyed ranges need only the equi shuffle)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "p_user").agg(
+        F.count(F.col("c_ts")).alias("clicks_within_1h")
+    )
+
+
+CONVERSION_WINDOW_ORACLE = """
+    SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+           count(c.ts) AS clicks_within_1h
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts > p.ts
+     AND c.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+"""
+
+
 # queries() adapters ---------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +458,26 @@ def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sales_rollup(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cube_sales(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_type_pivot(pings_from_events(spark, sf_dir))
+
+
+def q_moving_avg_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return moving_avg_speed(pings_from_events(spark, sf_dir))
+
+
+def q_active_cells_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return active_cells_setops(pings_from_events(spark, sf_dir))
+
+
+def q_conversion_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_window_counts(load_table(spark, sf_dir, "events"))
 
 
 def q_distinct_vehicles_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,6 +13,15 @@
                            literals with the oracle; bucket = bit pattern
                            of projection signs. Bucket equi-join replaces
                            the all-pairs product for near-dup mining.
+- ``embedding_neardup``  — embedding-cosine near-duplicate pairs: the
+                           16-bit code split into 4 bands of 4 bits;
+                           vectors agreeing on any band are candidates
+                           (grouped per band bucket, capped, pair-exploded
+                           — same scale shape as MinHash LSH), then
+                           verified with exact cosine >= threshold. Band
+                           width trades recall against candidate volume;
+                           a production corpus would widen the code and
+                           multi-probe rather than shrink bands.
 
 All cosine math is double-precision column arithmetic (zip_with +
 aggregate fold — sequential, matching DuckDB's list_dot_product order),
@@ -168,6 +177,122 @@ def lsh_buckets_oracle() -> str:
     return f"SELECT vec_id, label, {expr} AS bucket FROM embeddings"
 
 
+N_VBANDS = 4
+BITS_PER_VBAND = N_PLANES // N_VBANDS
+NEARDUP_COS = 0.4          # fixture vectors are near-orthogonal; real
+                           # near-dup corpora would sit at ~0.9+
+BUCKET_CAP_FRAC = 0.25     # guard against degenerate all-in-one-bucket data
+
+# sorted id array -> all i<j pair structs (callers filter size>=2 first)
+_VPAIRS = (
+    "flatten(transform(sequence(1, size(ds) - 1), i -> "
+    "transform(slice(ds, i + 1, size(ds) - i), y -> "
+    "struct(element_at(ds, i) AS vec_a, y AS vec_b))))"
+)
+
+
+def _band_bits(planes: list[list[float]], band: int):
+    """The band-th 4-bit sign pattern as an int column."""
+    emb = _as_double("embedding")
+    bval = None
+    for i in range(BITS_PER_VBAND):
+        w = F.array(*[F.lit(v) for v in planes[band * BITS_PER_VBAND + i]])
+        bit = F.when(_dot(emb, w) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bval = bit if bval is None else bval + bit
+    return bval
+
+
+def embedding_neardup(embeddings: DataFrame) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
+
+    Candidates come from grouping (band, band-bits) into vector-id buckets
+    and exploding i<j pairs per bucket — a shuffle on the band value,
+    never an all-pairs product. Verification joins the (small) candidate
+    set back to the embeddings for the exact cosine.
+    """
+    planes = _planes()
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _band_bits(planes, b).alias("bval"))
+            for b in range(N_VBANDS)
+        ]
+    )
+    exploded = spread(embeddings).select(
+        "vec_id", F.explode(bands).alias("e")
+    ).select("vec_id", "e.band", "e.bval")
+    cap = embeddings.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) * F.lit(BUCKET_CAP_FRAC)).cast("bigint"), F.lit(2)
+        ).alias("cap")
+    )
+    buckets = (
+        exploded.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ds"))
+        .crossJoin(F.broadcast(cap))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("cap")))
+    )
+    candidates = (
+        buckets.select(F.explode(F.expr(_VPAIRS)).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    a = _with_norm(embeddings, "qa")
+    b = _with_norm(embeddings, "qb")
+    scored = (
+        candidates.join(F.broadcast(a), F.col("vec_a") == F.col("qa_id"))
+        .join(F.broadcast(b), F.col("vec_b") == F.col("qb_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("qa_emb"), F.col("qb_emb"))
+                / (F.col("qa_norm") * F.col("qb_norm")),
+                ROUND_COS,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= NEARDUP_COS)
+
+
+def embedding_neardup_oracle() -> str:
+    planes = _planes()
+    band_rows = []
+    for b in range(N_VBANDS):
+        terms = []
+        for i in range(BITS_PER_VBAND):
+            arr = "[" + ", ".join(repr(v) for v in planes[b * BITS_PER_VBAND + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0"
+                f" THEN {2**i} ELSE 0 END)"
+            )
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bval FROM embeddings"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_rows)
+    cap = (
+        f"greatest(CAST(floor((SELECT count(*) FROM embeddings) * {BUCKET_CAP_FRAC})"
+        f" AS BIGINT), 2)"
+    )
+    return f"""
+        WITH bands AS ({bands_sql}),
+        okb AS (
+            SELECT band, bval FROM bands GROUP BY band, bval
+            HAVING count(*) >= 2 AND count(*) <= {cap}
+        ),
+        candidates AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN okb ON a.band = okb.band AND a.bval = okb.bval
+            JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, {_COS_DUCK.replace('q.', 'qa.').replace('c.', 'qb.')} AS cosine
+        FROM candidates
+        JOIN embeddings qa ON vec_a = qa.vec_id
+        JOIN embeddings qb ON vec_b = qb.vec_id
+        WHERE {_COS_DUCK.replace('q.', 'qa.').replace('c.', 'qb.')} >= {NEARDUP_COS}
+    """
+
+
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(load_table(spark, sf_dir, "embeddings"))
 
@@ -178,3 +303,7 @@ def q_topk_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup(load_table(spark, sf_dir, "embeddings"))

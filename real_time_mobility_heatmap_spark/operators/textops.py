@@ -139,6 +139,51 @@ FINGERPRINT_ORACLE = """
 """
 
 
+ROLL_B = 1000003       # polynomial base (< 2^31 so B*acc stays in int64)
+ROLL_P = 2147483647    # Mersenne 2^31-1
+
+# token hashes pre-reduced mod P; fold seeds with the FIRST element and
+# folds the rest (DuckDB's list_reduce has no explicit init, so both
+# engines use identical seed-with-first semantics)
+_HS_SPARK = (
+    "transform(split(lower(trim(text)), '\\\\s+'),"
+    f" t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % {ROLL_P})"
+)
+_ROLL_SPARK = (
+    f"aggregate(slice(hs, 2, size(hs) - 1), element_at(hs, 1),"
+    f" (acc, x) -> ({ROLL_B} * acc + x) % {ROLL_P})"
+)
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint: a polynomial rolling hash of
+    the token-hash sequence, ``h = fold((acc * B + h(tok)) mod P)``.
+
+    Unlike the set-style md5/sha fingerprints, token ORDER matters — two
+    documents with the same words shuffled get different fingerprints.
+    State is one int64 per doc; at scale this is a pure map-side column.
+    """
+    return spread(docs).selectExpr(
+        "doc_id",
+        f"{_HS_SPARK} AS hs",
+    ).selectExpr(
+        "doc_id",
+        f"{_ROLL_SPARK} AS rolling_hash",
+        "size(hs) AS n_tokens",
+    )
+
+
+ROLLING_FINGERPRINT_ORACLE = f"""
+    SELECT doc_id,
+           list_reduce(
+               list_transform({TOKENS_DUCK},
+                   t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {ROLL_P}),
+               (acc, x) -> ({ROLL_B} * acc + x) % {ROLL_P}) AS rolling_hash,
+           len({TOKENS_DUCK}) AS n_tokens
+    FROM documents
+"""
+
+
 def corpus_stats(docs: DataFrame) -> DataFrame:
     """Corpus composition: per (lang, source) doc counts and length stats."""
     return docs.groupBy("lang", "source").agg(
@@ -189,6 +234,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spread(load_table(spark, sf_dir, "documents")))
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
