@@ -1,0 +1,129 @@
+"""Minimal HTTP serving shim over the terminal projections (reference
+app.py:45-88).
+
+The reference serves MongoDB documents through Flask. The engine's
+analog keeps serving OUT of the Spark hot path: the streaming job
+materializes tiles/positions into a keyed store (streaming/sinks.py), a
+read-side job shapes them with the terminal projections
+(serving/geojson.py), and this shim serves the resulting GeoJSON from an
+in-memory snapshot — the same two endpoints as the reference:
+
+  GET /api/tiles/latest      -> FeatureCollection of hex tiles of the
+                                newest window (two-phase latest snapshot,
+                                app.py:45-69)
+  GET /api/positions/latest  -> FeatureCollection of vehicle Points
+                                (app.py:71-88)
+
+stdlib ``http.server`` only (Flask is not available in this container,
+and a serving layer should not add engine dependencies). The snapshot is
+refreshed by calling ``refresh()`` — in production a scheduler would do
+this at the streaming trigger cadence; requests never touch Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from .geojson import tile_feature_collection
+from ..operators.latest import latest_positions
+from ..functions.keys import iso_ts
+
+
+def latest_window_features(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Nested GeoJSON features of the NEWEST window only (app.py:45-69:
+    max windowStart, then all tiles at that window)."""
+    fc = tile_feature_collection(pings, cfg)
+    newest = fc.agg(F.max("properties.windowStart").alias("ws"))
+    return fc.join(
+        F.broadcast(newest), fc["properties.windowStart"] == newest["ws"]
+    ).drop("ws")
+
+
+def position_point_features(pings: DataFrame) -> DataFrame:
+    """Vehicle Point features (app.py:71-88) as nested structs."""
+    p = latest_positions(pings)
+    return p.select(
+        F.lit("Feature").alias("type"),
+        F.col("position_id").alias("id"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("loc_lon"), F.col("loc_lat")).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(
+            F.col("provider"),
+            F.col("vehicleId"),
+            iso_ts(F.col("event_ts")).alias("ts"),
+        ).alias("properties"),
+    )
+
+
+def _feature_collection_json(df: DataFrame) -> str:
+    """Serialize a Feature DataFrame to one FeatureCollection JSON string.
+
+    The per-row JSON is rendered executor-side with ``to_json`` (only the
+    final small strings reach the driver); the envelope concat happens
+    here, mirroring the reference's jsonify step.
+    """
+    rows = df.select(
+        F.to_json(F.struct(*df.columns), {"ignoreNullFields": "false"}).alias("j")
+    ).collect()
+    return '{"type":"FeatureCollection","features":[' + ",".join(
+        r["j"] for r in rows
+    ) + "]}"
+
+
+class TileApiServer:
+    """Snapshot-serving HTTP server for the two reference endpoints."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._payloads = {
+            "/api/tiles/latest": '{"type":"FeatureCollection","features":[]}',
+            "/api/positions/latest": '{"type":"FeatureCollection","features":[]}',
+        }
+        payloads = self._payloads
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API name)
+                body = payloads.get(self.path)
+                if body is None:
+                    self.send_error(404)
+                    return
+                data = body.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "application/geo+json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *args):  # quiet test output
+                pass
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def refresh(self, pings: DataFrame, cfg: EngineConfig = DEFAULT) -> None:
+        """Recompute both endpoint payloads from the current pings relation."""
+        self._payloads["/api/tiles/latest"] = _feature_collection_json(
+            latest_window_features(pings, cfg)
+        )
+        self._payloads["/api/positions/latest"] = _feature_collection_json(
+            position_point_features(pings)
+        )
+
+    def start(self) -> "TileApiServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

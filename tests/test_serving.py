@@ -34,3 +34,59 @@ def test_ttl_filter_drops_expired(spark):
     df = _pings(spark)
     assert fresh_tiles(df, now="2024-01-01 10:49:59").count() == 1
     assert fresh_tiles(df, now="2024-01-01 10:50:00").count() == 0
+
+
+def test_http_api_serves_latest_window_and_positions(spark):
+    """The stdlib HTTP shim serves the reference's two endpoints
+    (app.py:45-88) from a refreshed snapshot: only the NEWEST window's
+    tiles, plus vehicle Point features."""
+    import json
+    import urllib.request
+
+    from real_time_mobility_heatmap_spark.serving.http_api import TileApiServer
+
+    # two windows: only the 10:05 window must be served as "latest"
+    pings = spark.createDataFrame(
+        [
+            ("mbta", "v1", dt.datetime(2024, 1, 1, 10, 2), 42.35, -71.06, 12.0, 1, None),
+            ("mbta", "v1", dt.datetime(2024, 1, 1, 10, 7), 42.35, -71.06, 20.0, 2, None),
+            ("mbta", "v2", dt.datetime(2024, 1, 1, 10, 6), 42.95, -71.50, 30.0, 3, None),
+        ],
+        PING_SCHEMA,
+    )
+    srv = TileApiServer().start()
+    try:
+        srv.refresh(pings)
+
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+                assert r.status == 200
+                return json.loads(r.read())
+
+        tiles = get("/api/tiles/latest")
+        assert tiles["type"] == "FeatureCollection"
+        assert len(tiles["features"]) == 2  # both cells, newest window only
+        assert {f["properties"]["windowStart"] for f in tiles["features"]} == {
+            "2024-01-01T10:05:00Z"
+        }
+        ring = tiles["features"][0]["geometry"]["coordinates"][0]
+        assert len(ring) == 5 and ring[0] == ring[-1]
+
+        pos = get("/api/positions/latest")
+        by_vehicle = {f["properties"]["vehicleId"]: f for f in pos["features"]}
+        assert set(by_vehicle) == {"v1", "v2"}
+        # v1's latest ping (10:07) wins
+        assert by_vehicle["v1"]["properties"]["ts"] == "2024-01-01T10:07:00Z"
+        assert by_vehicle["v1"]["geometry"] == {
+            "type": "Point",
+            "coordinates": [-71.06, 42.35],
+        }
+
+        import urllib.error
+        try:
+            get("/api/nope")
+            raise AssertionError("404 expected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()

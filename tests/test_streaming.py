@@ -260,3 +260,55 @@ def test_session_window_stream_merges_state_across_batches(spark, dirs):
     _write_json(dirs["in"], "b3.json", [_wire("v1", "2024-01-01T14:00:00Z")])
     _run()
     assert _sessions() == {("v1", "2024-01-01T12:00:00"): 1}
+
+
+def test_stateful_trip_detector_across_batches_and_timeout(spark, dirs):
+    """applyInPandasWithState trip detection (ST4 custom state): an open
+    trip survives micro-batches, closes on a revealed gap, and a DANGLING
+    trip is finalized by event-time timeout when the watermark passes."""
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+    from real_time_mobility_heatmap_spark.streaming.stateful import (
+        vehicle_trips_stream,
+    )
+
+    emitted: list[list] = []
+
+    def _run():
+        q = (
+            vehicle_trips_stream(json_ping_stream(spark, dirs["in"]))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(lambda df, _eid: emitted.append(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _trips():
+        return sorted(
+            (r["vehicleId"], r["trip_start"].isoformat(), r["trip_end"].isoformat(), r["n_pings"])
+            for batch in emitted
+            for r in batch
+        )
+
+    # run 1: one open trip for v1 -> nothing emitted yet
+    _write_json(dirs["in"], "b1.json", [
+        _wire("v1", "2024-01-01T10:00:00Z"),
+        _wire("v1", "2024-01-01T10:10:00Z"),
+    ])
+    _run()
+    assert _trips() == []
+
+    # run 2: 12:00 reveals a >30min gap -> trip [10:00,10:10] n=2 closes;
+    # the 12:00 ping opens a new trip held in state
+    emitted.clear()
+    _write_json(dirs["in"], "b2.json", [_wire("v1", "2024-01-01T12:00:00Z")])
+    _run()
+    assert _trips() == [("v1", "2024-01-01T10:00:00", "2024-01-01T10:10:00", 2)]
+
+    # run 3: only OTHER-vehicle data far in the future; v1's dangling
+    # 12:00 trip must be finalized by the event-time TIMEOUT path
+    emitted.clear()
+    _write_json(dirs["in"], "b3.json", [_wire("v2", "2024-01-01T15:00:00Z")])
+    _run()
+    assert ("v1", "2024-01-01T12:00:00", "2024-01-01T12:00:00", 1) in _trips()
