@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": relational.q_event_type_pivot,
         "moving_avg_speed": relational.q_moving_avg_speed,
         "active_cells_setops": relational.q_active_cells_setops,
+        "active_cells_flags": relational.q_active_cells_flags,
         "conversion_window_counts": relational.q_conversion_window_counts,
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
         "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": relational.EVENT_TYPE_PIVOT_ORACLE,
         "moving_avg_speed": relational.MOVING_AVG_SPEED_ORACLE,
         "active_cells_setops": relational.active_cells_setops_oracle(CFG),
+        "active_cells_flags": relational.active_cells_setops_oracle(CFG),
         "conversion_window_counts": relational.CONVERSION_WINDOW_ORACLE,
         "distinct_vehicles_per_cell": relational.distinct_vehicles_oracle(CFG),
         # approx_distinct_vehicles: no oracle — HLL sketch estimates are

@@ -30,11 +30,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
+    runs = int(os.getenv("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     def run(fn) -> float:
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        # min over N runs: steady-state throughput, robust to shared-host
+        # noise (single runs here vary by 2x run-to-run)
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
     # Warm-ups amortize one-time session costs out of the per-query numbers:
     # JVM/codegen startup (mobility_tiles), the Arrow Python-worker pool
@@ -67,6 +73,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": runs,
+        "agg": "min",
         "regressions": regressions,
     }))
     spark.stop()

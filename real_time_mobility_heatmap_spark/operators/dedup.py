@@ -70,8 +70,12 @@ EXACT_DEDUP_ORACLE = """
 """
 
 
-def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, 3-gram shingle) rows for docs with >= 3 tokens.
+def _shingle_rows(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, 3-gram shingle) rows for docs with >= 3 tokens.
+
+    ``distinct=False`` skips the set-dedup shuffle for consumers whose
+    result is invariant under duplicate shingles (MinHash: the min over a
+    multiset equals the min over its set). Jaccard consumers need the set.
 
     Built as posexplode + two window ``lead``s + concat rather than a
     higher-order ``transform(sequence, i -> concat_ws(slice(...)))`` over
@@ -87,7 +91,7 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
         .filter(F.size("toks") >= 3)
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
+    rows = (
         tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
         .select(
             "doc_id",
@@ -97,8 +101,8 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("t2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "tk", "t1", "t2").alias("s"))
-        .distinct()
     )
+    return rows.distinct() if distinct else rows
 
 
 _SHINGLED_DUCK = f"""
@@ -150,7 +154,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         F.min(F.expr(f"({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}")).alias(f"mh{k}")
         for k, (a, b) in enumerate(_MIX)
     ]
-    return _hashed_rows(docs).groupBy("doc_id").agg(*mixes)
+    rows = _shingle_rows(docs, distinct=False).select(
+        "doc_id", F.expr(hash60_spark_sql("s")).alias("s_h")
+    )
+    return rows.groupBy("doc_id").agg(*mixes)
 
 
 def minhash_signatures_oracle() -> str:

@@ -375,6 +375,27 @@ def active_cells_setops_oracle(cfg: EngineConfig = DEFAULT) -> str:
     """
 
 
+def active_cells_flags(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """The scale-preferred rewrite of ``active_cells_setops``: the three
+    set operations cost ~6 shuffles (each INTERSECT/EXCEPT plans a
+    distinct aggregate + join); aggregating presence FLAGS per cell gives
+    the identical result in ONE shuffle. Registered alongside the set-op
+    form so both the operator surface and the optimized plan are covered
+    (the oracle is shared modulo formulation)."""
+    snapped = snap_pings(pings, cfg)
+    split = F.lit(SPLIT_TS).cast("timestamp")
+    flags = snapped.groupBy("cell_id").agg(
+        F.max((F.col("eventTs") < split).cast("int")).alias("in_first"),
+        F.max((F.col("eventTs") >= split).cast("int")).alias("in_second"),
+    )
+    activity = (
+        F.when((F.col("in_first") == 1) & (F.col("in_second") == 1), "both")
+        .when(F.col("in_first") == 1, "only_first")
+        .otherwise("only_second")
+    )
+    return flags.select("cell_id", activity.alias("activity"))
+
+
 def conversion_window_counts(events: DataFrame) -> DataFrame:
     """Equi + range join: per purchase, clicks by the same user within the
     following hour. The equi key (user_id) carries the shuffle; the range
@@ -474,6 +495,10 @@ def q_moving_avg_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_active_cells_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_cells_setops(pings_from_events(spark, sf_dir))
+
+
+def q_active_cells_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return active_cells_flags(pings_from_events(spark, sf_dir))
 
 
 def q_conversion_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,14 +155,17 @@ def _planes() -> list[list[float]]:
 
 
 def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    """Sign-random-projection bucket per vector (16-bit code)."""
-    emb = _as_double("embedding")
+    """Sign-random-projection bucket per vector (16-bit code).
+
+    The float->double cast is hoisted into one projection so the 16 plane
+    dots share it instead of re-casting the array per bit."""
+    pre = embeddings.select("vec_id", "label", _as_double("embedding").alias("e"))
     bucket = None
     for p, weights in enumerate(_planes()):
         w = F.array(*[F.lit(v) for v in weights])
-        bit = F.when(_dot(emb, w) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bit = F.when(_dot(F.col("e"), w) > 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return embeddings.select("vec_id", "label", bucket.alias("bucket"))
+    return pre.select("vec_id", "label", bucket.alias("bucket"))
 
 
 def lsh_buckets_oracle() -> str:
@@ -191,13 +194,13 @@ _VPAIRS = (
 )
 
 
-def _band_bits(planes: list[list[float]], band: int):
-    """The band-th 4-bit sign pattern as an int column."""
-    emb = _as_double("embedding")
+def _band_bits(planes: list[list[float]], band: int, emb_col: str = "e"):
+    """The band-th 4-bit sign pattern as an int column (over a pre-cast
+    double-array column so the 16 dots share one cast)."""
     bval = None
     for i in range(BITS_PER_VBAND):
         w = F.array(*[F.lit(v) for v in planes[band * BITS_PER_VBAND + i]])
-        bit = F.when(_dot(emb, w) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bit = F.when(_dot(F.col(emb_col), w) > 0, F.lit(2**i)).otherwise(F.lit(0))
         bval = bit if bval is None else bval + bit
     return bval
 
@@ -217,9 +220,12 @@ def embedding_neardup(embeddings: DataFrame) -> DataFrame:
             for b in range(N_VBANDS)
         ]
     )
-    exploded = spread(embeddings).select(
-        "vec_id", F.explode(bands).alias("e")
-    ).select("vec_id", "e.band", "e.bval")
+    exploded = (
+        spread(embeddings)
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .select("vec_id", F.explode(bands).alias("bb"))
+        .select("vec_id", "bb.band", "bb.bval")
+    )
     cap = embeddings.agg(
         F.greatest(
             F.floor(F.count(F.lit(1)) * F.lit(BUCKET_CAP_FRAC)).cast("bigint"), F.lit(2)
