@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": textops.q_rolling_fingerprint,
         "corpus_stats": textops.q_corpus_stats,
         "term_frequencies": textops.q_term_frequencies,
+        "tfidf_top_terms": textops.q_tfidf_top_terms,
         # deduplication (§2.11)
         "exact_dedup": dedup.q_exact_dedup,
         "minhash_signatures": dedup.q_minhash_signatures,
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
+        "dedup_clusters": dedup.q_dedup_clusters,
         # similarity search (§2.11)
         "topk_cosine": similarity.q_topk_cosine,
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
@@ -180,12 +182,14 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": textops.ROLLING_FINGERPRINT_ORACLE,
         "corpus_stats": textops.CORPUS_STATS_ORACLE,
         "term_frequencies": textops.term_frequencies_oracle(),
+        "tfidf_top_terms": textops.TFIDF_TOP_TERMS_ORACLE,
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "minhash_signatures": dedup.minhash_signatures_oracle(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_oracle(),
         "simhash": dedup.simhash_oracle(),
         "streaming_exact_dedup": dedup.STREAMING_EXACT_DEDUP_ORACLE,
+        "dedup_clusters": dedup.dedup_clusters_oracle(),
         "topk_cosine": similarity.TOPK_COSINE_ORACLE,
         "topk_cosine_blocked": similarity.TOPK_COSINE_BLOCKED_ORACLE,
         "lsh_buckets": similarity.lsh_buckets_oracle(),

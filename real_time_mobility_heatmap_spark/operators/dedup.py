@@ -438,6 +438,80 @@ def simhash_oracle() -> str:
     """
 
 
+def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    LSH pair graph, labeled by the component's minimum doc_id (the keeper
+    a dedup pipeline would retain).
+
+    Iterative label propagation: every node starts as its own label; each
+    round replaces a node's label with the min over itself and its
+    neighbors; fixpoint after <= diameter rounds. This is the documented
+    iterative-algorithm pattern — a driver loop over DataFrame steps with
+    a convergence check per round (the only driver-side values are the
+    changed-row COUNT, never data). The edge set is the post-LSH dup
+    graph, typically orders of magnitude smaller than the corpus; at
+    100 TB each round is two broadcast-or-shuffle joins over edges.
+    Oracle: DuckDB recursive CTE computing the same min-label closure.
+    """
+    edges = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # undirected adjacency, deduplicated once up front
+    adj = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    adj = adj.localCheckpoint(eager=True)  # cut lineage: edges are reused every round
+    labels = adj.select(F.col("doc_a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            adj.join(labels, adj.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # fixpoint loop: keep plans constant-size
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(F.col("label").alias("cluster_id"), "doc_id", "cluster_size")
+    )
+
+
+def dedup_clusters_oracle() -> str:
+    return f"""
+        WITH RECURSIVE pairs AS ({minhash_lsh_pairs_oracle()}),
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        walk (doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT w.doc_id, e.doc_b FROM walk w JOIN edges e ON w.r = e.doc_a
+        ),
+        labeled AS (SELECT doc_id, min(r) AS cluster_id FROM walk GROUP BY doc_id)
+        SELECT cluster_id, doc_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM labeled
+    """
+
+
 def streaming_exact_dedup(events: DataFrame) -> DataFrame:
     """Batch twin of streaming dedup on the natural event key (streaming
     variant: dropDuplicatesWithinWatermark, tested in tests/).
@@ -484,3 +558,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_exact_dedup(load_table(spark, sf_dir, "events"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(load_table(spark, sf_dir, "documents"))

@@ -220,6 +220,64 @@ def term_frequencies_oracle(min_count: int = 100) -> str:
     """
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    tf = in-doc term count; idf = ln(N / df) with df = number of docs
+    containing the term. One explode -> two hash aggregates (per-doc tf;
+    per-term df) -> broadcast the term dictionary back -> per-doc top-k
+    ranking window. The df table is vocabulary-sized (small relative to
+    the corpus), hence the explicit broadcast; ties broken on the term
+    string so ranking is engine-independent.
+    """
+    tok = spread(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_DUCK}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln((SELECT count(*) FROM documents) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(spread(load_table(spark, sf_dir, "documents")))
 
@@ -246,3 +304,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequencies(spread(load_table(spark, sf_dir, "documents")))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))

@@ -81,3 +81,22 @@ def test_media_features_deterministic_plumbing(spark):
     assert feats[0]["byte_len"] == 11 and feats[2]["byte_len"] == 3
     assert feats[0]["checksum"] == feats[1]["checksum"]
     assert feats[0]["checksum"] == sum(b"hello world") % 65521
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chained near-dups must land in ONE cluster labeled by the min
+    doc_id: A~B and B~C (A never directly paired with C) -> {A,B,C}."""
+    from real_time_mobility_heatmap_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [
+        base,                                      # 0
+        base.replace("today", "tomorrow"),         # 1 ~ 0
+        base.replace("quick", "swift"),            # 2 ~ 0, ~1
+        "a completely unrelated document with different words entirely here now",  # 3
+        "a completely unrelated document with different words entirely here soon", # 4 ~ 3
+    ]
+    docs = _docs(spark, texts)
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in dedup_clusters(docs).collect()}
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
+    assert got[3] == (3, 2) and got[4] == (3, 2)
