@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": relational.q_customers_without_orders,
         "brand_volume": relational.q_brand_volume,
         "sales_rollup": relational.q_sales_rollup,
+        "above_avg_orders": relational.q_above_avg_orders,
         "cube_sales": relational.q_cube_sales,
         "event_type_pivot": relational.q_event_type_pivot,
         "moving_avg_speed": relational.q_moving_avg_speed,
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal columns (§2.11)
         "media_metadata": multimodal.q_media_metadata,
         "media_features": multimodal.q_media_features,
+        "media_frame_sample": multimodal.q_media_frame_sample,
         # wire encode / color ramp / raw SQL surface (§2.8 F8-F9, EP2)
         "wire_encode": wire.q_wire_encode,
         "tile_colors": wire.q_tile_colors,
@@ -161,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "brand_volume": relational.BRAND_VOLUME_ORACLE,
         "sales_rollup": relational.SALES_ROLLUP_ORACLE,
+        "above_avg_orders": relational.ABOVE_AVG_ORDERS_ORACLE,
         "cube_sales": relational.CUBE_SALES_ORACLE,
         "event_type_pivot": relational.EVENT_TYPE_PIVOT_ORACLE,
         "moving_avg_speed": relational.MOVING_AVG_SPEED_ORACLE,
@@ -195,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": similarity.lsh_buckets_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
+        "media_frame_sample": multimodal.media_frame_sample_oracle(),
         # media_features: no oracle — Arrow-batched pandas extraction over
         # binary blobs is not expressible in DuckDB SQL; rows-only check
         # (its byte_len column is cross-checked by media_metadata's oracle).

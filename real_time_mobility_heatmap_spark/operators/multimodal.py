@@ -108,6 +108,86 @@ def media_features(docs: DataFrame) -> DataFrame:
     return media.mapInPandas(fake_features, FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 64       # stand-in frame size (a real codec yields frames)
+FRAME_STRIDE = 4       # keep every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampler over binary blobs: split each blob into fixed-size
+    frames, keep every ``FRAME_STRIDE``-th, emit per-frame stats. A real
+    video pipeline swaps the byte-window splitter for a codec's frame
+    iterator — the Spark-side contract (1 input row -> N output rows via
+    mapInPandas) is identical. Vectorized per batch via one reduceat over
+    the concatenated kept-frame bytes."""
+    for pdf in batches:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        frames: list[bytes] = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+            n = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n, FRAME_STRIDE):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                frames.append(blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+        lens = np.array([len(f) for f in frames], dtype=np.int64)
+        if len(frames) and lens.sum() > 0:
+            blob_all = np.frombuffer(b"".join(frames), dtype=np.uint8).astype(np.int64)
+            starts = np.cumsum(lens) - lens
+            sums = np.add.reduceat(blob_all, np.minimum(starts, len(blob_all) - 1))
+            checks = np.where(lens > 0, sums, 0) % 65521
+        else:
+            checks = np.zeros(len(frames), dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "frame_idx": np.array(idxs, dtype=np.int32),
+                "frame_len": lens.astype(np.int32),
+                "frame_checksum": checks,
+            }
+        )
+
+
+def media_frame_sample(docs: DataFrame) -> DataFrame:
+    """binary -> sampled frame rows via mapInPandas (1 row -> N rows)."""
+    media = media_table(spread(docs)).select("doc_id", "content")
+    return media.mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
+def media_frame_sample_oracle() -> str:
+    """SQL twin of the frame sampler — the Arrow path is value-checked,
+    not just row-counted: frames via substring windows over the UTF-8
+    bytes (fixture text is ASCII, so octets == characters), checksum via
+    the same adler-like modular byte sum (unicode(c) over the chars)."""
+    return f"""
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                       CAST(ceil(strlen(text) / CAST({FRAME_BYTES} AS DOUBLE)) AS BIGINT) - 1
+                   )) AS i
+            FROM documents
+        ),
+        frames AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                   substr(text, CAST(1 + i * {FRAME_BYTES} AS BIGINT), {FRAME_BYTES}) AS frame
+            FROM idx WHERE i % {FRAME_STRIDE} = 0
+        )
+        SELECT doc_id, frame_idx,
+               CAST(strlen(frame) AS INTEGER) AS frame_len,
+               CAST(list_sum(list_transform(string_split(frame, ''), c -> unicode(c))) % 65521 AS BIGINT)
+                   AS frame_checksum
+        FROM frames
+    """
+
+
 def media_metadata(docs: DataFrame) -> DataFrame:
     """Typed-metadata projection (SQL-checkable half of the pipeline)."""
     m = media_table(docs)
@@ -138,3 +218,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_frame_sample(load_table(spark, sf_dir, "documents"))

@@ -273,6 +273,32 @@ def approx_distinct_vehicles(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> D
     )
 
 
+def above_avg_orders(orders: DataFrame) -> DataFrame:
+    """Correlated-aggregate pattern: orders whose price exceeds 1.5x their
+    own customer's average. Expressed in its DECORRELATED form (per-key
+    aggregate + equi-join) — exactly what Catalyst rewrites a correlated
+    scalar subquery into; the oracle keeps the correlated formulation to
+    prove the equivalence."""
+    cust_avg = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.round(F.avg("o_totalprice"), 6).alias("cust_avg")
+    )
+    return (
+        orders.join(cust_avg, orders.o_custkey == F.col("ck"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+ABOVE_AVG_ORDERS_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           (SELECT round(avg(o2.o_totalprice), 6) FROM orders o2
+            WHERE o2.o_custkey = o1.o_custkey) AS cust_avg
+    FROM orders o1
+    WHERE o_totalprice > 1.5 * (SELECT round(avg(o2.o_totalprice), 6) FROM orders o2
+                                WHERE o2.o_custkey = o1.o_custkey)
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 SPLIT_TS = "2024-01-16 00:00:00"  # fixture events span 2024-01-01..01-30
 
@@ -479,6 +505,10 @@ def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sales_rollup(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return above_avg_orders(load_table(spark, sf_dir, "orders"))
 
 
 def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:

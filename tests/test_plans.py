@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the optimizations the engine is DESIGNED
+around must actually appear in the executed plans (SURVEY.md §4) — a
+broadcast that silently degrades to a sort-merge join, or a filter that
+stops reaching the parquet scan, is a performance regression even while
+results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _pushed(plan: str) -> str:
+    return " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+
+
+def test_dim_joins_are_broadcast_not_sort_merge(spark):
+    for name in ("brand_volume", "shipping_priority", "local_supplier_volume"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
+
+
+def test_semi_anti_joins_ship_key_sets(spark):
+    assert "LeftSemi" in _plan(spark, "orders_with_big_items")
+    assert "LeftAnti" in _plan(spark, "customers_without_orders")
+
+
+def test_filters_reach_parquet_scan(spark):
+    assert "l_shipdate" in _pushed(_plan(spark, "pricing_summary"))
+    p = _plan(spark, "conversion_window_counts")
+    assert "EqualTo(event_type,purchase)" in _pushed(p)
+    assert "EqualTo(event_type,click)" in _pushed(p)
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregates_are_partial_then_final(spark):
+    # partial (map-side) + final HashAggregate around one exchange: the
+    # shuffle carries group cardinality, not input rows
+    plan = _plan(spark, "mobility_tiles")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_flag_rewrite_uses_fewer_shuffles_than_setops(spark):
+    setops = _plan(spark, "active_cells_setops").count("Exchange")
+    flags = _plan(spark, "active_cells_flags").count("Exchange")
+    assert flags < setops, (flags, setops)
