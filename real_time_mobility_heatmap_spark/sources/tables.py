@@ -69,6 +69,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# lossless text-format options: pin the timestamp format to microsecond
+# precision (the defaults truncate to millis on CSV write)
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+TEXT_FORMAT_OPTS = {
+    "csv": {"header": "true", "timestampFormat": _TS_FMT},
+    "json": {"timestampFormat": _TS_FMT},
+}
+
+
+def write_table_as(df: DataFrame, path: str, fmt: str) -> None:
+    """Write a table in a text format (csv/json) losslessly enough to
+    round-trip through ``read_table_as`` (schema-on-read engine surface)."""
+    df.write.mode("overwrite").options(**TEXT_FORMAT_OPTS[fmt]).format(fmt).save(path)
+
+
+def read_table_as(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame:
+    """Schema-on-read over csv/json: the explicit schema (no inference
+    pass over the data) plus pinned timestamp format make text sources
+    exact, not best-effort."""
+    return (
+        spark.read.schema(schema).options(**TEXT_FORMAT_OPTS[fmt]).format(fmt).load(path)
+    )
+
+
 def pings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> GPS-ping stream shape (reference schema heatmap_stream.py:52-61).
 

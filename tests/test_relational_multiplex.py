@@ -79,3 +79,22 @@ def test_approx_distinct_within_5pct_of_exact(spark):
     assert set(exact) == set(approx)
     worst = max(abs(approx[c] - exact[c]) / exact[c] for c in exact)
     assert worst <= 0.05, f"worst per-cell HLL error {worst:.3f} > 5%"
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """approx_percentile(1000) per event_type must land within 2% of the
+    exact interpolated percentile (KLL-style sketch accuracy bound)."""
+    from real_time_mobility_heatmap_spark.operators.windows import (
+        approx_value_percentiles,
+        value_percentiles,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = {r["event_type"]: r for r in value_percentiles(events).collect()}
+    approx = {r["event_type"]: r for r in approx_value_percentiles(events).collect()}
+    assert set(exact) == set(approx)
+    for et in exact:
+        for e_col, a_col in (("p50", "p50_approx"), ("p95", "p95_approx"), ("p99", "p99_approx")):
+            e, a = exact[et][e_col], approx[et][a_col]
+            assert abs(a - e) / e <= 0.02, (et, e_col, e, a)

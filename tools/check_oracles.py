@@ -66,6 +66,18 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        unhashable = [
+            c
+            for c in sdf.columns
+            if sdf[c].map(lambda v: isinstance(v, (list, dict)) or type(v).__name__ == "ndarray").any()
+        ]
+        if unhashable:
+            # the driver's canonicalizer sorts cell values; list/array cells
+            # crash it (round-1 failure mode) — fail fast locally
+            failures.append(name)
+            print(f"FAIL  {name}: array/map-typed output columns {unhashable} "
+                  "(driver canonicalizer cannot hash these - serialize with to_json)")
+            continue
         if name not in oracles:
             print(f"SKIP  {name}: rows-only ({len(sdf)} rows)")
             continue
