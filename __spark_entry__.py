@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "dedup_clusters": dedup.q_dedup_clusters,
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,
         # similarity search (§2.11)
         "topk_cosine": similarity.q_topk_cosine,
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.simhash_oracle(),
         "streaming_exact_dedup": dedup.STREAMING_EXACT_DEDUP_ORACLE,
         "dedup_clusters": dedup.dedup_clusters_oracle(),
+        "winnow_fingerprints": dedup.winnow_fingerprints_oracle(),
         "topk_cosine": similarity.TOPK_COSINE_ORACLE,
         "topk_cosine_blocked": similarity.TOPK_COSINE_BLOCKED_ORACLE,
         "lsh_buckets": similarity.lsh_buckets_oracle(),

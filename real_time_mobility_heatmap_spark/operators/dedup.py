@@ -438,6 +438,87 @@ def simhash_oracle() -> str:
     """
 
 
+WINNOW_W = 4  # winnowing window: one fingerprint guaranteed per W shingles
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    hash every 3-gram shingle, slide a window of ``WINNOW_W`` consecutive
+    hashes, and keep each window's minimum — a position-aware fingerprint
+    set with guaranteed density, the standard local-similarity sketch.
+
+    Selection is expressed as two window passes over one sort order
+    (Spark plans a single shuffle+sort per doc partition and chains the
+    frames): ``wmin`` = min hash per full window; a position is selected
+    iff some window containing it attains its hash — equivalently
+    ``max(wmin) over the following W frame == h`` (all wmin <= h, so the
+    max reaches h exactly when one equals it). This "all minima" variant
+    is deterministic with no tie-break rule; 60-bit hashes make in-window
+    ties vanishingly rare anyway.
+    """
+    tok = (
+        spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
+        .select(
+            "doc_id",
+            "pos",
+            F.lead("tk", 1).over(w).alias("t1"),
+            F.lead("tk", 2).over(w).alias("t2"),
+            "tk",
+        )
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(hash60_spark_sql("concat_ws(' ', tk, t1, t2)")).alias("h"),
+        )
+    )
+    back = w.rowsBetween(-(WINNOW_W - 1), 0)
+    fwd = w.rowsBetween(0, WINNOW_W - 1)
+    full = F.count(F.lit(1)).over(back) == WINNOW_W
+    wmin = F.when(full, F.min("h").over(back))
+    sel = sh.withColumn("wmin", wmin).withColumn(
+        "sel", F.max("wmin").over(fwd) == F.col("h")
+    )
+    return sel.filter(F.col("sel")).select("doc_id", "pos", F.col("h").alias("fp_hash"))
+
+
+def winnow_fingerprints_oracle() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+            WHERE len({TOKENS_DUCK}) >= 3
+        ),
+        pos AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+            FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+        ),
+        hashed AS (SELECT doc_id, pos, {hash60_duck_sql('s')} AS h FROM pos),
+        wm AS (
+            SELECT doc_id, pos, h,
+                   CASE WHEN count(*) OVER back = {WINNOW_W}
+                        THEN min(h) OVER back END AS wmin
+            FROM hashed
+            WINDOW back AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT doc_id, pos, h AS fp_hash
+        FROM (
+            SELECT doc_id, pos, h,
+                   max(wmin) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fmax
+            FROM wm
+        )
+        WHERE fmax = h
+    """
+
+
 def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     LSH pair graph, labeled by the component's minimum doc_id (the keeper
@@ -562,3 +643,7 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))

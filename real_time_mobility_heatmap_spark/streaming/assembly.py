@@ -214,6 +214,49 @@ def windowed_sessions_stream(
     )
 
 
+def stream_stream_conversions(
+    pings: DataFrame,
+    purchase_provider: str = "purchase",
+    click_provider: str = "click",
+    horizon_minutes: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join (the streaming twin of the batch
+    ``conversion_window_counts``): clicks joined to purchases of the same
+    key within the following ``horizon_minutes``.
+
+    Both sides carry watermarks and the join condition bounds the click
+    time to a finite interval AFTER the purchase time — together these
+    let Spark evict join state (a stream-stream join without both is
+    unbounded state). The equi key (vehicleId here, user id in the batch
+    twin) carries the shuffle; the range condition prunes within key
+    groups.
+    """
+    purchases = (
+        pings.filter(F.col("provider") == purchase_provider)
+        .select(
+            F.col("vehicleId").alias("p_key"),
+            F.col("eventTs").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        pings.filter(F.col("provider") == click_provider)
+        .select(
+            F.col("vehicleId").alias("c_key"),
+            F.col("eventTs").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_key") == F.col("c_key"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+        "inner",
+    ).select("p_key", "p_ts", "c_ts")
+
+
 def streaming_dedup(pings: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup bounded by watermark (SURVEY.md §2.11):
     duplicate pings (same key within the watermark horizon) are emitted

@@ -177,6 +177,25 @@ class KeyedParquetStore:
             shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
 
+    def vacuum(self) -> list[str]:
+        """Remove data dirs no manifest bucket references — leftovers of a
+        merge that crashed after writing data but before the manifest
+        swap (the swap itself is atomic, so such orphans are invisible to
+        readers; this just reclaims the space). Returns removed paths."""
+        if not os.path.isdir(self.path):
+            return []
+        referenced = {
+            os.path.normpath(rel).split(os.sep)[0]
+            for rel in self._load_manifest()["buckets"].values()
+        }
+        removed = []
+        for entry in os.listdir(self.path):
+            if entry.startswith("data-") and entry not in referenced:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+                removed.append(entry)
+        return removed
+
+
 def tile_store(path: str) -> KeyedParquetStore:
     """tiles store: overwrite-upsert by deterministic tile_id (S4)."""
     return KeyedParquetStore(path, key_cols=["tile_id"], newer_col=None)

@@ -312,3 +312,71 @@ def test_stateful_trip_detector_across_batches_and_timeout(spark, dirs):
     _write_json(dirs["in"], "b3.json", [_wire("v2", "2024-01-01T15:00:00Z")])
     _run()
     assert ("v1", "2024-01-01T12:00:00", "2024-01-01T12:00:00", 1) in _trips()
+
+
+def test_stream_stream_join_within_horizon(spark, dirs):
+    """Watermarked stream-stream join: clicks pair with purchases of the
+    same key within the 60-min horizon, across micro-batches; state is
+    evictable because both sides are watermarked and the condition is
+    interval-bounded (SURVEY.md §2.9)."""
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        stream_stream_conversions,
+    )
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+
+    emitted: list[list] = []
+
+    def _run():
+        q = (
+            stream_stream_conversions(json_ping_stream(spark, dirs["in"]))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(lambda df, _eid: emitted.append(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: one purchase for key u1
+    _write_json(dirs["in"], "b1.json", [
+        _wire("u1", "2024-01-01T10:00:00Z", provider="purchase"),
+    ])
+    _run()
+
+    # run 2: clicks arriving in a LATER micro-batch still join against the
+    # buffered purchase: 10:30 inside the horizon, 12:00 outside; u2 has
+    # no matching purchase
+    _write_json(dirs["in"], "b2.json", [
+        _wire("u1", "2024-01-01T10:30:00Z", provider="click"),
+        _wire("u1", "2024-01-01T12:00:00Z", provider="click"),
+        _wire("u2", "2024-01-01T10:30:00Z", provider="click"),
+    ])
+    _run()
+
+    pairs = sorted(
+        (r["p_key"], r["p_ts"].isoformat(), r["c_ts"].isoformat())
+        for batch in emitted
+        for r in batch
+    )
+    assert pairs == [("u1", "2024-01-01T10:00:00", "2024-01-01T10:30:00")]
+
+
+def test_vacuum_removes_only_orphan_data_dirs(spark, tmp_path):
+    """A data dir written by a crashed merge (no manifest reference) is
+    reclaimed by vacuum; referenced dirs are untouched."""
+    from real_time_mobility_heatmap_spark.streaming.sinks import KeyedParquetStore
+
+    store = KeyedParquetStore(str(tmp_path / "s"), key_cols=["k"], n_buckets=4)
+    store.merge(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"))
+    before = sorted(store.read(spark).collect())
+
+    orphan = os.path.join(store.path, "data-deadbeef")
+    os.makedirs(os.path.join(orphan, "__bucket=0"))
+    with open(os.path.join(orphan, "__bucket=0", "junk.parquet"), "w") as f:
+        f.write("not really parquet")
+
+    removed = store.vacuum()
+    assert removed == ["data-deadbeef"]
+    assert not os.path.exists(orphan)
+    assert sorted(store.read(spark).collect()) == before
+    assert store.vacuum() == []  # idempotent
