@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pricing_summary": wire.q_sql_pricing_summary,
         # as-of join + window-family generalizations (§2.3, §2.5)
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
+        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
+        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
         "sliding_cell_counts": windows.q_sliding_cell_counts,
         "vehicle_sessions": windows.q_vehicle_sessions,
         "salted_cell_counts": windows.q_salted_cell_counts,
@@ -208,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_colors": wire.tile_colors_oracle(CFG),
         "sql_pricing_summary": relational.PRICING_SUMMARY_ORACLE,
         "asof_clicks_last_purchase": asof.CLICKS_LAST_PURCHASE_ORACLE,
+        "asof_clicks_next_purchase": asof.CLICKS_NEXT_PURCHASE_ORACLE,
+        "asof_clicks_recent_purchase": asof.CLICKS_RECENT_PURCHASE_ORACLE,
         "sliding_cell_counts": windows.sliding_cell_counts_oracle(CFG),
         "vehicle_sessions": windows.vehicle_sessions_oracle(),
         "salted_cell_counts": windows.salted_cell_counts_oracle(CFG),

@@ -31,9 +31,16 @@ def asof_join(
     key: str,
     ts: str,
     right_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the newest right row with
-    right.ts <= left.ts and matching key (null when none precedes)."""
+    """For each left row: columns of the nearest right row with matching
+    key and right.ts <= left.ts (``backward``, the newest-before default)
+    or right.ts >= left.ts (``forward``, the earliest-after) — null when
+    no such row exists. Both directions are the same one-shuffle
+    merge-union plan; only the sort order flips. Matches are inclusive
+    at equal timestamps (right ordered before left), matching DuckDB's
+    ASOF semantics in both directions.
+    """
     l_tagged = left.withColumn("__side", F.lit(1))
     r_tagged = right.select(
         key, ts, *right_cols
@@ -53,9 +60,10 @@ def asof_join(
     )
     unioned = l_aligned.unionByName(r_aligned)
 
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -103,5 +111,86 @@ CLICKS_LAST_PURCHASE_ORACLE = """
 """
 
 
+def clicks_with_next_purchase(events: DataFrame) -> DataFrame:
+    """FORWARD as-of: for every click, the user's earliest purchase
+    at-or-after it (attribution direction: which purchase did this click
+    lead to?)."""
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id")
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        right_cols=["purchase_event_id"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("asof_purchase_event_id").alias("next_purchase_event_id"),
+    )
+
+
+CLICKS_NEXT_PURCHASE_ORACLE = """
+    SELECT c.event_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.event_id AS next_purchase_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+TOLERANCE_DAYS = 1
+
+
+def clicks_with_recent_purchase(events: DataFrame) -> DataFrame:
+    """Backward as-of with a TOLERANCE: the newest purchase before the
+    click counts only if it happened within the last day — otherwise the
+    match is nulled (pandas merge_asof(tolerance=...) semantics). The
+    matched timestamp rides along as a carried column so the tolerance
+    is a plain post-projection, not a different join."""
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_event_id"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        right_cols=["purchase_event_id", "purchase_ts"],
+    )
+    fresh = F.col("asof_purchase_ts") >= F.col("ts") - F.expr(f"INTERVAL {TOLERANCE_DAYS} DAYS")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.when(fresh, F.col("asof_purchase_event_id")).alias("purchase_event_id"),
+        F.when(fresh, F.col("asof_purchase_ts")).alias("purchase_ts"),
+    )
+
+
+CLICKS_RECENT_PURCHASE_ORACLE = f"""
+    SELECT c.event_id,
+           c.user_id,
+           c.ts AS click_ts,
+           CASE WHEN p.ts >= c.ts - INTERVAL {TOLERANCE_DAYS} DAY THEN p.event_id END
+               AS purchase_event_id,
+           CASE WHEN p.ts >= c.ts - INTERVAL {TOLERANCE_DAYS} DAY THEN p.ts END
+               AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_clicks_with_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks_with_last_purchase(load_table(spark, sf_dir, "events"))
+
+
+def q_clicks_with_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clicks_with_next_purchase(load_table(spark, sf_dir, "events"))
+
+
+def q_clicks_with_recent_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clicks_with_recent_purchase(load_table(spark, sf_dir, "events"))
