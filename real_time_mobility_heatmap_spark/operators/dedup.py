@@ -11,7 +11,12 @@ the DuckDB oracle can reproduce them bit-for-bit; see functions/textfns.py):
                never an all-pairs product;
 - simhash:    per-token hashes -> signed bit sums -> compact fingerprint;
 - ngram-jaccard: ground-truth near-dup pairs via shared-shingle equi-join
-               (the verify stage without the LSH prefilter).
+               (the verify stage without the LSH prefilter);
+- winnowing:  position-aware fingerprint sets with guaranteed density
+              (``winnow_fingerprints``);
+- clusters:   connected components over the verified pair graph
+              (``dedup_clusters`` — iterative min-label propagation vs a
+              recursive-CTE oracle).
 
 Scale notes: pair generation never self-joins the exploded shingle table
 (a self-join computes the whole shingling subplan once per side and its

@@ -214,6 +214,15 @@ def windowed_sessions_stream(
     )
 
 
+def enrich_with_static_dim(pings: DataFrame, dim: DataFrame, key: str = "provider") -> DataFrame:
+    """Stream-static join: enrich the unbounded ping stream with a small
+    static dimension (broadcast into every micro-batch — no streaming
+    state at all, unlike a stream-stream join). The canonical shape for
+    reference-data lookups at any scale; the dim is re-resolved per
+    batch, so a batch-refreshed dim table picks up changes."""
+    return pings.join(F.broadcast(dim), key, "left")
+
+
 def stream_stream_conversions(
     pings: DataFrame,
     purchase_provider: str = "purchase",

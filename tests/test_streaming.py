@@ -380,3 +380,32 @@ def test_vacuum_removes_only_orphan_data_dirs(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert sorted(store.read(spark).collect()) == before
     assert store.vacuum() == []  # idempotent
+
+
+def test_stream_static_broadcast_enrichment(spark, dirs):
+    """Stream-static join: each micro-batch is enriched from a broadcast
+    static dim with NO streaming state; unmatched keys keep null dims."""
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        enrich_with_static_dim,
+    )
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+
+    dim = spark.createDataFrame(
+        [("mbta", "Greater Boston"), ("bus", "Metro")], "provider string, region string"
+    )
+    got: list = []
+    _write_json(dirs["in"], "b1.json", [
+        _wire("v1", "2024-01-01T10:00:00Z", provider="mbta"),
+        _wire("v2", "2024-01-01T10:00:00Z", provider="unknown-prov"),
+    ])
+    q = (
+        enrich_with_static_dim(json_ping_stream(spark, dirs["in"]), dim)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_v = {r["vehicleId"]: r["region"] for r in got}
+    assert by_v == {"v1": "Greater Boston", "v2": None}
