@@ -227,30 +227,28 @@ def tfidf_top_terms(docs: DataFrame) -> DataFrame:
     """Top-k characteristic terms per document by tf-idf.
 
     tf = in-doc term count; idf = ln(N / df) with df = number of docs
-    containing the term. One explode -> two hash aggregates (per-doc tf;
-    per-term df) -> broadcast the term dictionary back -> per-doc top-k
-    ranking window. The df table is vocabulary-sized (small relative to
-    the corpus), hence the explicit broadcast; ties broken on the term
-    string so ranking is engine-independent.
+    containing the term. One explode -> per-doc tf hash aggregate -> df
+    via a window count partitioned by term -> per-doc top-k ranking
+    window. Ties broken on the term string so ranking is
+    engine-independent.
     """
     tok = spread(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
-        )
-    )
     from pyspark.sql import Window
 
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df as a window count over the tf rows: one tokenize/explode pass
+    # total (a separate groupBy(term) branch would recompute the whole
+    # upstream subplan for the dictionary side)
+    with_df = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = with_df.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
