@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_cells_setops": relational.q_active_cells_setops,
         "active_cells_flags": relational.q_active_cells_flags,
         "conversion_window_counts": relational.q_conversion_window_counts,
+        "funnel_conversions": relational.q_funnel_conversions,
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
         "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
         # streaming assembly (§2.9): live Structured Streaming query whose
@@ -139,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vehicle_sessions": windows.q_vehicle_sessions,
         "salted_cell_counts": windows.q_salted_cell_counts,
         "value_percentiles": windows.q_value_percentiles,
+        "value_histogram": windows.q_value_histogram,
+        "table_profile": windows.q_table_profile,
         "approx_value_percentiles": windows.q_approx_value_percentiles,
     }
 
@@ -173,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "active_cells_setops": relational.active_cells_setops_oracle(CFG),
         "active_cells_flags": relational.active_cells_setops_oracle(CFG),
         "conversion_window_counts": relational.CONVERSION_WINDOW_ORACLE,
+        "funnel_conversions": relational.FUNNEL_CONVERSIONS_ORACLE,
         "distinct_vehicles_per_cell": relational.distinct_vehicles_oracle(CFG),
         # approx_distinct_vehicles: no oracle — HLL sketch estimates are
         # engine-specific; driver records rows-only check.
@@ -216,6 +220,8 @@ def oracle_sql() -> dict[str, str]:
         "vehicle_sessions": windows.vehicle_sessions_oracle(),
         "salted_cell_counts": windows.salted_cell_counts_oracle(CFG),
         "value_percentiles": windows.VALUE_PERCENTILES_ORACLE,
+        "value_histogram": windows.VALUE_HISTOGRAM_ORACLE,
+        "table_profile": windows.table_profile_oracle(),
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

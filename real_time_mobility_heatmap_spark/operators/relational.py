@@ -462,6 +462,58 @@ CONVERSION_WINDOW_ORACLE = """
 """
 
 
+def funnel_conversions(events: DataFrame) -> DataFrame:
+    """Ordered-sequence funnel: users whose first view is followed by a
+    later click, followed by a later purchase (strict event-time order).
+    Each stage is a keyed min-aggregate over the previous stage's
+    survivors — per-stage shuffles on user_id, no window over whole
+    per-user histories and no cross product; the standard product-
+    analytics funnel shape."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"), F.min("view_ts").alias("view_ts"))
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("view_ts").alias("view_ts"),
+            F.min("click_ts").alias("click_ts"),
+            F.min("ts").alias("purchase_ts"),
+        )
+    )
+
+
+FUNNEL_CONVERSIONS_ORACLE = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS click_ts, min(v.view_ts) AS view_ts
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    )
+    SELECT e.user_id,
+           min(c.view_ts) AS view_ts,
+           min(c.click_ts) AS click_ts,
+           min(e.ts) AS purchase_ts
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+"""
+
+
 # queries() adapters ---------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +585,10 @@ def q_active_cells_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_conversion_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_window_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_conversions(load_table(spark, sf_dir, "events"))
 
 
 def q_distinct_vehicles_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,6 +184,92 @@ def approx_value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+HIST_BINS = 20
+HIST_LO, HIST_HI = 0.0, 500.0  # fixture events.value spans 0.01..490
+
+
+# width_bucket spelled out as shared arithmetic (DuckDB 1.0 lacks the
+# builtin): below-range -> 0, above-range -> nbins+1, else 1-based bin
+_STEP = (HIST_HI - HIST_LO) / HIST_BINS
+_BIN_SQL = (
+    f"CASE WHEN value < {HIST_LO} THEN 0 "
+    f"WHEN value >= {HIST_HI} THEN {HIST_BINS + 1} "
+    f"ELSE CAST(floor((value - {HIST_LO}) / CAST({_STEP} AS DOUBLE)) AS BIGINT) + 1 END"
+)
+
+
+def value_histogram(events: DataFrame) -> DataFrame:
+    """Fixed-width histogram of event value per event_type — the binning
+    aggregate behind any server-side distribution chart. The bucket is a
+    pure column expression, so the whole thing is one map-side bucketed
+    hash aggregate; bin count (not row count) crosses the shuffle."""
+    return (
+        events.groupBy("event_type", F.expr(_BIN_SQL).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(HIST_LO) + (F.col("bin") - 1) * F.lit(_STEP)).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+VALUE_HISTOGRAM_ORACLE = f"""
+    SELECT event_type,
+           {_BIN_SQL} AS bin,
+           {HIST_LO} + ({_BIN_SQL} - 1) * CAST({_STEP} AS DOUBLE) AS bin_lo,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, {_BIN_SQL}
+"""
+
+
+def table_profile(events: DataFrame) -> DataFrame:
+    """Column-profile aggregate (null rate, distinct count, min/max as
+    strings) — the data-quality pass a pipeline runs before training.
+    One scan, all profiles as a single wide aggregate row per column,
+    unpivoted executor-side via stack()."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, null_rate, n_distinct, min_str, max_str)"
+    )
+
+
+def table_profile_oracle() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    selects = [
+        f"""SELECT '{c}' AS column_name,
+                   round(avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str
+            FROM events"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(load_table(spark, sf_dir, "events"))
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_profile(load_table(spark, sf_dir, "events"))
+
+
 def q_sliding_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_cell_counts(pings_from_events(spark, sf_dir))
 
