@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": multimodal.q_media_metadata,
         "media_features": multimodal.q_media_features,
         "media_frame_sample": multimodal.q_media_frame_sample,
+        "media_resize": multimodal.q_media_resize,
         # wire encode / color ramp / raw SQL surface (§2.8 F8-F9, EP2)
         "wire_encode": wire.q_wire_encode,
         "tile_colors": wire.q_tile_colors,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_cell_counts": windows.q_salted_cell_counts,
         "value_percentiles": windows.q_value_percentiles,
         "value_histogram": windows.q_value_histogram,
+        "vehicle_travel_stats": windows.q_vehicle_travel_stats,
         "table_profile": windows.q_table_profile,
         "approx_value_percentiles": windows.q_approx_value_percentiles,
     }
@@ -207,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": similarity.embedding_neardup_oracle(),
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "media_frame_sample": multimodal.media_frame_sample_oracle(),
+        "media_resize": multimodal.media_resize_oracle(),
         # media_features: no oracle — Arrow-batched pandas extraction over
         # binary blobs is not expressible in DuckDB SQL; rows-only check
         # (its byte_len column is cross-checked by media_metadata's oracle).
@@ -221,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_cell_counts": windows.salted_cell_counts_oracle(CFG),
         "value_percentiles": windows.VALUE_PERCENTILES_ORACLE,
         "value_histogram": windows.VALUE_HISTOGRAM_ORACLE,
+        "vehicle_travel_stats": windows.VEHICLE_TRAVEL_STATS_ORACLE,
         "table_profile": windows.table_profile_oracle(),
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact

@@ -188,6 +188,71 @@ def media_frame_sample_oracle() -> str:
     """
 
 
+RESIZE_TARGET = 32  # stand-in "pixel" count after resampling
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized_len", T.IntegerType()),
+        T.StructField("resized_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor byte resampling to ``RESIZE_TARGET`` samples — the
+    resize stage of an image pipeline with the codec swapped for raw
+    bytes (a real implementation resamples a decoded pixel grid; the
+    Spark-side contract and batch shape are identical). Vectorized: one
+    gather per blob via integer index arithmetic, no per-byte Python.
+    """
+    idx = np.arange(RESIZE_TARGET)
+    for pdf in batches:
+        checks = np.zeros(len(pdf), dtype=np.int64)
+        lens = np.zeros(len(pdf), dtype=np.int32)
+        for row, blob in enumerate(pdf["content"]):
+            n = len(blob)
+            if n == 0:
+                continue
+            take = (idx * n) // RESIZE_TARGET  # floor(i * n / target)
+            resized = np.frombuffer(blob, dtype=np.uint8)[take]
+            lens[row] = len(resized)
+            checks[row] = int(resized.astype(np.int64).sum() % 65521)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "resized_len": lens,
+                "resized_checksum": checks,
+            }
+        )
+
+
+def media_resize(docs: DataFrame) -> DataFrame:
+    """binary -> fixed-size resampled representation via mapInPandas."""
+    media = media_table(spread(docs)).select("doc_id", "content")
+    return media.mapInPandas(resize_media, RESIZE_SCHEMA)
+
+
+def media_resize_oracle() -> str:
+    """SQL twin (fixture text is ASCII, chars == bytes): the same
+    nearest-neighbor index math over substr, so the Arrow resize path is
+    value-checked."""
+    return f"""
+        WITH samples AS (
+            SELECT doc_id,
+                   unicode(substr(text,
+                       CAST(1 + (i * strlen(text)) // {RESIZE_TARGET} AS BIGINT), 1)) AS b
+            FROM documents,
+                 unnest(generate_series(0, {RESIZE_TARGET - 1})) AS t(i)
+            WHERE strlen(text) > 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS resized_len,
+               CAST(sum(b) % 65521 AS BIGINT) AS resized_checksum
+        FROM samples GROUP BY doc_id
+    """
+
+
 def media_metadata(docs: DataFrame) -> DataFrame:
     """Typed-metadata projection (SQL-checkable half of the pipeline)."""
     m = media_table(docs)
@@ -222,3 +287,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_frame_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_resize(load_table(spark, sf_dir, "documents"))

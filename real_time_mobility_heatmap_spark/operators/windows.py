@@ -270,6 +270,51 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(load_table(spark, sf_dir, "events"))
 
 
+def vehicle_travel_stats(pings: DataFrame) -> DataFrame:
+    """Per-vehicle trajectory stats from consecutive-ping deltas (lag
+    windows): leg count, total and max Manhattan displacement in degrees.
+    One shuffle+sort per (provider, vehicleId) partition; the lag frame
+    is tie-broken on event_id so legs are deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("provider", "vehicleId").orderBy("eventTs", "event_id")
+    leg = (
+        F.abs(F.col("lat") - F.lag("lat").over(w))
+        + F.abs(F.col("lon") - F.lag("lon").over(w))
+    )
+    with_leg = pings.select("provider", "vehicleId", leg.alias("leg"))
+    return (
+        with_leg.filter(F.col("leg").isNotNull())
+        .groupBy("provider", "vehicleId")
+        .agg(
+            F.count(F.lit(1)).alias("n_legs"),
+            F.round(F.sum("leg"), 6).alias("total_disp_deg"),
+            F.round(F.max("leg"), 6).alias("max_leg_deg"),
+        )
+    )
+
+
+VEHICLE_TRAVEL_STATS_ORACLE = f"""
+    WITH pings AS ({PINGS_ORACLE_SQL}),
+    legs AS (
+        SELECT provider, vehicleId,
+               abs(lat - lag(lat) OVER w) + abs(lon - lag(lon) OVER w) AS leg
+        FROM pings
+        WINDOW w AS (PARTITION BY provider, vehicleId ORDER BY eventTs, event_id)
+    )
+    SELECT provider, vehicleId,
+           count(*) AS n_legs,
+           round(sum(leg), 6) AS total_disp_deg,
+           round(max(leg), 6) AS max_leg_deg
+    FROM legs WHERE leg IS NOT NULL
+    GROUP BY provider, vehicleId
+"""
+
+
+def q_vehicle_travel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vehicle_travel_stats(pings_from_events(spark, sf_dir))
+
+
 def q_sliding_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_cell_counts(pings_from_events(spark, sf_dir))
 
