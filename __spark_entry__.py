@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": textops.q_corpus_stats,
         "term_frequencies": textops.q_term_frequencies,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
+        "dataset_split": textops.q_dataset_split,
         # deduplication (§2.11)
         "exact_dedup": dedup.q_exact_dedup,
         "minhash_signatures": dedup.q_minhash_signatures,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": textops.CORPUS_STATS_ORACLE,
         "term_frequencies": textops.term_frequencies_oracle(),
         "tfidf_top_terms": textops.TFIDF_TOP_TERMS_ORACLE,
+        "dataset_split": textops.DATASET_SPLIT_ORACLE,
         "exact_dedup": dedup.EXACT_DEDUP_ORACLE,
         "minhash_signatures": dedup.minhash_signatures_oracle(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(),

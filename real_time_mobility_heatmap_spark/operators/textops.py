@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textfns import STOPWORDS, TOKENS_DUCK, tokens
+from ..functions.textfns import (
+    STOPWORDS,
+    TOKENS_DUCK,
+    hash60_duck_sql,
+    hash60_spark_sql,
+    tokens,
+)
 from ..sources.tables import load_table, spread
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
@@ -274,6 +280,45 @@ TFIDF_TOP_TERMS_ORACLE = f"""
     )
     SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+SPLIT_PCTS = (90, 5, 5)  # train / val / test
+
+
+def dataset_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment + shuffle key.
+
+    Salted-hash bucketing (not ``rand()``): the split is a pure function
+    of doc_id, so it is reproducible across runs, engines and cluster
+    sizes, and new documents never reshuffle old assignments — the
+    properties a training pipeline actually needs. ``shuffle_key`` is a
+    second independent hash for deterministic within-split ordering.
+    """
+    split_hash = hash60_spark_sql("concat('split|', doc_id)")
+    bucket = F.expr(f"{split_hash} % 100")
+    train, val = SPLIT_PCTS[0], SPLIT_PCTS[0] + SPLIT_PCTS[1]
+    split = (
+        F.when(bucket < train, "train").when(bucket < val, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.expr(hash60_spark_sql("concat('shuffle|', doc_id)")).alias("shuffle_key"),
+    )
+
+
+DATASET_SPLIT_ORACLE = f"""
+    SELECT doc_id,
+           CASE WHEN {hash60_duck_sql("concat('split|', doc_id)")} % 100 < {SPLIT_PCTS[0]} THEN 'train'
+                WHEN {hash60_duck_sql("concat('split|', doc_id)")} % 100 < {SPLIT_PCTS[0] + SPLIT_PCTS[1]} THEN 'val'
+                ELSE 'test' END AS split,
+           {hash60_duck_sql("concat('shuffle|', doc_id)")} AS shuffle_key
+    FROM documents
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_split(load_table(spark, sf_dir, "documents"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
