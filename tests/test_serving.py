@@ -90,3 +90,44 @@ def test_http_api_serves_latest_window_and_positions(spark):
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_end_to_end_stream_store_serve(spark, tmp_path):
+    """Full reference pipeline shape (EP2 -> EP3): wire JSON -> streaming
+    window agg -> idempotent keyed store -> latest-window serving
+    projection. The snapshot served from the STORE must equal the
+    latest-window snapshot computed straight from the batch pings."""
+    import json as _json
+    import os
+
+    from real_time_mobility_heatmap_spark.streaming.assembly import start_tiles_query
+    from real_time_mobility_heatmap_spark.streaming.sinks import tile_store
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+
+    rows = [
+        {"provider": "mbta", "vehicleId": "v1", "lat": 42.35, "lon": -71.06,
+         "speedKmh": 10.0, "bearing": None, "accuracyM": None,
+         "ts": "2024-01-01T10:02:00Z"},
+        {"provider": "mbta", "vehicleId": "v2", "lat": 42.95, "lon": -71.50,
+         "speedKmh": 30.0, "bearing": None, "accuracyM": None,
+         "ts": "2024-01-01T10:07:00Z"},
+    ]
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    with open(os.path.join(indir, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    store = tile_store(str(tmp_path / "store"))
+    q = start_tiles_query(json_ping_stream(spark, indir), store, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    # serve the newest window straight off the store snapshot
+    from pyspark.sql import functions as F
+
+    snap = store.read(spark)
+    newest = snap.agg(F.max("window_start").alias("ws"))
+    served = snap.join(F.broadcast(newest), snap.window_start == F.col("ws")).drop("ws")
+    got = {r["cell_id"]: r["ping_count"] for r in served.collect()}
+    assert got == {"859:-1430": 1}  # only the 10:05 window's cell is "latest"
+    assert served.first()["window_start"].isoformat() == "2024-01-01T10:05:00"
