@@ -409,3 +409,14 @@ def test_stream_static_broadcast_enrichment(spark, dirs):
     q.awaitTermination()
     by_v = {r["vehicleId"]: r["region"] for r in got}
     assert by_v == {"v1": "Greater Boston", "v2": None}
+
+
+def test_mongo_adapter_is_import_gated():
+    """The Mongo sink adapter (reference S4/S5 parity surface) raises a
+    clear ImportError without pymongo instead of failing at merge time."""
+    import pytest as _pytest
+
+    from real_time_mobility_heatmap_spark.streaming.mongo import MongoKeyedStore
+
+    with _pytest.raises(ImportError, match="pymongo not installed"):
+        MongoKeyedStore("mongodb://localhost", "mobility", "tiles", ["tile_id"])
