@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_window": latest.q_top_window,
         "latest_window_snapshot": latest.q_latest_window_snapshot,
         "watermark_latedrop": latest.q_watermark_latedrop,
+        "recent_tiles_merged": latest.q_recent_tiles_merged,
         # multiplex/demux (§2.7)
         "multiplex_summary": multiplex.q_multiplex_summary,
         "demux_tiles": multiplex.q_demux_tiles,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "top_window": latest.top_window_oracle(CFG),
         "latest_window_snapshot": latest.latest_window_snapshot_oracle(CFG),
         "watermark_latedrop": latest.WATERMARK_LATEDROP_ORACLE,
+        "recent_tiles_merged": latest.recent_tiles_merged_oracle(CFG),
         "multiplex_summary": multiplex.multiplex_summary_oracle(CFG),
         "demux_tiles": multiplex.demux_tiles_oracle(CFG),
         "pricing_summary": relational.PRICING_SUMMARY_ORACLE,

@@ -111,6 +111,57 @@ def latest_window_snapshot(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> Dat
     return tiles.join(F.broadcast(latest), "window_start").select(tiles.columns)
 
 
+MERGE_WINDOWS = 3  # "last N minutes" = N/tile_minutes consecutive windows
+
+
+def recent_tiles_merged(pings: DataFrame, cfg: EngineConfig = DEFAULT, k: int = MERGE_WINDOWS) -> DataFrame:
+    """The reference README's roadmap feature (README.md:228: "merge last
+    N minutes of tiles"): one smoothed heatmap over the k newest tumbling
+    windows per cell — counts summed, speed re-averaged as the
+    count-weighted mean (NOT the mean of per-window means). Two-phase
+    like the latest snapshot: single-row max window broadcast into the
+    filter, then one aggregate on cell."""
+    tiles = tile_aggregate(pings, cfg)
+    span = F.expr(f"INTERVAL {(k - 1) * cfg.tile_minutes} MINUTES")
+    latest = tiles.agg((F.max("window_start") - span).alias("min_ws"))
+    recent = tiles.crossJoin(F.broadcast(latest)).filter(
+        F.col("window_start") >= F.col("min_ws")
+    )
+    return recent.groupBy("cell_id").agg(
+        F.sum("ping_count").alias("ping_count"),
+        F.round(
+            F.sum(F.col("avg_speed_kmh") * F.col("ping_count")) / F.sum(
+                F.when(F.col("avg_speed_kmh").isNotNull(), F.col("ping_count"))
+            ),
+            6,
+        ).alias("avg_speed_kmh"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("window_start").alias("merge_start"),
+        F.max("window_end").alias("merge_end"),
+    )
+
+
+def recent_tiles_merged_oracle(cfg: EngineConfig = DEFAULT, k: int = MERGE_WINDOWS) -> str:
+    return f"""
+        WITH tiles AS ({tiles_oracle_sql(PINGS_ORACLE_SQL, cfg)}),
+        bound AS (
+            SELECT max(window_start) - INTERVAL '{(k - 1) * cfg.tile_minutes} minutes' AS min_ws
+            FROM tiles
+        )
+        SELECT cell_id,
+               sum(ping_count) AS ping_count,
+               round(sum(avg_speed_kmh * ping_count)
+                     / sum(CASE WHEN avg_speed_kmh IS NOT NULL THEN ping_count END), 6)
+                   AS avg_speed_kmh,
+               count(*) AS n_windows,
+               min(window_start) AS merge_start,
+               max(window_end) AS merge_end
+        FROM tiles, bound
+        WHERE window_start >= min_ws
+        GROUP BY cell_id
+    """
+
+
 def watermark_latedrop(pings: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Batch twin of the streaming watermark (heatmap_stream.py:107):
     drop events more than the watermark behind the max event time."""
@@ -210,3 +261,7 @@ def q_latest_window_snapshot(spark, sf_dir):
 
 def q_watermark_latedrop(spark, sf_dir):
     return watermark_latedrop(pings_from_events(spark, sf_dir))
+
+
+def q_recent_tiles_merged(spark, sf_dir):
+    return recent_tiles_merged(pings_from_events(spark, sf_dir))
