@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "dedup_clusters": dedup.q_dedup_clusters,
         "winnow_fingerprints": dedup.q_winnow_fingerprints,
+        "winnow_match_pairs": dedup.q_winnow_match_pairs,
         # similarity search (§2.11)
         "topk_cosine": similarity.q_topk_cosine,
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_exact_dedup": dedup.STREAMING_EXACT_DEDUP_ORACLE,
         "dedup_clusters": dedup.dedup_clusters_oracle(),
         "winnow_fingerprints": dedup.winnow_fingerprints_oracle(),
+        "winnow_match_pairs": dedup.winnow_match_pairs_oracle(),
         "topk_cosine": similarity.TOPK_COSINE_ORACLE,
         "topk_cosine_blocked": similarity.TOPK_COSINE_BLOCKED_ORACLE,
         "lsh_buckets": similarity.lsh_buckets_oracle(),

@@ -524,6 +524,51 @@ def winnow_fingerprints_oracle() -> str:
     """
 
 
+WINNOW_MIN_SHARED = 3  # pairs must share at least this many fingerprints
+
+
+def winnow_match_pairs(docs: DataFrame) -> DataFrame:
+    """Local-similarity pairs from shared winnowing fingerprints — the
+    match stage of the plagiarism-detection pipeline the fingerprints
+    exist for. Same capped bucket-explosion shape as the other pair
+    generators, but over the winnowed set (a ~2/W fraction of all
+    shingles), so candidate volume is structurally smaller than
+    ``ngram_jaccard_pairs`` for the same corpus."""
+    fps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    buckets = (
+        fps.groupBy("fp_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .crossJoin(F.broadcast(_doc_cap(docs)))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
+    )
+    pairs = (
+        buckets.select(F.explode(F.expr(_PAIRS_IDS)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+def winnow_match_pairs_oracle() -> str:
+    return f"""
+        WITH fp_rows AS ({winnow_fingerprints_oracle()}),
+        fps AS (SELECT DISTINCT doc_id, fp_hash FROM fp_rows),
+        ok AS (
+            SELECT fp_hash FROM fps GROUP BY fp_hash
+            HAVING count(*) >= 2 AND count(*) <= {_DF_CAP_DUCK}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
+        FROM fps a
+        JOIN ok ON a.fp_hash = ok.fp_hash
+        JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
 def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     LSH pair graph, labeled by the component's minimum doc_id (the keeper
@@ -652,3 +697,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_match_pairs(load_table(spark, sf_dir, "documents"))
