@@ -83,11 +83,15 @@ def main() -> None:
 
 
 def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
-    """Per-query guard against the recorded baseline (BENCH_r01 by default):
-    flag anything >1.5x its baseline with >0.3s absolute slack so additions
-    can't silently regress established numbers. Exit code stays 0 unless
-    SPARK_GRAFT_BENCH_STRICT is set (the driver records rc)."""
-    baseline_path = os.getenv("SPARK_GRAFT_BENCH_BASELINE", str(REPO / "BENCH_r01.json"))
+    """Per-query guard against the recorded baseline (the newest
+    BENCH_r{N}.json in the repo by default, so the bar ratchets forward
+    each round): flag anything >1.5x its baseline with >0.3s absolute
+    slack so additions can't silently regress established numbers. Exit
+    code stays 0 unless SPARK_GRAFT_BENCH_STRICT is set (the driver
+    records rc)."""
+    recorded = sorted(REPO.glob("BENCH_r*.json"))
+    default = str(recorded[-1]) if recorded else str(REPO / "BENCH_r01.json")
+    baseline_path = os.getenv("SPARK_GRAFT_BENCH_BASELINE", default)
     try:
         raw = json.loads(Path(baseline_path).read_text())
         base_q = (raw.get("parsed") or raw).get("queries", {})

@@ -420,3 +420,29 @@ def test_mongo_adapter_is_import_gated():
 
     with _pytest.raises(ImportError, match="pymongo not installed"):
         MongoKeyedStore("mongodb://localhost", "mobility", "tiles", ["tile_id"])
+
+
+def test_multiple_micro_batches_in_one_run_accumulate_correctly(spark, dirs):
+    """maxFilesPerTrigger=1 forces one micro-batch per input file within a
+    SINGLE availableNow run: update-mode emissions must accumulate in the
+    store across batches exactly like a one-shot batch aggregate."""
+    from real_time_mobility_heatmap_spark.streaming.assembly import start_tiles_query
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+
+    # same cell+window split over three files
+    for i, speed in enumerate((10.0, 20.0, 60.0)):
+        _write_json(dirs["in"], f"b{i}.json", [
+            _wire("v1", "2024-01-01T10:01:00Z", speed=speed),
+        ])
+    store = tile_store(dirs["store"])
+    q = start_tiles_query(
+        json_ping_stream(spark, dirs["in"], max_files_per_trigger=1),
+        store,
+        dirs["ckpt"],
+    )
+    q.awaitTermination()
+
+    rows = store.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["ping_count"] == 3          # all three batches merged
+    assert abs(rows[0]["avg_speed_kmh"] - 30.0) < 1e-9  # running avg, not last
