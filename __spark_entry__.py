@@ -35,6 +35,7 @@ from real_time_mobility_heatmap_spark.operators import (
     similarity,
     textops,
     tiles,
+    trajectory,
     windows,
     wire,
 )
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": windows.q_value_percentiles,
         "value_histogram": windows.q_value_histogram,
         "vehicle_travel_stats": windows.q_vehicle_travel_stats,
+        "resample_trajectories": trajectory.q_resample_trajectories,
         "table_profile": windows.q_table_profile,
         "approx_value_percentiles": windows.q_approx_value_percentiles,
     }
@@ -231,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": windows.VALUE_PERCENTILES_ORACLE,
         "value_histogram": windows.VALUE_HISTOGRAM_ORACLE,
         "vehicle_travel_stats": windows.VEHICLE_TRAVEL_STATS_ORACLE,
+        "resample_trajectories": trajectory.resample_trajectories_oracle(),
         "table_profile": windows.table_profile_oracle(),
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
