@@ -100,3 +100,19 @@ def test_dedup_clusters_connected_components(spark):
     got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in dedup_clusters(docs).collect()}
     assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
     assert got[3] == (3, 2) and got[4] == (3, 2)
+
+
+def test_trajectory_resampling_forms_agree(spark):
+    """The mapInPandas partition form (registered; ~10x faster with many
+    small groups) and the applyInPandas grouped-map form must produce
+    identical interpolated trajectories."""
+    from real_time_mobility_heatmap_spark.operators.trajectory import (
+        resample_trajectories,
+        resample_trajectories_grouped,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+
+    pings = pings_from_events(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, resample_trajectories(pings).collect()))
+    b = sorted(map(tuple, resample_trajectories_grouped(pings).collect()))
+    assert a == b and len(a) > 0
