@@ -57,28 +57,74 @@ def _q_mobility_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ORDER MATTERS: the driver verifies the FIRST 50 entries only, so the
+    dict is laid out as an explicit rotation window — queries that have
+    never had (or most need) a fresh driver correctness row come first,
+    followed by a spread of long-green anchors covering every operator
+    family; entries past position 50 are ones green in the immediately
+    preceding round. Rotate per round so every query gets a driver row
+    at least every other round.
+    """
     return {
-        # core mobility pipeline (SURVEY §2.1-2.5)
+        # ---- driver window, part 1: never driver-checked before r3 ----
+        "wire_encode": wire.q_wire_encode,
+        "tile_colors": wire.q_tile_colors,
+        "sql_pricing_summary": wire.q_sql_pricing_summary,
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,
+        "winnow_match_pairs": dedup.q_winnow_match_pairs,
+        "embedding_neardup": similarity.q_embedding_neardup,
+        "media_frame_sample": multimodal.q_media_frame_sample,
+        "media_resize": multimodal.q_media_resize,
+        "resample_trajectories": trajectory.q_resample_trajectories,
+        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
+        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
+        "table_profile": windows.q_table_profile,
+        "value_histogram": windows.q_value_histogram,
+        "vehicle_travel_stats": windows.q_vehicle_travel_stats,
+        # ---- part 2: r2's one red row (determinism fixed) + new in r3 ----
+        "recent_tiles_merged": latest.q_recent_tiles_merged,
+        "table_profile_approx": windows.q_table_profile_approx,
+        # ---- part 3: green in r1 but outside r2's window — rotate in ----
+        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
+        "topk_cosine": similarity.q_topk_cosine,
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
+        "lsh_buckets": similarity.q_lsh_buckets,
+        "media_metadata": multimodal.q_media_metadata,
+        "media_features": multimodal.q_media_features,
+        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
+        "sliding_cell_counts": windows.q_sliding_cell_counts,
+        "vehicle_sessions": windows.q_vehicle_sessions,
+        "salted_cell_counts": windows.q_salted_cell_counts,
+        "value_percentiles": windows.q_value_percentiles,
+        "approx_value_percentiles": windows.q_approx_value_percentiles,
+        # ---- part 4: r2-green anchors, one per operator family ----
         "mobility_tiles": _q_mobility_tiles,
-        # decode / normalization (§2.2, §2.8)
         "json_decode": decode.q_json_decode,
         "wire_roundtrip": decode.q_wire_roundtrip,
         "normalize": decode.q_normalize,
-        # latest-per-key family (§2.3, §2.4, §2.6)
         "latest_maxby": latest.q_latest_maxby,
         "latest_join": latest.q_latest_join,
-        "latest_rownum": latest.q_latest_rownum,
         "latest_positions": latest.q_latest_positions,
         "top_window": latest.q_top_window,
         "latest_window_snapshot": latest.q_latest_window_snapshot,
         "watermark_latedrop": latest.q_watermark_latedrop,
-        "recent_tiles_merged": latest.q_recent_tiles_merged,
-        # multiplex/demux (§2.7)
         "multiplex_summary": multiplex.q_multiplex_summary,
         "demux_tiles": multiplex.q_demux_tiles,
-        # relational generalizations (§2.3-2.4, §2.6)
         "pricing_summary": relational.q_pricing_summary,
+        "streaming_tiles": run_streaming_tiles,
+        "tile_features_flat": geojson.q_tile_features_flat,
+        "tile_feature_collection": geojson.q_tile_feature_collection,
+        "fresh_tiles": geojson.q_fresh_tiles,
+        "token_count": textops.q_token_count,
+        "exact_dedup": dedup.q_exact_dedup,
+        "minhash_signatures": dedup.q_minhash_signatures,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        # ---------------- end of driver window (50 entries) ----------------
+        # everything below was driver-green in round 2
+        "latest_rownum": latest.q_latest_rownum,
         "shipping_priority": relational.q_shipping_priority,
         "local_supplier_volume": relational.q_local_supplier_volume,
         "orders_with_big_items": relational.q_orders_with_big_items,
@@ -95,16 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversions": relational.q_funnel_conversions,
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
         "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
-        # streaming assembly (§2.9): live Structured Streaming query whose
-        # final sink snapshot must equal the batch tile aggregate
-        "streaming_tiles": run_streaming_tiles,
-        # serving projections (§2.8 F2-F4, ST7, EP3)
-        "tile_features_flat": geojson.q_tile_features_flat,
-        "tile_feature_collection": geojson.q_tile_feature_collection,
         "position_features": geojson.q_position_features,
-        "fresh_tiles": geojson.q_fresh_tiles,
-        # text analysis (§2.11)
-        "token_count": textops.q_token_count,
         "quality_score": textops.q_quality_score,
         "lang_id": textops.q_lang_id,
         "fingerprint": textops.q_fingerprint,
@@ -113,43 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": textops.q_term_frequencies,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "dataset_split": textops.q_dataset_split,
-        # deduplication (§2.11)
-        "exact_dedup": dedup.q_exact_dedup,
-        "minhash_signatures": dedup.q_minhash_signatures,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
-        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
-        "dedup_clusters": dedup.q_dedup_clusters,
-        "winnow_fingerprints": dedup.q_winnow_fingerprints,
-        "winnow_match_pairs": dedup.q_winnow_match_pairs,
-        # similarity search (§2.11)
-        "topk_cosine": similarity.q_topk_cosine,
-        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
-        "lsh_buckets": similarity.q_lsh_buckets,
-        "embedding_neardup": similarity.q_embedding_neardup,
-        # multimodal columns (§2.11)
-        "media_metadata": multimodal.q_media_metadata,
-        "media_features": multimodal.q_media_features,
-        "media_frame_sample": multimodal.q_media_frame_sample,
-        "media_resize": multimodal.q_media_resize,
-        # wire encode / color ramp / raw SQL surface (§2.8 F8-F9, EP2)
-        "wire_encode": wire.q_wire_encode,
-        "tile_colors": wire.q_tile_colors,
-        "sql_pricing_summary": wire.q_sql_pricing_summary,
-        # as-of join + window-family generalizations (§2.3, §2.5)
-        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
-        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
-        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
-        "sliding_cell_counts": windows.q_sliding_cell_counts,
-        "vehicle_sessions": windows.q_vehicle_sessions,
-        "salted_cell_counts": windows.q_salted_cell_counts,
-        "value_percentiles": windows.q_value_percentiles,
-        "value_histogram": windows.q_value_histogram,
-        "vehicle_travel_stats": windows.q_vehicle_travel_stats,
-        "resample_trajectories": trajectory.q_resample_trajectories,
-        "table_profile": windows.q_table_profile,
-        "approx_value_percentiles": windows.q_approx_value_percentiles,
     }
 
 
@@ -238,4 +240,7 @@ def oracle_sql() -> dict[str, str]:
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).
+        # table_profile_approx: no oracle — HLL estimates are engine-
+        # specific; rows-only (exact twin table_profile is oracle-checked;
+        # tests pin the estimates within HLL tolerance of exact counts).
     }

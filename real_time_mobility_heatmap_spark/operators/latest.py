@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.keys import position_id
-from ..operators.tiles import tile_aggregate, tiles_oracle_sql
+from ..operators.tiles import snap_pings, tile_aggregate, tiles_oracle_sql
 from ..operators.validate import VALID_SQL, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events
 
@@ -117,47 +117,57 @@ MERGE_WINDOWS = 3  # "last N minutes" = N/tile_minutes consecutive windows
 def recent_tiles_merged(pings: DataFrame, cfg: EngineConfig = DEFAULT, k: int = MERGE_WINDOWS) -> DataFrame:
     """The reference README's roadmap feature (README.md:228: "merge last
     N minutes of tiles"): one smoothed heatmap over the k newest tumbling
-    windows per cell — counts summed, speed re-averaged as the
-    count-weighted mean (NOT the mean of per-window means). Two-phase
-    like the latest snapshot: single-row max window broadcast into the
-    filter, then one aggregate on cell."""
-    tiles = tile_aggregate(pings, cfg)
-    span = F.expr(f"INTERVAL {(k - 1) * cfg.tile_minutes} MINUTES")
-    latest = tiles.agg((F.max("window_start") - span).alias("min_ws"))
-    recent = tiles.crossJoin(F.broadcast(latest)).filter(
-        F.col("window_start") >= F.col("min_ws")
+    windows per cell — counts summed, speed re-averaged over the whole
+    span (NOT the mean of per-window means). Two-phase like the latest
+    snapshot: single-row max window broadcast into the filter, then one
+    aggregate on cell.
+
+    Determinism: the merge is computed from the snapped pings, not from
+    per-window rounded averages, and speed is accumulated as exact
+    integer micro-km/h — int64 sums are associative, so partition /
+    engine summation order cannot flip the 6-decimal rounding (a double
+    re-weighting of rounded per-window means sat on a half-boundary and
+    hash-flipped run-to-run in round 2). One round at the very end."""
+    snapped = snap_pings(pings, cfg).withColumn(
+        "w", F.window("eventTs", cfg.window_duration)
     )
+    span = F.expr(f"INTERVAL {(k - 1) * cfg.tile_minutes} MINUTES")
+    latest = snapped.agg((F.max("w.start") - span).alias("min_ws"))
+    recent = snapped.crossJoin(F.broadcast(latest)).filter(
+        F.col("w.start") >= F.col("min_ws")
+    )
+    micro = F.round(F.col("speedKmh") * 1e6).cast("long")  # exact: < 2^53
     return recent.groupBy("cell_id").agg(
-        F.sum("ping_count").alias("ping_count"),
-        F.round(
-            F.sum(F.col("avg_speed_kmh") * F.col("ping_count")) / F.sum(
-                F.when(F.col("avg_speed_kmh").isNotNull(), F.col("ping_count"))
-            ),
-            6,
-        ).alias("avg_speed_kmh"),
-        F.count(F.lit(1)).alias("n_windows"),
-        F.min("window_start").alias("merge_start"),
-        F.max("window_end").alias("merge_end"),
+        F.count(F.lit(1)).alias("ping_count"),
+        F.round(F.sum(micro) / F.lit(1e6) / F.count("speedKmh"), 6).alias(
+            "avg_speed_kmh"
+        ),
+        F.count_distinct(F.col("w.start")).alias("n_windows"),
+        F.min(F.col("w.start")).alias("merge_start"),
+        F.max(F.col("w.end")).alias("merge_end"),
     )
 
 
 def recent_tiles_merged_oracle(cfg: EngineConfig = DEFAULT, k: int = MERGE_WINDOWS) -> str:
+    from ..operators.tiles import snapped_oracle_cte
+
+    w = f"time_bucket(INTERVAL '{cfg.tile_minutes} minutes', eventTs)"
     return f"""
-        WITH tiles AS ({tiles_oracle_sql(PINGS_ORACLE_SQL, cfg)}),
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        win AS (SELECT *, {w} AS ws FROM snapped WHERE cell_id IS NOT NULL),
         bound AS (
-            SELECT max(window_start) - INTERVAL '{(k - 1) * cfg.tile_minutes} minutes' AS min_ws
-            FROM tiles
+            SELECT max(ws) - INTERVAL '{(k - 1) * cfg.tile_minutes} minutes' AS min_ws
+            FROM win
         )
         SELECT cell_id,
-               sum(ping_count) AS ping_count,
-               round(sum(avg_speed_kmh * ping_count)
-                     / sum(CASE WHEN avg_speed_kmh IS NOT NULL THEN ping_count END), 6)
+               count(*) AS ping_count,
+               round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh), 6)
                    AS avg_speed_kmh,
-               count(*) AS n_windows,
-               min(window_start) AS merge_start,
-               max(window_end) AS merge_end
-        FROM tiles, bound
-        WHERE window_start >= min_ws
+               count(DISTINCT ws) AS n_windows,
+               min(ws) AS merge_start,
+               max(ws) + INTERVAL '{cfg.tile_minutes} minutes' AS merge_end
+        FROM win, bound
+        WHERE ws >= min_ws
         GROUP BY cell_id
     """
 

@@ -248,6 +248,40 @@ def table_profile(events: DataFrame) -> DataFrame:
     )
 
 
+def table_profile_approx(events: DataFrame) -> DataFrame:
+    """The 100 TB variant of ``table_profile``: distinct counts via
+    ``approx_count_distinct`` (HyperLogLog++, default 5% rsd).
+
+    The exact profile's six ``count_distinct`` columns compile to a 6-way
+    Expand — six full-cardinality shuffles, which is the one plan in this
+    module not shippable at 100 TB. HLL sketches are fixed-size partial
+    aggregates: one scan, map-side combine, one tiny shuffle, no Expand.
+    Estimates are engine-specific, so this entry is rows-only at the
+    driver; the exact twin stays oracle-checked and an accuracy-bound
+    pytest pins the estimates to within HLL tolerance of the exact
+    counts (same pattern as ``approx_distinct_vehicles``)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, null_rate, n_distinct, min_str, max_str)"
+    )
+
+
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_profile_approx(load_table(spark, sf_dir, "events"))
+
+
 def table_profile_oracle() -> str:
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     selects = [

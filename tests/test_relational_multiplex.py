@@ -98,3 +98,27 @@ def test_approx_percentiles_close_to_exact(spark):
         for e_col, a_col in (("p50", "p50_approx"), ("p95", "p95_approx"), ("p99", "p99_approx")):
             e, a = exact[et][e_col], approx[et][a_col]
             assert abs(a - e) / e <= 0.02, (et, e_col, e, a)
+
+
+def test_table_profile_approx_within_hll_tolerance(spark):
+    """table_profile_approx (the 100 TB path: HLL instead of a 6-way exact
+    count_distinct Expand) must agree with the exact profile on every
+    column's null_rate/min/max and land within ±10% on n_distinct
+    (approx_count_distinct default rsd is 5%; 2 sigma)."""
+    from real_time_mobility_heatmap_spark.operators.windows import (
+        table_profile,
+        table_profile_approx,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = {r["column_name"]: r for r in table_profile(events).collect()}
+    approx = {r["column_name"]: r for r in table_profile_approx(events).collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (a["null_rate"], a["min_str"], a["max_str"]) == (
+            e["null_rate"], e["min_str"], e["max_str"],
+        ), c
+        rel = abs(a["n_distinct"] - e["n_distinct"]) / max(e["n_distinct"], 1)
+        assert rel <= 0.10, (c, e["n_distinct"], a["n_distinct"], rel)
