@@ -6,12 +6,23 @@ Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), CPU count
 from $SPARK_GRAFT_CPUS. Each query is forced end-to-end with a noop sink
 (full computation, no driver collect). One warm-up of the flagship query
 amortizes JVM/codegen startup out of the per-query numbers.
+
+Output contract: the recorder keeps only the LAST ~2000 characters of
+stdout and parses the final line (round 2's 77-query line overflowed that
+window and was recorded with ``parsed: null``). So the final stdout line
+is guaranteed to fit ``LINE_BUDGET``: if the full per-query dict is too
+long, the cheapest queries are folded into one ``_other`` bucket (their
+sum — cheap queries are inside the regression guard's 0.3 s absolute
+slack anyway, so per-query detail matters most for the expensive ones).
+The COMPLETE payload — all per-query timings at 3 decimals, regressions,
+like-for-like subtotals — is written to ``BENCH_DETAIL.json`` every run.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -21,6 +32,9 @@ sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from real_time_mobility_heatmap_spark.session import get_spark  # noqa: E402
+
+LINE_BUDGET = 1850  # stdout line cap: recorder tail window is ~2000 chars
+DETAIL_PATH = REPO / "BENCH_DETAIL.json"
 
 
 def main() -> None:
@@ -60,6 +74,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     regressions = _regressions(timings)
+    common = _common_with_prev(timings)
     if regressions:
         for name, r in regressions.items():
             print(
@@ -67,7 +82,8 @@ def main() -> None:
                 f"{r['baseline']:.3f}s (> 1.5x + 0.3s slack)",
                 file=sys.stderr,
             )
-    print(json.dumps({
+
+    payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -76,27 +92,106 @@ def main() -> None:
         "runs": runs,
         "agg": "min",
         "regressions": regressions,
-    }))
+        "common_with_prev": common,
+    }
+    try:
+        DETAIL_PATH.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+    except OSError:
+        pass
+    print(_stdout_line(payload))
     spark.stop()
     if regressions and os.getenv("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
 
 
-def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
-    """Per-query guard against the recorded baseline (the newest
-    BENCH_r{N}.json in the repo by default, so the bar ratchets forward
-    each round): flag anything >1.5x its baseline with >0.3s absolute
-    slack so additions can't silently regress established numbers. Exit
-    code stays 0 unless SPARK_GRAFT_BENCH_STRICT is set (the driver
-    records rc)."""
-    recorded = sorted(REPO.glob("BENCH_r*.json"))
-    default = str(recorded[-1]) if recorded else str(REPO / "BENCH_r01.json")
-    baseline_path = os.getenv("SPARK_GRAFT_BENCH_BASELINE", default)
+def _stdout_line(payload: dict) -> str:
+    """Render the final stdout line within ``LINE_BUDGET``: full payload
+    if it fits, else per-query values at 2 decimals, else the cheapest
+    queries folded into an ``_other`` sum (detail stays in
+    BENCH_DETAIL.json, referenced by the ``detail`` field)."""
+    compact = dict(payload)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) <= LINE_BUDGET:
+        return line
+
+    q2 = {k: round(v, 2) for k, v in payload["queries"].items()}
+    compact["queries"] = q2
+    compact["detail"] = DETAIL_PATH.name
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > LINE_BUDGET and len(q2) > 1:
+        # fold the cheapest remaining query into _other (ties: name order)
+        cheapest = min((k for k in q2 if k != "_other"), key=lambda k: (q2[k], k))
+        q2["_other"] = round(q2.get("_other", 0.0) + q2.pop(cheapest), 2)
+        compact["n_folded"] = compact.get("n_folded", 0) + 1
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
+def _recorded_queries(path: Path) -> dict[str, float]:
+    """Per-query timings from one recorded BENCH_r{N}.json — parsed JSON
+    when the recorder managed to parse it, else pairs regex-recovered from
+    the truncated tail (r2's line overflowed the tail window)."""
     try:
-        raw = json.loads(Path(baseline_path).read_text())
-        base_q = (raw.get("parsed") or raw).get("queries", {})
+        raw = json.loads(path.read_text())
     except (OSError, ValueError):
         return {}
+    parsed = raw.get("parsed")
+    if isinstance(parsed, dict) and parsed.get("queries"):
+        return dict(parsed["queries"])
+    out: dict[str, float] = {}
+    for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', raw.get("tail", "")):
+        name, val = m.group(1), float(m.group(2))
+        if name not in ("value", "sf", "baseline", "now", "prev_value"):
+            out[name] = val
+    return out
+
+
+def _baseline() -> tuple[str, dict[str, float]]:
+    """(label, per-query baseline): newest recorded round, back-filled
+    with older rounds for queries the newest record is missing (tail
+    truncation loses the head of the dict)."""
+    recorded = sorted(REPO.glob("BENCH_r*.json"), reverse=True)
+    merged: dict[str, float] = {}
+    label = recorded[0].name if recorded else ""
+    for p in recorded:
+        for k, v in _recorded_queries(p).items():
+            merged.setdefault(k, v)
+    return label, merged
+
+
+def _common_with_prev(timings: dict[str, float]) -> dict:
+    """Like-for-like subtotal vs the previous round: the suite grows every
+    round, so whole-suite totals aren't comparable across rounds — this
+    sums only the queries present in BOTH runs, alongside the previous
+    round's subtotal over the same keys."""
+    prev_name, prev_q = _baseline()
+    shared = sorted(set(timings) & set(prev_q))
+    if not shared:
+        return {}
+    return {
+        "prev_file": prev_name,
+        "n_queries": len(shared),
+        "value": round(sum(timings[q] for q in shared), 3),
+        "prev_value": round(sum(prev_q[q] for q in shared), 3),
+    }
+
+
+def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
+    """Per-query guard against the recorded baseline (newest recorded
+    round back-filled with older ones, so the bar ratchets forward):
+    flag anything >1.5x its baseline with >0.3s absolute slack so
+    additions can't silently regress established numbers. Exit code
+    stays 0 unless SPARK_GRAFT_BENCH_STRICT is set (the driver
+    records rc)."""
+    override = os.getenv("SPARK_GRAFT_BENCH_BASELINE")
+    if override:
+        try:
+            raw = json.loads(Path(override).read_text())
+            base_q = (raw.get("parsed") or raw).get("queries", {})
+        except (OSError, ValueError):
+            return {}
+    else:
+        _, base_q = _baseline()
     out = {}
     for name, now in timings.items():
         base = base_q.get(name)

@@ -68,29 +68,35 @@ def decode_media(content_bytes: bytes, media_type: str):  # pragma: no cover
     )
 
 
+def _segment_sums(blob_all: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Exact per-segment byte sums over a concatenated uint8 buffer via
+    prefix sums: sums[i] = csum[start+len] - csum[start]. Correct for
+    empty segments ANYWHERE in the batch (an empty segment's slice is
+    [s, s) -> 0) — unlike ``np.add.reduceat``, whose equal/clamped
+    offsets at empty or trailing-empty segments silently corrupt the
+    neighboring segment's sum (the r2 bug this replaced)."""
+    csum = np.concatenate(([0], np.cumsum(blob_all, dtype=np.int64)))
+    return csum[starts + lens] - csum[starts]
+
+
 def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic stand-in extractor: pure-bytes stats per media blob.
 
     Truly vectorized per Arrow batch: all blobs are concatenated into one
-    uint8 array and per-blob byte sums come from a single
-    ``np.add.reduceat`` — no per-row Python iteration over the bytes.
+    uint8 array and per-blob byte sums come from one prefix-sum pass
+    (``_segment_sums``) — no per-row Python iteration over the bytes.
     checksum is an adler-like modular sum; fake dimensions derive from it
     so downstream schema plumbing is exercised.
     """
     for pdf in batches:
         content = pdf["content"]
         lens = content.map(len).to_numpy(dtype=np.int64)
-        total = int(lens.sum())
-        if total == 0:
+        if int(lens.sum()) == 0:
             checks = np.zeros(len(content), dtype=np.int64)
         else:
-            blob = np.frombuffer(b"".join(content), dtype=np.uint8).astype(np.int64)
+            blob = np.frombuffer(b"".join(content), dtype=np.uint8)
             starts = np.cumsum(lens) - lens
-            # reduceat: equal consecutive offsets (empty blobs) yield a
-            # bogus single element — masked to 0 below; clamp keeps
-            # offsets in-bounds when trailing blobs are empty
-            sums = np.add.reduceat(blob, np.minimum(starts, total - 1))
-            checks = np.where(lens > 0, sums, 0) % 65521
+            checks = _segment_sums(blob, starts, lens) % 65521
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -126,31 +132,35 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     frames, keep every ``FRAME_STRIDE``-th, emit per-frame stats. A real
     video pipeline swaps the byte-window splitter for a codec's frame
     iterator — the Spark-side contract (1 input row -> N output rows via
-    mapInPandas) is identical. Vectorized per batch via one reduceat over
-    the concatenated kept-frame bytes."""
+    mapInPandas) is identical.
+
+    Fully vectorized: kept-frame offsets for the WHOLE batch come from
+    one repeat/arange composition (no per-row Python loop, no per-frame
+    byte slicing) and checksums from one prefix-sum pass over the
+    concatenated blobs."""
     for pdf in batches:
-        doc_ids: list[int] = []
-        idxs: list[int] = []
-        frames: list[bytes] = []
-        for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-            n = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
-            for i in range(0, n, FRAME_STRIDE):
-                doc_ids.append(doc_id)
-                idxs.append(i)
-                frames.append(blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
-        lens = np.array([len(f) for f in frames], dtype=np.int64)
-        if len(frames) and lens.sum() > 0:
-            blob_all = np.frombuffer(b"".join(frames), dtype=np.uint8).astype(np.int64)
-            starts = np.cumsum(lens) - lens
-            sums = np.add.reduceat(blob_all, np.minimum(starts, len(blob_all) - 1))
-            checks = np.where(lens > 0, sums, 0) % 65521
+        content = pdf["content"]
+        blob_lens = content.map(len).to_numpy(dtype=np.int64)
+        n_frames = (blob_lens + FRAME_BYTES - 1) // FRAME_BYTES
+        n_kept = (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
+        total_kept = int(n_kept.sum())
+        row = np.repeat(np.arange(len(content)), n_kept)
+        # per-row 0..n_kept-1 counter -> frame index via the stride
+        kept_starts = np.cumsum(n_kept) - n_kept
+        frame_idx = (np.arange(total_kept) - kept_starts[row]) * FRAME_STRIDE
+        off_in_blob = frame_idx * FRAME_BYTES
+        frame_len = np.minimum(blob_lens[row] - off_in_blob, FRAME_BYTES)
+        if total_kept and int(blob_lens.sum()) > 0:
+            blob_all = np.frombuffer(b"".join(content), dtype=np.uint8)
+            blob_starts = np.cumsum(blob_lens) - blob_lens
+            checks = _segment_sums(blob_all, blob_starts[row] + off_in_blob, frame_len) % 65521
         else:
-            checks = np.zeros(len(frames), dtype=np.int64)
+            checks = np.zeros(total_kept, dtype=np.int64)
         yield pd.DataFrame(
             {
-                "doc_id": doc_ids,
-                "frame_idx": np.array(idxs, dtype=np.int32),
-                "frame_len": lens.astype(np.int32),
+                "doc_id": pdf["doc_id"].to_numpy()[row],
+                "frame_idx": frame_idx.astype(np.int32),
+                "frame_len": frame_len.astype(np.int32),
                 "frame_checksum": checks,
             }
         )
@@ -206,18 +216,22 @@ def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Spark-side contract and batch shape are identical). Vectorized: one
     gather per blob via integer index arithmetic, no per-byte Python.
     """
-    idx = np.arange(RESIZE_TARGET)
+    idx = np.arange(RESIZE_TARGET, dtype=np.int64)
     for pdf in batches:
+        content = pdf["content"]
+        blob_lens = content.map(len).to_numpy(dtype=np.int64)
         checks = np.zeros(len(pdf), dtype=np.int64)
         lens = np.zeros(len(pdf), dtype=np.int32)
-        for row, blob in enumerate(pdf["content"]):
-            n = len(blob)
-            if n == 0:
-                continue
-            take = (idx * n) // RESIZE_TARGET  # floor(i * n / target)
-            resized = np.frombuffer(blob, dtype=np.uint8)[take]
-            lens[row] = len(resized)
-            checks[row] = int(resized.astype(np.int64).sum() % 65521)
+        nz = np.flatnonzero(blob_lens)
+        if len(nz):
+            # one gather for the whole batch: floor(i * n / target) per
+            # (non-empty row, sample) via an outer product — no per-row loop
+            blob_all = np.frombuffer(b"".join(content), dtype=np.uint8)
+            blob_starts = np.cumsum(blob_lens) - blob_lens
+            take = (idx[None, :] * blob_lens[nz, None]) // RESIZE_TARGET
+            gathered = blob_all[blob_starts[nz, None] + take].astype(np.int64)
+            checks[nz] = gathered.sum(axis=1) % 65521
+            lens[nz] = RESIZE_TARGET
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -116,3 +116,68 @@ def test_trajectory_resampling_forms_agree(spark):
     a = sorted(map(tuple, resample_trajectories(pings).collect()))
     b = sorted(map(tuple, resample_trajectories_grouped(pings).collect()))
     assert a == b and len(a) > 0
+
+
+def test_media_batch_functions_handle_empty_blobs_anywhere():
+    """Pure-pandas regression for the r2 reduceat bug: a batch whose LAST
+    blob is empty corrupted the PRECEDING blob's checksum (clamped offsets
+    made its segment drop the final byte). Prefix-sum segment sums are
+    exact for empty blobs at any position."""
+    import pandas as pd
+
+    from real_time_mobility_heatmap_spark.operators.multimodal import (
+        FRAME_BYTES,
+        RESIZE_TARGET,
+        fake_features,
+        resize_media,
+        sample_frames,
+    )
+
+    batch = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "content": [b"ab", b"", b"x" * (FRAME_BYTES + 1), b""],
+    })
+
+    feats = next(fake_features(iter([batch])))
+    assert list(feats["checksum"]) == [
+        (97 + 98) % 65521, 0, (120 * (FRAME_BYTES + 1)) % 65521, 0,
+    ]
+    assert list(feats["byte_len"]) == [2, 0, FRAME_BYTES + 1, 0]
+
+    frames = next(sample_frames(iter([batch])))
+    # doc 0: 1 frame of 2 bytes; docs 1/3: none; doc 2: frame 0 kept
+    # (FRAME_BYTES bytes), frame 1 exists but stride-4 sampling skips it
+    assert list(frames["doc_id"]) == [0, 2]
+    assert list(frames["frame_idx"]) == [0, 0]
+    assert list(frames["frame_len"]) == [2, FRAME_BYTES]
+    assert list(frames["frame_checksum"]) == [195, (120 * FRAME_BYTES) % 65521]
+
+    resized = next(resize_media(iter([batch])))
+    assert list(resized["resized_len"]) == [RESIZE_TARGET, 0, RESIZE_TARGET, 0]
+    # doc 0: floor(i*2/32) -> 16x 'a' + 16x 'b'
+    assert resized["resized_checksum"][0] == (16 * 97 + 16 * 98) % 65521
+    assert resized["resized_checksum"][2] == (RESIZE_TARGET * 120) % 65521
+    assert list(resized["resized_checksum"])[1] == 0
+
+
+def test_sample_frames_tail_frame_and_stride():
+    """Multi-frame doc: kept frames are 0, 4, 8, ... and a short tail
+    frame keeps its true length/checksum."""
+    import pandas as pd
+
+    from real_time_mobility_heatmap_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        sample_frames,
+    )
+
+    # 9 frames: 8 full + 1 tail of 3 bytes; stride 4 keeps frames 0, 4, 8
+    blob = (b"\x01" * (FRAME_BYTES * 8)) + b"abc"
+    batch = pd.DataFrame({"doc_id": [7], "content": [blob]})
+    out = next(sample_frames(iter([batch])))
+    assert list(out["frame_idx"]) == [0, 4, 8]
+    assert list(out["frame_len"]) == [FRAME_BYTES, FRAME_BYTES, 3]
+    assert list(out["frame_checksum"]) == [
+        FRAME_BYTES, FRAME_BYTES, (97 + 98 + 99) % 65521,
+    ]
+    assert FRAME_STRIDE == 4
