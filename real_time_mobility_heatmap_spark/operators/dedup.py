@@ -582,15 +582,21 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     LSH pair graph, labeled by the component's minimum doc_id (the keeper
     a dedup pipeline would retain).
 
-    Iterative label propagation: every node starts as its own label; each
-    round replaces a node's label with the min over itself and its
-    neighbors; fixpoint after <= diameter rounds. This is the documented
-    iterative-algorithm pattern — a driver loop over DataFrame steps with
-    a convergence check per round (the only driver-side values are the
-    changed-row COUNT, never data). The edge set is the post-LSH dup
-    graph, typically orders of magnitude smaller than the corpus; at
-    100 TB each round is two broadcast-or-shuffle joins over edges.
-    Oracle: DuckDB recursive CTE computing the same min-label closure.
+    Iterative label propagation WITH pointer jumping: every node starts
+    as its own label; each round takes the min over itself and its
+    neighbors' labels, then shortcuts label -> label(label) (labels are
+    themselves node ids, so the current label table doubles as the
+    lookup). The shortcut doubles the propagation horizon per round, so
+    the fixpoint arrives in O(log diameter) rounds — a 20-round budget
+    covers ~2^20-hop chains, where plain propagation covers 20. This is
+    the documented iterative-algorithm pattern — a driver loop over
+    DataFrame steps with a convergence check per round (the only
+    driver-side values are the changed-row COUNT, never data). The edge
+    set is the post-LSH dup graph, typically orders of magnitude smaller
+    than the corpus; at 100 TB each round is three shuffle joins over
+    edges/labels. Raises if the budget is exhausted before convergence
+    (silent divergence from the closure was round 2 advice). Oracle:
+    DuckDB recursive CTE computing the same min-label closure.
     """
     edges = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     # undirected adjacency, deduplicated once up front
@@ -601,18 +607,26 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     labels = adj.select(F.col("doc_a").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             adj.join(labels, adj.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # pointer jump: label <- label(label); every label IS a node id,
+        # so `stepped` itself is the label map (left join: a label always
+        # resolves, coalesce is belt-and-braces)
+        lmap = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("jump")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
+            stepped.join(lmap, "label", "left")
+            .select("doc_id", F.least("label", F.coalesce("jump", "label")).alias("label"))
             .localCheckpoint(eager=True)  # fixpoint loop: keep plans constant-size
         )
         changed = (
@@ -623,7 +637,13 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} rounds; "
+            "raise max_iters (pointer jumping needs O(log diameter) rounds)"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(F.broadcast(sizes), "label")

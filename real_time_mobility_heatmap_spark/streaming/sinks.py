@@ -78,12 +78,23 @@ class KeyedParquetStore:
             return json.load(f)
 
     def _commit_manifest(self, manifest: dict) -> None:
-        """Single-syscall atomic swap: the manifest IS the snapshot."""
+        """Atomic swap with durability: fsync the temp file BEFORE the
+        rename (os.replace alone is atomic against concurrent readers but
+        not against power loss — an unsynced rename can surface as a
+        truncated/empty manifest on some filesystems), then fsync the
+        directory so the rename itself is durable."""
         os.makedirs(self.path, exist_ok=True)
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=0, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # -- reads --------------------------------------------------------------
 

@@ -65,9 +65,10 @@ def detect_trips(
 
     ts_us: list[int] = []
     for pdf in pdfs:
-        ts_us.extend(
-            int(v) // 1000 for v in pd.to_datetime(pdf["eventTs"]).astype("int64")
-        )
+        # dropna BEFORE the int cast: NaT casts to INT64_MIN, which would
+        # open a bogus epoch-min trip and gap-close every real one
+        ts = pd.to_datetime(pdf["eventTs"]).dropna()
+        ts_us.extend(int(v) // 1000 for v in ts.astype("int64"))
     ts_us.sort()
 
     open_trip = state.get if state.exists else None
@@ -81,6 +82,11 @@ def detect_trips(
             closed.append(open_trip)
             open_trip = (t, t, 1)
 
+    if open_trip is None:
+        # an invocation can deliver rows whose eventTs are all null (no
+        # usable instants) with no prior state — nothing to track, and
+        # state.update(None) would raise inside the stateful operator
+        return
     state.update(open_trip)
     # finalize the open trip when the watermark passes its gap horizon
     state.setTimeoutTimestamp(open_trip[1] // 1000 + TRIP_GAP_MIN * 60 * 1000)

@@ -131,3 +131,45 @@ def test_end_to_end_stream_store_serve(spark, tmp_path):
     got = {r["cell_id"]: r["ping_count"] for r in served.collect()}
     assert got == {"859:-1430": 1}  # only the 10:05 window's cell is "latest"
     assert served.first()["window_start"].isoformat() == "2024-01-01T10:05:00"
+
+
+def test_http_api_feature_cap_is_deterministic(spark):
+    """The refresh path never materializes unbounded rows on the driver:
+    payloads are a deterministic top-N (tiles by ping density, positions
+    by recency; id tie-break) under the configured feature cap."""
+    import json
+    import urllib.request
+
+    from real_time_mobility_heatmap_spark.serving.http_api import TileApiServer
+
+    # 6 vehicles in 6 distinct cells of one window; cell k gets k+1 pings
+    rows = []
+    for k in range(6):
+        for i in range(k + 1):
+            rows.append(
+                ("mbta", f"v{k}", dt.datetime(2024, 1, 1, 10, 1 + (i % 4)),
+                 42.0 + k, -71.0 - k, 10.0 + k, k * 10 + i, None)
+            )
+    pings = spark.createDataFrame(rows, PING_SCHEMA)
+
+    srv = TileApiServer(feature_cap=3).start()
+    try:
+        srv.refresh(pings)
+
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+                return json.loads(r.read())
+
+        tiles = get("/api/tiles/latest")
+        assert len(tiles["features"]) == 3  # capped, not 6
+        counts = [f["properties"]["ping_count"] for f in tiles["features"]]
+        assert counts == [6, 5, 4]  # densest cells first, deterministic
+
+        pos = get("/api/positions/latest")
+        assert len(pos["features"]) == 3
+        # recency order: every vehicle's latest ping is 10:04 for k>=3
+        # (k+1 >= 4 pings); ties broken by id ascending
+        ids = [f["id"] for f in pos["features"]]
+        assert ids == sorted(ids)
+    finally:
+        srv.stop()

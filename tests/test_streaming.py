@@ -446,3 +446,95 @@ def test_multiple_micro_batches_in_one_run_accumulate_correctly(spark, dirs):
     assert len(rows) == 1
     assert rows[0]["ping_count"] == 3          # all three batches merged
     assert abs(rows[0]["avg_speed_kmh"] - 30.0) < 1e-9  # running avg, not last
+
+
+def test_trip_sink_replay_is_idempotent(spark, dirs):
+    """Closed-trip rows merged into a keyed store survive a micro-batch
+    REPLAY unchanged (foreachBatch redelivery after a crash): the trip key
+    (provider, vehicleId, trip_start) makes the merge idempotent."""
+    from real_time_mobility_heatmap_spark.streaming.sinks import KeyedParquetStore
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+    from real_time_mobility_heatmap_spark.streaming.stateful import (
+        vehicle_trips_stream,
+    )
+
+    store = KeyedParquetStore(
+        dirs["store"] + "/trips",
+        key_cols=["provider", "vehicleId", "trip_start"],
+    )
+    batches: list = []
+
+    def _sink(df, eid):
+        batches.append(df)
+        store.merge(df, eid)
+
+    def _run():
+        q = (
+            vehicle_trips_stream(json_ping_stream(spark, dirs["in"]))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(_sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_json(dirs["in"], "b1.json", [
+        _wire("v1", "2024-01-01T10:00:00Z"),
+        _wire("v1", "2024-01-01T10:10:00Z"),
+    ])
+    _run()
+    # reveal the gap -> closes [10:00, 10:10]; timeout path closes nothing yet
+    _write_json(dirs["in"], "b2.json", [_wire("v1", "2024-01-01T12:00:00Z")])
+    _run()
+
+    def _snapshot():
+        df = store.read(spark)
+        return sorted(
+            (r["provider"], r["vehicleId"], r["trip_start"].isoformat(),
+             r["trip_end"].isoformat(), r["n_pings"])
+            for r in df.collect()
+        )
+
+    first = _snapshot()
+    assert first == [("mbta", "v1", "2024-01-01T10:00:00", "2024-01-01T10:10:00", 2)]
+
+    # replay every delivered non-empty batch twice more: store must not change
+    for df in batches:
+        store.merge(df, epoch_id=None)
+        store.merge(df, epoch_id=None)
+    assert _snapshot() == first
+
+
+def test_detect_trips_all_null_timestamps_no_state_crash():
+    """Regression (r3 advice): an invocation delivering only null-eventTs
+    rows for a key with NO prior state must be a no-op, not a
+    state.update(None) crash inside the operator."""
+    import pandas as pd
+
+    from real_time_mobility_heatmap_spark.streaming.stateful import detect_trips
+
+    class _StubState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self.updated = None
+
+        @property
+        def get(self):
+            raise AssertionError("get on empty state")
+
+        def update(self, v):
+            assert v is not None, "state.update(None) is invalid"
+            self.updated = v
+
+        def remove(self):
+            pass
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    pdf = pd.DataFrame({"eventTs": pd.to_datetime([None, None])})
+    state = _StubState()
+    out = list(detect_trips(("mbta", "v9"), iter([pdf]), state))
+    assert out == [] and state.updated is None
