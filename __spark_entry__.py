@@ -33,6 +33,7 @@ from real_time_mobility_heatmap_spark.operators import (
     multiplex,
     relational,
     similarity,
+    spatial,
     textops,
     tiles,
     trajectory,
@@ -87,6 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- part 2: r2's one red row (determinism fixed) + new in r3 ----
         "recent_tiles_merged": latest.q_recent_tiles_merged,
         "table_profile_approx": windows.q_table_profile_approx,
+        "zone_counts": spatial.q_zone_counts,
+        "salted_join_stats": relational.q_salted_join_stats,
+        "quality_filter": textops.q_quality_filter,
+        "stratified_sample": textops.q_stratified_sample,
         # ---- part 3: green in r1 but outside r2's window — rotate in ----
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "topk_cosine": similarity.q_topk_cosine,
@@ -102,15 +107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": windows.q_approx_value_percentiles,
         # ---- part 4: r2-green anchors, one per operator family ----
         "mobility_tiles": _q_mobility_tiles,
-        "json_decode": decode.q_json_decode,
         "wire_roundtrip": decode.q_wire_roundtrip,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
-        "latest_join": latest.q_latest_join,
         "latest_positions": latest.q_latest_positions,
-        "top_window": latest.q_top_window,
         "latest_window_snapshot": latest.q_latest_window_snapshot,
-        "watermark_latedrop": latest.q_watermark_latedrop,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "demux_tiles": multiplex.q_demux_tiles,
         "pricing_summary": relational.q_pricing_summary,
@@ -124,6 +125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         # ---------------- end of driver window (50 entries) ----------------
         # everything below was driver-green in round 2
+        "json_decode": decode.q_json_decode,
+        "latest_join": latest.q_latest_join,
+        "top_window": latest.q_top_window,
+        "watermark_latedrop": latest.q_watermark_latedrop,
         "latest_rownum": latest.q_latest_rownum,
         "shipping_priority": relational.q_shipping_priority,
         "local_supplier_volume": relational.q_local_supplier_volume,
@@ -237,6 +242,10 @@ def oracle_sql() -> dict[str, str]:
         "vehicle_travel_stats": windows.VEHICLE_TRAVEL_STATS_ORACLE,
         "resample_trajectories": trajectory.resample_trajectories_oracle(),
         "table_profile": windows.table_profile_oracle(),
+        "zone_counts": spatial.ZONE_COUNTS_ORACLE,
+        "salted_join_stats": relational.salted_join_stats_oracle(),
+        "quality_filter": textops.QUALITY_FILTER_ORACLE,
+        "stratified_sample": textops.STRATIFIED_SAMPLE_ORACLE,
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

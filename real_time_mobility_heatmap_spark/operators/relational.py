@@ -597,3 +597,87 @@ def q_distinct_vehicles_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_distinct_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct_vehicles(pings_from_events(spark, sf_dir))
+
+
+# --- salted skew join -------------------------------------------------------
+
+SALT_BUCKETS = 8
+
+
+def _event_type_dim(events: DataFrame) -> DataFrame:
+    """Tiny derived dimension keyed by event_type (a deterministic weight
+    per type, reproducible in the oracle)."""
+    from ..functions.textfns import hash60_spark_sql
+
+    return (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                (F.expr(hash60_spark_sql("concat('w|', event_type)")) % 100)
+                / F.lit(100.0)
+            ).alias("type_weight"),
+        )
+    )
+
+
+def salted_join_stats(events: DataFrame, salt: int = SALT_BUCKETS) -> DataFrame:
+    """Skew-safe large-to-small join via key salting, verified against the
+    plain join.
+
+    ``events.event_type`` has 5 values — a worst-case skewed join key
+    (every key is a hot key). A shuffle join on it would put ~1/5 of the
+    fact table in each of 5 reducer partitions regardless of cluster
+    size. The salting pattern: the fact side appends a deterministic
+    salt (event_id % salt), the dim side replicates each row for every
+    salt value, and the join key becomes (event_type, salt) — spreading
+    each hot key over ``salt`` partitions. The aggregate is salt-
+    invariant, so the DuckDB oracle is the PLAIN join + aggregate,
+    proving the rewrite changes the physical distribution and nothing
+    else. (For a dim this small one would broadcast — the hint forces
+    the shuffle path the pattern exists for; at 100 TB the same shape
+    works when both sides are too big to broadcast. AQE's skewedJoin
+    handles sort-merge spills adaptively, but salting also fixes the
+    single-reducer hash-aggregate that follows.)
+
+    The weighted sum accumulates in exact integer micro-units so
+    partition order cannot flip the rounding (value and weight are both
+    sub-1e4 with <= 2 and 6 fractional digits: value*weight*1e8 is an
+    exact integer well under 2^53).
+    """
+    fact = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(salt)))
+    dim = _event_type_dim(events)
+    dim_rep = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt")
+    )
+    joined = fact.hint("merge").join(dim_rep, ["event_type", "salt"])
+    micro = F.round(F.col("value") * F.col("type_weight") * 1e8).cast("long")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.first("type_weight").alias("type_weight"),
+        F.round(F.sum(micro) / F.lit(1e8), 4).alias("weighted_value"),
+    )
+
+
+def salted_join_stats_oracle() -> str:
+    from ..functions.textfns import hash60_duck_sql
+
+    h = hash60_duck_sql("concat('w|', event_type)")
+    w = f"({h} % 100) / CAST(100.0 AS DOUBLE)"
+    return f"""
+        WITH dim AS (
+            SELECT DISTINCT event_type, {w} AS type_weight FROM events
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               any_value(d.type_weight) AS type_weight,
+               round(sum(CAST(round(e.value * d.type_weight * 1e8) AS BIGINT)) / 1e8, 4)
+                   AS weighted_value
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type
+    """
+
+
+def q_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_join_stats(load_table(spark, sf_dir, "events"))

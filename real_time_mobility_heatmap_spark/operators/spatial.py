@@ -1,0 +1,140 @@
+"""Spatial range join via grid bucketing (SURVEY.md §2.11 extension).
+
+The generic form of "which region contains this point" is a theta join
+(``point BETWEEN bbox bounds``) — in Spark that plans as a
+BroadcastNestedLoopJoin (fine for small region tables) or, with two large
+sides, a cartesian product: the one join shape that cannot scale. The
+100 TB-safe plan bucketizes BOTH sides onto the engine's uniform grid
+(functions/grid.py): each zone explodes into the grid cells its bbox
+covers, points snap to their cell, and the join becomes a plain equi-join
+on cell_id followed by the exact bbox predicate on the (tiny) candidate
+set. Shuffle volume is |points| + |zones x covered cells|, per-point
+fanout is the number of zones overlapping one cell — never |points| x
+|zones|.
+
+The zone table is derived deterministically from the TPC-H ``nation``
+fixture (25 overlapping bboxes tiling the ping area), so the DuckDB
+oracle can reproduce the whole pipeline — including the plain theta-join
+formulation the equi-join must agree with.
+
+Speed sums use exact integer micro-km/h (see latest.recent_tiles_merged)
+so cross-engine summation order cannot flip the rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.grid import cell_id
+from ..operators.validate import VALID_SQL, validate_pings
+from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
+
+# deterministic 5x5 zone layout over the ping area (lat 42..43, lon -72..-71);
+# spans exceed the 0.2-degree pitch so neighboring zones overlap and points
+# can fall in multiple zones (a real containment join, not a partition)
+ZONE_LAT_SPAN = 0.24
+ZONE_LON_SPAN = 0.28
+
+_LAT0 = "CAST(42.0 AS DOUBLE) + (n_nationkey % 5) * CAST(0.2 AS DOUBLE)"
+# floor(x / 5), not x // 5: `//` is not Spark SQL, and DuckDB's `/` on
+# integers is double division too, so this fragment is exact in both
+_LON0 = "CAST(-72.0 AS DOUBLE) + floor(n_nationkey / 5) * CAST(0.2 AS DOUBLE)"
+
+
+def zones_from_nation(nation: DataFrame) -> DataFrame:
+    """nation -> deterministic bbox zone table (zone_key, zone_name, bbox)."""
+    return nation.select(
+        F.col("n_nationkey").alias("zone_key"),
+        F.col("n_name").alias("zone_name"),
+        F.expr(_LAT0).alias("lat0"),
+        (F.expr(_LAT0) + F.lit(ZONE_LAT_SPAN)).alias("lat1"),
+        F.expr(_LON0).alias("lon0"),
+        (F.expr(_LON0) + F.lit(ZONE_LON_SPAN)).alias("lon1"),
+    )
+
+
+def zone_covering_cells(zones: DataFrame, scale: int) -> DataFrame:
+    """Explode each zone bbox into the grid cells it covers.
+
+    The cover is conservative (floor on both ends, inclusive): candidate
+    cells may stick out past the bbox edge — the exact predicate after
+    the equi-join trims them. Fanout per zone is
+    O(span_lat*scale x span_lon*scale), independent of the point count.
+    """
+    s = F.lit(scale)
+    y = F.explode(
+        F.sequence(F.floor(F.col("lat0") * s), F.floor(F.col("lat1") * s))
+    ).alias("cy")
+    with_y = zones.select("*", y)
+    x = F.explode(
+        F.sequence(F.floor(F.col("lon0") * s), F.floor(F.col("lon1") * s))
+    ).alias("cx")
+    return with_y.select("*", x).select(
+        F.concat(F.col("cy").cast("string"), F.lit(":"), F.col("cx").cast("string")).alias("cell_id"),
+        "zone_key",
+        "zone_name",
+        "lat0",
+        "lat1",
+        "lon0",
+        "lon1",
+    )
+
+
+def zone_counts(pings: DataFrame, nation: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-zone ping stats via the bucketed containment join.
+
+    Plan shape: snap points to cells (pure column math) -> equi-join on
+    cell_id against the exploded zone cover (broadcast: the cover is
+    |zones| x tens of cells) -> exact bbox filter -> hash aggregate on
+    zone. No nested-loop join anywhere; at 100 TB the only large-side
+    cost is one pass over the points and an aggregate keyed by zone.
+    """
+    p = validate_pings(pings).withColumn(
+        "cell_id", cell_id(F.col("lat"), F.col("lon"), cfg.grid_scale)
+    )
+    cover = zone_covering_cells(zones_from_nation(nation), cfg.grid_scale)
+    matched = p.join(F.broadcast(cover), "cell_id").filter(
+        (F.col("lat") >= F.col("lat0"))
+        & (F.col("lat") < F.col("lat1"))
+        & (F.col("lon") >= F.col("lon0"))
+        & (F.col("lon") < F.col("lon1"))
+    )
+    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    return matched.groupBy("zone_key", "zone_name").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.count_distinct("vehicleId").alias("n_vehicles"),
+        F.round(F.sum(micro) / F.lit(1e6) / F.count("speedKmh"), 6).alias("avg_speed_kmh"),
+    )
+
+
+ZONE_COUNTS_ORACLE = f"""
+    WITH pings AS ({PINGS_ORACLE_SQL}),
+    valid AS (SELECT * FROM pings WHERE {VALID_SQL}),
+    zones AS (
+        SELECT n_nationkey AS zone_key,
+               n_name AS zone_name,
+               {_LAT0} AS lat0,
+               {_LAT0} + {ZONE_LAT_SPAN} AS lat1,
+               {_LON0} AS lon0,
+               {_LON0} + {ZONE_LON_SPAN} AS lon1
+        FROM nation
+    )
+    SELECT zone_key, zone_name,
+           count(*) AS n_pings,
+           count(DISTINCT vehicleId) AS n_vehicles,
+           round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh), 6)
+               AS avg_speed_kmh
+    FROM valid v
+    JOIN zones z
+      ON v.lat >= z.lat0 AND v.lat < z.lat1
+     AND v.lon >= z.lon0 AND v.lon < z.lon1
+    GROUP BY zone_key, zone_name
+"""
+
+
+def q_zone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zone_counts(
+        pings_from_events(spark, sf_dir), load_table(spark, sf_dir, "nation")
+    )

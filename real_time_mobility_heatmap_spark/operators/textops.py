@@ -317,6 +317,110 @@ DATASET_SPLIT_ORACLE = f"""
 """
 
 
+# Gopher/C4-style hard bounds: each rule is a cheap column predicate; a
+# document is kept only if every rule passes. Thresholds are engine
+# constants so the filter is reproducible (and tunable per corpus).
+QF_MIN_TOKENS = 5
+QF_MAX_TOKENS = 100_000
+QF_MAX_PUNCT_RATIO = 0.30
+QF_MIN_STOPWORD_RATIO = 0.01
+QF_MIN_MEAN_WORD_LEN = 2.0
+QF_MAX_MEAN_WORD_LEN = 12.0
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Rule-based pretraining quality filter (the Gopher-rules pattern):
+    token-count bounds, punctuation-ratio cap, stopword-ratio floor,
+    mean-word-length band. Emits one row per document with each rule's
+    verdict plus the final keep flag — the auditable form (a pipeline
+    filters on ``keep``, analysts aggregate the reason columns). Built on
+    ``quality_score``'s feature columns: one scan, pure column
+    predicates, no extra shuffle."""
+    feats = quality_score(docs)
+    rules = {
+        "ok_n_tokens": F.col("n_tokens").between(QF_MIN_TOKENS, QF_MAX_TOKENS),
+        "ok_punct": F.col("punct_ratio") <= QF_MAX_PUNCT_RATIO,
+        "ok_stopwords": F.col("stopword_ratio") >= QF_MIN_STOPWORD_RATIO,
+        "ok_word_len": F.col("mean_word_len").between(
+            QF_MIN_MEAN_WORD_LEN, QF_MAX_MEAN_WORD_LEN
+        ),
+    }
+    out = feats.select(
+        "doc_id",
+        "n_tokens",
+        *[v.alias(k) for k, v in rules.items()],
+    )
+    keep = None
+    for k in rules:
+        keep = F.col(k) if keep is None else (keep & F.col(k))
+    return out.withColumn("keep", keep)
+
+
+QUALITY_FILTER_ORACLE = f"""
+    WITH scored AS ({QUALITY_SCORE_ORACLE})
+    SELECT doc_id,
+           n_tokens,
+           n_tokens BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS} AS ok_n_tokens,
+           punct_ratio <= {QF_MAX_PUNCT_RATIO} AS ok_punct,
+           stopword_ratio >= {QF_MIN_STOPWORD_RATIO} AS ok_stopwords,
+           mean_word_len BETWEEN {QF_MIN_MEAN_WORD_LEN} AND {QF_MAX_MEAN_WORD_LEN} AS ok_word_len,
+           (n_tokens BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS})
+           AND punct_ratio <= {QF_MAX_PUNCT_RATIO}
+           AND stopword_ratio >= {QF_MIN_STOPWORD_RATIO}
+           AND (mean_word_len BETWEEN {QF_MIN_MEAN_WORD_LEN} AND {QF_MAX_MEAN_WORD_LEN}) AS keep
+    FROM scored
+"""
+
+
+# per-stratum sampling rates in basis points (of 10_000); strata not
+# listed keep everything. The fixture corpus is en-dominated, so the
+# canonical use is downsampling the majority language.
+SAMPLE_RATES_BP = {"en": 5_000}
+SAMPLE_DEFAULT_BP = 10_000
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic per-language (stratified) sampling.
+
+    Salted-hash thresholding, not ``rand()``/``sample()``: membership is
+    a pure function of doc_id, so the sample is reproducible across
+    runs, engines, and cluster sizes, and it composes with incremental
+    data (new docs never change old membership) — what a training-data
+    pipeline needs from a downsampling pass. One scan, zero shuffles.
+    """
+    rate = F.lit(SAMPLE_DEFAULT_BP)
+    for lang, bp in SAMPLE_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    bucket = F.expr(hash60_spark_sql("concat('sample|', doc_id)")) % 10_000
+    return (
+        docs.select("doc_id", "lang", rate.alias("rate_bp"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select("doc_id", "lang", "rate_bp")
+    )
+
+
+def _rate_case_duck() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}" for lang, bp in SAMPLE_RATES_BP.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT_BP} END"
+
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+    SELECT doc_id, lang, {_rate_case_duck()} AS rate_bp
+    FROM documents
+    WHERE {hash60_duck_sql("concat('sample|', doc_id)")} % 10000 < {_rate_case_duck()}
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filter(spread(load_table(spark, sf_dir, "documents")))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_split(load_table(spark, sf_dir, "documents"))
 

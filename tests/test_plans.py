@@ -65,3 +65,22 @@ def test_flag_rewrite_uses_fewer_shuffles_than_setops(spark):
     setops = _plan(spark, "active_cells_setops").count("Exchange")
     flags = _plan(spark, "active_cells_flags").count("Exchange")
     assert flags < setops, (flags, setops)
+
+
+def test_zone_counts_is_equi_join_not_nested_loop(spark):
+    """The grid-bucketed containment join must plan as a hash equi-join
+    on cell_id — never a nested-loop / cartesian theta join (the naive
+    bbox BETWEEN formulation)."""
+    plan = _plan(spark, "zone_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted join must keep the forced shuffle-join shape (the
+    pattern exists for two-large-sides skew) and join on the COMPOSITE
+    (event_type, salt) key."""
+    plan = _plan(spark, "salted_join_stats")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "salt" in plan
