@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": textops.q_dataset_split,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
+        # new in r3, below the window — rotates in next round
+        "token_commonness": textops.q_token_commonness,
     }
 
 
@@ -246,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_stats": relational.salted_join_stats_oracle(),
         "quality_filter": textops.QUALITY_FILTER_ORACLE,
         "stratified_sample": textops.STRATIFIED_SAMPLE_ORACLE,
+        "token_commonness": textops.TOKEN_COMMONNESS_ORACLE,
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

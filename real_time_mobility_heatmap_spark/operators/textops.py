@@ -413,6 +413,60 @@ STRATIFIED_SAMPLE_ORACLE = f"""
 """
 
 
+RARE_TF = 2  # corpus-wide term frequency at or below which a token is "rare"
+
+
+def token_commonness(docs: DataFrame) -> DataFrame:
+    """Corpus-statistics document scoring: how common are a document's
+    tokens in the whole corpus? The integer-exact cousin of unigram
+    log-probability scoring (log() is not bit-portable across engines;
+    integer term-frequency sums are) — low commonness / high rare-ratio
+    flags OCR noise, code dumps, and gibberish the way a unigram LM
+    would.
+
+    Plan shape: ONE tokenize pass feeds both sides — the vocabulary
+    aggregate (shuffle on token) and the token->vocabulary equi-join
+    (the big-to-big join: at 100 TB the vocabulary itself is too large
+    to broadcast, so both sides shuffle on the token key) — then a
+    per-doc aggregate. All sums are int64 (exact, associative); the two
+    ratios divide exact integers, so cross-engine determinism is
+    structural, not probabilistic.
+    """
+    tok = spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("tf"))
+    joined = tok.join(vocab, "tk")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tf").alias("sum_tf"),
+        F.round(F.sum("tf") / F.count(F.lit(1)), 6).alias("commonness"),
+        F.sum((F.col("tf") <= RARE_TF).cast("long")).alias("n_rare"),
+        F.round(
+            F.sum((F.col("tf") <= RARE_TF).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("rare_ratio"),
+    )
+
+
+TOKEN_COMMONNESS_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_DUCK}) AS tk FROM documents
+    ),
+    vocab AS (SELECT tk, count(*) AS tf FROM tok GROUP BY tk)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(tf) AS BIGINT) AS sum_tf,
+           round(sum(tf) / CAST(count(*) AS DOUBLE), 6) AS commonness,
+           CAST(sum(CASE WHEN tf <= {RARE_TF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           round(sum(CASE WHEN tf <= {RARE_TF} THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+               AS rare_ratio
+    FROM tok JOIN vocab USING (tk)
+    GROUP BY doc_id
+"""
+
+
+def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_commonness(load_table(spark, sf_dir, "documents"))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(spread(load_table(spark, sf_dir, "documents")))
 

@@ -317,12 +317,17 @@ def vehicle_travel_stats(pings: DataFrame) -> DataFrame:
         + F.abs(F.col("lon") - F.lag("lon").over(w))
     )
     with_leg = pings.select("provider", "vehicleId", leg.alias("leg"))
+    # total displacement accumulates as exact integer micro-degrees:
+    # int64 sums are associative, so partition/engine summation order can
+    # never flip the 6-decimal rounding (the recent_tiles_merged lesson);
+    # max is order-independent, so it rounds the raw double directly
+    micro = F.round(F.col("leg") * 1e6).cast("long")
     return (
         with_leg.filter(F.col("leg").isNotNull())
         .groupBy("provider", "vehicleId")
         .agg(
             F.count(F.lit(1)).alias("n_legs"),
-            F.round(F.sum("leg"), 6).alias("total_disp_deg"),
+            F.round(F.sum(micro) / F.lit(1e6), 6).alias("total_disp_deg"),
             F.round(F.max("leg"), 6).alias("max_leg_deg"),
         )
     )
@@ -338,7 +343,7 @@ VEHICLE_TRAVEL_STATS_ORACLE = f"""
     )
     SELECT provider, vehicleId,
            count(*) AS n_legs,
-           round(sum(leg), 6) AS total_disp_deg,
+           round(sum(CAST(round(leg * 1e6) AS BIGINT)) / 1e6, 6) AS total_disp_deg,
            round(max(leg), 6) AS max_leg_deg
     FROM legs WHERE leg IS NOT NULL
     GROUP BY provider, vehicleId
