@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass
@@ -58,55 +59,110 @@ class KeyedParquetStore:
       - ``newer_col=None``  -> last-writer-wins upsert by key ($set style);
       - ``newer_col="ts"``  -> conditional upsert: incoming row replaces the
         stored one only if strictly newer (monotonic guard, S5).
+
+    Versioned snapshots (the Delta-like time-travel surface): every merge
+    commits a monotonically numbered snapshot ``MANIFEST-{v}.json``
+    alongside the current-pointer ``MANIFEST.json``. ``read(version=v)``
+    serves any retained snapshot; ``retain_versions`` bounds how many are
+    kept — bucket dirs stay alive as long as ANY retained snapshot
+    references them, so a long-running reader pinned to an old version
+    is safe for ``retain_versions`` merges (the default of 1 reproduces
+    the original latest-only behavior and space footprint).
     """
 
     path: str
     key_cols: list[str]
     newer_col: str | None = None
     n_buckets: int = 32
+    retain_versions: int = 1
 
     # -- manifest -----------------------------------------------------------
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "MANIFEST.json")
 
-    def _load_manifest(self) -> dict:
-        p = self._manifest_path()
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.path, f"MANIFEST-{version:012d}.json")
+
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, oldest first."""
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for entry in os.listdir(self.path):
+            m = re.fullmatch(r"MANIFEST-(\d{12})\.json", entry)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _load_manifest(self, version: int | None = None) -> dict:
+        p = self._manifest_path() if version is None else self._version_path(version)
         if not os.path.exists(p):
-            return {"buckets": {}}
+            if version is not None:
+                raise FileNotFoundError(
+                    f"snapshot version {version} is not retained "
+                    f"(retained: {self.versions()})"
+                )
+            return {"version": 0, "buckets": {}}
         with open(p) as f:
             return json.load(f)
+
+    def _write_json_durable(self, target: str, manifest: dict) -> None:
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=0, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, target)
 
     def _commit_manifest(self, manifest: dict) -> None:
         """Atomic swap with durability: fsync the temp file BEFORE the
         rename (os.replace alone is atomic against concurrent readers but
         not against power loss — an unsynced rename can surface as a
         truncated/empty manifest on some filesystems), then fsync the
-        directory so the rename itself is durable."""
+        directory so the rename itself is durable. The versioned snapshot
+        file lands before the current pointer moves, so a crash between
+        the two leaves the previous current snapshot intact and at worst
+        an extra (consistent) versioned file."""
         os.makedirs(self.path, exist_ok=True)
-        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=0, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._manifest_path())
+        self._write_json_durable(self._version_path(manifest["version"]), manifest)
+        self._write_json_durable(self._manifest_path(), manifest)
         dfd = os.open(self.path, os.O_RDONLY)
         try:
             os.fsync(dfd)
         finally:
             os.close(dfd)
 
+    def _gc_versions(self) -> None:
+        """Drop snapshots beyond ``retain_versions`` and any bucket dir no
+        retained snapshot references."""
+        versions = self.versions()
+        keep_n = max(1, self.retain_versions)  # list[-0:] would keep nothing current
+        keep, drop = versions[-keep_n:], versions[:-keep_n]
+        if not drop:
+            return
+        referenced = set()
+        for v in keep:
+            referenced.update(self._load_manifest(v)["buckets"].values())
+        referenced.update(self._load_manifest()["buckets"].values())
+        for v in drop:
+            for rel in self._load_manifest(v)["buckets"].values():
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            os.remove(self._version_path(v))
+
     # -- reads --------------------------------------------------------------
 
-    def _bucket_dirs(self, buckets=None) -> list[str]:
-        entries = self._load_manifest()["buckets"]
+    def _bucket_dirs(self, buckets=None, version: int | None = None) -> list[str]:
+        entries = self._load_manifest(version)["buckets"]
         if buckets is not None:
             keys = [str(b) for b in buckets]
             entries = {k: v for k, v in entries.items() if k in keys}
         return [os.path.join(self.path, rel) for rel in entries.values()]
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self._bucket_dirs()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Current snapshot, or time-travel to a retained ``version``."""
+        dirs = self._bucket_dirs(version=version)
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
@@ -171,34 +227,32 @@ class KeyedParquetStore:
         ).parquet(out)
 
         manifest = self._load_manifest()
-        replaced = []
         for b in touched:
             bucket_dir = os.path.join(out, f"__bucket={b}")
             if not os.path.isdir(bucket_dir):  # all rows of b deduped away
                 continue
-            prev = manifest["buckets"].get(str(b))
-            if prev:
-                replaced.append(prev)
             manifest["buckets"][str(b)] = os.path.relpath(bucket_dir, self.path)
+        manifest["version"] = manifest.get("version", 0) + 1
         self._commit_manifest(manifest)
-        # superseded bucket dirs are garbage once the manifest points away
-        # (harness reads/merges are sequential; a versioned-GC store like
-        # Delta handles concurrent readers in production)
-        for rel in replaced:
-            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+        # superseded bucket dirs stay alive while any retained snapshot
+        # references them (time travel); versions past retain_versions are
+        # garbage-collected together with their now-unreferenced dirs
+        self._gc_versions()
 
 
     def vacuum(self) -> list[str]:
-        """Remove data dirs no manifest bucket references — leftovers of a
-        merge that crashed after writing data but before the manifest
+        """Remove data dirs no RETAINED snapshot references — leftovers of
+        a merge that crashed after writing data but before the manifest
         swap (the swap itself is atomic, so such orphans are invisible to
         readers; this just reclaims the space). Returns removed paths."""
         if not os.path.isdir(self.path):
             return []
-        referenced = {
-            os.path.normpath(rel).split(os.sep)[0]
-            for rel in self._load_manifest()["buckets"].values()
-        }
+        referenced = set()
+        for v in [None, *self.versions()]:
+            referenced.update(
+                os.path.normpath(rel).split(os.sep)[0]
+                for rel in self._load_manifest(v)["buckets"].values()
+            )
         removed = []
         for entry in os.listdir(self.path):
             if entry.startswith("data-") and entry not in referenced:

@@ -538,3 +538,54 @@ def test_detect_trips_all_null_timestamps_no_state_crash():
     state = _StubState()
     out = list(detect_trips(("mbta", "v9"), iter([pdf]), state))
     assert out == [] and state.updated is None
+
+
+def test_store_time_travel_and_retention(spark, tmp_path):
+    """Versioned snapshots: every merge commits MANIFEST-{v}; read(version=v)
+    time-travels while retained; GC keeps retain_versions snapshots and
+    deletes bucket dirs no retained snapshot references."""
+    import os
+
+    import pytest
+
+    from real_time_mobility_heatmap_spark.streaming.sinks import KeyedParquetStore
+
+    store = KeyedParquetStore(
+        str(tmp_path / "kv"), key_cols=["k"], newer_col=None,
+        n_buckets=4, retain_versions=2,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    store.merge(batch([("a", 1), ("b", 1)]))
+    store.merge(batch([("a", 2)]))          # updates a, leaves b
+    store.merge(batch([("b", 3), ("c", 3)]))
+
+    assert store.versions() == [2, 3]  # retain_versions=2 of [1,2,3]
+
+    def snap(version=None):
+        return {r["k"]: r["v"] for r in store.read(spark, version=version).collect()}
+
+    assert snap() == {"a": 2, "b": 3, "c": 3}
+    assert snap(version=3) == snap()
+    assert snap(version=2) == {"a": 2, "b": 1}      # time travel
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, version=1)                 # GC'd
+
+    # every dir referenced by retained snapshots must still exist
+    for v in store.versions():
+        for d in store._bucket_dirs(version=v):
+            assert os.path.isdir(d), d
+    # vacuum must not remove anything a retained snapshot references
+    assert store.vacuum() == []
+    assert snap(version=2) == {"a": 2, "b": 1}
+
+    # default retention (1) degenerates to latest-only
+    latest_only = KeyedParquetStore(
+        str(tmp_path / "kv1"), key_cols=["k"], newer_col=None, n_buckets=4
+    )
+    latest_only.merge(batch([("x", 1)]))
+    latest_only.merge(batch([("x", 2)]))
+    assert latest_only.versions() == [2]
+    assert {r["k"]: r["v"] for r in latest_only.read(spark).collect()} == {"x": 2}
