@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,
         # new in r3, below the window — rotates in next round
         "token_commonness": textops.q_token_commonness,
+        "vehicle_trips": windows.q_vehicle_trips,
     }
 
 
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": textops.QUALITY_FILTER_ORACLE,
         "stratified_sample": textops.STRATIFIED_SAMPLE_ORACLE,
         "token_commonness": textops.TOKEN_COMMONNESS_ORACLE,
+        "vehicle_trips": windows.VEHICLE_TRIPS_ORACLE,
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

@@ -18,7 +18,7 @@ handling).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
@@ -118,6 +118,63 @@ def vehicle_sessions_oracle() -> str:
         FROM numbered
         GROUP BY provider, vehicleId, session_no
     """
+
+
+def vehicle_trips(pings: DataFrame) -> DataFrame:
+    """Batch twin of the ``applyInPandasWithState`` trip detector
+    (streaming/stateful.py): segment each vehicle's pings into trips at
+    >``SESSION_GAP_MIN``-minute silences — gap flag via ``lag``, trip
+    number via a running sum, one aggregate per trip. Same semantics as
+    the stateful operator's state machine (a test asserts the streaming
+    detector's closed trips equal this relation), but expressible as two
+    window passes over ONE shuffle+sort per vehicle partition, which is
+    how the backfill of a streaming pipeline should run. Oracle-checked
+    (the stateful operator itself is not SQL-expressible; this twin is
+    the bridge that makes its semantics hash-verifiable)."""
+    w = Window.partitionBy("provider", "vehicleId").orderBy("eventTs", "event_id")
+    gap = F.col("eventTs").cast("long") - F.lag(F.col("eventTs").cast("long")).over(w)
+    new_trip = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = pings.select(
+        "provider", "vehicleId", "eventTs", "event_id",
+        F.sum(new_trip).over(w).alias("trip_no"),
+    )
+    return numbered.groupBy("provider", "vehicleId", "trip_no").agg(
+        F.min("eventTs").alias("trip_start"),
+        F.max("eventTs").alias("trip_end"),
+        F.count(F.lit(1)).alias("n_pings"),
+    )
+
+
+VEHICLE_TRIPS_ORACLE = f"""
+    WITH pings AS ({PINGS_ORACLE_SQL}),
+    flagged AS (
+        SELECT provider, vehicleId, eventTs, event_id,
+               CASE WHEN lag(eventTs) OVER w IS NULL
+                         OR eventTs - lag(eventTs) OVER w > INTERVAL '{SESSION_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_trip
+        FROM pings
+        WINDOW w AS (PARTITION BY provider, vehicleId ORDER BY eventTs, event_id)
+    ),
+    numbered AS (
+        -- (eventTs, event_id) is unique, so the default RANGE frame of the
+        -- running sum degenerates to ROWS — same as Spark's
+        SELECT *, sum(new_trip) OVER (PARTITION BY provider, vehicleId
+                                      ORDER BY eventTs, event_id) AS trip_no
+        FROM flagged
+    )
+    SELECT provider, vehicleId, trip_no,
+           min(eventTs) AS trip_start,
+           max(eventTs) AS trip_end,
+           count(*) AS n_pings
+    FROM numbered
+    GROUP BY provider, vehicleId, trip_no
+"""
+
+
+def q_vehicle_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vehicle_trips(pings_from_events(spark, sf_dir))
 
 
 def salted_cell_counts(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:

@@ -589,3 +589,60 @@ def test_store_time_travel_and_retention(spark, tmp_path):
     latest_only.merge(batch([("x", 2)]))
     assert latest_only.versions() == [2]
     assert {r["k"]: r["v"] for r in latest_only.read(spark).collect()} == {"x": 2}
+
+
+def test_stateful_trip_detector_matches_batch_twin(spark, dirs):
+    """The applyInPandasWithState detector's closed trips must equal the
+    oracle-checked batch twin (operators/windows.vehicle_trips) over the
+    same pings — the bridge that makes the non-SQL stateful operator's
+    semantics hash-verifiable. A far-future sentinel vehicle pushes the
+    watermark past every horizon so all real trips close."""
+    import datetime as dt
+
+    from real_time_mobility_heatmap_spark.operators.windows import vehicle_trips
+    from real_time_mobility_heatmap_spark.schema import PING_SCHEMA
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+    from real_time_mobility_heatmap_spark.streaming.stateful import (
+        vehicle_trips_stream,
+    )
+
+    real = [
+        _wire("v1", "2024-01-01T10:00:00Z"),
+        _wire("v1", "2024-01-01T10:10:00Z"),
+        _wire("v1", "2024-01-01T12:00:00Z"),   # >30min gap -> second trip
+        _wire("v2", "2024-01-01T10:05:00Z"),
+        _wire("v2", "2024-01-01T10:06:00Z"),
+    ]
+    sentinel = _wire("zz", "2024-01-02T10:00:00Z")
+    _write_json(dirs["in"], "b1.json", real)
+    _write_json(dirs["in"], "b2.json", [sentinel])
+
+    emitted: list[list] = []
+    q = (
+        vehicle_trips_stream(json_ping_stream(spark, dirs["in"]))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .foreachBatch(lambda df, _eid: emitted.append(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["provider"], r["vehicleId"], r["trip_start"], r["trip_end"], r["n_pings"])
+        for batch in emitted for r in batch if r["vehicleId"] != "zz"
+    )
+
+    batch_pings = spark.createDataFrame(
+        [
+            (r["provider"], r["vehicleId"],
+             dt.datetime.fromisoformat(r["ts"].replace("Z", "")),
+             r["lat"], r["lon"], r["speedKmh"], i, None)
+            for i, r in enumerate(real)
+        ],
+        PING_SCHEMA,
+    )
+    want = sorted(
+        (r["provider"], r["vehicleId"], r["trip_start"], r["trip_end"], r["n_pings"])
+        for r in vehicle_trips(batch_pings).collect()
+    )
+    assert got == want and len(want) == 3
