@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r3, below the window — rotates in next round
         "token_commonness": textops.q_token_commonness,
         "vehicle_trips": windows.q_vehicle_trips,
+        "incremental_dedup": dedup.q_incremental_dedup,
+        "redact_pii": textops.q_redact_pii,
     }
 
 
@@ -251,6 +253,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": textops.STRATIFIED_SAMPLE_ORACLE,
         "token_commonness": textops.TOKEN_COMMONNESS_ORACLE,
         "vehicle_trips": windows.VEHICLE_TRIPS_ORACLE,
+        "incremental_dedup": dedup.incremental_dedup_oracle(),
+        "redact_pii": textops.REDACT_PII_ORACLE,
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

@@ -671,6 +671,53 @@ def dedup_clusters_oracle() -> str:
     """
 
 
+INCOMING_MOD = 10  # doc_id % 10 == 0 plays the "incoming batch" role
+
+
+def incremental_dedup(docs: DataFrame) -> DataFrame:
+    """Incremental near-dup detection: which INCOMING documents duplicate
+    something that already arrived? With doc_id as arrival order, the
+    incoming batch is ``doc_id % INCOMING_MOD == 0`` and a new doc is a
+    dup if any LSH-verified partner has a smaller doc_id (corpus doc OR
+    earlier incoming doc — the order-sensitive semantics a streaming
+    ingest pipeline needs). Output: one row per duplicated incoming doc
+    with its earliest match (the keeper) and the match count.
+
+    Reuses the capped banded-LSH pair pipeline; pairs are already
+    emitted as (doc_a < doc_b), so the keeper is min(doc_a) per new doc.
+    In production the incoming batch's signatures join against the
+    STORED corpus signature table (KeyedParquetStore / Delta) instead of
+    recomputing them — the join and verify stages are identical.
+    """
+    pairs = minhash_lsh_pairs(docs)
+    return (
+        pairs.filter(F.pmod(F.col("doc_b"), F.lit(INCOMING_MOD)) == 0)
+        .groupBy(F.col("doc_b").alias("new_doc_id"))
+        .agg(
+            F.min("doc_a").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("jaccard"), 6).alias("best_jaccard"),
+        )
+    )
+
+
+def incremental_dedup_oracle() -> str:
+    return f"""
+        WITH pairs AS ({minhash_lsh_pairs_oracle()})
+        SELECT doc_b AS new_doc_id,
+               min(doc_a) AS dup_of,
+               count(*) AS n_matches,
+               round(max(jaccard), 6) AS best_jaccard
+        FROM pairs
+        WHERE doc_b % {INCOMING_MOD} = 0
+        GROUP BY doc_b
+    """
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def streaming_exact_dedup(events: DataFrame) -> DataFrame:
     """Batch twin of streaming dedup on the natural event key (streaming
     variant: dropDuplicatesWithinWatermark, tested in tests/).

@@ -467,6 +467,58 @@ def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_commonness(load_table(spark, sf_dir, "documents"))
 
 
+# PII patterns restricted to syntax with IDENTICAL semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# \b word boundaries — no lookaround, no backreferences.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrub pass (the compliance stage of a training-data pipeline):
+    count and mask emails / IPv4s / phone-shaped numbers, applied in a
+    fixed pattern order. Pure column regexes — one codegen'd scan, no
+    Python. Output stays flat and hash-safe: per-pattern counts plus the
+    sha256 of the redacted text (long text never crosses to the
+    comparison harness)."""
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col("text")
+    for _, pat, mask in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, mask)
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.sha2(redacted, 256).alias("redacted_sha256"),
+        (F.sha2(redacted, 256) != F.sha2(F.col("text"), 256)).alias("was_redacted"),
+    )
+
+
+def _redact_duck() -> str:
+    expr = "text"
+    for _, pat, mask in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{mask}', 'g')"
+    return expr
+
+
+REDACT_PII_ORACLE = f"""
+    SELECT doc_id,
+           {", ".join(f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}" for name, pat, _ in PII_PATTERNS)},
+           sha256({_redact_duck()}) AS redacted_sha256,
+           sha256({_redact_duck()}) != sha256(text) AS was_redacted
+    FROM documents
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(spread(load_table(spark, sf_dir, "documents")))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(spread(load_table(spark, sf_dir, "documents")))
 

@@ -181,3 +181,28 @@ def test_sample_frames_tail_frame_and_stride():
         FRAME_BYTES, FRAME_BYTES, (97 + 98 + 99) % 65521,
     ]
     assert FRAME_STRIDE == 4
+
+
+def test_redact_pii_masks_and_counts(spark):
+    """Synthetic PII: counts per pattern, masking changes the hash, and
+    clean docs pass through untouched (fixture docs carry no PII, so the
+    oracle check alone can't exercise the positive path)."""
+    import hashlib
+
+    from real_time_mobility_heatmap_spark.operators.textops import redact_pii
+
+    docs = _docs(spark, [
+        "contact bob.smith+spam@example.co.uk or 192.168.0.1 today",
+        "call 555-123-4567 and 555.987.6543 now",
+        "a perfectly clean document with no identifiers at all",
+    ])
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (1, 1, 0)
+    assert out[0]["was_redacted"]
+    expect0 = "contact <EMAIL> or <IP> today"
+    assert out[0]["redacted_sha256"] == hashlib.sha256(expect0.encode()).hexdigest()
+
+    assert out[1]["n_phone"] == 2 and out[1]["was_redacted"]
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert not out[2]["was_redacted"]
