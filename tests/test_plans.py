@@ -84,3 +84,21 @@ def test_salted_join_spreads_hot_keys(spark):
     plan = _plan(spark, "salted_join_stats")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "salt" in plan
+
+
+def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):
+    """Anti-pattern sweep over EVERY registered query's plan:
+
+    - CartesianProduct is forbidden outright (the join shape that cannot
+      scale; the engine's broadcast single-row bounds plan as
+      BroadcastNestedLoopJoin with a 1-row side, which is fine);
+    - BatchEvalPython (row-at-a-time Python UDF) is forbidden — Python
+      only ever enters via Arrow (ArrowEvalPython / MapInPandas /
+      FlatMapGroupsInPandas), which batches through codegen'd scans.
+    """
+    for name, fn in entry_mod.queries().items():
+        if name == "streaming_tiles":
+            continue  # runs a live streaming query; covered by streaming tests
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
