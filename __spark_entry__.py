@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vehicle_trips": windows.q_vehicle_trips,
         "incremental_dedup": dedup.q_incremental_dedup,
         "redact_pii": textops.q_redact_pii,
+        "ivf_assign": similarity.q_ivf_assign,
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
     }
 
 
@@ -255,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "vehicle_trips": windows.VEHICLE_TRIPS_ORACLE,
         "incremental_dedup": dedup.incremental_dedup_oracle(),
         "redact_pii": textops.REDACT_PII_ORACLE,
+        "ivf_assign": similarity.IVF_ASSIGN_ORACLE,
+        "topk_cosine_ivf": similarity.TOPK_COSINE_IVF_ORACLE,
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

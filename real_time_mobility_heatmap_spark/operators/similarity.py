@@ -299,6 +299,134 @@ def embedding_neardup_oracle() -> str:
     """
 
 
+N_CENTROIDS = 4  # coarse quantizer size (nlist); fixture-scaled
+
+
+def _centroids(embeddings: DataFrame) -> DataFrame:
+    """Seed centroid table: the first ``N_CENTROIDS`` vectors by vec_id.
+
+    Production IVF trains centroids OFFLINE (sampled k-means) and ships
+    them as a small table; the online path — assignment + probe — is
+    exactly what the registered operators implement. Seeding by id keeps
+    the whole pipeline deterministic and SQL-expressible (a float
+    k-means update averages doubles, whose summation order is not
+    cross-engine stable)."""
+    return embeddings.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), _as_double("embedding").alias("c_emb")
+    )
+
+
+def ivf_assign(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse assignment: nearest centroid per vector by squared L2.
+
+    Plan shape: broadcast the tiny centroid table against every vector,
+    compute dist2 = <e,e> - 2<e,c> + <c,c> (one fold per pair), rank
+    with a per-vector window (dist2 rounded before ranking so float
+    noise cannot flip an order; centroid id breaks ties). At 100 TB
+    this is one scan + a broadcast join with nlist rows — the shape a
+    real coarse quantizer runs in."""
+    e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
+    scored = e.crossJoin(F.broadcast(_centroids(embeddings))).select(
+        "vec_id",
+        "c_id",
+        F.round(
+            _dot(F.col("e"), F.col("e"))
+            - 2 * _dot(F.col("e"), F.col("c_emb"))
+            + _dot(F.col("c_emb"), F.col("c_emb")),
+            ROUND_COS,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("centroid_id"), "dist2")
+    )
+
+
+_DIST2_DUCK = (
+    "round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+    " - 2 * list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    " + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    f", {ROUND_COS})"
+)
+
+_ASSIGN_DUCK = f"""
+    SELECT vec_id, centroid_id, dist2 FROM (
+        SELECT e.vec_id, c.vec_id AS centroid_id, {_DIST2_DUCK} AS dist2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DIST2_DUCK} ASC, c.vec_id ASC) AS rn
+        FROM embeddings e
+        JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+    ) WHERE rn = 1
+"""
+
+IVF_ASSIGN_ORACLE = _ASSIGN_DUCK
+
+
+def topk_cosine_ivf(embeddings: DataFrame) -> DataFrame:
+    """Blocked top-k over the COMPUTED coarse cells (nprobe=1): the real
+    IVF read path — ``topk_cosine_blocked`` with the fixture label
+    replaced by ``ivf_assign``'s nearest-centroid cell. Scores
+    ~1/nlist of the corpus per query; recall-vs-cost is tuned by
+    probing more cells, never by scanning everything."""
+    assign = ivf_assign(embeddings).select("vec_id", "centroid_id")
+    with_cell = embeddings.join(assign, "vec_id")
+    # carry the computed cell through _with_norm's "{prefix}_label" column
+    q = _with_norm(
+        with_cell.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+            "label", "orig_label"
+        ).withColumnRenamed("centroid_id", "label"),
+        "query",
+    )
+    c = _with_norm(
+        spread(with_cell).withColumnRenamed("label", "orig_label").withColumnRenamed(
+            "centroid_id", "label"
+        ),
+        "cand",
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_label") == F.col("query_label"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("query_emb"), F.col("cand_emb"))
+                / (F.col("query_norm") * F.col("cand_norm")),
+                ROUND_COS,
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)
+
+
+TOPK_COSINE_IVF_ORACLE = f"""
+    WITH assign AS ({_ASSIGN_DUCK}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
+        FROM embeddings q
+        JOIN assign qa ON qa.vec_id = q.vec_id
+        JOIN assign ca ON ca.centroid_id = qa.centroid_id
+        JOIN embeddings c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_cosine_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(load_table(spark, sf_dir, "embeddings"))
 

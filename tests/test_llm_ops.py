@@ -206,3 +206,29 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[1]["n_phone"] == 2 and out[1]["was_redacted"]
     assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
     assert not out[2]["was_redacted"]
+
+
+def test_ivf_assign_partitions_and_probe_recall(spark):
+    """Every vector gets exactly one cell; a query's IVF top-1 equals its
+    brute-force top-1 whenever the true neighbor shares the query's cell
+    (nprobe=1 recall semantics, checked on the fixture)."""
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        ivf_assign,
+        topk_cosine,
+        topk_cosine_ivf,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cells = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb).collect()}
+    assert len(cells) == emb.count()          # total function
+    assert set(cells.values()) <= set(range(4))
+    for c in range(4):
+        assert cells[c] == c                  # a seed is its own centroid
+
+    brute = {(r["query_id"], r["rank"]): r["cand_id"] for r in topk_cosine(emb).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["cand_id"] for r in topk_cosine_ivf(emb).collect()}
+    for q in range(5):
+        best = brute.get((q, 1))
+        if best is not None and cells.get(best) == cells.get(q):
+            assert ivf.get((q, 1)) == best, (q, best, ivf.get((q, 1)))
