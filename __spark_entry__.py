@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": textops.q_redact_pii,
         "ivf_assign": similarity.q_ivf_assign,
         "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "winnow_match_spans": dedup.q_winnow_match_spans,
     }
 
 
@@ -259,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": textops.REDACT_PII_ORACLE,
         "ivf_assign": similarity.IVF_ASSIGN_ORACLE,
         "topk_cosine_ivf": similarity.TOPK_COSINE_IVF_ORACLE,
+        "topk_cosine_ivf_probe2": similarity.TOPK_COSINE_IVF_PROBE2_ORACLE,
+        "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

@@ -671,6 +671,49 @@ def dedup_clusters_oracle() -> str:
     """
 
 
+def winnow_match_spans(docs: DataFrame) -> DataFrame:
+    """Position-level alignment for winnowing matches — the final stage
+    of the plagiarism pipeline: for every matched pair (shared-
+    fingerprint count >= threshold), emit the aligned positions of each
+    shared fingerprint hash, i.e. WHERE the overlap is, not just that it
+    exists. Candidate pairs come from ``winnow_match_pairs`` (already
+    capped/bucketed); the span join then touches only matched docs'
+    fingerprints — two broadcast-small joins, fanout bounded by shared
+    fps per pair (ties on a hash inside one doc explode, which is the
+    correct alignment semantics and vanishingly rare with 60-bit
+    hashes)."""
+    pairs = winnow_match_pairs(docs).select("doc_a", "doc_b")
+    fps = winnow_fingerprints(docs)
+    return (
+        pairs.join(
+            F.broadcast(fps.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("pos").alias("pos_a"), "fp_hash")),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(fps.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("pos").alias("pos_b"), "fp_hash")),
+            ["doc_b", "fp_hash"],
+        )
+        .select("doc_a", "doc_b", "fp_hash", "pos_a", "pos_b")
+    )
+
+
+def winnow_match_spans_oracle() -> str:
+    return f"""
+        WITH fp_rows AS ({winnow_fingerprints_oracle()}),
+        match_pairs AS ({winnow_match_pairs_oracle()})
+        SELECT p.doc_a, p.doc_b, a.fp_hash, a.pos AS pos_a, b.pos AS pos_b
+        FROM match_pairs p
+        JOIN fp_rows a ON a.doc_id = p.doc_a
+        JOIN fp_rows b ON b.doc_id = p.doc_b AND b.fp_hash = a.fp_hash
+    """
+
+
+def q_winnow_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_match_spans(load_table(spark, sf_dir, "documents"))
+
+
 INCOMING_MOD = 10  # doc_id % 10 == 0 plays the "incoming batch" role
 
 

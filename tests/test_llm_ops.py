@@ -232,3 +232,20 @@ def test_ivf_assign_partitions_and_probe_recall(spark):
         best = brute.get((q, 1))
         if best is not None and cells.get(best) == cells.get(q):
             assert ivf.get((q, 1)) == best, (q, best, ivf.get((q, 1)))
+
+
+def test_ivf_probe2_recall_dominates_probe1(spark):
+    """nprobe=2 must return every probe1 hit plus possibly better ones:
+    for each query, the probe2 top-1 cosine >= the probe1 top-1 cosine."""
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        topk_cosine_ivf,
+        topk_cosine_ivf_probe2,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p1 = {r["query_id"]: r["cosine"] for r in topk_cosine_ivf(emb).collect() if r["rank"] == 1}
+    p2 = {r["query_id"]: r["cosine"] for r in topk_cosine_ivf_probe2(emb).collect() if r["rank"] == 1}
+    assert set(p1) <= set(p2)
+    for q in p1:
+        assert p2[q] >= p1[q], (q, p1[q], p2[q])
