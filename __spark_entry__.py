@@ -234,9 +234,10 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "media_frame_sample": multimodal.media_frame_sample_oracle(),
         "media_resize": multimodal.media_resize_oracle(),
-        # media_features: no oracle — Arrow-batched pandas extraction over
-        # binary blobs is not expressible in DuckDB SQL; rows-only check
-        # (its byte_len column is cross-checked by media_metadata's oracle).
+        # r3: media_features upgraded from rows-only to a full value-hash
+        # check — the adler-like byte sum IS SQL-expressible on the ASCII
+        # fixture (same unicode(c) trick as the frame/resize twins).
+        "media_features": multimodal.media_features_oracle(),
         "wire_encode": wire.WIRE_ENCODE_ORACLE,
         "tile_colors": wire.tile_colors_oracle(CFG),
         "sql_pricing_summary": relational.PRICING_SUMMARY_ORACLE,

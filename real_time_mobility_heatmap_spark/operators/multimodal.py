@@ -114,6 +114,29 @@ def media_features(docs: DataFrame) -> DataFrame:
     return media.mapInPandas(fake_features, FEATURE_SCHEMA)
 
 
+def media_features_oracle() -> str:
+    """SQL twin of the Arrow extractor (fixture text is ASCII, so octets
+    == characters): the same adler-like modular byte sum and the derived
+    fake dimensions — upgrading media_features from a rows-only check to
+    a full value-hash check of the mapInPandas path."""
+    checksum = (
+        "CAST(COALESCE(list_sum(list_transform(string_split(text, ''),"
+        " c -> unicode(c))), 0) % 65521 AS BIGINT)"
+    )
+    return f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(strlen(text) AS INTEGER) AS byte_len,
+                   {checksum} AS checksum
+            FROM documents
+        )
+        SELECT doc_id, byte_len, checksum,
+               CAST(checksum % 640 + 16 AS INTEGER) AS fake_width,
+               CAST(checksum % 480 + 16 AS INTEGER) AS fake_height
+        FROM feats
+    """
+
+
 FRAME_BYTES = 64       # stand-in frame size (a real codec yields frames)
 FRAME_STRIDE = 4       # keep every 4th frame
 
