@@ -92,6 +92,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_stats": relational.q_salted_join_stats,
         "quality_filter": textops.q_quality_filter,
         "stratified_sample": textops.q_stratified_sample,
+        "token_commonness": textops.q_token_commonness,
+        "vehicle_trips": windows.q_vehicle_trips,
+        "incremental_dedup": dedup.q_incremental_dedup,
+        "redact_pii": textops.q_redact_pii,
+        "ivf_assign": similarity.q_ivf_assign,
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "winnow_match_spans": dedup.q_winnow_match_spans,
         # ---- part 3: green in r1 but outside r2's window — rotate in ----
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "topk_cosine": similarity.q_topk_cosine,
@@ -107,24 +115,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": windows.q_approx_value_percentiles,
         # ---- part 4: r2-green anchors, one per operator family ----
         "mobility_tiles": _q_mobility_tiles,
-        "wire_roundtrip": decode.q_wire_roundtrip,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
-        "latest_positions": latest.q_latest_positions,
-        "latest_window_snapshot": latest.q_latest_window_snapshot,
         "multiplex_summary": multiplex.q_multiplex_summary,
-        "demux_tiles": multiplex.q_demux_tiles,
         "pricing_summary": relational.q_pricing_summary,
         "streaming_tiles": run_streaming_tiles,
-        "tile_features_flat": geojson.q_tile_features_flat,
         "tile_feature_collection": geojson.q_tile_feature_collection,
-        "fresh_tiles": geojson.q_fresh_tiles,
         "token_count": textops.q_token_count,
-        "exact_dedup": dedup.q_exact_dedup,
-        "minhash_signatures": dedup.q_minhash_signatures,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         # ---------------- end of driver window (50 entries) ----------------
         # everything below was driver-green in round 2
+        "wire_roundtrip": decode.q_wire_roundtrip,
+        "latest_positions": latest.q_latest_positions,
+        "latest_window_snapshot": latest.q_latest_window_snapshot,
+        "demux_tiles": multiplex.q_demux_tiles,
+        "tile_features_flat": geojson.q_tile_features_flat,
+        "fresh_tiles": geojson.q_fresh_tiles,
+        "exact_dedup": dedup.q_exact_dedup,
+        "minhash_signatures": dedup.q_minhash_signatures,
         "json_decode": decode.q_json_decode,
         "latest_join": latest.q_latest_join,
         "top_window": latest.q_top_window,
@@ -157,15 +165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": textops.q_dataset_split,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
-        # new in r3, below the window — rotates in next round
-        "token_commonness": textops.q_token_commonness,
-        "vehicle_trips": windows.q_vehicle_trips,
-        "incremental_dedup": dedup.q_incremental_dedup,
-        "redact_pii": textops.q_redact_pii,
-        "ivf_assign": similarity.q_ivf_assign,
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
-        "winnow_match_spans": dedup.q_winnow_match_spans,
     }
 
 
