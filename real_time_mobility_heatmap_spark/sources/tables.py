@@ -70,24 +70,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # lossless text-format options: pin the timestamp format to microsecond
-# precision (the defaults truncate to millis on CSV write)
+# precision (the defaults truncate to millis on CSV write). ORC is
+# columnar/typed like parquet — no options needed, included so the
+# source matrix covers both Spark-native columnar formats.
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 TEXT_FORMAT_OPTS = {
     "csv": {"header": "true", "timestampFormat": _TS_FMT},
     "json": {"timestampFormat": _TS_FMT},
+    "orc": {},
 }
 
 
 def write_table_as(df: DataFrame, path: str, fmt: str) -> None:
-    """Write a table in a text format (csv/json) losslessly enough to
-    round-trip through ``read_table_as`` (schema-on-read engine surface)."""
+    """Write a table in a supported interchange format (csv/json/orc)
+    losslessly enough to round-trip through ``read_table_as``."""
     df.write.mode("overwrite").options(**TEXT_FORMAT_OPTS[fmt]).format(fmt).save(path)
 
 
 def read_table_as(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame:
-    """Schema-on-read over csv/json: the explicit schema (no inference
-    pass over the data) plus pinned timestamp format make text sources
-    exact, not best-effort."""
+    """Schema-on-read over csv/json/orc: the explicit schema (no
+    inference pass over the data) plus pinned timestamp format make text
+    sources exact, not best-effort; orc carries its own types."""
     return (
         spark.read.schema(schema).options(**TEXT_FORMAT_OPTS[fmt]).format(fmt).load(path)
     )

@@ -21,10 +21,10 @@ def _events(spark):
     return load_table(spark, "/root/testdata/sf0.001", "events")
 
 
-def test_csv_and_json_sources_round_trip_exactly(spark, tmp_path):
+def test_csv_json_orc_sources_round_trip_exactly(spark, tmp_path):
     ev = _events(spark)
     want = sorted(map(tuple, ev.collect()))
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         path = str(tmp_path / fmt)
         write_table_as(ev, path, fmt)
         back = read_table_as(spark, path, fmt, ev.schema)
