@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
         "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
         "winnow_match_spans": dedup.q_winnow_match_spans,
+        "decontaminate": dedup.q_decontaminate,
+        "repetition_stats": textops.q_repetition_stats,
         # ---- part 3: green in r1 but outside r2's window — rotate in ----
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "topk_cosine": similarity.q_topk_cosine,
@@ -121,10 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": relational.q_pricing_summary,
         "streaming_tiles": run_streaming_tiles,
         "tile_feature_collection": geojson.q_tile_feature_collection,
-        "token_count": textops.q_token_count,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         # ---------------- end of driver window (50 entries) ----------------
         # everything below was driver-green in round 2
+        "token_count": textops.q_token_count,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "wire_roundtrip": decode.q_wire_roundtrip,
         "latest_positions": latest.q_latest_positions,
         "latest_window_snapshot": latest.q_latest_window_snapshot,
@@ -263,6 +265,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine_ivf": similarity.TOPK_COSINE_IVF_ORACLE,
         "topk_cosine_ivf_probe2": similarity.TOPK_COSINE_IVF_PROBE2_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
+        "decontaminate": dedup.decontaminate_oracle(),
+        "repetition_stats": textops.REPETITION_STATS_ORACLE,
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

@@ -48,6 +48,7 @@ from ..functions.textfns import (
     tokens,
 )
 from ..sources.tables import load_table, spread
+from .textops import split_duck_sql, split_spark_sql
 
 N_HASHES = 8          # MinHash signature length
 N_BANDS = 4           # LSH bands (2 rows per band)
@@ -759,6 +760,82 @@ def incremental_dedup_oracle() -> str:
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def decontaminate(docs: DataFrame) -> DataFrame:
+    """Train/test contamination audit (the benchmark-decontamination pass
+    of a pretraining pipeline): for every *test*-split document, how many
+    of its distinct 3-gram shingles also occur in ANY *train*-split
+    document. Emits (doc_id, n_shingles, n_contaminated,
+    contamination_ppm); a pipeline drops or flags test docs above a ppm
+    threshold before eval-set construction.
+
+    The split is the same pure doc_id hash as ``textops.dataset_split``,
+    recomputed as a column expression on the shingle rows — no join
+    against a split table. Single-pass shape: shingle + hash ONCE (the
+    md5/shingling scan is the dominant cost at corpus scale), then one
+    shuffle on the 60-bit s_h where a partition window computes "seen in
+    train" per shingle — instead of a train-dictionary self-join, which
+    would re-scan and re-shingle the corpus for the build side. Val rows
+    are dropped before the shuffle (neither probed nor probed-against).
+    Cost is linear in corpus shingles, never pairwise in documents; at
+    100 TB the alternative is a Bloom filter built over train shingles
+    and broadcast to the probe side (ppm becomes a tight upper bound).
+    Contamination is exact integer ppm (int64 ``div``) — no
+    float-rounding boundary between engines.
+    """
+    rows = (
+        _hashed_rows(docs)
+        .withColumn("split", F.expr(split_spark_sql()))
+        .filter(F.col("split") != "val")
+    )
+    in_train = F.max((F.col("split") == "train").cast("int")).over(
+        Window.partitionBy("s_h")
+    )
+    return (
+        rows.withColumn("in_train", in_train)
+        .filter(F.col("split") == "test")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("in_train").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.expr("n_contaminated * 1000000 div n_shingles").alias(
+                "contamination_ppm"
+            ),
+        )
+    )
+
+
+def decontaminate_oracle() -> str:
+    return f"""
+        WITH {_SHINGLED_DUCK},
+        ex AS (
+            SELECT doc_id, unnest(list_transform(sh, x -> {hash60_duck_sql('x')})) AS s_h
+            FROM shingled
+        ),
+        tagged AS (SELECT doc_id, s_h, {split_duck_sql()} AS split FROM ex),
+        train_sh AS (SELECT DISTINCT s_h FROM tagged WHERE split = 'train'),
+        agg AS (
+            SELECT t.doc_id,
+                   count(*) AS n_shingles,
+                   count(tr.s_h) AS n_contaminated
+            FROM (SELECT doc_id, s_h FROM tagged WHERE split = 'test') t
+            LEFT JOIN train_sh tr ON t.s_h = tr.s_h
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_shingles, n_contaminated,
+               (n_contaminated * 1000000) // n_shingles AS contamination_ppm
+        FROM agg
+    """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(load_table(spark, sf_dir, "documents"))
 
 
 def streaming_exact_dedup(events: DataFrame) -> DataFrame:

@@ -285,6 +285,30 @@ TFIDF_TOP_TERMS_ORACLE = f"""
 SPLIT_PCTS = (90, 5, 5)  # train / val / test
 
 
+def _split_case(hash60_sql) -> str:
+    """train/val/test CASE expr from doc_id, in either engine's dialect.
+
+    A pure function of doc_id (no split table, no join): any operator
+    that needs the assignment — ``dataset_split``, ``decontaminate`` —
+    recomputes it as a column expression on whatever rows it already
+    has in hand."""
+    split_hash = hash60_sql("concat('split|', doc_id)")
+    bucket = f"{split_hash} % 100"
+    train, val = SPLIT_PCTS[0], SPLIT_PCTS[0] + SPLIT_PCTS[1]
+    return (
+        f"CASE WHEN {bucket} < {train} THEN 'train' "
+        f"WHEN {bucket} < {val} THEN 'val' ELSE 'test' END"
+    )
+
+
+def split_spark_sql() -> str:
+    return _split_case(hash60_spark_sql)
+
+
+def split_duck_sql() -> str:
+    return _split_case(hash60_duck_sql)
+
+
 def dataset_split(docs: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment + shuffle key.
 
@@ -294,24 +318,16 @@ def dataset_split(docs: DataFrame) -> DataFrame:
     properties a training pipeline actually needs. ``shuffle_key`` is a
     second independent hash for deterministic within-split ordering.
     """
-    split_hash = hash60_spark_sql("concat('split|', doc_id)")
-    bucket = F.expr(f"{split_hash} % 100")
-    train, val = SPLIT_PCTS[0], SPLIT_PCTS[0] + SPLIT_PCTS[1]
-    split = (
-        F.when(bucket < train, "train").when(bucket < val, "val").otherwise("test")
-    )
     return docs.select(
         "doc_id",
-        split.alias("split"),
+        F.expr(split_spark_sql()).alias("split"),
         F.expr(hash60_spark_sql("concat('shuffle|', doc_id)")).alias("shuffle_key"),
     )
 
 
 DATASET_SPLIT_ORACLE = f"""
     SELECT doc_id,
-           CASE WHEN {hash60_duck_sql("concat('split|', doc_id)")} % 100 < {SPLIT_PCTS[0]} THEN 'train'
-                WHEN {hash60_duck_sql("concat('split|', doc_id)")} % 100 < {SPLIT_PCTS[0] + SPLIT_PCTS[1]} THEN 'val'
-                ELSE 'test' END AS split,
+           {split_duck_sql()} AS split,
            {hash60_duck_sql("concat('shuffle|', doc_id)")} AS shuffle_key
     FROM documents
 """
@@ -513,6 +529,96 @@ REDACT_PII_ORACLE = f"""
            sha256({_redact_duck()}) != sha256(text) AS was_redacted
     FROM documents
 """
+
+
+REP_MIN_TOKENS = 2  # need at least one bigram
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: how much of the text
+    is the single most frequent token / bigram (near-1 values flag
+    boilerplate and degenerate generations that length/stopword filters
+    miss). Emits max occurrence counts plus exact integer parts-per-
+    million coverage — ppm via int64 ``div`` instead of a rounded double
+    ratio, so there is no cross-engine float-rounding boundary (e.g.
+    1/128 sits exactly on the 6-decimal half).
+
+    Shape: one tokenize pass feeding two hash aggregates keyed by
+    (doc_id, term) / (doc_id, bigram); map-side partial aggregation
+    collapses repeats before the shuffle, so shuffled bytes are bounded
+    by per-partition distinct terms, and the final per-doc max is a
+    second tiny aggregate on the same doc_id partitioning. Docs with
+    < 2 tokens have no bigram and are excluded (mirrored in the oracle).
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= REP_MIN_TOKENS)
+    )
+    t = tok.select(
+        "doc_id", F.size("toks").alias("n_tokens"), F.explode("toks").alias("tk")
+    )
+    ttop = (
+        t.groupBy("doc_id", "n_tokens", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("c").alias("top_token_count"))
+    )
+    # bigrams with multiplicity (occurrence counts, so no array_distinct):
+    # the posexplode + lead window form — same rationale as dedup's
+    # _shingle_rows (codegen'd, one sort per doc partition)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
+        .select("doc_id", "tk", F.lead("tk", 1).over(w).alias("t1"))
+        .filter(F.col("t1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tk", "t1").alias("bg"))
+    )
+    btop = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return ttop.join(btop, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_token_count",
+        F.expr("top_token_count * 1000000 div n_tokens").alias("top_token_ppm"),
+        "top_bigram_count",
+        F.expr("top_bigram_count * 1000000 div (n_tokens - 1)").alias(
+            "top_bigram_ppm"
+        ),
+    )
+
+
+REPETITION_STATS_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        WHERE len({TOKENS_DUCK}) >= {REP_MIN_TOKENS}
+    ),
+    t AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tk FROM tok),
+    tc AS (SELECT doc_id, n_tokens, tk, count(*) AS c FROM t GROUP BY doc_id, n_tokens, tk),
+    ttop AS (SELECT doc_id, n_tokens, max(c) AS top_token_count FROM tc GROUP BY doc_id, n_tokens),
+    bgl AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS bg
+        FROM tok
+    ),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY doc_id, bg),
+    btop AS (SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens, t.top_token_count,
+           (t.top_token_count * 1000000) // t.n_tokens AS top_token_ppm,
+           b.top_bigram_count,
+           (b.top_bigram_count * 1000000) // (t.n_tokens - 1) AS top_bigram_ppm
+    FROM ttop t JOIN btop b ON t.doc_id = b.doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -249,3 +249,47 @@ def test_ivf_probe2_recall_dominates_probe1(spark):
     assert set(p1) <= set(p2)
     for q in p1:
         assert p2[q] >= p1[q], (q, p1[q], p2[q])
+
+
+def test_repetition_stats_hand_counts(spark):
+    from real_time_mobility_heatmap_spark.operators.textops import repetition_stats
+
+    docs = _docs(spark, ["a a a b", "solo"])  # 1-token doc has no bigram
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {0}
+    r = out[0]
+    assert r["n_tokens"] == 4
+    assert r["top_token_count"] == 3                    # "a" x3
+    assert r["top_token_ppm"] == 3 * 1_000_000 // 4     # 750000
+    assert r["top_bigram_count"] == 2                   # "a a" x2 of 3 bigrams
+    assert r["top_bigram_ppm"] == 2 * 1_000_000 // 3    # 666666
+
+
+def test_decontaminate_flags_cross_split_overlap(spark):
+    """A test-split doc sharing all shingles with a train-split doc scores
+    1e6 ppm; a disjoint test doc scores 0. Split is the pure doc_id hash,
+    so the test picks ids that actually land in each split."""
+    import hashlib
+
+    from real_time_mobility_heatmap_spark.operators.dedup import decontaminate
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(f"split|{doc_id}".encode()).hexdigest()[:15], 16) % 100
+
+    train_id = next(i for i in range(1000) if bucket(i) < 90)
+    test_a, test_b = [i for i in range(1000) if bucket(i) >= 95][:2]
+
+    shared = "one two three four five"            # 5 tokens -> 3 shingles
+    rows = [
+        (train_id, shared, "en", "s", len(shared)),
+        (test_a, shared, "en", "s", len(shared)),
+        (test_b, "alpha beta gamma delta", "en", "s", 22),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in decontaminate(docs).collect()}
+    assert set(out) == {test_a, test_b}
+    assert out[test_a]["n_shingles"] == 3
+    assert out[test_a]["n_contaminated"] == 3
+    assert out[test_a]["contamination_ppm"] == 1_000_000
+    assert out[test_b]["n_contaminated"] == 0
+    assert out[test_b]["contamination_ppm"] == 0
