@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_match_spans": dedup.q_winnow_match_spans,
         "decontaminate": dedup.q_decontaminate,
         "repetition_stats": textops.q_repetition_stats,
+        "mixture_sample": textops.q_mixture_sample,
+        "pack_sequences": textops.q_pack_sequences,
         # ---- part 3: green in r1 but outside r2's window — rotate in ----
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "topk_cosine": similarity.q_topk_cosine,
@@ -120,11 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
         "multiplex_summary": multiplex.q_multiplex_summary,
-        "pricing_summary": relational.q_pricing_summary,
         "streaming_tiles": run_streaming_tiles,
-        "tile_feature_collection": geojson.q_tile_feature_collection,
         # ---------------- end of driver window (50 entries) ----------------
         # everything below was driver-green in round 2
+        "pricing_summary": relational.q_pricing_summary,
+        "tile_feature_collection": geojson.q_tile_feature_collection,
         "token_count": textops.q_token_count,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "wire_roundtrip": decode.q_wire_roundtrip,
@@ -267,6 +269,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,
+        "mixture_sample": textops.MIXTURE_SAMPLE_ORACLE,
+        "pack_sequences": textops.PACK_SEQUENCES_ORACLE,
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

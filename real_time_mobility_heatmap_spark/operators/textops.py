@@ -621,6 +621,148 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+MIX_TARGET_PER_SOURCE = 15  # expected docs kept per source (fixture: 25/source)
+
+
+def mixture_sample(docs: DataFrame) -> DataFrame:
+    """Domain-mixture control: deterministically downsample over-represented
+    sources to a target expected count (rate = min(1, target / n_source)).
+    Emits every document with its source's rate and a ``kept`` verdict —
+    the auditable form (the pipeline filters on ``kept``; analysts check
+    realized vs target mixture on the flags).
+
+    Membership is a pure hash of doc_id against an integer ppm threshold
+    — reproducible across runs/engines/cluster sizes, stable when new
+    documents arrive (old keep decisions never flip; only rates drift as
+    counts grow, and production pins rates per snapshot). Rates are exact
+    int64 ppm (``div``), so there is no float threshold boundary.
+
+    Shape: one tiny per-source count aggregate broadcast back onto the
+    scan — the keep decision itself is map-side. A window-over-source
+    alternative would shuffle the full corpus by a low-cardinality,
+    skew-prone key; the broadcast join shuffles only the source dim.
+    """
+    rates = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_source"))
+        .select(
+            "source",
+            "n_source",
+            F.expr(
+                f"least(CAST(1000000 AS BIGINT),"
+                f" {MIX_TARGET_PER_SOURCE} * 1000000 div n_source)"
+            ).alias("rate_ppm"),
+        )
+    )
+    mix_hash = hash60_spark_sql("concat('mix|', doc_id)")
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_source",
+            "rate_ppm",
+            F.expr(f"{mix_hash} % 1000000 < rate_ppm").alias("kept"),
+        )
+    )
+
+
+MIXTURE_SAMPLE_ORACLE = f"""
+    WITH counted AS (
+        SELECT doc_id, source,
+               count(*) OVER (PARTITION BY source) AS n_source
+        FROM documents
+    )
+    SELECT doc_id, source, n_source,
+           least(1000000, ({MIX_TARGET_PER_SOURCE} * 1000000) // n_source) AS rate_ppm,
+           {hash60_duck_sql("concat('mix|', doc_id)")} % 1000000
+               < least(1000000, ({MIX_TARGET_PER_SOURCE} * 1000000) // n_source) AS kept
+    FROM counted
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+SEQ_LEN = 512    # tokens per packed training sequence
+N_SHARDS = 4     # independent packing streams (a real run uses thousands)
+
+
+def pack_sequences(docs: DataFrame) -> DataFrame:
+    """Sequence packing, concat-and-chunk style: documents are laid out in
+    deterministic shuffle order and cut into fixed SEQ_LEN-token training
+    sequences; a document's tokens land at [pack_offset) of first_pack
+    through last_pack (documents may span a chunk boundary — the standard
+    pretraining layout).
+
+    Scale shape: a single GLOBAL running sum would serialize the corpus
+    through one partition, so packing is per-shard — shard = shuffle-hash
+    % N_SHARDS, and the running token offset is a window sum *within* the
+    shard. Shards pack independently and in parallel (each produces its
+    own pack_id space), which is exactly how a 1000-executor run writes
+    training shards. All arithmetic is int64 (window SUM of counts,
+    ``div``/``%`` for pack ids) — bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    shuffle_hash = hash60_spark_sql("concat('shuffle|', doc_id)")
+    t = docs.select(
+        "doc_id",
+        F.expr(f"{shuffle_hash} % {N_SHARDS}").alias("shard"),
+        F.expr(shuffle_hash).alias("shuffle_key"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        cum.alias("tok_start"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_start",
+        F.expr(f"tok_start div {SEQ_LEN}").alias("first_pack"),
+        F.expr(f"(tok_start + n_tokens - 1) div {SEQ_LEN}").alias("last_pack"),
+        F.expr(f"tok_start % {SEQ_LEN}").alias("pack_offset"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {hash60_duck_sql("concat('shuffle|', doc_id)")} % {N_SHARDS} AS shard,
+               {hash60_duck_sql("concat('shuffle|', doc_id)")} AS shuffle_key,
+               CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    laid AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY shuffle_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens, tok_start,
+           tok_start // {SEQ_LEN} AS first_pack,
+           (tok_start + n_tokens - 1) // {SEQ_LEN} AS last_pack,
+           tok_start % {SEQ_LEN} AS pack_offset
+    FROM laid
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(spread(load_table(spark, sf_dir, "documents")))
 

@@ -293,3 +293,55 @@ def test_decontaminate_flags_cross_split_overlap(spark):
     assert out[test_a]["contamination_ppm"] == 1_000_000
     assert out[test_b]["n_contaminated"] == 0
     assert out[test_b]["contamination_ppm"] == 0
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Over-represented source gets a < 1e6 ppm rate; small source keeps
+    everything. Keep decisions are the pure doc_id hash — recomputed here
+    byte-for-byte."""
+    import hashlib
+
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        MIX_TARGET_PER_SOURCE,
+        mixture_sample,
+    )
+
+    rows = [(i, f"text {i}", "en", "big" if i < 30 else "small", 6)
+            for i in range(40)]  # big: 30 docs, small: 10 docs
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in mixture_sample(docs).collect()}
+    assert len(out) == 40
+    big_rate = MIX_TARGET_PER_SOURCE * 1_000_000 // 30   # 500000
+    for i, r in out.items():
+        want_rate = big_rate if i < 30 else 1_000_000
+        assert r["rate_ppm"] == want_rate
+        h = int(hashlib.md5(f"mix|{i}".encode()).hexdigest()[:15], 16)
+        assert r["kept"] == (h % 1_000_000 < want_rate)
+    assert all(out[i]["kept"] for i in range(30, 40))    # rate 1e6 keeps all
+
+
+def test_pack_sequences_contiguous_layout(spark):
+    """Within each shard the token layout is gapless and non-overlapping:
+    sorted by tok_start, each doc starts where the previous one ended."""
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        SEQ_LEN,
+        pack_sequences,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = pack_sequences(docs).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["tok_start"])
+        pos = 0
+        for r in rows:
+            assert r["tok_start"] == pos, (shard, r)
+            assert r["first_pack"] == r["tok_start"] // SEQ_LEN
+            assert r["last_pack"] == (r["tok_start"] + r["n_tokens"] - 1) // SEQ_LEN
+            assert r["pack_offset"] == r["tok_start"] % SEQ_LEN
+            pos += r["n_tokens"]
