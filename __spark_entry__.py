@@ -43,6 +43,8 @@ from real_time_mobility_heatmap_spark.operators import (
 from real_time_mobility_heatmap_spark.sources.tables import (
     PINGS_ORACLE_SQL,
     pings_from_events,
+    source_roundtrip,
+    source_roundtrip_oracle,
 )
 from real_time_mobility_heatmap_spark.serving import geojson
 from real_time_mobility_heatmap_spark.streaming.assembly import run_streaming_tiles
@@ -104,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": textops.q_repetition_stats,
         "mixture_sample": textops.q_mixture_sample,
         "pack_sequences": textops.q_pack_sequences,
+        "source_roundtrip": source_roundtrip,
         # ---- part 3: green in r1 but outside r2's window — rotate in ----
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "topk_cosine": similarity.q_topk_cosine,
@@ -121,10 +124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mobility_tiles": _q_mobility_tiles,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
-        "multiplex_summary": multiplex.q_multiplex_summary,
         "streaming_tiles": run_streaming_tiles,
         # ---------------- end of driver window (50 entries) ----------------
         # everything below was driver-green in round 2
+        "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
         "tile_feature_collection": geojson.q_tile_feature_collection,
         "token_count": textops.q_token_count,
@@ -271,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": textops.REPETITION_STATS_ORACLE,
         "mixture_sample": textops.MIXTURE_SAMPLE_ORACLE,
         "pack_sequences": textops.PACK_SEQUENCES_ORACLE,
+        "source_roundtrip": source_roundtrip_oracle(),
         # approx_value_percentiles: no oracle — KLL sketch estimates are
         # engine-specific; rows-only (value_percentiles carries the exact
         # cross-check of the same statistic).

@@ -96,6 +96,77 @@ def read_table_as(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame
     )
 
 
+ROUNDTRIP_FORMATS = ("csv", "json", "orc")
+# 60-bit row hash folded mod 1e9 before summing: sums stay far inside
+# int64 at any fixture scale, and int sums are associative/exact in both
+# engines (no float accumulation-order hazard).
+_RT_HASH_MOD = 1_000_000_000
+
+
+def _row_checksum_spark() -> str:
+    return (
+        "CAST(conv(substr(md5(concat(event_id, '|', unix_micros(ts), '|',"
+        " user_id, '|', event_type)), 1, 15), 16, 10) AS BIGINT)"
+        f" % {_RT_HASH_MOD}"
+    )
+
+
+def _row_checksum_duck() -> str:
+    return (
+        "CAST('0x' || substr(md5(concat(event_id, '|', epoch_us(ts), '|',"
+        " user_id, '|', event_type)), 1, 15) AS BIGINT)"
+        f" % {_RT_HASH_MOD}"
+    )
+
+
+def source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events through every interchange format and summarize what
+    came back — the driver-checkable form of the source matrix: the
+    oracle computes the same summary straight off the parquet view, so a
+    row lost, a column shifted, or a timestamp truncated by any format's
+    writer/reader shows up as a count/checksum mismatch. The checksum
+    hashes (event_id, micros(ts), user_id, event_type) per row, folded
+    mod 1e9 and summed as exact int64.
+    """
+    import os
+    import tempfile
+    from functools import reduce
+
+    ev = load_table(spark, sf_dir, "events")
+    # fixed per-sf path + overwrite mode: repeated runs rewrite in place
+    # instead of accumulating throwaway temp dirs
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"source_roundtrip_{tag}")
+    outs = []
+    for fmt in ROUNDTRIP_FORMATS:
+        path = f"{base}/{fmt}"
+        write_table_as(ev, path, fmt)
+        back = read_table_as(spark, path, fmt, ev.schema)
+        outs.append(back.select(F.lit(fmt).alias("fmt"), *ev.columns))
+    both = reduce(DataFrame.unionByName, outs)
+    return both.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.expr(_row_checksum_spark())).alias("row_checksum"),
+    )
+
+
+def source_roundtrip_oracle() -> str:
+    fmt_values = ", ".join(f"('{f}')" for f in ROUNDTRIP_FORMATS)
+    return f"""
+        WITH per AS (
+            SELECT count(*) AS n_rows,
+                   CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum({_row_checksum_duck()}) AS BIGINT) AS row_checksum
+            FROM events
+        )
+        SELECT fmt, n_rows, sum_event_id, n_users, row_checksum
+        FROM (VALUES {fmt_values}) AS f(fmt) CROSS JOIN per
+    """
+
+
 def pings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> GPS-ping stream shape (reference schema heatmap_stream.py:52-61).
 
