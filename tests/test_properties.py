@@ -68,3 +68,66 @@ def test_merge_is_idempotent_under_replay(spark, tmp_path_factory, batch):
         store.merge(df)
         twice = sorted(map(tuple, store.read(spark).collect()))
         assert once == twice
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=30).filter(lambda t: t.strip()),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_pack_sequences_layout_is_gapless_for_any_corpus(spark, texts):
+    """For ANY document set: per shard, token spans tile [0, total) with
+    no gaps or overlaps, and pack ids/offsets are consistent with the
+    span arithmetic."""
+    from real_time_mobility_heatmap_spark.operators.textops import SEQ_LEN, pack_sequences
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = pack_sequences(docs).collect()
+    assert len(out) == len(texts)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["tok_start"])
+        pos = 0
+        for r in rows_:
+            assert r["tok_start"] == pos
+            assert r["pack_offset"] == pos % SEQ_LEN
+            assert r["first_pack"] == pos // SEQ_LEN
+            assert r["last_pack"] == (pos + r["n_tokens"] - 1) // SEQ_LEN
+            pos += r["n_tokens"]
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=4)
+)
+@_SETTINGS
+def test_mixture_sample_rate_is_exact_ppm_of_source_size(spark, counts):
+    """Rates are exactly min(1e6, target*1e6 // n_source) for ANY source
+    size mix, and every row of a source carries the same rate."""
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        MIX_TARGET_PER_SOURCE,
+        mixture_sample,
+    )
+
+    rows, did = [], 0
+    for s, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((did, f"t {did}", "en", f"s{s}", 4))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = mixture_sample(docs).collect()
+    assert len(out) == did
+    for r in out:
+        n = counts[int(r["source"][1:])]
+        assert r["n_source"] == n
+        assert r["rate_ppm"] == min(1_000_000, MIX_TARGET_PER_SOURCE * 1_000_000 // n)
