@@ -127,6 +127,10 @@ def source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer/reader shows up as a count/checksum mismatch. The checksum
     hashes (event_id, micros(ts), user_id, event_type) per row, folded
     mod 1e9 and summed as exact int64.
+
+    The scratch location is a local temp dir — correct for local[N]
+    (this harness); on a multi-node cluster the round-trip target must
+    be shared storage (object store / DFS), same code path otherwise.
     """
     import os
     import tempfile
