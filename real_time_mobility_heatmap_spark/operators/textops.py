@@ -746,9 +746,11 @@ PACK_SEQUENCES_ORACLE = f"""
     ),
     laid AS (
         SELECT doc_id, shard, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT -> pandas
+               -- float64, which breaks the driver's dtype-sensitive value hash.
+               CAST(COALESCE(SUM(n_tokens) OVER (
                    PARTITION BY shard ORDER BY shuffle_key, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
         FROM t
     )
     SELECT doc_id, shard, n_tokens, tok_start,

@@ -160,8 +160,10 @@ VEHICLE_TRIPS_ORACLE = f"""
     numbered AS (
         -- (eventTs, event_id) is unique, so the default RANGE frame of the
         -- running sum degenerates to ROWS — same as Spark's
-        SELECT *, sum(new_trip) OVER (PARTITION BY provider, vehicleId
-                                      ORDER BY eventTs, event_id) AS trip_no
+        -- CAST: DuckDB window SUM(int) yields HUGEINT, which pandas renders as
+        -- float64 and the driver's value-hash then sees 5.0 != Spark's 5.
+        SELECT *, CAST(sum(new_trip) OVER (PARTITION BY provider, vehicleId
+                                           ORDER BY eventTs, event_id) AS BIGINT) AS trip_no
         FROM flagged
     )
     SELECT provider, vehicleId, trip_no,

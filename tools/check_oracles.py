@@ -13,9 +13,11 @@ from __future__ import annotations
 
 import math
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
@@ -27,21 +29,39 @@ from real_time_mobility_heatmap_spark.sources.tables import TABLES  # noqa: E402
 
 
 def _norm_cell(v):
+    """Canonicalize a cell, staying DTYPE-STRICT between int and float.
+
+    The driver's value-hash distinguishes ``5`` from ``5.0`` (r3 failure mode:
+    DuckDB window SUM -> HUGEINT -> pandas float64 vs Spark int64).  Python's
+    ``5 == 5.0`` masked that here, so rows are compared by ``repr`` of the
+    canonical cells: numpy ints collapse to ``int`` (width drift is invisible
+    to the driver's hash), numpy floats to ``float`` WITHOUT integral-value
+    coercion, Decimal to float (driver-green queries show it hashes as float).
+    """
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, pd.Timestamp):
         return v.tz_localize(None) if v.tzinfo else v
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        return float(v)
+    if isinstance(v, Decimal):
         return float(v)
     return v
 
 
-def _canon(df: pd.DataFrame) -> list[tuple]:
+def _canon(df: pd.DataFrame) -> list[str]:
     cols = sorted(df.columns)
-    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
-    return sorted(rows, key=repr)
+    rows = [
+        repr(tuple(_norm_cell(v) for v in row))
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
 
 
 def main() -> int:
