@@ -71,62 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at least every other round.
     """
     return {
-        # ---- driver window, part 1: never driver-checked before r3 ----
-        "wire_encode": wire.q_wire_encode,
-        "tile_colors": wire.q_tile_colors,
-        "sql_pricing_summary": wire.q_sql_pricing_summary,
-        "dedup_clusters": dedup.q_dedup_clusters,
-        "winnow_fingerprints": dedup.q_winnow_fingerprints,
-        "winnow_match_pairs": dedup.q_winnow_match_pairs,
-        "embedding_neardup": similarity.q_embedding_neardup,
-        "media_frame_sample": multimodal.q_media_frame_sample,
-        "media_resize": multimodal.q_media_resize,
-        "resample_trajectories": trajectory.q_resample_trajectories,
-        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
-        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
-        "table_profile": windows.q_table_profile,
-        "value_histogram": windows.q_value_histogram,
-        "vehicle_travel_stats": windows.q_vehicle_travel_stats,
-        # ---- part 2: r2's one red row (determinism fixed) + new in r3 ----
-        "recent_tiles_merged": latest.q_recent_tiles_merged,
-        "table_profile_approx": windows.q_table_profile_approx,
-        "zone_counts": spatial.q_zone_counts,
-        "salted_join_stats": relational.q_salted_join_stats,
-        "quality_filter": textops.q_quality_filter,
-        "stratified_sample": textops.q_stratified_sample,
-        "token_commonness": textops.q_token_commonness,
-        "vehicle_trips": windows.q_vehicle_trips,
-        "incremental_dedup": dedup.q_incremental_dedup,
-        "redact_pii": textops.q_redact_pii,
-        "ivf_assign": similarity.q_ivf_assign,
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
-        "winnow_match_spans": dedup.q_winnow_match_spans,
-        "decontaminate": dedup.q_decontaminate,
-        "repetition_stats": textops.q_repetition_stats,
-        "mixture_sample": textops.q_mixture_sample,
-        "pack_sequences": textops.q_pack_sequences,
-        "source_roundtrip": source_roundtrip,
-        # ---- part 3: green in r1 but outside r2's window — rotate in ----
-        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
-        "topk_cosine": similarity.q_topk_cosine,
-        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
-        "lsh_buckets": similarity.q_lsh_buckets,
-        "media_metadata": multimodal.q_media_metadata,
-        "media_features": multimodal.q_media_features,
-        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
-        "sliding_cell_counts": windows.q_sliding_cell_counts,
-        "vehicle_sessions": windows.q_vehicle_sessions,
-        "salted_cell_counts": windows.q_salted_cell_counts,
-        "value_percentiles": windows.q_value_percentiles,
-        "approx_value_percentiles": windows.q_approx_value_percentiles,
-        # ---- part 4: r2-green anchors, one per operator family ----
-        "mobility_tiles": _q_mobility_tiles,
-        "normalize": decode.q_normalize,
-        "latest_maxby": latest.q_latest_maxby,
-        "streaming_tiles": run_streaming_tiles,
-        # ---------------- end of driver window (50 entries) ----------------
-        # everything below was driver-green in round 2
+        # ---- driver window (r5): the 45 entries below the r3/r4 window —
+        # last driver-checked in r2, overdue for a fresh row ----
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
         "tile_feature_collection": geojson.q_tile_feature_collection,
@@ -172,6 +118,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": textops.q_dataset_split,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
+        # ---- window backfill: 5 r4-green anchors, one per family
+        # (tiles / streaming / stateful-windows / packing / ANN-dedup) ----
+        "mobility_tiles": _q_mobility_tiles,
+        "streaming_tiles": run_streaming_tiles,
+        "vehicle_trips": windows.q_vehicle_trips,
+        "pack_sequences": textops.q_pack_sequences,
+        "embedding_neardup": similarity.q_embedding_neardup,
+        # ---------------- end of driver window (50 entries) ----------------
+        # everything below was driver-green in round 4 (CORRECTNESS_r04.json)
+        "wire_encode": wire.q_wire_encode,
+        "tile_colors": wire.q_tile_colors,
+        "sql_pricing_summary": wire.q_sql_pricing_summary,
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,
+        "winnow_match_pairs": dedup.q_winnow_match_pairs,
+        "media_frame_sample": multimodal.q_media_frame_sample,
+        "media_resize": multimodal.q_media_resize,
+        "resample_trajectories": trajectory.q_resample_trajectories,
+        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
+        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
+        "table_profile": windows.q_table_profile,
+        "value_histogram": windows.q_value_histogram,
+        "vehicle_travel_stats": windows.q_vehicle_travel_stats,
+        "recent_tiles_merged": latest.q_recent_tiles_merged,
+        "table_profile_approx": windows.q_table_profile_approx,
+        "zone_counts": spatial.q_zone_counts,
+        "salted_join_stats": relational.q_salted_join_stats,
+        "quality_filter": textops.q_quality_filter,
+        "stratified_sample": textops.q_stratified_sample,
+        "token_commonness": textops.q_token_commonness,
+        "incremental_dedup": dedup.q_incremental_dedup,
+        "redact_pii": textops.q_redact_pii,
+        "ivf_assign": similarity.q_ivf_assign,
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "winnow_match_spans": dedup.q_winnow_match_spans,
+        "decontaminate": dedup.q_decontaminate,
+        "repetition_stats": textops.q_repetition_stats,
+        "mixture_sample": textops.q_mixture_sample,
+        "source_roundtrip": source_roundtrip,
+        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
+        "topk_cosine": similarity.q_topk_cosine,
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
+        "lsh_buckets": similarity.q_lsh_buckets,
+        "media_metadata": multimodal.q_media_metadata,
+        "media_features": multimodal.q_media_features,
+        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
+        "sliding_cell_counts": windows.q_sliding_cell_counts,
+        "vehicle_sessions": windows.q_vehicle_sessions,
+        "salted_cell_counts": windows.q_salted_cell_counts,
+        "value_percentiles": windows.q_value_percentiles,
+        "approx_value_percentiles": windows.q_approx_value_percentiles,
+        "normalize": decode.q_normalize,
+        "latest_maxby": latest.q_latest_maxby,
     }
 
 

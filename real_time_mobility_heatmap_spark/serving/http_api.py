@@ -14,6 +14,13 @@ in-memory snapshot — the same two endpoints as the reference:
   GET /api/positions/latest  -> FeatureCollection of vehicle Points
                                 (app.py:71-88)
 
+Plus the reference's single-file Leaflet UI (app.py:92-189):
+
+  GET /                      -> HTML map page that polls both endpoints
+                                on a fixed cadence and renders tiles
+                                colored by the same count ramp as the
+                                color-bucketing operator (app.py:137-144)
+
 stdlib ``http.server`` only (Flask is not available in this container,
 and a serving layer should not add engine dependencies). The snapshot is
 refreshed by calling ``refresh()`` — in production a scheduler would do
