@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, EngineConfig
 from .geojson import tile_feature_collection
 from ..operators.latest import latest_positions
+from ..operators.wire import COLOR_RAMP
 from ..functions.keys import iso_ts
 
 # Deterministic envelope cap: at continent scale the latest window holds
@@ -51,6 +52,116 @@ from ..functions.keys import iso_ts
 # stable run to run and the refresh path is bounded regardless of grid
 # size. Raise per deployment; the envelope is ~200 bytes per feature.
 FEATURE_CAP = 10_000
+
+# UI poll cadence (reference app.py:13 REFRESH_MS, default 5000 ms). The
+# page refreshes both endpoints together at this interval.
+REFRESH_MS = 5000
+
+
+def _ramp_js() -> str:
+    """The count->color ramp as a JS expression, generated from the SAME
+    ``COLOR_RAMP`` constant the ``tile_colors`` operator buckets with, so
+    the served page and the server-side styling can never drift
+    (reference computes this ramp in-browser, app.py:135-142)."""
+    chain = " ".join(f"c > {th} ? '{hx}' :" for th, hx in COLOR_RAMP[:-1])
+    return f"c => {chain} '{COLOR_RAMP[-1][1]}'"
+
+
+def map_page(refresh_ms: int = REFRESH_MS) -> str:
+    """The single-file Leaflet UI (reference app.py:92-189).
+
+    Same behavior as the reference page: an OpenStreetMap base layer, a
+    GeoJSON layer of the latest tiles filled by the count ramp, circle
+    markers for latest vehicle positions with provider/vehicleId/ts
+    popups, auto-fit to the tile bounds, a "waiting for data" toast when
+    both collections are empty, and a fixed-cadence poll of both API
+    endpoints. Styling keys off ``properties.ping_count`` — this engine's
+    tile property name (serving/geojson.py) — and the ramp is generated
+    from ``COLOR_RAMP`` rather than hand-maintained.
+    """
+    return f"""<!doctype html>
+<html>
+<head>
+  <meta charset="utf-8"/>
+  <title>Real-Time Mobility Heatmap</title>
+  <meta name="viewport" content="width=device-width,initial-scale=1"/>
+  <link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+  <style>
+    html, body, #map {{ height: 100%; margin: 0; }}
+    #toast {{
+      position: absolute; top: 10px; left: 50%; transform: translateX(-50%);
+      background: rgba(0,0,0,0.7); color: #fff; padding: 6px 10px;
+      border-radius: 6px; font: 12px sans-serif; z-index: 9999; display: none;
+    }}
+  </style>
+</head>
+<body>
+<div id="map"></div>
+<div id="toast">Waiting for data…</div>
+<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+<script>
+  const REFRESH_MS = {refresh_ms};
+  const colorByCount = {_ramp_js()};
+
+  const map = L.map('map').setView([42.3601, -71.0589], 12);
+  L.tileLayer('https://{{s}}.tile.openstreetmap.org/{{z}}/{{x}}/{{y}}.png', {{
+    maxZoom: 19, attribution: '&copy; OpenStreetMap'
+  }}).addTo(map);
+
+  const tilesLayer = L.geoJSON(null, {{
+    style: f => ({{
+      color: '#555', weight: 1, fillOpacity: 0.6,
+      fillColor: colorByCount(f.properties.ping_count)
+    }})
+  }}).addTo(map);
+  const positionsLayer = L.layerGroup().addTo(map);
+
+  function toast(msg) {{
+    const t = document.getElementById('toast');
+    t.textContent = msg;
+    t.style.display = 'block';
+    setTimeout(() => t.style.display = 'none', 1500);
+  }}
+
+  async function refresh() {{
+    try {{
+      const [tilesRes, ptsRes] = await Promise.all([
+        fetch('/api/tiles/latest'), fetch('/api/positions/latest')
+      ]);
+      const tiles = await tilesRes.json();
+      const pts = await ptsRes.json();
+
+      tilesLayer.clearLayers();
+      if (tiles.features && tiles.features.length) {{
+        tilesLayer.addData(tiles);
+        const b = tilesLayer.getBounds();
+        if (b.isValid()) map.fitBounds(b, {{ maxZoom: 14 }});
+      }}
+
+      positionsLayer.clearLayers();
+      (pts.features || []).forEach(f => {{
+        const [lng, lat] = f.geometry.coordinates;
+        const m = L.circleMarker([lat, lng], {{ radius: 5 }});
+        m.bindPopup(
+          `<b>${{f.properties.provider}}</b><br/>` +
+          `${{f.properties.vehicleId}}<br/>${{f.properties.ts}}`);
+        positionsLayer.addLayer(m);
+      }});
+
+      if (!(tiles.features || []).length && !(pts.features || []).length) {{
+        toast('Waiting for data…');
+      }}
+    }} catch (e) {{
+      console.error(e);
+      toast('Error fetching data.');
+    }}
+  }}
+
+  refresh();
+  setInterval(refresh, REFRESH_MS);
+</script>
+</body>
+</html>"""
 
 
 def latest_window_features(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -114,23 +225,32 @@ def _feature_collection_json(df: DataFrame, order_by, cap: int = FEATURE_CAP) ->
 class TileApiServer:
     """Snapshot-serving HTTP server for the two reference endpoints."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, feature_cap: int = FEATURE_CAP):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        feature_cap: int = FEATURE_CAP,
+        refresh_ms: int = REFRESH_MS,
+    ):
         self._feature_cap = feature_cap
+        empty = '{"type":"FeatureCollection","features":[]}'
         self._payloads = {
-            "/api/tiles/latest": '{"type":"FeatureCollection","features":[]}',
-            "/api/positions/latest": '{"type":"FeatureCollection","features":[]}',
+            "/": (map_page(refresh_ms), "text/html; charset=utf-8"),
+            "/api/tiles/latest": (empty, "application/geo+json"),
+            "/api/positions/latest": (empty, "application/geo+json"),
         }
         payloads = self._payloads
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (stdlib API name)
-                body = payloads.get(self.path)
-                if body is None:
+                entry = payloads.get(self.path)
+                if entry is None:
                     self.send_error(404)
                     return
+                body, content_type = entry
                 data = body.encode("utf-8")
                 self.send_response(200)
-                self.send_header("Content-Type", "application/geo+json")
+                self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
@@ -151,15 +271,21 @@ class TileApiServer:
         Both envelopes are deterministic top-``feature_cap`` selections:
         tiles by ping density (the heatmap's salience), positions by
         recency — id tie-broken, so a capped snapshot is stable."""
-        self._payloads["/api/tiles/latest"] = _feature_collection_json(
-            latest_window_features(pings, cfg),
-            [F.desc("properties.ping_count"), F.asc("id")],
-            self._feature_cap,
+        self._payloads["/api/tiles/latest"] = (
+            _feature_collection_json(
+                latest_window_features(pings, cfg),
+                [F.desc("properties.ping_count"), F.asc("id")],
+                self._feature_cap,
+            ),
+            "application/geo+json",
         )
-        self._payloads["/api/positions/latest"] = _feature_collection_json(
-            position_point_features(pings),
-            [F.desc("properties.ts"), F.asc("id")],
-            self._feature_cap,
+        self._payloads["/api/positions/latest"] = (
+            _feature_collection_json(
+                position_point_features(pings),
+                [F.desc("properties.ts"), F.asc("id")],
+                self._feature_cap,
+            ),
+            "application/geo+json",
         )
 
     def start(self) -> "TileApiServer":

@@ -55,17 +55,30 @@ def spread(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read it as nanos-since-epoch
-    (legacy long mode) and convert to a proper microsecond TimestampType
-    column. The fixture values carry no sub-microsecond component, so the
-    conversion is lossless and matches what DuckDB sees.
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS). How Spark reads
+    that changed across versions, so this normalizes both shapes to the
+    same session-zoned microsecond TimestampType column:
+
+    - Spark <= 4.0 rejects nanos outright unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case the
+      column arrives as nanos-since-epoch LongType -> convert with
+      ``timestamp_micros(ts div 1000)``.
+    - Spark 4.1+ reads TIMESTAMP(NANOS) natively as TimestampNTZType,
+      truncated to microseconds (the legacy conf is ignored) -> cast NTZ
+      to TimestampType; under the engine's pinned UTC session zone this
+      yields the identical instant the legacy path produced.
+
+    The fixture values carry no sub-microsecond component, so both
+    conversions are lossless and match what DuckDB sees.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":  # legacy nanos-as-long read (Spark <= 4.0)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -68,16 +68,40 @@ def json_ping_stream(spark: SparkSession, input_dir: str, max_files_per_trigger:
 def pings_stream_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sources.tables.pings_from_events: the fixture
     events parquet as a file-source stream with the same ping projection
-    (nanos ts read as long, same deterministic geo derivation)."""
+    and deterministic geo derivation.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), and how Spark surfaces it
+    changed across versions (see sources.tables.load_table). A streaming
+    file source needs its schema up front, so probe with a footer-only
+    batch read of the SAME file under the SAME conf and mirror whatever
+    ``ts`` dtype that run of Spark produces:
+
+    - LongType (Spark <= 4.0 legacy nanosAsLong): nanos-since-epoch ->
+      ``timestamp_micros(ts div 1000)``.
+    - TimestampNTZType (Spark 4.1+ native read; legacy conf ignored):
+      cast NTZ -> session-zoned timestamp (identical instants under the
+      engine's pinned UTC zone).
+
+    Forcing LongType in the stream schema on a native-read Spark is NOT
+    safe — 4.1.2 silently hands back micros-as-long there, which shifted
+    every eventTs ~54 years and collapsed the windowed aggregate.
+    """
     from pyspark.sql import types as T
 
     from ..sources.tables import LAT_SQL, LON_SQL
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    if ts_type.typeName() == "long":
+        ts_expr = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_expr = F.col("ts").cast("timestamp")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -93,7 +117,7 @@ def pings_stream_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         F.col("event_type").alias("provider"),
         F.col("user_id").cast("string").alias("vehicleId"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("eventTs"),
+        ts_expr.alias("eventTs"),
         F.expr(LAT_SQL).alias("lat"),
         F.expr(LON_SQL).alias("lon"),
         F.col("value").alias("speedKmh"),

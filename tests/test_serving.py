@@ -92,6 +92,43 @@ def test_http_api_serves_latest_window_and_positions(spark):
         srv.stop()
 
 
+def test_http_api_serves_map_page(spark):
+    """GET / serves the single-file Leaflet UI (reference app.py:92-189)
+    from the SAME server instance as the two API endpoints, with the
+    count ramp generated from the tile_colors operator's COLOR_RAMP."""
+    import urllib.request
+
+    from real_time_mobility_heatmap_spark.operators.wire import COLOR_RAMP
+    from real_time_mobility_heatmap_spark.serving.http_api import TileApiServer
+
+    srv = TileApiServer(refresh_ms=1234).start()
+    try:
+        srv.refresh(_pings(spark))
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode("utf-8")
+
+        # page polls both API endpoints at the configured cadence
+        assert "/api/tiles/latest" in page
+        assert "/api/positions/latest" in page
+        assert "REFRESH_MS = 1234" in page
+        # the style ramp is generated from the operator's constant and
+        # keys off this engine's tile property name
+        for threshold, hexcode in COLOR_RAMP:
+            assert hexcode in page
+        assert "properties.ping_count" in page
+
+        # the API endpoints still serve geo+json alongside the page
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/tiles/latest"
+        ) as r:
+            assert r.headers["Content-Type"] == "application/geo+json"
+    finally:
+        srv.stop()
+
+
 def test_end_to_end_stream_store_serve(spark, tmp_path):
     """Full reference pipeline shape (EP2 -> EP3): wire JSON -> streaming
     window agg -> idempotent keyed store -> latest-window serving
