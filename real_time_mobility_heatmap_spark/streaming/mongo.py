@@ -71,8 +71,12 @@ def _flush(target, ops: list) -> None:
 
     A lost ts-guard race (or a replay of an already-applied batch) shows
     up as E11000 on the upsert's insert path — the stored doc is already
-    newer-or-equal, which is exactly the no-op the guard wants. Any other
-    write error is real and re-raised.
+    newer-or-equal, which is exactly the no-op the guard wants. ONLY that
+    outcome is swallowed: the error must carry a non-empty writeErrors
+    list that is all code-11000, and no writeConcernErrors. A
+    BulkWriteError with empty/absent writeErrors (e.g. a pure
+    write-concern / replication failure) is not a duplicate-key no-op and
+    is re-raised like any other write error.
     """
     if not ops:
         return
@@ -81,12 +85,10 @@ def _flush(target, ops: list) -> None:
     try:
         target.bulk_write(ops, ordered=False)
     except BulkWriteError as e:
-        fatal = [
-            w
-            for w in (e.details or {}).get("writeErrors", [])
-            if w.get("code") != DUP_KEY
-        ]
-        if fatal:
+        details = e.details or {}
+        write_errors = details.get("writeErrors") or []
+        fatal = [w for w in write_errors if w.get("code") != DUP_KEY]
+        if fatal or not write_errors or details.get("writeConcernErrors"):
             raise
 
 

@@ -150,9 +150,13 @@ def _write(rows, client, store, chunk=1000):
     )
 
 
-def test_construction_is_import_gated_without_pymongo():
+def test_construction_is_import_gated_without_pymongo(monkeypatch):
     from real_time_mobility_heatmap_spark.streaming.mongo import MongoKeyedStore
 
+    # force `import pymongo` to fail deterministically, whether or not the
+    # environment has pymongo installed: None in sys.modules makes the
+    # import machinery raise ImportError ("import halted")
+    monkeypatch.setitem(sys.modules, "pymongo", None)
     with pytest.raises(ImportError, match="pymongo not installed"):
         MongoKeyedStore("mongodb://x", "db", "c", ["k"])
 
@@ -215,6 +219,44 @@ def test_non_duplicate_write_errors_are_reraised(fake_pymongo):
 
     with pytest.raises(FakeBulkWriteError):
         _flush(Exploding(), [object()])
+
+
+def test_write_concern_failures_are_reraised(fake_pymongo):
+    """A BulkWriteError whose writeErrors are all benign dup-keys (or
+    empty) but which carries writeConcernErrors is a replication failure,
+    not a guard-race no-op — it must propagate."""
+    from real_time_mobility_heatmap_spark.streaming.mongo import _flush
+
+    class WriteConcernFail:
+        def __init__(self, details):
+            self._details = details
+
+        def bulk_write(self, ops, ordered=False):
+            raise FakeBulkWriteError(self._details)
+
+    dup = {"index": 0, "code": 11000, "errmsg": "E11000"}
+    wc = {"code": 64, "errmsg": "waiting for replication timed out"}
+    for details in (
+        {"writeErrors": [dup], "writeConcernErrors": [wc]},
+        {"writeErrors": [], "writeConcernErrors": [wc]},
+        {"writeConcernErrors": [wc]},
+        {},  # detail-less bulk error: nothing proves it was benign
+        None,
+    ):
+        with pytest.raises(FakeBulkWriteError):
+            _flush(WriteConcernFail(details), [object()])
+
+
+def test_pure_duplicate_key_errors_are_swallowed(fake_pymongo):
+    from real_time_mobility_heatmap_spark.streaming.mongo import _flush
+
+    class DupOnly:
+        def bulk_write(self, ops, ordered=False):
+            raise FakeBulkWriteError(
+                {"writeErrors": [{"index": 0, "code": 11000, "errmsg": "E11000"}]}
+            )
+
+    _flush(DupOnly(), [object()])  # must not raise
 
 
 def test_bulk_writes_are_chunked(fake_pymongo):
