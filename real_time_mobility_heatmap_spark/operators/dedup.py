@@ -255,7 +255,21 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     per-bucket fanout bounded by C(df_cap, 2) even on degenerate corpora.
     At 100 TB this is a shuffle on band_hash, never an all-pairs product.
     """
-    sigs = minhash_signatures(docs)
+    # Materialize the distinct hashed shingle rows ONCE: the signature
+    # aggregate, the hot-shingle df pass, and both verify joins all read
+    # this relation, and Catalyst's ReuseExchange can't share it (each
+    # branch shuffles after a different map side). Recomputing means
+    # tokenize+shingle+md5 over the corpus per branch — at 100 TB that's
+    # three full scans; one executor-local materialization is the
+    # canonical iterative/reused-branch pattern. MinHash over the
+    # DISTINCT rows equals MinHash over the multiset (min is
+    # set-invariant), so one relation serves both consumers exactly.
+    hashed = _hashed_rows(docs).localCheckpoint(eager=False)
+    mixes = [
+        F.min(F.expr(f"({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}")).alias(f"mh{k}")
+        for k, (a, b) in enumerate(_MIX)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*mixes)
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.expr(_band_hash_spark(b)).alias("bh"))
@@ -276,10 +290,10 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return _verify_jaccard(docs, candidates)
+    return _verify_jaccard(docs, candidates, hashed=hashed)
 
 
-def _verify_jaccard(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+def _verify_jaccard(docs: DataFrame, candidates: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, thresholded.
 
     Hot shingles (document frequency above df_cap) are excluded from
@@ -287,8 +301,19 @@ def _verify_jaccard(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     while denominators stay the full set sizes. Candidates are tiny
     relative to the corpus, so both intersection joins are candidate-driven
     (broadcast); the only full-corpus work is the one df aggregation.
+
+    ``hashed``: optional pre-materialized distinct (doc_id, s_h) rows —
+    callers that already computed them (minhash_lsh_pairs) pass them in
+    so verify doesn't re-shingle the corpus.
     """
-    ex = _exploded_hashed(docs)
+    if hashed is not None:
+        ex = hashed.select(
+            "doc_id",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+            "s_h",
+        )
+    else:
+        ex = _exploded_hashed(docs)
     hot = (
         ex.groupBy("s_h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -605,8 +630,14 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()
     adj = adj.localCheckpoint(eager=True)  # cut lineage: edges are reused every round
-    labels = adj.select(F.col("doc_a").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("label")
+    # seed = least(self, min neighbor): the first propagation half-round
+    # folded into the node-list aggregation (adj is symmetric, so every
+    # node appears as doc_a) — one fewer loop round than identity seeding
+    labels = (
+        adj.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("mn"))
+        .select("doc_id", F.least("doc_id", "mn").alias("label"))
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iters):
@@ -617,6 +648,7 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         stepped = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
         # pointer jump: label <- label(label); every label IS a node id,
@@ -627,16 +659,17 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         new_labels = (
             stepped.join(lmap, "label", "left")
-            .select("doc_id", F.least("label", F.coalesce("jump", "label")).alias("label"))
+            .select(
+                "doc_id",
+                "old_label",
+                F.least("label", F.coalesce("jump", "label")).alias("label"),
+            )
             .localCheckpoint(eager=True)  # fixpoint loop: keep plans constant-size
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # the old label rides through the checkpoint, so the convergence
+        # count scans the just-materialized partitions — no extra join
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             converged = True
             break
