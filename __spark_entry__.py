@@ -71,62 +71,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at least every other round.
     """
     return {
-        # ---- driver window (r5): the 45 entries below the r3/r4 window —
-        # last driver-checked in r2, overdue for a fresh row ----
-        "multiplex_summary": multiplex.q_multiplex_summary,
-        "pricing_summary": relational.q_pricing_summary,
-        "tile_feature_collection": geojson.q_tile_feature_collection,
-        "token_count": textops.q_token_count,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
-        "wire_roundtrip": decode.q_wire_roundtrip,
-        "latest_positions": latest.q_latest_positions,
-        "latest_window_snapshot": latest.q_latest_window_snapshot,
-        "demux_tiles": multiplex.q_demux_tiles,
-        "tile_features_flat": geojson.q_tile_features_flat,
-        "fresh_tiles": geojson.q_fresh_tiles,
-        "exact_dedup": dedup.q_exact_dedup,
-        "minhash_signatures": dedup.q_minhash_signatures,
-        "json_decode": decode.q_json_decode,
-        "latest_join": latest.q_latest_join,
-        "top_window": latest.q_top_window,
-        "watermark_latedrop": latest.q_watermark_latedrop,
-        "latest_rownum": latest.q_latest_rownum,
-        "shipping_priority": relational.q_shipping_priority,
-        "local_supplier_volume": relational.q_local_supplier_volume,
-        "orders_with_big_items": relational.q_orders_with_big_items,
-        "customers_without_orders": relational.q_customers_without_orders,
-        "brand_volume": relational.q_brand_volume,
-        "sales_rollup": relational.q_sales_rollup,
-        "above_avg_orders": relational.q_above_avg_orders,
-        "cube_sales": relational.q_cube_sales,
-        "event_type_pivot": relational.q_event_type_pivot,
-        "moving_avg_speed": relational.q_moving_avg_speed,
-        "active_cells_setops": relational.q_active_cells_setops,
-        "active_cells_flags": relational.q_active_cells_flags,
-        "conversion_window_counts": relational.q_conversion_window_counts,
-        "funnel_conversions": relational.q_funnel_conversions,
-        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
-        "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
-        "position_features": geojson.q_position_features,
-        "quality_score": textops.q_quality_score,
-        "lang_id": textops.q_lang_id,
-        "fingerprint": textops.q_fingerprint,
-        "rolling_fingerprint": textops.q_rolling_fingerprint,
-        "corpus_stats": textops.q_corpus_stats,
-        "term_frequencies": textops.q_term_frequencies,
-        "tfidf_top_terms": textops.q_tfidf_top_terms,
-        "dataset_split": textops.q_dataset_split,
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        "simhash": dedup.q_simhash,
-        # ---- window backfill: 5 r4-green anchors, one per family
-        # (tiles / streaming / stateful-windows / packing / ANN-dedup) ----
-        "mobility_tiles": _q_mobility_tiles,
-        "streaming_tiles": run_streaming_tiles,
-        "vehicle_trips": windows.q_vehicle_trips,
-        "pack_sequences": textops.q_pack_sequences,
-        "embedding_neardup": similarity.q_embedding_neardup,
-        # ---------------- end of driver window (50 entries) ----------------
-        # everything below was driver-green in round 4 (CORRECTNESS_r04.json)
+        # ---- driver window (r6): 2 NEW queries (never driver-checked),
+        # then the 45 entries last checked in r4, then 3 anchors whose
+        # code changed this round (LSH materialization; streaming source
+        # dtype fix; batch events reader) ----
+        "kmeans_update": similarity.q_kmeans_update,
+        "ivf_assign_trained": similarity.q_ivf_assign_trained,
         "wire_encode": wire.q_wire_encode,
         "tile_colors": wire.q_tile_colors,
         "sql_pricing_summary": wire.q_sql_pricing_summary,
@@ -172,6 +122,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": windows.q_approx_value_percentiles,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
+        # ---- window backfill: 3 r5-green anchors whose code changed this
+        # round, so a regression would be caught immediately ----
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "streaming_tiles": run_streaming_tiles,
+        "mobility_tiles": _q_mobility_tiles,
+        # ---------------- end of driver window (50 entries) ----------------
+        # everything below was driver-green in round 5 (CORRECTNESS_r05.json)
+        "multiplex_summary": multiplex.q_multiplex_summary,
+        "pricing_summary": relational.q_pricing_summary,
+        "tile_feature_collection": geojson.q_tile_feature_collection,
+        "token_count": textops.q_token_count,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "wire_roundtrip": decode.q_wire_roundtrip,
+        "latest_positions": latest.q_latest_positions,
+        "latest_window_snapshot": latest.q_latest_window_snapshot,
+        "demux_tiles": multiplex.q_demux_tiles,
+        "tile_features_flat": geojson.q_tile_features_flat,
+        "fresh_tiles": geojson.q_fresh_tiles,
+        "exact_dedup": dedup.q_exact_dedup,
+        "minhash_signatures": dedup.q_minhash_signatures,
+        "json_decode": decode.q_json_decode,
+        "latest_join": latest.q_latest_join,
+        "top_window": latest.q_top_window,
+        "watermark_latedrop": latest.q_watermark_latedrop,
+        "latest_rownum": latest.q_latest_rownum,
+        "shipping_priority": relational.q_shipping_priority,
+        "local_supplier_volume": relational.q_local_supplier_volume,
+        "orders_with_big_items": relational.q_orders_with_big_items,
+        "customers_without_orders": relational.q_customers_without_orders,
+        "brand_volume": relational.q_brand_volume,
+        "sales_rollup": relational.q_sales_rollup,
+        "above_avg_orders": relational.q_above_avg_orders,
+        "cube_sales": relational.q_cube_sales,
+        "event_type_pivot": relational.q_event_type_pivot,
+        "moving_avg_speed": relational.q_moving_avg_speed,
+        "active_cells_setops": relational.q_active_cells_setops,
+        "active_cells_flags": relational.q_active_cells_flags,
+        "conversion_window_counts": relational.q_conversion_window_counts,
+        "funnel_conversions": relational.q_funnel_conversions,
+        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
+        "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
+        "position_features": geojson.q_position_features,
+        "quality_score": textops.q_quality_score,
+        "lang_id": textops.q_lang_id,
+        "fingerprint": textops.q_fingerprint,
+        "rolling_fingerprint": textops.q_rolling_fingerprint,
+        "corpus_stats": textops.q_corpus_stats,
+        "term_frequencies": textops.q_term_frequencies,
+        "tfidf_top_terms": textops.q_tfidf_top_terms,
+        "dataset_split": textops.q_dataset_split,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "simhash": dedup.q_simhash,
+        "vehicle_trips": windows.q_vehicle_trips,
+        "pack_sequences": textops.q_pack_sequences,
+        "embedding_neardup": similarity.q_embedding_neardup,
     }
 
 
@@ -269,6 +274,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": similarity.IVF_ASSIGN_ORACLE,
         "topk_cosine_ivf": similarity.TOPK_COSINE_IVF_ORACLE,
         "topk_cosine_ivf_probe2": similarity.TOPK_COSINE_IVF_PROBE2_ORACLE,
+        "kmeans_update": similarity.KMEANS_UPDATE_ORACLE,
+        "ivf_assign_trained": similarity.IVF_ASSIGN_TRAINED_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

@@ -508,6 +508,118 @@ TOPK_COSINE_IVF_PROBE2_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------- IVF training
+# One Lloyd round closes the IVF loop the earlier operators left offline:
+# seed centroids (_centroids) -> assign (ivf_assign) -> UPDATE (element-wise
+# member mean) -> re-assign against the trained table. Averages are rounded
+# to ROUND_COS decimals so cross-engine double accumulation order cannot
+# flip a value hash — the same guarantee every avg aggregate in this repo
+# makes. Production would iterate update/assign to convergence over a
+# SAMPLE of the corpus; each round is exactly these two shapes.
+
+
+def kmeans_update(embeddings: DataFrame) -> DataFrame:
+    """One k-means (Lloyd) update step in long form: for every
+    (centroid, dimension), the mean of the member vectors' components,
+    plus the member count.
+
+    Plan shape: broadcast-assign (ivf_assign), then posexplode each
+    member vector to (centroid_id, pos, v) and hash-aggregate the mean —
+    one scan + one shuffle on (centroid_id, pos), k*dim output rows.
+    At 100 TB the update aggregate carries k*dim cells of partial
+    (sum, count), not vectors; this is the canonical distributed k-means
+    round (MLlib's KMeans does the same reduce, RDD-side)."""
+    assign = ivf_assign(embeddings).select("vec_id", "centroid_id")
+    members = (
+        spread(embeddings)
+        .join(assign, "vec_id")
+        .select("centroid_id", F.posexplode(_as_double("embedding")).alias("pos", "v"))
+    )
+    return members.groupBy("centroid_id", "pos").agg(
+        F.round(F.avg("v"), ROUND_COS).alias("coord"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+_KMEANS_UPDATE_DUCK = f"""
+    SELECT a.centroid_id, d.pos,
+           round(avg(e.embedding[d.pos + 1]::DOUBLE), {ROUND_COS}) AS coord,
+           count(*) AS n_members
+    FROM ({_ASSIGN_DUCK}) a
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    CROSS JOIN (SELECT generate_series AS pos FROM generate_series(0, {DIM - 1})) d
+    GROUP BY 1, 2
+"""
+
+KMEANS_UPDATE_ORACLE = _KMEANS_UPDATE_DUCK
+
+
+def _trained_centroids(embeddings: DataFrame) -> DataFrame:
+    """Round-1 centroids re-assembled to arrays: (c_id, c_emb)."""
+    return kmeans_update(embeddings).groupBy(
+        F.col("centroid_id").alias("c_id")
+    ).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "coord"))),
+            lambda s: s.coord,
+        ).alias("c_emb")
+    )
+
+
+def ivf_assign_trained(embeddings: DataFrame) -> DataFrame:
+    """IVF assignment against the TRAINED (round-1 Lloyd) centroids —
+    the read side of the training loop: same broadcast + dist2 + window
+    shape as ``ivf_assign``, against k mean vectors instead of the k
+    seeds. Rounded coords enter identically in both engines, and both
+    fold the dot products sequentially, so dist2 hashes match."""
+    e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
+    scored = e.crossJoin(F.broadcast(_trained_centroids(embeddings))).select(
+        "vec_id",
+        "c_id",
+        F.round(
+            _dot(F.col("e"), F.col("e"))
+            - 2 * _dot(F.col("e"), F.col("c_emb"))
+            + _dot(F.col("c_emb"), F.col("c_emb")),
+            ROUND_COS,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("centroid_id"), "dist2")
+    )
+
+
+IVF_ASSIGN_TRAINED_ORACLE = f"""
+    WITH upd AS ({_KMEANS_UPDATE_DUCK}),
+    cent AS (
+        SELECT centroid_id AS c_id, list(coord ORDER BY pos) AS cemb
+        FROM upd GROUP BY centroid_id
+    )
+    SELECT vec_id, centroid_id, dist2 FROM (
+        SELECT e.vec_id, c.c_id AS centroid_id,
+               round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                     - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)
+                     + list_dot_product(c.cemb, c.cemb), {ROUND_COS}) AS dist2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                         - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)
+                         + list_dot_product(c.cemb, c.cemb), {ROUND_COS}) ASC,
+                   c.c_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+"""
+
+
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_update(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_assign_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_assign_trained(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_topk_cosine_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_ivf_probe2(load_table(spark, sf_dir, "embeddings"))
 

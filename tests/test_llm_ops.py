@@ -251,6 +251,50 @@ def test_ivf_probe2_recall_dominates_probe1(spark):
         assert p2[q] >= p1[q], (q, p1[q], p2[q])
 
 
+def test_kmeans_update_means_and_trained_assignment(spark):
+    """One Lloyd round: (a) the update emits k*dim cells whose n_members
+    partition the corpus and whose coords are the member means; (b) the
+    trained re-assignment is total and strictly-no-worse in total within-
+    cluster distance than assigning against the seed centroids (the
+    monotone-improvement property of Lloyd's algorithm)."""
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        DIM,
+        N_CENTROIDS,
+        ivf_assign,
+        ivf_assign_trained,
+        kmeans_update,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+
+    upd = kmeans_update(emb).collect()
+    assert len(upd) == N_CENTROIDS * DIM
+    # every (centroid, pos) slice counts the same members; slices partition the corpus
+    by_cent = {}
+    for r in upd:
+        by_cent.setdefault(r["centroid_id"], set()).add(r["n_members"])
+    assert all(len(v) == 1 for v in by_cent.values())
+    assert sum(next(iter(v)) for v in by_cent.values()) == n
+
+    # hand-check one cell mean: centroid 0 / pos 0
+    assign = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb).collect()}
+    members0 = [
+        float(r["embedding"][0])
+        for r in emb.select("vec_id", "embedding").collect()
+        if assign[r["vec_id"]] == 0
+    ]
+    got = next(r["coord"] for r in upd if r["centroid_id"] == 0 and r["pos"] == 0)
+    assert abs(got - sum(members0) / len(members0)) < 1e-5
+
+    trained = ivf_assign_trained(emb).collect()
+    assert len(trained) == n  # total function after the update too
+    seed_cost = sum(r["dist2"] for r in ivf_assign(emb).collect())
+    trained_cost = sum(r["dist2"] for r in trained)
+    assert trained_cost <= seed_cost + 1e-6, (trained_cost, seed_cost)
+
+
 def test_repetition_stats_hand_counts(spark):
     from real_time_mobility_heatmap_spark.operators.textops import repetition_stats
 
