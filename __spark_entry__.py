@@ -71,12 +71,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at least every other round.
     """
     return {
-        # ---- driver window (r6): 2 NEW queries (never driver-checked),
-        # then the 45 entries last checked in r4, then 3 anchors whose
+        # ---- driver window (r6): 3 NEW queries (never driver-checked),
+        # then the 45 entries last checked in r4, then 2 anchors whose
         # code changed this round (LSH materialization; streaming source
-        # dtype fix; batch events reader) ----
+        # dtype fix) ----
         "kmeans_update": similarity.q_kmeans_update,
         "ivf_assign_trained": similarity.q_ivf_assign_trained,
+        "bucketed_join_stats": relational.bucketed_join_stats,
         "wire_encode": wire.q_wire_encode,
         "tile_colors": wire.q_tile_colors,
         "sql_pricing_summary": wire.q_sql_pricing_summary,
@@ -122,13 +123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": windows.q_approx_value_percentiles,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
-        # ---- window backfill: 3 r5-green anchors whose code changed this
+        # ---- window backfill: 2 r5-green anchors whose code changed this
         # round, so a regression would be caught immediately ----
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "streaming_tiles": run_streaming_tiles,
-        "mobility_tiles": _q_mobility_tiles,
         # ---------------- end of driver window (50 entries) ----------------
-        # everything below was driver-green in round 5 (CORRECTNESS_r05.json)
+        # everything below was driver-green in round 5 (CORRECTNESS_r05.json);
+        # mobility_tiles' changed load path is exercised by most window queries
+        "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
         "tile_feature_collection": geojson.q_tile_feature_collection,
@@ -276,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine_ivf_probe2": similarity.TOPK_COSINE_IVF_PROBE2_ORACLE,
         "kmeans_update": similarity.KMEANS_UPDATE_ORACLE,
         "ivf_assign_trained": similarity.IVF_ASSIGN_TRAINED_ORACLE,
+        "bucketed_join_stats": relational.BUCKETED_JOIN_STATS_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

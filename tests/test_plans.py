@@ -86,6 +86,35 @@ def test_salted_join_spreads_hot_keys(spark):
     assert "salt" in plan
 
 
+def test_bucketed_join_has_no_exchange_on_either_input(spark):
+    """The co-located join must read both bucketed tables WITHOUT
+    re-shuffling: zero Exchange below the SortMergeJoin (the write-time
+    bucketing IS the shuffle). The registered query's only Exchange is
+    the final group-by aggregate."""
+    from real_time_mobility_heatmap_spark.operators.relational import (
+        bucketed_tables,
+    )
+
+    orders, lineitem = bucketed_tables(spark, SF_DIR)
+    joined = orders.hint("merge").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join re-shuffled an input"
+    assert "SelectedBucketsCount" in plan  # scans really are bucket-aware
+
+    # formatted explain prints each node in the tree AND a detail section,
+    # so count node headers: exactly one Exchange (the final aggregate's)
+    full = _plan(spark, "bucketed_join_stats")
+    assert len(re.findall(r"\(\d+\) Exchange", full)) == 1, (
+        "only the final aggregate may shuffle"
+    )
+
+
 def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):
     """Anti-pattern sweep over EVERY registered query's plan:
 
