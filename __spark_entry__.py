@@ -71,13 +71,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at least every other round.
     """
     return {
-        # ---- driver window (r6): 3 NEW queries (never driver-checked),
-        # then the 45 entries last checked in r4, then 2 anchors whose
-        # code changed this round (LSH materialization; streaming source
-        # dtype fix) ----
+        # ---- driver window (r6): 4 NEW queries (never driver-checked),
+        # then the 45 entries last checked in r4, then the anchor whose
+        # code changed this round (streaming source dtype fix) ----
         "kmeans_update": similarity.q_kmeans_update,
         "ivf_assign_trained": similarity.q_ivf_assign_trained,
         "bucketed_join_stats": relational.bucketed_join_stats,
+        "scd2_user_segments": windows.q_scd2_user_segments,
         "wire_encode": wire.q_wire_encode,
         "tile_colors": wire.q_tile_colors,
         "sql_pricing_summary": wire.q_sql_pricing_summary,
@@ -123,14 +123,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": windows.q_approx_value_percentiles,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
-        # ---- window backfill: 2 r5-green anchors whose code changed this
-        # round, so a regression would be caught immediately ----
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        # ---- window backfill: the r5-green anchor whose code changed this
+        # round (streaming source dtype fix), so a regression is caught
+        # immediately ----
         "streaming_tiles": run_streaming_tiles,
         # ---------------- end of driver window (50 entries) ----------------
         # everything below was driver-green in round 5 (CORRECTNESS_r05.json);
-        # mobility_tiles' changed load path is exercised by most window queries
+        # mobility_tiles' changed load path is exercised by most window
+        # queries, and minhash_lsh_pairs' LSH rework runs inside the
+        # window's dedup_clusters row
         "mobility_tiles": _q_mobility_tiles,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
         "tile_feature_collection": geojson.q_tile_feature_collection,
@@ -279,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_update": similarity.KMEANS_UPDATE_ORACLE,
         "ivf_assign_trained": similarity.IVF_ASSIGN_TRAINED_ORACLE,
         "bucketed_join_stats": relational.BUCKETED_JOIN_STATS_ORACLE,
+        "scd2_user_segments": windows.SCD2_USER_SEGMENTS_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

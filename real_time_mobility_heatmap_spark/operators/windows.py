@@ -431,3 +431,66 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+def scd2_user_segments(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream (the
+    CDC pattern a training pipeline uses to version document/user
+    metadata): per user, each CHANGE of event_type opens a new
+    effective-dated segment row; the next change closes it.
+
+    Shape: one shuffle on user_id feeds all three window passes (lag for
+    change detection, row_number for version, lead to close the
+    interval) — Spark plans them in a single sort since the
+    partitioning/ordering agree. Deterministic tie-break on event_id, so
+    the dimension is reproducible from any replay of the log. The open
+    row per user has effective_to NULL / is_current true — the join-key
+    shape a point-in-time lookup (asof join, already registered) probes.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id", F.col("event_type").alias("segment"), "ts", "event_id"
+        )
+        .withColumn("prev_segment", F.lag("segment").over(w))
+        .filter(
+            F.col("prev_segment").isNull()
+            | (F.col("prev_segment") != F.col("segment"))
+        )
+    )
+    return (
+        changes.withColumn("version", F.row_number().over(w))
+        .withColumn("effective_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "segment",
+            F.col("ts").alias("effective_from"),
+            "effective_to",
+            "version",
+            F.col("effective_to").isNull().alias("is_current"),
+        )
+    )
+
+
+SCD2_USER_SEGMENTS_ORACLE = """
+    WITH changes AS (
+        SELECT user_id, segment, ts, event_id FROM (
+            SELECT user_id, event_type AS segment, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_segment
+            FROM events
+        ) WHERE prev_segment IS NULL OR prev_segment != segment
+    )
+    SELECT user_id, segment, ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM changes
+"""
+
+
+def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_user_segments(load_table(spark, sf_dir, "events"))
