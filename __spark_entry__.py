@@ -131,7 +131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything below was driver-green in round 5 (CORRECTNESS_r05.json);
         # mobility_tiles' changed load path is exercised by most window
         # queries, and minhash_lsh_pairs' LSH rework runs inside the
-        # window's dedup_clusters row
+        # window's dedup_clusters row; lm_score is new this round (local
+        # oracle gate green) and leads the r7 rotation
+        "lm_score": textops.q_lm_score,
         "mobility_tiles": _q_mobility_tiles,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "multiplex_summary": multiplex.q_multiplex_summary,
@@ -283,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign_trained": similarity.IVF_ASSIGN_TRAINED_ORACLE,
         "bucketed_join_stats": relational.BUCKETED_JOIN_STATS_ORACLE,
         "scd2_user_segments": windows.SCD2_USER_SEGMENTS_ORACLE,
+        "lm_score": textops.LM_SCORE_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

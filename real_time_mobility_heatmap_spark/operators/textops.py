@@ -811,3 +811,90 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+TRI_MICRO = 1_000_000  # per-trigram ln(p) fixed-point scale (micro-nats)
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Char-trigram language-model quality score — the CCNet-style "LM
+    perplexity filter" reduced to corpus self-statistics: each document
+    is scored by the average log-probability of its character trigrams
+    under the corpus's own trigram distribution. Gibberish, binary
+    spill, and OCR noise sit in the low tail; fluent running text sits
+    high. Complements ``token_commonness`` (word level) by catching
+    damage INSIDE words.
+
+    Plan shape: one trigram-explode pass feeds both the model aggregate
+    (shuffle on trigram) and the scoring join (big-to-big on trigram —
+    at 100 TB the trigram model is small, but the join is written
+    shuffle-shaped so the same plan serves byte-pair or word n-gram
+    models that aren't); the corpus total is a broadcast 1-row scalar.
+    Float discipline: ln() is computed per DISTINCT model row, scaled to
+    integer micro-nats and rounded BEFORE the per-doc sum, so the
+    accumulation is exact int64 and cross-engine accumulation order
+    cannot move the score (the salted-join micro-units pattern).
+    """
+    tri = (
+        spread(docs)
+        .filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("tri"),
+        )
+    )
+    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tri.agg(F.count(F.lit(1)).alias("total"))
+    micro = (
+        model.crossJoin(F.broadcast(total))
+        .select(
+            "tri",
+            F.round(F.log(F.col("cnt") / F.col("total")) * TRI_MICRO)
+            .cast("long")
+            .alias("micro_nats"),
+        )
+    )
+    return (
+        tri.join(micro, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                (F.sum("micro_nats") / F.count(F.lit(1))) / F.lit(TRI_MICRO).cast("double"),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+LM_SCORE_ORACLE = f"""
+    WITH trows AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(text) - 2),
+                                     i -> substr(text, i, 3))) AS tri
+        FROM documents WHERE len(text) >= 3
+    ),
+    model AS (SELECT tri, count(*) AS cnt FROM trows GROUP BY tri),
+    tot AS (SELECT count(*) AS total FROM trows),
+    micro AS (
+        SELECT tri,
+               CAST(round(ln(cnt / CAST(total AS DOUBLE)) * {TRI_MICRO}) AS BIGINT)
+                   AS micro_nats
+        FROM model CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_trigrams,
+           round((CAST(sum(micro_nats) AS DOUBLE) / count(*))
+                 / CAST({TRI_MICRO} AS DOUBLE), 6) AS avg_logp
+    FROM trows JOIN micro USING (tri)
+    GROUP BY doc_id
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score(load_table(spark, sf_dir, "documents"))

@@ -295,6 +295,23 @@ def test_kmeans_update_means_and_trained_assignment(spark):
     assert trained_cost <= seed_cost + 1e-6, (trained_cost, seed_cost)
 
 
+def test_lm_score_hand_computed_micronats(spark):
+    """Corpus 'aaaa' + 'abcd': trigram counts aaa:2, abc:1, bcd:1 over a
+    total of 4 -> doc0 avg ln p = ln(1/2), doc1 = ln(1/4), exactly (all
+    per-trigram micro-nat values are whole integers here). Fluent
+    (repetitive) text must outscore the all-rare doc."""
+    import math
+
+    from real_time_mobility_heatmap_spark.operators.textops import lm_score
+
+    docs = _docs(spark, ["aaaa", "abcd"])
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert out[0]["n_trigrams"] == 2 and out[1]["n_trigrams"] == 2
+    assert out[0]["avg_logp"] == round(round(math.log(0.5) * 1e6) / 1e6, 6)
+    assert out[1]["avg_logp"] == round(round(math.log(0.25) * 1e6) / 1e6, 6)
+    assert out[0]["avg_logp"] > out[1]["avg_logp"]
+
+
 def test_repetition_stats_hand_counts(spark):
     from real_time_mobility_heatmap_spark.operators.textops import repetition_stats
 
