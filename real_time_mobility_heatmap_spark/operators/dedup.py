@@ -561,14 +561,20 @@ def winnow_fingerprints_oracle() -> str:
 WINNOW_MIN_SHARED = 3  # pairs must share at least this many fingerprints
 
 
-def winnow_match_pairs(docs: DataFrame) -> DataFrame:
+def winnow_match_pairs(docs: DataFrame, fps: DataFrame | None = None) -> DataFrame:
     """Local-similarity pairs from shared winnowing fingerprints — the
     match stage of the plagiarism-detection pipeline the fingerprints
     exist for. Same capped bucket-explosion shape as the other pair
     generators, but over the winnowed set (a ~2/W fraction of all
     shingles), so candidate volume is structurally smaller than
-    ``ngram_jaccard_pairs`` for the same corpus."""
-    fps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    ``ngram_jaccard_pairs`` for the same corpus.
+
+    ``fps``: optional pre-computed ``winnow_fingerprints`` relation, so a
+    caller that also needs the fingerprints (match spans) shares one
+    materialization instead of re-tokenizing the corpus."""
+    if fps is None:
+        fps = winnow_fingerprints(docs)
+    fps = fps.select("doc_id", "fp_hash").distinct()
     buckets = (
         fps.groupBy("fp_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -715,9 +721,14 @@ def winnow_match_spans(docs: DataFrame) -> DataFrame:
     fingerprints — two broadcast-small joins, fanout bounded by shared
     fps per pair (ties on a hash inside one doc explode, which is the
     correct alignment semantics and vanishingly rare with 60-bit
-    hashes)."""
-    pairs = winnow_match_pairs(docs).select("doc_a", "doc_b")
-    fps = winnow_fingerprints(docs)
+    hashes).
+
+    The fingerprint relation is consumed three times (pair generation +
+    both alignment sides) and its pre-shuffle map work differs per
+    branch, so it's materialized once (same reasoning as
+    minhash_lsh_pairs' hashed-shingle checkpoint)."""
+    fps = winnow_fingerprints(docs).localCheckpoint(eager=False)
+    pairs = winnow_match_pairs(docs, fps=fps).select("doc_a", "doc_b")
     return (
         pairs.join(
             F.broadcast(fps.select(F.col("doc_id").alias("doc_a"),
