@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window's dedup_clusters row; lm_score is new this round (local
         # oracle gate green) and leads the r7 rotation
         "lm_score": textops.q_lm_score,
+        "decontaminate_bloom": dedup.q_decontaminate_bloom,
         "mobility_tiles": _q_mobility_tiles,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "multiplex_summary": multiplex.q_multiplex_summary,
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_stats": relational.BUCKETED_JOIN_STATS_ORACLE,
         "scd2_user_segments": windows.SCD2_USER_SEGMENTS_ORACLE,
         "lm_score": textops.LM_SCORE_ORACLE,
+        "decontaminate_bloom": dedup.decontaminate_bloom_oracle(),
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

@@ -882,6 +882,124 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(load_table(spark, sf_dir, "documents"))
 
 
+BLOOM_M = 1 << 22  # filter bits; ~0.1% FP at fixture scale, dial per corpus
+BLOOM_K = 3        # hash functions, drawn from the shared _MIX constants
+
+
+def _bloom_pos_sql(j: int) -> str:
+    """Bit position j for a 60-bit shingle hash ``s_h`` — the same affine
+    mix family as the MinHash signatures, reduced mod the filter size.
+    Integer-exact in both engines (same bound argument as _mh_expr)."""
+    a, b = _MIX[j]
+    return f"(({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}) % {BLOOM_M}"
+
+
+def decontaminate_bloom(docs: DataFrame) -> DataFrame:
+    """The 100 TB decontamination path ``decontaminate`` documents: probe
+    test-split shingles against a BLOOM FILTER of train-split shingles
+    instead of shuffling the whole corpus on the shingle hash. A shingle
+    counts as contaminated iff ALL ``BLOOM_K`` of its bit positions are
+    set by some train shingle — real Bloom semantics, so the ppm is an
+    upper bound on the exact pass (no false negatives; FP rate set by
+    M/K; a test pins the bound against ``decontaminate``).
+
+    The filter's K hash functions are deterministic integer mixes, so
+    even the false-positive behavior is engine-exact and this query is
+    HASH-oracle-checked — the approximate operator is verified as
+    tightly as the exact one. Plan shape: the set-bit relation (distinct
+    positions, <= M rows of ints) is what a deployment broadcasts as the
+    literal bitmap with an Arrow-vectorized probe; here the probe is the
+    equivalent equi-join on position, keeping one engine-portable
+    formulation for both sides of the comparison. Train bits are built
+    in one aggregation over train shingles; the corpus-wide s_h shuffle
+    of the exact pass is gone.
+    """
+    rows = (
+        _hashed_rows(docs)
+        .withColumn("split", F.expr(split_spark_sql()))
+        .filter(F.col("split") != "val")
+        .localCheckpoint(eager=False)  # one shingling pass feeds build + probe
+    )
+    train_bits = (
+        rows.filter(F.col("split") == "train")
+        .select(
+            F.explode(
+                F.array(*[F.expr(_bloom_pos_sql(j)) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    test = rows.filter(F.col("split") == "test")
+    probes = test.select(
+        "doc_id",
+        "s_h",
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql(j)) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        probes.join(train_bits, "pos")
+        .groupBy("doc_id", "s_h")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    per_doc = test.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.expr(
+                "coalesce(n_contaminated, 0) * 1000000 div n_shingles"
+            ).alias("contamination_ppm"),
+        )
+    )
+
+
+def decontaminate_bloom_oracle() -> str:
+    pos_list = ", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))
+    return f"""
+        WITH {_SHINGLED_DUCK},
+        ex AS (
+            SELECT doc_id, unnest(list_transform(sh, x -> {hash60_duck_sql('x')})) AS s_h
+            FROM shingled
+        ),
+        tagged AS (SELECT doc_id, s_h, {split_duck_sql()} AS split FROM ex),
+        train_bits AS (
+            SELECT DISTINCT unnest([{pos_list}]) AS pos
+            FROM tagged WHERE split = 'train'
+        ),
+        probes AS (
+            SELECT doc_id, s_h, unnest([{pos_list}]) AS pos
+            FROM tagged WHERE split = 'test'
+        ),
+        hits AS (
+            SELECT doc_id, count(*) AS n_contaminated FROM (
+                SELECT p.doc_id, p.s_h
+                FROM probes p JOIN train_bits USING (pos)
+                GROUP BY p.doc_id, p.s_h
+                HAVING count(*) = {BLOOM_K}
+            ) GROUP BY doc_id
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_shingles FROM tagged
+            WHERE split = 'test' GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.n_shingles,
+               coalesce(h.n_contaminated, 0) AS n_contaminated,
+               (coalesce(h.n_contaminated, 0) * 1000000) // d.n_shingles
+                   AS contamination_ppm
+        FROM per_doc d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate_bloom(load_table(spark, sf_dir, "documents"))
+
+
 def streaming_exact_dedup(events: DataFrame) -> DataFrame:
     """Batch twin of streaming dedup on the natural event key (streaming
     variant: dropDuplicatesWithinWatermark, tested in tests/).

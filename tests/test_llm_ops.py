@@ -295,6 +295,27 @@ def test_kmeans_update_means_and_trained_assignment(spark):
     assert trained_cost <= seed_cost + 1e-6, (trained_cost, seed_cost)
 
 
+def test_bloom_decontaminate_upper_bounds_exact(spark):
+    """Bloom semantics: no false negatives — per test doc the bloom
+    contaminated count is >= the exact count, with identical n_shingles
+    and doc coverage (fixture corpus, both operators end to end)."""
+    from real_time_mobility_heatmap_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {r["doc_id"]: r for r in decontaminate(docs).collect()}
+    bloom = {r["doc_id"]: r for r in decontaminate_bloom(docs).collect()}
+    assert set(exact) == set(bloom) and exact
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b["n_shingles"] == e["n_shingles"]
+        assert b["n_contaminated"] >= e["n_contaminated"], d
+        assert b["contamination_ppm"] >= e["contamination_ppm"], d
+
+
 def test_lm_score_hand_computed_micronats(spark):
     """Corpus 'aaaa' + 'abcd': trigram counts aaa:2, abc:1, bcd:1 over a
     total of 4 -> doc0 avg ln p = ln(1/2), doc1 = ln(1/4), exactly (all
