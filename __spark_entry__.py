@@ -47,7 +47,10 @@ from real_time_mobility_heatmap_spark.sources.tables import (
     source_roundtrip_oracle,
 )
 from real_time_mobility_heatmap_spark.serving import geojson
-from real_time_mobility_heatmap_spark.streaming.assembly import run_streaming_tiles
+from real_time_mobility_heatmap_spark.streaming.assembly import (
+    run_streaming_sessions,
+    run_streaming_tiles,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -135,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle gate green) and leads the r7 rotation
         "lm_score": textops.q_lm_score,
         "decontaminate_bloom": dedup.q_decontaminate_bloom,
+        "streaming_sessions": run_streaming_sessions,
         "mobility_tiles": _q_mobility_tiles,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "multiplex_summary": multiplex.q_multiplex_summary,
@@ -265,6 +269,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_clicks_recent_purchase": asof.CLICKS_RECENT_PURCHASE_ORACLE,
         "sliding_cell_counts": windows.sliding_cell_counts_oracle(CFG),
         "vehicle_sessions": windows.vehicle_sessions_oracle(),
+        # live session-window stream, same oracle as the batch twin
+        "streaming_sessions": windows.vehicle_sessions_oracle(),
         "salted_cell_counts": windows.salted_cell_counts_oracle(CFG),
         "value_percentiles": windows.VALUE_PERCENTILES_ORACLE,
         "value_histogram": windows.VALUE_HISTOGRAM_ORACLE,

@@ -108,6 +108,98 @@ def run_streaming_tiles(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> Data
     ).withColumn("centroid_lat", F.round("centroid_lat", 6))
 
 
+FLUSH_PROVIDER = "__flush__"  # sentinel key; filtered from session output
+
+
+def run_streaming_sessions(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """End-to-end streaming SESSION-window run over the fixture events,
+    hash-matched to the batch gaps-and-islands oracle
+    (operators.windows.vehicle_sessions).
+
+    Streaming session aggregation is APPEND-only — a session is emitted
+    when the watermark passes its end. To make every fixture session
+    finalize inside one ``availableNow`` run, the input dir gets a FLUSH
+    SENTINEL alongside the fixture: one event far past the last real
+    event (gap + watermark + margin). Processing it advances the
+    watermark past every real session's end, and Spark's trailing
+    no-data micro-batch emits them all; the sentinel's own (still-open)
+    session is filtered out by its reserved provider key. The sentinel
+    timestamp comes from the parquet FOOTER's column statistics — a
+    metadata read, no data scan, the same trick a production backfill
+    uses to bound a partition's event-time.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..operators.windows import SESSION_GAP_MIN
+    from .sources import pings_stream_from_events
+
+    tmp = tempfile.mkdtemp(prefix="streaming-sessions-")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+
+    meta = pq.ParquetFile(src).metadata
+    ts_idx = next(
+        i for i in range(meta.num_columns)
+        if meta.schema.column(i).name == "ts"
+    )
+    max_ts = max(
+        meta.row_group(g).column(ts_idx).statistics.max
+        for g in range(meta.num_row_groups)
+    )
+    wm_minutes = int(cfg.watermark.split()[0])
+    flush_ts = max_ts + timedelta(minutes=SESSION_GAP_MIN + wm_minutes + 60)
+    # mirror the fixture's own ts arrow type (unit varies across fixture
+    # generations: micros vs nanos) so one stream schema reads both files
+    ts_type = pq.ParquetFile(src).schema_arrow.field("ts").type
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([flush_ts], ts_type),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array([FLUSH_PROVIDER], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array([None], pa.string()),
+        }
+    )
+    pq.write_table(sentinel, os.path.join(in_dir, "flush-events.parquet"))
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_sessions_stream(
+            pings_stream_from_events(spark, in_dir, glob="*events.parquet"),
+            cfg,
+            SESSION_GAP_MIN,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("provider") != FLUSH_PROVIDER)
+        .select(
+            "provider",
+            "vehicleId",
+            "session_start",
+            "n_pings",
+            F.round("avg_speed_kmh", 6).alias("avg_speed_kmh"),
+        )
+    )
+
+
 def positions_batch(batch_df: DataFrame) -> DataFrame:
     """Per-batch argmax to the positions_latest document shape (A4 via
     max_by — single shuffle, no back-join; SURVEY.md §4.2)."""

@@ -65,10 +65,17 @@ def json_ping_stream(spark: SparkSession, input_dir: str, max_files_per_trigger:
     return decode_pings(raw)
 
 
-def pings_stream_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pings_stream_from_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """Streaming twin of sources.tables.pings_from_events: the fixture
     events parquet as a file-source stream with the same ping projection
     and deterministic geo derivation.
+
+    ``glob`` widens the file filter for callers that stage extra
+    event-shaped files next to the fixture (e.g. the session flush
+    sentinel); the dtype probe always reads the canonical
+    ``events.parquet``.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), and how Spark surfaces it
     changed across versions (see sources.tables.load_table). A streaming
@@ -111,7 +118,7 @@ def pings_stream_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file source needs a directory; glob-filter down to the events table
     ev = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return ev.select(
