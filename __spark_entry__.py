@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle gate green) and leads the r7 rotation
         "lm_score": textops.q_lm_score,
         "decontaminate_bloom": dedup.q_decontaminate_bloom,
+        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
         "streaming_sessions": run_streaming_sessions,
         "mobility_tiles": _q_mobility_tiles,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -294,6 +295,9 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_segments": windows.SCD2_USER_SEGMENTS_ORACLE,
         "lm_score": textops.LM_SCORE_ORACLE,
         "decontaminate_bloom": dedup.decontaminate_bloom_oracle(),
+        # same filter bits as decontaminate_bloom -> same oracle; this
+        # hash-verifies the broadcast-bitmap Arrow UDF path itself
+        "decontaminate_bloom_bitmap": dedup.decontaminate_bloom_oracle(),
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

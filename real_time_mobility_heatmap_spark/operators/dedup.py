@@ -1000,6 +1000,91 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_bloom(load_table(spark, sf_dir, "documents"))
 
 
+def decontaminate_bloom_bitmap(docs: DataFrame) -> DataFrame:
+    """``decontaminate_bloom`` with the PRODUCTION broadcast mechanics:
+    the filter is a literal ``BLOOM_M``-bit numpy bitmap (512 KiB at the
+    default M), built by an Arrow per-partition reduction and broadcast
+    to an Arrow-vectorized probe — no position join at probe time.
+
+    Build: ``mapInPandas`` ORs each partition's set bits into one local
+    bitmap and emits it as a single binary row; the driver ORs the
+    per-partition bitmaps (bounded by partition count x M/8 bytes — the
+    standard mergeable-sketch collect, same class as HLL/quantile
+    sketches) and broadcasts the result. Probe: a pandas UDF computes
+    the K positions per shingle hash in vectorized int64 numpy and tests
+    the bits. Bit-for-bit the same filter as ``decontaminate_bloom``
+    (same mixes, same M), so it registers under the SAME DuckDB oracle —
+    the UDF path is hash-verified, not just smoke-tested. A test also
+    pins equality against the join formulation row-for-row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = docs.sparkSession
+    rows = (
+        _hashed_rows(docs)
+        .withColumn("split", F.expr(split_spark_sql()))
+        .filter(F.col("split") != "val")
+        .localCheckpoint(eager=False)
+    )
+    train_pos = rows.filter(F.col("split") == "train").select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql(j)) for j in range(BLOOM_K)])
+        ).alias("pos")
+    )
+
+    def build(batches):
+        bm = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = train_pos.mapInPandas(build, "bm binary").collect()
+    bitmap = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    for r in parts:
+        bitmap |= np.frombuffer(r["bm"], dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+    mixes = [(a, b) for a, b in _MIX[:BLOOM_K]]
+
+    def _bloom_hit(s_h):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        s = s_h.to_numpy(dtype=np.int64) % MERSENNE_P
+        hit = np.ones(len(s), dtype=bool)
+        for a, b in mixes:
+            pos = ((a * s + b) % MERSENNE_P) % BLOOM_M
+            hit &= (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.astype(np.int32))
+
+    # module uses `from __future__ import annotations` (string hints),
+    # which pandas_udf can't introspect — attach real ones
+    _bloom_hit.__annotations__ = {"s_h": pd.Series, "return": pd.Series}
+    bloom_hit = pandas_udf(_bloom_hit, "int")
+
+    test = rows.filter(F.col("split") == "test")
+    return (
+        test.withColumn("hit", bloom_hit(F.col("s_h")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.expr("n_contaminated * 1000000 div n_shingles").alias(
+                "contamination_ppm"
+            ),
+        )
+    )
+
+
+def q_decontaminate_bloom_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate_bloom_bitmap(load_table(spark, sf_dir, "documents"))
+
+
 def streaming_exact_dedup(events: DataFrame) -> DataFrame:
     """Batch twin of streaming dedup on the natural event key (streaming
     variant: dropDuplicatesWithinWatermark, tested in tests/).

@@ -316,6 +316,22 @@ def test_bloom_decontaminate_upper_bounds_exact(spark):
         assert b["contamination_ppm"] >= e["contamination_ppm"], d
 
 
+def test_bloom_bitmap_equals_join_formulation(spark):
+    """The broadcast-bitmap Arrow-UDF probe and the position-equi-join
+    formulation share mixes and M, so they must agree row-for-row —
+    including identical false positives."""
+    from real_time_mobility_heatmap_spark.operators.dedup import (
+        decontaminate_bloom,
+        decontaminate_bloom_bitmap,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    join_form = {r["doc_id"]: tuple(r) for r in decontaminate_bloom(docs).collect()}
+    bitmap = {r["doc_id"]: tuple(r) for r in decontaminate_bloom_bitmap(docs).collect()}
+    assert join_form == bitmap and join_form
+
+
 def test_lm_score_hand_computed_micronats(spark):
     """Corpus 'aaaa' + 'abcd': trigram counts aaa:2, abc:1, bcd:1 over a
     total of 4 -> doc0 avg ln p = ln(1/2), doc1 = ln(1/4), exactly (all
