@@ -141,7 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
         "streaming_sessions": run_streaming_sessions,
         "mobility_tiles": _q_mobility_tiles,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
         "tile_feature_collection": geojson.q_tile_feature_collection,

@@ -79,3 +79,40 @@ def test_gate_flags_the_prefix_hugeint_shape(duck):
     ).df()
     assert uncast["s"].dtype.kind == "f"  # HUGEINT lands as float64 in pandas
     assert _canon(cast) != _canon(uncast)
+
+
+def test_registry_contract_window_and_oracle_pairing():
+    """The driver verifies the FIRST 50 queries() entries and hashes by
+    column name: pin the contract — at least 50 entries, every oracle key
+    registered, rows-only queries an explicit known set, and no duplicate
+    stomping (dict literal silently keeps the last duplicate key, which
+    would shrink the registry unnoticed)."""
+    import ast
+    import pathlib
+
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    oracles = m.oracle_sql()
+    assert len(qs) >= 50, "driver window needs 50 entries"
+    assert set(oracles) <= set(qs), "oracle without a registered query"
+    rows_only = {k for k in qs if k not in oracles}
+    assert rows_only == {
+        "table_profile_approx",
+        "approx_value_percentiles",
+        "approx_distinct_vehicles",
+    }, f"unexpected rows-only queries: {rows_only}"
+
+    # parse the source: duplicate dict keys never reach the runtime dict
+    src = pathlib.Path(m.__file__).read_text()
+    tree = ast.parse(src)
+    fn = next(
+        n for n in ast.walk(tree)
+        if isinstance(n, ast.FunctionDef) and n.name == "queries"
+    )
+    ret = next(n for n in ast.walk(fn) if isinstance(n, ast.Return))
+    keys = [k.value for k in ret.value.keys if isinstance(k, ast.Constant)]
+    assert len(keys) == len(set(keys)), (
+        f"duplicate registry keys: {[k for k in keys if keys.count(k) > 1]}"
+    )
+    assert len(keys) == len(qs)
