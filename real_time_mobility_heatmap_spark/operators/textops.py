@@ -898,3 +898,80 @@ LM_SCORE_ORACLE = f"""
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(load_table(spark, sf_dir, "documents"))
+
+
+CHUNK_TOKENS = 128   # tokens per chunk (the downstream model's window)
+CHUNK_OVERLAP = 32   # tokens shared between consecutive chunks
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """Overlapping token-window chunking — the prep step that turns long
+    documents into model-window-sized pieces for embedding or
+    pretraining: chunk c covers tokens [c*stride, c*stride + CHUNK_TOKENS)
+    with ``CHUNK_OVERLAP`` tokens shared between neighbors so no span is
+    split across a boundary without context.
+
+    Chunk count is exact integer math — ceil(max(n - overlap, 1) /
+    stride) via ``(x + stride - 1) div stride`` — identical in both
+    engines, covering every token (the final chunk may be short). The
+    chunk content crosses the compare boundary as a sha256 of the
+    re-joined tokens (the ``redact_pii`` convention: hash long text out
+    of the value-compare path). Map-side only: sequence + slice per row,
+    one explode, no shuffle — at 100 TB chunking is a pure scan stage
+    that pipelines into whatever writes the chunk shards.
+    """
+    n_chunks_sql = (
+        f"(greatest(size(toks) - {CHUNK_OVERLAP}, 1) + {CHUNK_STRIDE} - 1)"
+        f" div {CHUNK_STRIDE}"
+    )
+    tok = spread(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
+    return (
+        tok.filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, ({n_chunks_sql}) - 1),"
+                    f" c -> struct(c AS chunk_no, c * {CHUNK_STRIDE} AS chunk_start,"
+                    f" slice(toks, c * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}) AS chunk))"
+                )
+            ).alias("e"),
+        )
+        .select(
+            "doc_id",
+            F.col("e.chunk_no").alias("chunk_no"),
+            F.col("e.chunk_start").alias("chunk_start"),
+            F.size("e.chunk").alias("n_chunk_tokens"),
+            F.sha2(F.concat_ws(" ", "e.chunk"), 256).alias("chunk_sha256"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        WHERE len({TOKENS_DUCK}) >= 1
+    ),
+    chunks AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CAST((greatest(len(toks) - {CHUNK_OVERLAP}, 1) + {CHUNK_STRIDE} - 1)
+                        // {CHUNK_STRIDE} AS BIGINT) - 1)) AS chunk_no
+        FROM tok
+    )
+    SELECT doc_id,
+           chunk_no,
+           chunk_no * {CHUNK_STRIDE} AS chunk_start,
+           len(list_slice(toks, chunk_no * {CHUNK_STRIDE} + 1,
+                          chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+               AS n_chunk_tokens,
+           sha256(array_to_string(list_slice(toks, chunk_no * {CHUNK_STRIDE} + 1,
+                                             chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+               AS chunk_sha256
+    FROM chunks
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"))

@@ -349,6 +349,36 @@ def test_lm_score_hand_computed_micronats(spark):
     assert out[0]["avg_logp"] > out[1]["avg_logp"]
 
 
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunk layout invariants on hand-sized docs: a short doc yields one
+    chunk; a doc just past the window splits with the configured overlap;
+    every token index is covered; the final chunk may be short."""
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    short = " ".join(f"t{i}" for i in range(5))
+    exact = " ".join(f"t{i}" for i in range(CHUNK_TOKENS))
+    long = " ".join(f"t{i}" for i in range(CHUNK_TOKENS + 1))
+    docs = _docs(spark, [short, exact, long])
+    out = {}
+    for r in chunk_documents(docs).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+
+    assert [c["n_chunk_tokens"] for c in out[0]] == [5]
+    assert [c["n_chunk_tokens"] for c in out[1]] == [CHUNK_TOKENS]
+    two = sorted(out[2], key=lambda c: c["chunk_no"])
+    assert [c["chunk_start"] for c in two] == [0, CHUNK_STRIDE]
+    assert two[0]["n_chunk_tokens"] == CHUNK_TOKENS
+    # final chunk: overlap tokens re-covered plus the one new token
+    assert two[1]["n_chunk_tokens"] == CHUNK_OVERLAP + 1
+    # coverage: last chunk reaches the final token
+    assert two[1]["chunk_start"] + two[1]["n_chunk_tokens"] == CHUNK_TOKENS + 1
+
+
 def test_repetition_stats_hand_counts(spark):
     from real_time_mobility_heatmap_spark.operators.textops import repetition_stats
 
