@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
         "streaming_sessions": run_streaming_sessions,
         "chunk_documents": textops.q_chunk_documents,
+        "ivf_recall_report": similarity.q_ivf_recall_report,
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         # hash-verifies the broadcast-bitmap Arrow UDF path itself
         "decontaminate_bloom_bitmap": dedup.decontaminate_bloom_oracle(),
         "chunk_documents": textops.CHUNK_DOCUMENTS_ORACLE,
+        "ivf_recall_report": similarity.IVF_RECALL_REPORT_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

@@ -612,6 +612,45 @@ IVF_ASSIGN_TRAINED_ORACLE = f"""
 """
 
 
+def ivf_recall_report(embeddings: DataFrame) -> DataFrame:
+    """ANN evaluation tooling: per-query recall@k of the IVF (nprobe=1)
+    read path against the exact brute-force top-k — the measurement a
+    production ANN deployment runs continuously to tune nlist/nprobe.
+    Exact integer ppm (hits * 1e6 div k), so the report itself is
+    hash-oracle-checked. Both inputs are the registered operators; the
+    join ships only (query_id, cand_id) pairs — k rows per query."""
+    brute = topk_cosine(embeddings).select("query_id", "cand_id")
+    approx = topk_cosine_ivf(embeddings).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(approx, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 div {TOP_K}").alias("recall_ppm"),
+        )
+    )
+
+
+IVF_RECALL_REPORT_ORACLE = f"""
+    WITH brute AS ({TOPK_COSINE_ORACLE}),
+    approx AS ({TOPK_COSINE_IVF_ORACLE})
+    SELECT b.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+           (count(a.cand_id) * 1000000) // {TOP_K} AS recall_ppm
+    FROM brute b
+    LEFT JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+    GROUP BY b.query_id
+"""
+
+
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_update(load_table(spark, sf_dir, "embeddings"))
 
