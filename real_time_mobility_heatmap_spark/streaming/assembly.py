@@ -83,6 +83,34 @@ def start_tiles_query(
     return writer.start()
 
 
+STATE_PARTITIONS = 8  # state-store shards for the fixture-scale runs
+
+
+class _state_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming start.
+
+    Stateful streaming queries create one state-store instance PER
+    shuffle partition PER stateful operator, and the count is pinned by
+    the checkpoint at first run. The right number tracks STATE
+    cardinality (cells x windows here — small at fixture scale; raise
+    for a larger corpus), not the session's batch parallelism: at 32
+    the fixture runs spent more time opening/committing 32 state stores
+    per micro-batch than aggregating (measured 2x end-to-end). A real
+    deployment sets this per streaming job the same way; repartitioning
+    existing state needs a new checkpoint (offline state rebuild).
+    """
+
+    def __init__(self, spark, n: int = STATE_PARTITIONS):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_streaming_tiles(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """End-to-end streaming run over the fixture events: file-source stream
     -> windowed agg (update mode) -> idempotent keyed store; returns the
@@ -100,8 +128,11 @@ def run_streaming_tiles(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> Data
 
     tmp = tempfile.mkdtemp(prefix="streaming-tiles-")
     store = tile_store(f"{tmp}/store")
-    q = start_tiles_query(pings_stream_from_events(spark, sf_dir), store, f"{tmp}/ckpt", cfg)
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = start_tiles_query(
+            pings_stream_from_events(spark, sf_dir), store, f"{tmp}/ckpt", cfg
+        )
+        q.awaitTermination()
     snap = store.read(spark)
     return snap.withColumn("avg_speed_kmh", F.round("avg_speed_kmh", 6)).withColumn(
         "centroid_lon", F.round("centroid_lon", 6)
@@ -173,20 +204,21 @@ def run_streaming_sessions(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> D
     pq.write_table(sentinel, os.path.join(in_dir, "flush-events.parquet"))
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_sessions_stream(
-            pings_stream_from_events(spark, in_dir, glob="*events.parquet"),
-            cfg,
-            SESSION_GAP_MIN,
+    with _state_partitions(spark):
+        q = (
+            windowed_sessions_stream(
+                pings_stream_from_events(spark, in_dir, glob="*events.parquet"),
+                cfg,
+                SESSION_GAP_MIN,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return (
         spark.table(name)
         .filter(F.col("provider") != FLUSH_PROVIDER)
