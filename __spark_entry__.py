@@ -48,6 +48,7 @@ from real_time_mobility_heatmap_spark.sources.tables import (
 )
 from real_time_mobility_heatmap_spark.serving import geojson
 from real_time_mobility_heatmap_spark.streaming.assembly import (
+    run_streaming_conversions,
     run_streaming_sessions,
     run_streaming_tiles,
 )
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": run_streaming_sessions,
         "chunk_documents": textops.q_chunk_documents,
         "ivf_recall_report": similarity.q_ivf_recall_report,
+        "streaming_conversions": run_streaming_conversions,
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
@@ -301,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom_bitmap": dedup.decontaminate_bloom_oracle(),
         "chunk_documents": textops.CHUNK_DOCUMENTS_ORACLE,
         "ivf_recall_report": similarity.IVF_RECALL_REPORT_ORACLE,
+        # live stream-stream join, same oracle as the batch twin
+        "streaming_conversions": relational.CONVERSION_WINDOW_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

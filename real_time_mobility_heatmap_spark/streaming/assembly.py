@@ -232,6 +232,83 @@ def run_streaming_sessions(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> D
     )
 
 
+def run_streaming_conversions(spark, sf_dir: str) -> DataFrame:
+    """Live STREAM-STREAM interval join registered as a driver query,
+    hash-matched to the batch ``conversion_window_counts`` oracle: the
+    typed events stream self-joined — purchases to clicks of the same
+    user within the following hour — with watermarks on both sides so
+    join state is evictable.
+
+    The inner join is the stateful part the stream proves (matches emit
+    as found; state eviction needs the watermark + both-sided interval
+    bound). The batch oracle counts per purchase INCLUDING zero-click
+    purchases, which an inner join cannot emit — those rows are restored
+    by a stateless left join against the purchase dimension afterward, a
+    projection over the streamed result, not streaming state.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources.tables import load_table
+    from .sources import events_stream
+
+    tmp = tempfile.mkdtemp(prefix="streaming-conv-")
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", DEFAULT.watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", DEFAULT.watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "p_user", "c_ts")
+
+    name = f"conv_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    counts = (
+        spark.table(name)
+        .groupBy("purchase_id", "p_user")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    all_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+        )
+    )
+    return all_purchases.join(counts, ["purchase_id", "p_user"], "left").select(
+        "purchase_id",
+        "p_user",
+        F.coalesce("n_clicks", F.lit(0)).cast("long").alias("clicks_within_1h"),
+    )
+
+
 def positions_batch(batch_df: DataFrame) -> DataFrame:
     """Per-batch argmax to the positions_latest document shape (A4 via
     max_by — single shuffle, no back-join; SURVEY.md §4.2)."""

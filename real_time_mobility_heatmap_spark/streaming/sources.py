@@ -65,17 +65,12 @@ def json_ping_stream(spark: SparkSession, input_dir: str, max_files_per_trigger:
     return decode_pings(raw)
 
 
-def pings_stream_from_events(
+def events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    """Streaming twin of sources.tables.pings_from_events: the fixture
-    events parquet as a file-source stream with the same ping projection
-    and deterministic geo derivation.
-
-    ``glob`` widens the file filter for callers that stage extra
-    event-shaped files next to the fixture (e.g. the session flush
-    sentinel); the dtype probe always reads the canonical
-    ``events.parquet``.
+    """The fixture events parquet as a TYPED file-source stream: all six
+    event columns with ``ts`` normalized to a session-zoned timestamp —
+    the streaming twin of ``sources.tables.load_table(..., "events")``.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), and how Spark surfaces it
     changed across versions (see sources.tables.load_table). A streaming
@@ -92,10 +87,13 @@ def pings_stream_from_events(
     Forcing LongType in the stream schema on a native-read Spark is NOT
     safe — 4.1.2 silently hands back micros-as-long there, which shifted
     every eventTs ~54 years and collapsed the windowed aggregate.
+
+    ``glob`` widens the file filter for callers that stage extra
+    event-shaped files next to the fixture (e.g. the session flush
+    sentinel); the dtype probe always reads the canonical
+    ``events.parquet``.
     """
     from pyspark.sql import types as T
-
-    from ..sources.tables import LAT_SQL, LON_SQL
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = (
@@ -122,9 +120,28 @@ def pings_stream_from_events(
         .parquet(sf_dir)
     )
     return ev.select(
+        "event_id",
+        ts_expr.alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def pings_stream_from_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Streaming twin of sources.tables.pings_from_events: the typed
+    events stream with the same ping projection and deterministic geo
+    derivation as the batch loader."""
+    from ..sources.tables import LAT_SQL, LON_SQL
+
+    ev = events_stream(spark, sf_dir, glob)
+    return ev.select(
         F.col("event_type").alias("provider"),
         F.col("user_id").cast("string").alias("vehicleId"),
-        ts_expr.alias("eventTs"),
+        F.col("ts").alias("eventTs"),
         F.expr(LAT_SQL).alias("lat"),
         F.expr(LON_SQL).alias("lon"),
         F.col("value").alias("speedKmh"),
