@@ -135,8 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything below was driver-green in round 5 (CORRECTNESS_r05.json);
         # mobility_tiles' changed load path is exercised by most window
         # queries, and minhash_lsh_pairs' LSH rework runs inside the
-        # window's dedup_clusters row; lm_score is new this round (local
-        # oracle gate green) and leads the r7 rotation
+        # window's dedup_clusters row. The next seven entries are NEW in
+        # round 6 with local-gate-green rows only — they MUST lead the r7
+        # window, followed by the r5-green block (due again under the
+        # <=2-round cadence)
         "lm_score": textops.q_lm_score,
         "decontaminate_bloom": dedup.q_decontaminate_bloom,
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
