@@ -131,3 +131,42 @@ def test_mixture_sample_rate_is_exact_ppm_of_source_size(spark, counts):
         n = counts[int(r["source"][1:])]
         assert r["n_source"] == n
         assert r["rate_ppm"] == min(1_000_000, MIX_TARGET_PER_SOURCE * 1_000_000 // n)
+
+
+@given(n_tokens=st.lists(st.integers(1, 400), min_size=1, max_size=4))
+@_SETTINGS
+def test_chunk_documents_layout_invariants(spark, n_tokens):
+    """For any document length: chunk starts advance by exactly the
+    stride; every token index is covered; only the final chunk may be
+    shorter than the window; chunk count matches the exact ceil formula."""
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{j}" for j in range(n)), "en", f"s{i}", n)
+            for i, n in enumerate(n_tokens)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    by_doc = {}
+    for r in chunk_documents(docs).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    for i, n in enumerate(n_tokens):
+        chunks = sorted(by_doc[i], key=lambda c: c["chunk_no"])
+        expected = (max(n - CHUNK_OVERLAP, 1) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        assert len(chunks) == expected, (n, len(chunks))
+        assert [c["chunk_start"] for c in chunks] == [
+            k * CHUNK_STRIDE for k in range(expected)
+        ]
+        # full windows everywhere except possibly the last
+        for c in chunks[:-1]:
+            assert c["n_chunk_tokens"] == CHUNK_TOKENS
+        last = chunks[-1]
+        assert last["chunk_start"] + last["n_chunk_tokens"] == n  # covers the tail
+        assert 1 <= last["n_chunk_tokens"] <= CHUNK_TOKENS
