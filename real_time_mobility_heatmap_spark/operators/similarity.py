@@ -651,6 +651,174 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_report(load_table(spark, sf_dir, "embeddings"))
 
 
+QUANT_LEVELS = 255  # 8-bit scalar quantization codes per dimension
+
+
+def _quant_params(e):
+    """(min, scale) per vector, rounded to 6dp BEFORE any code math so
+    both engines quantize from identical parameters. Scale floored at
+    1e-6 (constant-vector guard, and keeps the rounded value nonzero)."""
+    mn = F.round(F.array_min(e), 6)
+    rng = F.array_max(e) - F.array_min(e)
+    scale = F.greatest(
+        F.round(rng / QUANT_LEVELS, 6), F.lit(1e-6)
+    )
+    return mn, scale
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-vector 8-bit scalar quantization — the storage-compression op
+    of a vector index: 64 float32 components become 64 byte codes plus
+    two doubles (min, scale), a ~4x raw shrink that at 100 TB is the
+    difference between an index that fits executor memory and one that
+    doesn't. Codes are clamped to [0, 255] and emitted as a CSV string
+    so the cross-engine compare is dtype-unambiguous.
+
+    Map-side only (per-row array math, no shuffle). The quantization
+    parameters are rounded to 6dp FIRST and both engines compute codes
+    from the rounded values, so the codes hash-match structurally.
+    """
+    e = _as_double("embedding")
+    mn, scale = _quant_params(e)
+    codes = F.transform(
+        e,
+        lambda x: F.least(
+            F.greatest(F.round((x - mn) / scale).cast("int"), F.lit(0)),
+            F.lit(QUANT_LEVELS),
+        ),
+    )
+    return spread(embeddings).select(
+        "vec_id",
+        mn.alias("q_min"),
+        scale.alias("q_scale"),
+        F.concat_ws(",", codes.cast("array<string>")).alias("codes_csv"),
+    )
+
+
+_QMN_DUCK = "round(list_min(embedding::DOUBLE[]), 6)"
+_QSCALE_DUCK = (
+    "greatest(round((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]))"
+    f" / CAST({QUANT_LEVELS} AS DOUBLE), 6), CAST(0.000001 AS DOUBLE))"
+)
+_QCODES_DUCK = (
+    "list_transform(embedding::DOUBLE[], x -> least(greatest("
+    "CAST(round((x - mn) / scale) AS INT), 0), " + str(QUANT_LEVELS) + "))"
+)
+
+QUANTIZE_EMBEDDINGS_ORACLE = f"""
+    WITH params AS (
+        SELECT vec_id, embedding, {_QMN_DUCK} AS mn, {_QSCALE_DUCK} AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, mn AS q_min, scale AS q_scale,
+           array_to_string({_QCODES_DUCK}, ',') AS codes_csv
+    FROM params
+"""
+
+
+def quantized_recall_report(embeddings: DataFrame) -> DataFrame:
+    """Recall@k of brute-force top-k over DEQUANTIZED vectors vs the
+    exact float top-k — the measurement that justifies (or rejects) the
+    4x compression for a given corpus. Same int-ppm report shape as
+    ``ivf_recall_report``; dequantized component = min + code*scale."""
+    e = _as_double("embedding")
+    mn, scale = _quant_params(e)
+    dq = F.transform(
+        e,
+        lambda x: mn
+        + F.least(
+            F.greatest(F.round((x - mn) / scale).cast("int"), F.lit(0)),
+            F.lit(QUANT_LEVELS),
+        ).cast("double")
+        * scale,
+    )
+    deq = spread(embeddings).select("vec_id", "label", dq.alias("demb"))
+
+    def _norm(df, prefix):
+        return df.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("demb").alias(f"{prefix}_emb"),
+            F.sqrt(_dot(F.col("demb"), F.col("demb"))).alias(f"{prefix}_norm"),
+        )
+
+    q = _norm(deq.filter(F.col("vec_id") < N_QUERIES), "query")
+    c = _norm(deq, "cand")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("query_emb"), F.col("cand_emb"))
+                / (F.col("query_norm") * F.col("cand_norm")),
+                ROUND_COS,
+            ).alias("cosine"),
+        )
+    )
+    approx = _rank_topk(scored).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    brute = topk_cosine(embeddings).select("query_id", "cand_id")
+    return (
+        brute.join(approx, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 div {TOP_K}").alias("recall_ppm"),
+        )
+    )
+
+
+_DEQ_DUCK = (
+    "list_transform(embedding::DOUBLE[], x -> mn + CAST(least(greatest("
+    "CAST(round((x - mn) / scale) AS INT), 0), "
+    + str(QUANT_LEVELS)
+    + ") AS DOUBLE) * scale)"
+)
+
+QUANTIZED_RECALL_REPORT_ORACLE = f"""
+    WITH params AS (
+        SELECT vec_id, embedding, {_QMN_DUCK} AS mn, {_QSCALE_DUCK} AS scale
+        FROM embeddings
+    ),
+    deq AS (SELECT vec_id, {_DEQ_DUCK} AS demb FROM params),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_dot_product(q.demb, c.demb)
+                     / (sqrt(list_dot_product(q.demb, q.demb))
+                        * sqrt(list_dot_product(c.demb, c.demb))), {ROUND_COS})
+                   AS cosine
+        FROM deq q JOIN deq c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    approx AS (
+        SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    ),
+    brute AS ({TOPK_COSINE_ORACLE})
+    SELECT b.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+           (count(a.cand_id) * 1000000) // {TOP_K} AS recall_ppm
+    FROM brute b
+    LEFT JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+    GROUP BY b.query_id
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_quantized_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantized_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_update(load_table(spark, sf_dir, "embeddings"))
 
