@@ -49,6 +49,7 @@ from real_time_mobility_heatmap_spark.sources.tables import (
 from real_time_mobility_heatmap_spark.serving import geojson
 from real_time_mobility_heatmap_spark.streaming.assembly import (
     run_streaming_conversions,
+    run_streaming_positions,
     run_streaming_sessions,
     run_streaming_tiles,
 )
@@ -135,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything below was driver-green in round 5 (CORRECTNESS_r05.json);
         # mobility_tiles' changed load path is exercised by most window
         # queries, and minhash_lsh_pairs' LSH rework runs inside the
-        # window's dedup_clusters row. The next nine entries are NEW in
+        # window's dedup_clusters row. The next ten entries are NEW in
         # round 6 with local-gate-green rows only — they MUST lead the r7
         # window, followed by the r5-green block (due again under the
         # <=2-round cadence)
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_conversions": run_streaming_conversions,
         "quantize_embeddings": similarity.q_quantize_embeddings,
         "quantized_recall_report": similarity.q_quantized_recall_report,
+        "streaming_positions": run_streaming_positions,
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
@@ -311,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_conversions": relational.CONVERSION_WINDOW_ORACLE,
         "quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_ORACLE,
         "quantized_recall_report": similarity.QUANTIZED_RECALL_REPORT_ORACLE,
+        # live S5 sink path, same oracle as the batch latest_positions twin
+        "streaming_positions": latest.LATEST_POSITIONS_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

@@ -139,6 +139,30 @@ def run_streaming_tiles(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> Data
     ).withColumn("centroid_lat", F.round("centroid_lat", 6))
 
 
+def run_streaming_positions(spark, sf_dir: str) -> DataFrame:
+    """End-to-end run of the reference's SECOND sink path (S5): ping
+    stream -> per-batch argmax (max_by, one shuffle) -> ts-guarded
+    conditional upsert store -> final snapshot, hash-matched to the
+    batch ``latest_positions`` oracle. With ``run_streaming_tiles`` this
+    makes both reference sinks driver-verified live; the cross-batch
+    monotonic-guard semantics (out-of-order and replayed micro-batches)
+    are pinned separately by the streaming test suite.
+    """
+    import tempfile
+
+    from .sinks import positions_store
+    from .sources import pings_stream_from_events
+
+    tmp = tempfile.mkdtemp(prefix="streaming-positions-")
+    store = positions_store(f"{tmp}/store")
+    with _state_partitions(spark):
+        q = start_positions_query(
+            pings_stream_from_events(spark, sf_dir), store, f"{tmp}/ckpt"
+        )
+        q.awaitTermination()
+    return store.read(spark)
+
+
 FLUSH_PROVIDER = "__flush__"  # sentinel key; filtered from session output
 
 
