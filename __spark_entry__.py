@@ -136,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything below was driver-green in round 5 (CORRECTNESS_r05.json);
         # mobility_tiles' changed load path is exercised by most window
         # queries, and minhash_lsh_pairs' LSH rework runs inside the
-        # window's dedup_clusters row. The next ten entries are NEW in
+        # window's dedup_clusters row. The next eleven entries are NEW in
         # round 6 with local-gate-green rows only — they MUST lead the r7
         # window, followed by the r5-green block (due again under the
         # <=2-round cadence)
@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": similarity.q_quantize_embeddings,
         "quantized_recall_report": similarity.q_quantized_recall_report,
         "streaming_positions": run_streaming_positions,
+        "shipmode_priority_counts": relational.q_shipmode_priority_counts,
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
@@ -315,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_recall_report": similarity.QUANTIZED_RECALL_REPORT_ORACLE,
         # live S5 sink path, same oracle as the batch latest_positions twin
         "streaming_positions": latest.LATEST_POSITIONS_ORACLE,
+        "shipmode_priority_counts": relational.SHIPMODE_PRIORITY_COUNTS_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

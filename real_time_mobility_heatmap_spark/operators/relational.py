@@ -754,3 +754,37 @@ BUCKETED_JOIN_STATS_ORACLE = """
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
 """
+
+
+def shipmode_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation — CASE expressions inside
+    SUM split one pass into multiple measures (high- vs low-priority
+    line counts per return flag), the idiom that replaces N filtered
+    scans with one. Single fact-fact equi-join on the order key, then a
+    3-group aggregate; the CASE arms are codegen'd column expressions,
+    so the split costs nothing over a plain count."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_priority_lines"),
+        F.sum(F.when(~hi, 1).otherwise(0)).alias("low_priority_lines"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SHIPMODE_PRIORITY_COUNTS_ORACLE = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+"""
+
+
+def q_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shipmode_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
