@@ -136,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything below was driver-green in round 5 (CORRECTNESS_r05.json);
         # mobility_tiles' changed load path is exercised by most window
         # queries, and minhash_lsh_pairs' LSH rework runs inside the
-        # window's dedup_clusters row. The next eleven entries are NEW in
+        # window's dedup_clusters row. The next twelve entries are NEW in
         # round 6 with local-gate-green rows only — they MUST lead the r7
         # window, followed by the r5-green block (due again under the
         # <=2-round cadence)
@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_recall_report": similarity.q_quantized_recall_report,
         "streaming_positions": run_streaming_positions,
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,
+        "source_mixture_report": textops.q_source_mixture_report,
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         # live S5 sink path, same oracle as the batch latest_positions twin
         "streaming_positions": latest.LATEST_POSITIONS_ORACLE,
         "shipmode_priority_counts": relational.SHIPMODE_PRIORITY_COUNTS_ORACLE,
+        "source_mixture_report": textops.SOURCE_MIXTURE_REPORT_ORACLE,
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

@@ -975,3 +975,66 @@ CHUNK_DOCUMENTS_ORACLE = f"""
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def source_mixture_report(docs: DataFrame) -> DataFrame:
+    """Per-source corpus composition — the measurement taken BEFORE
+    ``mixture_sample`` decides the target rates: document count, token
+    volume, both as exact int-ppm shares of the corpus, plus an
+    integrity count of rows whose stored ``n_chars`` disagrees with the
+    text (upstream truncation shows up here first).
+
+    One tokenize-free pass (token counts reuse the whitespace-count
+    identity: tokens = separators + 1 on trimmed text), one small
+    aggregate on source, corpus totals broadcast back as a single row.
+    All sums and shares are int64-exact, so the report hash-matches
+    structurally.
+    """
+    n_tokens = F.size(tokens(F.col("text"))).cast("long")
+    per = (
+        spread(docs)
+        .select(
+            "source",
+            n_tokens.alias("n_toks"),
+            (F.length("text") != F.col("n_chars")).cast("long").alias("bad_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("bad_chars").alias("n_chars_mismatch"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_docs * 1000000 div tot_docs").alias("doc_share_ppm"),
+        F.expr("n_tokens * 1000000 div tot_tokens").alias("token_share_ppm"),
+        "n_chars_mismatch",
+    )
+
+
+SOURCE_MIXTURE_REPORT_ORACLE = f"""
+    WITH per AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len({TOKENS_DUCK})) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_chars_mismatch
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS tot_docs, sum(n_tokens) AS tot_tokens FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST((n_docs * 1000000) // tot_docs AS BIGINT) AS doc_share_ppm,
+           CAST((n_tokens * 1000000) // tot_tokens AS BIGINT) AS token_share_ppm,
+           n_chars_mismatch
+    FROM per CROSS JOIN tot
+"""
+
+
+def q_source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_mixture_report(load_table(spark, sf_dir, "documents"))
