@@ -68,25 +68,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver verifies the FIRST 50 entries only, so the
-    dict is laid out as an explicit rotation window — queries that have
-    never had (or most need) a fresh driver correctness row come first,
-    followed by a spread of long-green anchors covering every operator
-    family; entries past position 50 are ones green in the immediately
-    preceding round. Rotate per round so every query gets a driver row
-    at least every other round.
+    dict is laid out as an explicit rotation window, filled in priority
+    order: (1) queries that have NEVER had a driver correctness row
+    (new this round or added past the previous window), (2) queries
+    whose implementation changed since their last green row, (3) the
+    stalest green entries. With >100 registered queries and a 50-entry
+    window, an unchanged long-green anchor may wait 2 rounds between
+    rows — the invariant is "new/changed code is driver-checked the
+    same round it lands; unchanged queries are re-checked round-robin,
+    oldest row first", not a fixed every-other-round cadence.
     """
     return {
-        # ---- driver window (r6): 4 NEW queries (never driver-checked),
-        # then the 45 entries last checked in r4, then the anchor whose
-        # code changed this round (streaming source dtype fix) ----
+        # ---- driver window (r7) ----
+        # (1) the 12 round-6 queries that landed past the r6 window and
+        # have never had a driver row (VERDICT r6 top-next #1):
+        "lm_score": textops.q_lm_score,
+        "decontaminate_bloom": dedup.q_decontaminate_bloom,
+        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
+        "streaming_sessions": run_streaming_sessions,
+        "chunk_documents": textops.q_chunk_documents,
+        "ivf_recall_report": similarity.q_ivf_recall_report,
+        "streaming_conversions": run_streaming_conversions,
+        "quantize_embeddings": similarity.q_quantize_embeddings,
+        "quantized_recall_report": similarity.q_quantized_recall_report,
+        "streaming_positions": run_streaming_positions,
+        "shipmode_priority_counts": relational.q_shipmode_priority_counts,
+        "source_mixture_report": textops.q_source_mixture_report,
+        # (2) r6-green anchors whose code changed THIS round, so a
+        # regression is caught immediately: embedding_neardup (verify
+        # join now broadcasts the candidate side), dedup_clusters
+        # (dropped the unbounded sizes broadcast), bucketed_join_stats
+        # (per-application scratch path):
+        "embedding_neardup": similarity.q_embedding_neardup,
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "bucketed_join_stats": relational.bucketed_join_stats,
+        # (3) stalest green block: last checked in round 5
+        # (CORRECTNESS_r05.json), due again oldest-first:
+        "mobility_tiles": _q_mobility_tiles,
+        "multiplex_summary": multiplex.q_multiplex_summary,
+        "pricing_summary": relational.q_pricing_summary,
+        "tile_feature_collection": geojson.q_tile_feature_collection,
+        "token_count": textops.q_token_count,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "wire_roundtrip": decode.q_wire_roundtrip,
+        "latest_positions": latest.q_latest_positions,
+        "latest_window_snapshot": latest.q_latest_window_snapshot,
+        "demux_tiles": multiplex.q_demux_tiles,
+        "tile_features_flat": geojson.q_tile_features_flat,
+        "fresh_tiles": geojson.q_fresh_tiles,
+        "exact_dedup": dedup.q_exact_dedup,
+        "minhash_signatures": dedup.q_minhash_signatures,
+        "json_decode": decode.q_json_decode,
+        "latest_join": latest.q_latest_join,
+        "top_window": latest.q_top_window,
+        "watermark_latedrop": latest.q_watermark_latedrop,
+        "latest_rownum": latest.q_latest_rownum,
+        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
+        "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
+        "position_features": geojson.q_position_features,
+        "quality_score": textops.q_quality_score,
+        "lang_id": textops.q_lang_id,
+        "fingerprint": textops.q_fingerprint,
+        "rolling_fingerprint": textops.q_rolling_fingerprint,
+        "corpus_stats": textops.q_corpus_stats,
+        "term_frequencies": textops.q_term_frequencies,
+        "tfidf_top_terms": textops.q_tfidf_top_terms,
+        "dataset_split": textops.q_dataset_split,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "simhash": dedup.q_simhash,
+        "vehicle_trips": windows.q_vehicle_trips,
+        "pack_sequences": textops.q_pack_sequences,
+        "conversion_window_counts": relational.q_conversion_window_counts,
+        # ---------------- end of driver window (50 entries) ----------------
+        # Below the window: 13 r5-green relational/setops anchors deferred
+        # one extra round (unchanged since early rounds, covered by plan
+        # tests + the local oracle gate; due FIRST in the r8 window), then
+        # the 50 entries driver-green in round 6 (CORRECTNESS_r06.json).
+        "shipping_priority": relational.q_shipping_priority,
+        "local_supplier_volume": relational.q_local_supplier_volume,
+        "orders_with_big_items": relational.q_orders_with_big_items,
+        "customers_without_orders": relational.q_customers_without_orders,
+        "brand_volume": relational.q_brand_volume,
+        "sales_rollup": relational.q_sales_rollup,
+        "above_avg_orders": relational.q_above_avg_orders,
+        "cube_sales": relational.q_cube_sales,
+        "event_type_pivot": relational.q_event_type_pivot,
+        "moving_avg_speed": relational.q_moving_avg_speed,
+        "active_cells_setops": relational.q_active_cells_setops,
+        "active_cells_flags": relational.q_active_cells_flags,
+        "funnel_conversions": relational.q_funnel_conversions,
+        # r6-green block (fresh rows in CORRECTNESS_r06.json):
         "kmeans_update": similarity.q_kmeans_update,
         "ivf_assign_trained": similarity.q_ivf_assign_trained,
-        "bucketed_join_stats": relational.bucketed_join_stats,
         "scd2_user_segments": windows.q_scd2_user_segments,
         "wire_encode": wire.q_wire_encode,
         "tile_colors": wire.q_tile_colors,
         "sql_pricing_summary": wire.q_sql_pricing_summary,
-        "dedup_clusters": dedup.q_dedup_clusters,
         "winnow_fingerprints": dedup.q_winnow_fingerprints,
         "winnow_match_pairs": dedup.q_winnow_match_pairs,
         "media_frame_sample": multimodal.q_media_frame_sample,
@@ -128,79 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": windows.q_approx_value_percentiles,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
-        # ---- window backfill: the r5-green anchor whose code changed this
-        # round (streaming source dtype fix), so a regression is caught
-        # immediately ----
         "streaming_tiles": run_streaming_tiles,
-        # ---------------- end of driver window (50 entries) ----------------
-        # everything below was driver-green in round 5 (CORRECTNESS_r05.json);
-        # mobility_tiles' changed load path is exercised by most window
-        # queries, and minhash_lsh_pairs' LSH rework runs inside the
-        # window's dedup_clusters row. The next twelve entries are NEW in
-        # round 6 with local-gate-green rows only — they MUST lead the r7
-        # window, followed by the r5-green block (due again under the
-        # <=2-round cadence)
-        "lm_score": textops.q_lm_score,
-        "decontaminate_bloom": dedup.q_decontaminate_bloom,
-        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
-        "streaming_sessions": run_streaming_sessions,
-        "chunk_documents": textops.q_chunk_documents,
-        "ivf_recall_report": similarity.q_ivf_recall_report,
-        "streaming_conversions": run_streaming_conversions,
-        "quantize_embeddings": similarity.q_quantize_embeddings,
-        "quantized_recall_report": similarity.q_quantized_recall_report,
-        "streaming_positions": run_streaming_positions,
-        "shipmode_priority_counts": relational.q_shipmode_priority_counts,
-        "source_mixture_report": textops.q_source_mixture_report,
-        "mobility_tiles": _q_mobility_tiles,
-        "multiplex_summary": multiplex.q_multiplex_summary,
-        "pricing_summary": relational.q_pricing_summary,
-        "tile_feature_collection": geojson.q_tile_feature_collection,
-        "token_count": textops.q_token_count,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
-        "wire_roundtrip": decode.q_wire_roundtrip,
-        "latest_positions": latest.q_latest_positions,
-        "latest_window_snapshot": latest.q_latest_window_snapshot,
-        "demux_tiles": multiplex.q_demux_tiles,
-        "tile_features_flat": geojson.q_tile_features_flat,
-        "fresh_tiles": geojson.q_fresh_tiles,
-        "exact_dedup": dedup.q_exact_dedup,
-        "minhash_signatures": dedup.q_minhash_signatures,
-        "json_decode": decode.q_json_decode,
-        "latest_join": latest.q_latest_join,
-        "top_window": latest.q_top_window,
-        "watermark_latedrop": latest.q_watermark_latedrop,
-        "latest_rownum": latest.q_latest_rownum,
-        "shipping_priority": relational.q_shipping_priority,
-        "local_supplier_volume": relational.q_local_supplier_volume,
-        "orders_with_big_items": relational.q_orders_with_big_items,
-        "customers_without_orders": relational.q_customers_without_orders,
-        "brand_volume": relational.q_brand_volume,
-        "sales_rollup": relational.q_sales_rollup,
-        "above_avg_orders": relational.q_above_avg_orders,
-        "cube_sales": relational.q_cube_sales,
-        "event_type_pivot": relational.q_event_type_pivot,
-        "moving_avg_speed": relational.q_moving_avg_speed,
-        "active_cells_setops": relational.q_active_cells_setops,
-        "active_cells_flags": relational.q_active_cells_flags,
-        "conversion_window_counts": relational.q_conversion_window_counts,
-        "funnel_conversions": relational.q_funnel_conversions,
-        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
-        "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
-        "position_features": geojson.q_position_features,
-        "quality_score": textops.q_quality_score,
-        "lang_id": textops.q_lang_id,
-        "fingerprint": textops.q_fingerprint,
-        "rolling_fingerprint": textops.q_rolling_fingerprint,
-        "corpus_stats": textops.q_corpus_stats,
-        "term_frequencies": textops.q_term_frequencies,
-        "tfidf_top_terms": textops.q_tfidf_top_terms,
-        "dataset_split": textops.q_dataset_split,
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        "simhash": dedup.q_simhash,
-        "vehicle_trips": windows.q_vehicle_trips,
-        "pack_sequences": textops.q_pack_sequences,
-        "embedding_neardup": similarity.q_embedding_neardup,
     }
 
 

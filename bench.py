@@ -117,7 +117,13 @@ def main() -> None:
         # attributable instead of looking like 28 code regressions.
         "pyspark": pyspark.__version__,
         "cpus": os.cpu_count(),
+        "jvm": spark.sparkContext._jvm.System.getProperty("java.version"),
     }
+    # drift attribution: was the baseline round recorded on the same
+    # environment? If not, per-query regressions against it are suspect
+    # (multiplicative host/runtime shift, not code) — the flag makes the
+    # recorded comparison self-describing instead of needing a post-mortem.
+    payload["env_match_prev"] = _env_match_prev(payload)
     # full calibration series (and per-pass raw times) only in the detail
     # file — the stdout line carries just the summary so it stays in budget
     detail = dict(payload)
@@ -158,6 +164,24 @@ def _stdout_line(payload: dict) -> str:
         compact["n_folded"] = compact.get("n_folded", 0) + 1
         line = json.dumps(compact, separators=(",", ":"))
     return line
+
+
+def _env_match_prev(payload: dict) -> bool | None:
+    """True/False if the newest recorded round carries an environment
+    fingerprint and it does/doesn't match this run; None when the
+    previous record predates fingerprinting (r5 and earlier)."""
+    recorded = sorted(REPO.glob("BENCH_r*.json"), reverse=True)
+    if not recorded:
+        return None
+    try:
+        prev = json.loads(recorded[0].read_text()).get("parsed") or {}
+    except (OSError, ValueError):
+        return None
+    if "pyspark" not in prev:
+        return None
+    return all(
+        prev.get(k) == payload.get(k) for k in ("pyspark", "cpus", "jvm") if k in prev
+    )
 
 
 def _recorded_queries(path: Path) -> dict[str, float]:

@@ -685,8 +685,12 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
             "raise max_iters (pointer jumping needs O(log diameter) rounds)"
         )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # No broadcast hint: cluster count is corpus-scale in the worst case
+    # (all-singleton corpus => one label per doc), so the sizes aggregate
+    # is unbounded. The join is already keyed on `label`; let the planner
+    # pick (AQE will still broadcast when sizes turns out tiny).
     return (
-        labels.join(F.broadcast(sizes), "label")
+        labels.join(sizes, "label")
         .select(F.col("label").alias("cluster_id"), "doc_id", "cluster_size")
     )
 

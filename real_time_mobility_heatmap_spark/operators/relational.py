@@ -705,7 +705,12 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     import tempfile
 
     tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+    # scope the scratch path to THIS Spark application: the catalog
+    # entries are session-local, so two concurrent sessions sharing one
+    # host would otherwise race on the same /tmp directory (one
+    # overwriting files the other is scanning)
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"bucketed_{app_id}_{tag}")
     out = []
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         tbl = f"bucketed_{name}_{tag}"

@@ -244,9 +244,16 @@ def embedding_neardup(embeddings: DataFrame) -> DataFrame:
     )
     a = _with_norm(embeddings, "qa")
     b = _with_norm(embeddings, "qb")
+    # Broadcast the CANDIDATE side, never the corpus: the pair set is
+    # bounded by the per-bucket cap, while `a`/`b` are the full
+    # embeddings relation — corpus-sized at 100 TB, so a broadcast there
+    # is a driver/executor OOM. With the small side hinted, each verify
+    # join streams the corpus partitions past an in-memory candidate map
+    # (the same shape the IVF paths use for their nlist-row centroids).
+    half = F.broadcast(candidates).join(a, F.col("vec_a") == F.col("qa_id"))
     scored = (
-        candidates.join(F.broadcast(a), F.col("vec_a") == F.col("qa_id"))
-        .join(F.broadcast(b), F.col("vec_b") == F.col("qb_id"))
+        F.broadcast(half)
+        .join(b, F.col("vec_b") == F.col("qb_id"))
         .select(
             "vec_a",
             "vec_b",

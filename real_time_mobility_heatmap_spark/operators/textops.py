@@ -996,7 +996,11 @@ def source_mixture_report(docs: DataFrame) -> DataFrame:
         .select(
             "source",
             n_tokens.alias("n_toks"),
-            (F.length("text") != F.col("n_chars")).cast("long").alias("bad_chars"),
+            # coalesce matches the oracle's CASE ... ELSE 0: a NULL text or
+            # n_chars must count as 0, not propagate NULL into the SUM
+            F.coalesce(
+                (F.length("text") != F.col("n_chars")).cast("long"), F.lit(0)
+            ).alias("bad_chars"),
         )
         .groupBy("source")
         .agg(

@@ -115,6 +115,33 @@ def test_bucketed_join_has_no_exchange_on_either_input(spark):
     )
 
 
+def test_neardup_verify_broadcasts_candidates_not_corpus(spark):
+    """embedding_neardup's exact-cosine verify stage must broadcast the
+    CANDIDATE pair set (bounded by the per-bucket cap), never the full
+    embeddings relation (corpus-sized at 100 TB => driver OOM). The
+    candidate side is the LEFT input of both verify joins, so every
+    BroadcastHashJoin in the plan must build left, and no
+    BroadcastExchange subtree may sit directly on an embeddings scan."""
+    plan = _plan(spark, "embedding_neardup")
+    # the only BroadcastHashJoins in this plan are the two verify joins
+    # (the bucket-cap crossJoin plans as a 1-row nested-loop join)
+    joins = re.findall(r"BroadcastHashJoin .*", plan)
+    assert len(joins) == 2, joins
+    assert all("BuildLeft" in j for j in joins), joins
+
+
+def test_dedup_clusters_size_join_is_not_broadcast(spark):
+    """The cluster-size back-join must NOT hint a broadcast: cluster
+    count is corpus-scale in the worst case (all-singleton corpus). At
+    fixture scale AQE may still legitimately pick a broadcast from
+    runtime stats; what we pin is the ABSENCE of the unconditional hint
+    in the logical plan, which is what would force the OOM at 100 TB."""
+    df = entry_mod.queries()["dedup_clusters"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical
+    assert "hints=[broadcast]" not in logical.lower().replace(" ", "")
+
+
 def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):
     """Anti-pattern sweep over EVERY registered query's plan:
 
