@@ -70,6 +70,64 @@ def test_merge_is_idempotent_under_replay(spark, tmp_path_factory, batch):
         assert once == twice
 
 
+WIDE_KEYS = st.sampled_from([f"k{i}" for i in range(12)])
+WIDE_BATCH = st.lists(
+    st.tuples(WIDE_KEYS, st.integers(0, 9), st.integers(0, 99)),
+    min_size=1,
+    max_size=10,
+)
+WIDE_SEQ = st.lists(WIDE_BATCH, min_size=2, max_size=4)
+
+
+@given(seq=WIDE_SEQ, n_buckets=st.sampled_from([1, 2]))
+@_SETTINGS
+def test_merge_under_bucket_collision_pressure(
+    spark, tmp_path_factory, seq, n_buckets
+):
+    """n_buckets far below the key count forces every merge to rewrite
+    buckets holding MANY unrelated keys (the SCALE.md Delta-mapping
+    claim's stress case): colliding keys must never clobber each other,
+    the end state must equal the dict-model replay, and with
+    retain_versions > 1 a reader pinned to an old snapshot must survive
+    subsequent merges of the same buckets."""
+    store = KeyedParquetStore(
+        str(tmp_path_factory.mktemp("prop")),
+        key_cols=["k"],
+        newer_col=None,
+        n_buckets=n_buckets,
+        retain_versions=2,
+    )
+    snapshots = []  # (version, model-at-that-version)
+    model: dict[str, tuple[int, int]] = {}
+    for batch in seq:
+        # last-writer-wins within a batch follows row_number over
+        # __stored only, which is nondeterministic among same-key rows of
+        # one batch — keep one row per key per batch to keep the model exact
+        dedup = {k: (k, ts, v) for k, ts, v in batch}
+        store.merge(_df(spark, list(dedup.values())))
+        for k, ts, v in dedup.values():
+            model[k] = (ts, v)
+        snapshots.append((store.versions()[-1], dict(model)))
+
+    got = {r["k"]: (r["ts"], r["v"]) for r in store.read(spark).collect()}
+    assert got == model
+    # every RETAINED snapshot still reads back exactly its historical state,
+    # even though later merges rewrote the same (colliding) buckets
+    retained = set(store.versions())
+    for version, state in snapshots:
+        if version in retained:
+            old = {
+                r["k"]: (r["ts"], r["v"])
+                for r in store.read(spark, version=version).collect()
+            }
+            assert old == state, f"snapshot v{version} corrupted by later merges"
+    # vacuum must be a no-op on referenced dirs: state unchanged after it
+    store.vacuum()
+    assert {
+        r["k"]: (r["ts"], r["v"]) for r in store.read(spark).collect()
+    } == model
+
+
 TEXTS = st.lists(
     st.text(alphabet="ab cd", min_size=1, max_size=30).filter(lambda t: t.strip()),
     min_size=1,
