@@ -80,6 +80,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- driver window (r7) ----
+        # (0) NEW this round (never driver-checked — checked first, the
+        # same round they land):
+        "semantic_dedup": similarity.q_semantic_dedup,
+        "fuzzy_part_matches": relational.q_fuzzy_part_matches,
+        "key_skew_report": relational.q_key_skew_report,
+        "small_quantity_revenue": relational.q_small_quantity_revenue,
+        "pagerank_pairs": dedup.q_pagerank_pairs,
         # (1) the 12 round-6 queries that landed past the r6 window and
         # have never had a driver row (VERDICT r6 top-next #1):
         "lm_score": textops.q_lm_score,
@@ -135,11 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "dataset_split": textops.q_dataset_split,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        # ---------------- end of driver window (50 entries) ----------------
         "simhash": dedup.q_simhash,
         "vehicle_trips": windows.q_vehicle_trips,
         "pack_sequences": textops.q_pack_sequences,
         "conversion_window_counts": relational.q_conversion_window_counts,
-        # ---------------- end of driver window (50 entries) ----------------
         # Below the window: 13 r5-green relational/setops anchors deferred
         # one extra round (unchanged since early rounds, covered by plan
         # tests + the local oracle gate; due FIRST in the r8 window), then
@@ -324,6 +331,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_positions": latest.LATEST_POSITIONS_ORACLE,
         "shipmode_priority_counts": relational.SHIPMODE_PRIORITY_COUNTS_ORACLE,
         "source_mixture_report": textops.SOURCE_MIXTURE_REPORT_ORACLE,
+        "semantic_dedup": similarity.SEMANTIC_DEDUP_ORACLE,
+        "fuzzy_part_matches": relational.FUZZY_PART_MATCHES_ORACLE,
+        "key_skew_report": relational.KEY_SKEW_REPORT_ORACLE,
+        "small_quantity_revenue": relational.SMALL_QUANTITY_REVENUE_ORACLE,
+        "pagerank_pairs": dedup.pagerank_pairs_oracle(),
         "winnow_match_spans": dedup.winnow_match_spans_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "repetition_stats": textops.REPETITION_STATS_ORACLE,

@@ -1121,6 +1121,104 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+PR_ITERS = 3            # fixed power-iteration budget (deterministic oracle)
+PR_SCALE = 1_000_000_000  # ranks as integer parts-per-billion
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def pagerank_pairs(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Damped PageRank over the near-duplicate pair graph — centrality of
+    each document inside its dup neighborhood (the "canonical pick"
+    signal a dedup pipeline can use instead of min-id).
+
+    ALL arithmetic is 64-bit integer (ranks in parts-per-billion,
+    damping as the exact 85/100 ratio, integer division throughout), so
+    the result is bit-identical across engines — float power iteration
+    would diverge in the last ulp on summation order alone. Fixed
+    ``iters`` rounds, each: one keyed join of the (checkpointed) edge
+    list with the rank table + one sum by target — the same
+    per-round shape as dedup_clusters, O(edges) per round with only
+    metadata on the driver. Isolated nodes cannot occur (the node set
+    is defined by the edge list)."""
+    edges = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    adj = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    adj = adj.localCheckpoint(eager=True)  # reused every round
+    deg = adj.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(nn))
+        .select("doc_id", "deg", "n", F.expr(f"{PR_SCALE} div n").alias("r"))
+    )
+    teleport = F.expr(f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} div n)) div {PR_DAMP_DEN}")
+    for _ in range(iters):
+        inbound = (
+            adj.join(
+                ranks.select(
+                    F.col("doc_id").alias("src"), F.expr("r div deg").alias("share")
+                ),
+                adj.doc_b == F.col("src"),
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.sum("share").alias("inbound"))
+        )
+        ranks = (
+            ranks.join(inbound, "doc_id", "left")
+            .select(
+                "doc_id",
+                "deg",
+                "n",
+                (
+                    teleport
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(inbound, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select("doc_id", "deg", F.col("r").alias("rank_ppb"))
+
+
+def pagerank_pairs_oracle(iters: int = PR_ITERS) -> str:
+    lo, hi = PR_DAMP_DEN - PR_DAMP_NUM, PR_DAMP_NUM
+    steps = []
+    for i in range(iters):
+        prev = f"r{i}"
+        steps.append(f"""
+        r{i + 1} AS (
+            SELECT d.doc_id, d.deg, nn.n,
+                   CAST(({lo} * ({PR_SCALE} // nn.n)) // {PR_DAMP_DEN}
+                        + ({hi} * coalesce(s.sm, 0)) // {PR_DAMP_DEN} AS BIGINT) AS r
+            FROM deg d
+            LEFT JOIN (
+                SELECT a.doc_a AS doc_id, sum(p.r // p.deg) AS sm
+                FROM adj a JOIN {prev} p ON p.doc_id = a.doc_b
+                GROUP BY a.doc_a
+            ) s ON s.doc_id = d.doc_id, nn
+        )""")
+    return f"""
+        WITH pairs AS ({minhash_lsh_pairs_oracle()}),
+        adj AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+        ),
+        deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM adj GROUP BY doc_a),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (
+            SELECT doc_id, deg, nn.n, CAST({PR_SCALE} // nn.n AS BIGINT) AS r
+            FROM deg, nn
+        ),{",".join(steps)}
+        SELECT doc_id, deg, r AS rank_ppb FROM r{iters}
+    """
+
+
+def q_pagerank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 

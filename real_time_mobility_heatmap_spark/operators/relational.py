@@ -516,6 +516,151 @@ FUNNEL_CONVERSIONS_ORACLE = """
 
 # queries() adapters ---------------------------------------------------------
 
+FUZZY_MAX_EDIT = 2  # max levenshtein distance counted as a match
+
+
+def fuzzy_part_matches(part: DataFrame) -> DataFrame:
+    """Record-linkage fuzzy join: near-identical part names by edit
+    distance, BLOCKED on (p_brand, p_type).
+
+    The blocking key turns the quadratic all-pairs comparison into a
+    per-block one — the join is a plain equi-join on the block key with
+    ``p_partkey < p_partkey`` ordering, so pair volume is the sum of
+    block-size squares (bounded by the brand x type cardinality), never
+    corpus². ``levenshtein`` is evaluated JVM-side post-join, only on
+    in-block pairs. This is the standard entity-resolution shape at
+    100 TB: pick blocks tight enough that the heaviest block fits a
+    task, exactly like the LSH band buckets in dedup.py."""
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["brand", "ptype"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
+        .select("brand", "ptype", "part_a", "part_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+FUZZY_PART_MATCHES_ORACLE = f"""
+    SELECT a.p_brand AS brand, a.p_type AS ptype,
+           a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+               AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDIT}
+"""
+
+
+SKEW_TOP_N = 20
+
+
+def key_skew_report(lineitem: DataFrame) -> DataFrame:
+    """Join-key skew profiler: the heavy hitters of ``l_partkey`` with
+    their corpus share — the diagnostic you run BEFORE picking a join
+    strategy (salting threshold, AQE skew-join limits).
+
+    One partial-then-final count aggregate (shuffle carries one row per
+    key), top-N via TakeOrderedAndProject (no global sort), total
+    broadcast back as a single row. Shares in integer ppm so the report
+    hash-matches exactly cross-engine."""
+    from pyspark.sql import Window
+
+    counts = lineitem.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("l_partkey")).limit(SKEW_TOP_N)
+    w = Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "l_partkey",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+        )
+    )
+
+
+KEY_SKEW_REPORT_ORACLE = f"""
+    WITH counts AS (
+        SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT sum(cnt) AS total FROM counts),
+    ranked AS (
+        SELECT l_partkey, cnt,
+               row_number() OVER (ORDER BY cnt DESC, l_partkey ASC) AS rank
+        FROM counts
+    )
+    SELECT rank, l_partkey, cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
+    FROM ranked, total WHERE rank <= {SKEW_TOP_N}
+"""
+
+
+Q17_BRAND = "Brand#4"
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders of one brand's parts were not taken — a CORRELATED scalar
+    subquery (per-part average quantity) in its decorrelated form:
+    per-key aggregate + equi-join, which is exactly Catalyst's rewrite.
+    The brand dimension filter is broadcast; the per-part quantity
+    cutoff is a keyed (corpus-scale) aggregate joined back by key —
+    deliberately NOT broadcast."""
+    brand_parts = part.filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    items = lineitem.join(
+        F.broadcast(brand_parts), lineitem.l_partkey == F.col("p_partkey")
+    )
+    cutoff = items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_cut")
+    )
+    return (
+        items.join(cutoff, items.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SMALL_QUANTITY_REVENUE_ORACLE = f"""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = '{Q17_BRAND}'
+      AND l_quantity < (
+          SELECT round(0.2 * avg(l2.l_quantity), 6) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+def q_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_part_matches(load_table(spark, sf_dir, "part"))
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_report(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 

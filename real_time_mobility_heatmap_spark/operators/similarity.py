@@ -244,15 +244,17 @@ def embedding_neardup(embeddings: DataFrame) -> DataFrame:
     )
     a = _with_norm(embeddings, "qa")
     b = _with_norm(embeddings, "qb")
-    # Broadcast the CANDIDATE side, never the corpus: the pair set is
-    # bounded by the per-bucket cap, while `a`/`b` are the full
-    # embeddings relation — corpus-sized at 100 TB, so a broadcast there
-    # is a driver/executor OOM. With the small side hinted, each verify
-    # join streams the corpus partitions past an in-memory candidate map
-    # (the same shape the IVF paths use for their nlist-row centroids).
-    half = F.broadcast(candidates).join(a, F.col("vec_a") == F.col("qa_id"))
+    # NO broadcast hint on the verify joins: neither side is reliably
+    # small — `a`/`b` are the full embeddings relation (corpus-sized at
+    # 100 TB; force-broadcasting it is a driver/executor OOM), and the
+    # candidate pair set is only cap-bounded per bucket, so it can still
+    # be large when bands collide heavily (this fixture). Both verify
+    # joins are plain keyed equi-joins; the planner broadcasts whichever
+    # side its stats say is small (AQE re-plans at runtime) and falls
+    # back to a shuffle join when both are big — the only shape that is
+    # safe at every scale.
     scored = (
-        F.broadcast(half)
+        candidates.join(a, F.col("vec_a") == F.col("qa_id"))
         .join(b, F.col("vec_b") == F.col("qb_id"))
         .select(
             "vec_a",
@@ -816,6 +818,95 @@ QUANTIZED_RECALL_REPORT_ORACLE = f"""
     LEFT JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
     GROUP BY b.query_id
 """
+
+
+SEMDEDUP_COS = 0.4  # keep-threshold; fixture vectors are near-orthogonal
+
+
+def semantic_dedup(embeddings: DataFrame) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster, then prune
+    within-cluster near-duplicates (Abbas et al. 2023 — the public
+    SemDeDup recipe: k-means the corpus, drop all but one of each
+    intra-cluster cosine-near group).
+
+    Plan shape: nearest-centroid assignment (broadcast nlist-row
+    centroid table, one corpus scan), then a SELF equi-join on
+    ``centroid_id`` restricted to ``vec_a < vec_b`` — pair volume is
+    sum of per-cluster squares, never corpus², and at 100 TB nlist
+    grows ~sqrt(n) so clusters stay bounded. A vector is DROPPED when
+    some lower-id cluster-mate sits above the cosine threshold (the
+    deterministic stand-in for SemDeDup's keep-one-per-group); kept
+    rows carry their max lower-mate cosine (-1 when the vector has no
+    lower cluster-mate) so the decision is auditable."""
+    assign = ivf_assign(embeddings).select("vec_id", "centroid_id")
+    m = (
+        spread(embeddings)
+        .join(assign, "vec_id")
+        .select("vec_id", "centroid_id", _as_double("embedding").alias("e"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    )
+    lo = m.select(
+        F.col("centroid_id").alias("g"),
+        F.col("vec_id").alias("lo_id"),
+        F.col("e").alias("lo_e"),
+        F.col("nrm").alias("lo_nrm"),
+    )
+    hi = m.select(
+        F.col("centroid_id").alias("g"),
+        F.col("vec_id").alias("hi_id"),
+        F.col("e").alias("hi_e"),
+        F.col("nrm").alias("hi_nrm"),
+    )
+    pair_cos = (
+        lo.join(hi, "g")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .select(
+            F.col("hi_id").alias("vec_id"),
+            F.round(
+                _dot(F.col("lo_e"), F.col("hi_e"))
+                / (F.col("lo_nrm") * F.col("hi_nrm")),
+                ROUND_COS,
+            ).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_lower_cos"))
+    )
+    return (
+        m.join(pair_cos, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("max_lower_cos", F.lit(-1.0)).alias("max_lower_cos"),
+            (F.coalesce("max_lower_cos", F.lit(-1.0)) < F.lit(SEMDEDUP_COS))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+    WITH assign AS ({_ASSIGN_DUCK}),
+    members AS (
+        SELECT e.vec_id, a.centroid_id, e.embedding
+        FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+    ),
+    pair_cos AS (
+        SELECT c.vec_id,
+               max({_COS_DUCK.replace('q.', 'q2.')}) AS max_lower_cos
+        FROM members q2
+        JOIN members c
+          ON c.centroid_id = q2.centroid_id AND q2.vec_id < c.vec_id
+        GROUP BY c.vec_id
+    )
+    SELECT m.vec_id, m.centroid_id,
+           CAST(coalesce(p.max_lower_cos, -1.0) AS DOUBLE) AS max_lower_cos,
+           CAST(coalesce(p.max_lower_cos, -1.0) < {SEMDEDUP_COS} AS INT) AS is_kept
+    FROM members m LEFT JOIN pair_cos p ON p.vec_id = m.vec_id
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,19 +115,20 @@ def test_bucketed_join_has_no_exchange_on_either_input(spark):
     )
 
 
-def test_neardup_verify_broadcasts_candidates_not_corpus(spark):
-    """embedding_neardup's exact-cosine verify stage must broadcast the
-    CANDIDATE pair set (bounded by the per-bucket cap), never the full
-    embeddings relation (corpus-sized at 100 TB => driver OOM). The
-    candidate side is the LEFT input of both verify joins, so every
-    BroadcastHashJoin in the plan must build left, and no
-    BroadcastExchange subtree may sit directly on an embeddings scan."""
-    plan = _plan(spark, "embedding_neardup")
-    # the only BroadcastHashJoins in this plan are the two verify joins
-    # (the bucket-cap crossJoin plans as a 1-row nested-loop join)
-    joins = re.findall(r"BroadcastHashJoin .*", plan)
-    assert len(joins) == 2, joins
-    assert all("BuildLeft" in j for j in joins), joins
+def test_neardup_verify_joins_carry_no_broadcast_hint(spark):
+    """embedding_neardup's exact-cosine verify joins must NOT force a
+    broadcast on either side: the embeddings relation is corpus-sized at
+    100 TB (hinting it => driver OOM) and the candidate pair set is only
+    cap-bounded per bucket (hinting it regressed 2x on the heavy-collision
+    fixture, r7 bench). What we pin is the absence of any unconditional
+    hint in the logical plan — size-based/AQE planning picks the build
+    side from actual stats instead. The single allowed broadcast is the
+    1-row bucket-cap bound (a crossJoin, not one of the verify joins)."""
+    df = entry_mod.queries()["embedding_neardup"](spark, SF_DIR)
+    # DataFrame-API hints land in the analyzed plan as ResolvedHint nodes
+    logical = df._jdf.queryExecution().analyzed().toString()
+    hints = logical.count("ResolvedHint (strategy=broadcast)")
+    assert hints == 1, f"expected only the 1-row cap-bound hint, saw {hints}"
 
 
 def test_dedup_clusters_size_join_is_not_broadcast(spark):
@@ -137,9 +138,9 @@ def test_dedup_clusters_size_join_is_not_broadcast(spark):
     runtime stats; what we pin is the ABSENCE of the unconditional hint
     in the logical plan, which is what would force the OOM at 100 TB."""
     df = entry_mod.queries()["dedup_clusters"](spark, SF_DIR)
-    logical = df._jdf.queryExecution().logical().toString()
-    assert "UnresolvedHint" not in logical
-    assert "hints=[broadcast]" not in logical.lower().replace(" ", "")
+    # DataFrame-API hints land in the analyzed plan as ResolvedHint nodes
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, "unexpected broadcast hint"
 
 
 def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):
