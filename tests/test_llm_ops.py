@@ -473,3 +473,111 @@ def test_pack_sequences_contiguous_layout(spark):
             assert r["last_pack"] == (r["tok_start"] + r["n_tokens"] - 1) // SEQ_LEN
             assert r["pack_offset"] == r["tok_start"] % SEQ_LEN
             pos += r["n_tokens"]
+
+
+def test_semantic_dedup_drops_only_near_duplicate_cluster_mates(spark):
+    """Hand-built embeddings: two identical vectors land in one cluster
+    (cosine 1.0 => the higher id is dropped); an orthogonal vector is
+    kept; every cluster retains at least one member."""
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        SEMDEDUP_COS,
+        semantic_dedup,
+    )
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    e2 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    e3 = [0.0, 0.0, 0.0, 1.0] + [0.0] * (dim - 4)
+    dup_of_0 = list(e0)
+    rows = [(i, v, 0) for i, v in enumerate([e0, e1, e2, e3, dup_of_0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(emb).collect()}
+    assert len(out) == 5
+    # centroids are vec_id 0..3's vectors; vec 4 == vec 0 => same cluster,
+    # cosine 1.0 with lower-id mate => dropped
+    assert out[4]["is_kept"] == 0 and out[4]["max_lower_cos"] == 1.0
+    for i in range(4):
+        assert out[i]["is_kept"] == 1, i
+        assert out[i]["max_lower_cos"] < SEMDEDUP_COS
+    # per-cluster: at least one keeper
+    by_cluster = {}
+    for r in out.values():
+        by_cluster.setdefault(r["centroid_id"], []).append(r["is_kept"])
+    assert all(any(k == 1 for k in ks) for ks in by_cluster.values())
+
+
+def test_pagerank_pairs_mass_and_symmetry(spark):
+    """On a path graph a-b-c built from near-identical docs, the center
+    node outranks the leaves, equal-role leaves tie exactly (integer
+    arithmetic), and total mass stays within integer-truncation slack of
+    PR_SCALE."""
+    from real_time_mobility_heatmap_spark.operators.dedup import (
+        PR_SCALE,
+        pagerank_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(
+        spark,
+        [base, base.replace("today", "tomorrow"), base, "zz qq ww ee rr tt yy uu"],
+    )
+    out = {r["doc_id"]: r for r in pagerank_pairs(docs).collect()}
+    assert set(out) >= {0, 1, 2}, "near-dup trio must form the graph"
+    assert 3 not in out, "distinct doc must stay outside the pair graph"
+    n = len(out)
+    total = sum(r["rank_ppb"] for r in out.values())
+    # each of `iters` rounds can truncate up to ~1 ppb per node per div
+    assert PR_SCALE * 0.99 <= total <= PR_SCALE
+    if out[0]["deg"] != out[1]["deg"]:
+        center = max(out.values(), key=lambda r: r["deg"])
+        leaves = [r for r in out.values() if r["doc_id"] != center["doc_id"]]
+        assert all(center["rank_ppb"] >= l["rank_ppb"] for l in leaves)
+    # exact tie between structurally identical nodes (docs 0 and 2 are
+    # verbatim copies => same neighborhoods)
+    assert out[0]["rank_ppb"] == out[2]["rank_ppb"]
+
+
+def test_fuzzy_part_matches_blocks_and_threshold(spark):
+    from real_time_mobility_heatmap_spark.operators.relational import (
+        FUZZY_MAX_EDIT,
+        fuzzy_part_matches,
+    )
+
+    rows = [
+        (1, "red widget", "B1", "T1", 1, 1.0),
+        (2, "red widgit", "B1", "T1", 1, 1.0),   # dist 1, same block
+        (3, "red widget", "B2", "T1", 1, 1.0),   # identical name, other block
+        (4, "blue spanner", "B1", "T1", 1, 1.0),  # same block, too far
+    ]
+    part = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    out = fuzzy_part_matches(part).collect()
+    assert [(r["part_a"], r["part_b"], r["edit_dist"]) for r in out] == [(1, 2, 1)]
+    assert all(r["edit_dist"] <= FUZZY_MAX_EDIT for r in out)
+
+
+def test_key_skew_report_ranks_and_shares(spark):
+    from real_time_mobility_heatmap_spark.operators.relational import (
+        SKEW_TOP_N,
+        key_skew_report,
+    )
+
+    # key 7 appears 6x, key 8 3x, keys 100.. once each
+    keys = [7] * 6 + [8] * 3 + list(range(100, 110))
+    li = spark.createDataFrame(
+        [(k, 1.0) for k in keys], "l_partkey long, l_quantity double"
+    )
+    out = sorted(key_skew_report(li).collect(), key=lambda r: r["rank"])
+    assert len(out) == min(SKEW_TOP_N, 12)
+    assert (out[0]["l_partkey"], out[0]["cnt"]) == (7, 6)
+    assert (out[1]["l_partkey"], out[1]["cnt"]) == (8, 3)
+    assert out[0]["share_ppm"] == 6 * 1_000_000 // len(keys)
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1)
+    )
