@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": relational.q_key_skew_report,
         "small_quantity_revenue": relational.q_small_quantity_revenue,
         "pagerank_pairs": dedup.q_pagerank_pairs,
+        "containment_pairs": dedup.q_containment_pairs,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
         # (1) the 12 round-6 queries that landed past the r6 window and
         # have never had a driver row (VERDICT r6 top-next #1):
         "lm_score": textops.q_lm_score,
@@ -139,18 +141,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": textops.q_rolling_fingerprint,
         "corpus_stats": textops.q_corpus_stats,
         "term_frequencies": textops.q_term_frequencies,
+        # ---------------- end of driver window (50 entries) ----------------
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "dataset_split": textops.q_dataset_split,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        # ---------------- end of driver window (50 entries) ----------------
         "simhash": dedup.q_simhash,
         "vehicle_trips": windows.q_vehicle_trips,
         "pack_sequences": textops.q_pack_sequences,
         "conversion_window_counts": relational.q_conversion_window_counts,
-        # Below the window: 13 r5-green relational/setops anchors deferred
-        # one extra round (unchanged since early rounds, covered by plan
-        # tests + the local oracle gate; due FIRST in the r8 window), then
-        # the 50 entries driver-green in round 6 (CORRECTNESS_r06.json).
+        # Below the window: r5-green anchors deferred one extra round to
+        # make room for the round-7 additions (unchanged since early
+        # rounds, covered by plan tests + the local oracle gate; due
+        # FIRST in the r8 window — ngram_jaccard_pairs, simhash,
+        # vehicle_trips, pack_sequences, conversion_window_counts plus
+        # the 13 relational/setops anchors), then the 50 entries
+        # driver-green in round 6 (CORRECTNESS_r06.json).
         "shipping_priority": relational.q_shipping_priority,
         "local_supplier_volume": relational.q_local_supplier_volume,
         "orders_with_big_items": relational.q_orders_with_big_items,
@@ -332,6 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "shipmode_priority_counts": relational.SHIPMODE_PRIORITY_COUNTS_ORACLE,
         "source_mixture_report": textops.SOURCE_MIXTURE_REPORT_ORACLE,
         "semantic_dedup": similarity.SEMANTIC_DEDUP_ORACLE,
+        "containment_pairs": dedup.containment_pairs_oracle(),
+        "dedup_keep_best": dedup.dedup_keep_best_oracle(),
         "fuzzy_part_matches": relational.FUZZY_PART_MATCHES_ORACLE,
         "key_skew_report": relational.KEY_SKEW_REPORT_ORACLE,
         "small_quantity_revenue": relational.SMALL_QUANTITY_REVENUE_ORACLE,

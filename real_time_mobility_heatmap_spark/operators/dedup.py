@@ -48,7 +48,12 @@ from ..functions.textfns import (
     tokens,
 )
 from ..sources.tables import load_table, spread
-from .textops import split_duck_sql, split_spark_sql
+from .textops import (
+    QUALITY_SCORE_ORACLE,
+    quality_score,
+    split_duck_sql,
+    split_spark_sql,
+)
 
 N_HASHES = 8          # MinHash signature length
 N_BANDS = 4           # LSH bands (2 rows per band)
@@ -1119,6 +1124,126 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+CONTAIN_PPM = 600_000  # report pairs where either containment >= 0.6
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment in both
+    directions — |A∩B|/|A| catches a small document embedded inside a
+    larger one, which symmetric Jaccard misses (the doc-in-doc /
+    quote-expansion case a dedup pipeline must treat differently from
+    mutual near-dups).
+
+    Same single-shingling-pass + capped-bucket pair generation as
+    ``ngram_jaccard_pairs`` (set sizes ride inside the bucket structs, no
+    sizes join); containments are exact integer ppm so the relation
+    hash-matches structurally. Emitted when EITHER direction crosses the
+    threshold; both directions are reported for triage."""
+    ex = _exploded_hashed(docs)
+    buckets = (
+        ex.groupBy("s_h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .crossJoin(F.broadcast(_doc_cap(docs)))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
+    )
+    pairs = buckets.select(F.explode(F.expr(_PAIRS_WITH_SIZES)).alias("p")).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            F.expr("n_inter * 1000000 div n_a").alias("cont_a_ppm"),
+            F.expr("n_inter * 1000000 div n_b").alias("cont_b_ppm"),
+        )
+        .filter(
+            (F.col("cont_a_ppm") >= CONTAIN_PPM) | (F.col("cont_b_ppm") >= CONTAIN_PPM)
+        )
+    )
+
+
+def containment_pairs_oracle() -> str:
+    return f"""
+        WITH {_SHINGLED_DUCK},
+        ex AS ({_EX_DUCK}),
+        ok AS (
+            SELECT s_h FROM ex GROUP BY s_h
+            HAVING count(*) >= 2 AND count(*) <= {_DF_CAP_DUCK}
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+            FROM ex a
+            JOIN ok ON a.s_h = ok.s_h
+            JOIN ex b ON a.s_h = b.s_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_inter * 1000000 // n_a AS BIGINT) AS cont_a_ppm,
+               CAST(n_inter * 1000000 // n_b AS BIGINT) AS cont_b_ppm
+        FROM inter
+        WHERE n_inter * 1000000 // n_a >= {CONTAIN_PPM}
+           OR n_inter * 1000000 // n_b >= {CONTAIN_PPM}
+    """
+
+
+def dedup_keep_best(docs: DataFrame) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: one KEEPER per near-dup cluster,
+    chosen by QUALITY (argmax quality_score, doc_id tie-break) instead of
+    min-id — what a training-data pipeline actually retains when dropping
+    duplicates.
+
+    Composition: connected components (``dedup_clusters``) keyed-joined
+    to the map-side quality features, then one row_number window per
+    cluster. The join and window both key on cluster-graph-sized
+    relations (components ≪ corpus); quality is computed only for docs
+    that are IN a cluster — at 100 TB the non-clustered majority never
+    enters the shuffle."""
+    clusters = dedup_clusters(docs)
+    q = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality_score").alias("keeper_quality"),
+            "cluster_size",
+        )
+    )
+
+
+def dedup_keep_best_oracle() -> str:
+    return f"""
+        WITH clusters AS ({dedup_clusters_oracle()}),
+        q AS ({QUALITY_SCORE_ORACLE}),
+        ranked AS (
+            SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality_score,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+            FROM clusters c JOIN q ON q.doc_id = c.doc_id
+        )
+        SELECT cluster_id, doc_id AS keeper_doc_id,
+               quality_score AS keeper_quality, cluster_size
+        FROM ranked WHERE rn = 1
+    """
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keep_best(load_table(spark, sf_dir, "documents"))
 
 
 PR_ITERS = 3            # fixed power-iteration budget (deterministic oracle)

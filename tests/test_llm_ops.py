@@ -581,3 +581,46 @@ def test_key_skew_report_ranks_and_shares(spark):
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
         range(1, len(out) + 1)
     )
+
+
+def test_containment_pairs_detects_doc_in_doc(spark):
+    """A small doc fully embedded in a large one: containment of the
+    small side hits 100% while symmetric Jaccard stays low."""
+    from real_time_mobility_heatmap_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    docs = _docs(spark, [small, big, "totally different words here now ok"])
+    out = containment_pairs(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["cont_a_ppm"] == 1_000_000      # all of small's shingles in big
+    assert r["cont_b_ppm"] < 600_000         # big is mostly NOT the small doc
+    # symmetric jaccard misses this pair entirely at its 0.5 threshold
+    assert not ngram_jaccard_pairs(docs).collect()
+
+
+def test_dedup_keep_best_picks_highest_quality_cluster_mate(spark):
+    """Two near-dup docs: the keeper is the higher-quality one even when
+    it has the larger doc_id (min-id would pick the other)."""
+    from real_time_mobility_heatmap_spark.operators.dedup import dedup_keep_best
+    from real_time_mobility_heatmap_spark.operators.textops import quality_score
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "with many more plain words that read like a normal sentence"
+    )
+    noisy = "!!! " + base.replace("today", "tomorrow") + " ###"
+    docs = _docs(spark, [noisy, base])
+    qs = {r["doc_id"]: r["quality_score"] for r in quality_score(docs).collect()}
+    out = dedup_keep_best(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cluster_size"] == 2
+    best = max(qs, key=lambda d: (qs[d], -d))
+    assert r["keeper_doc_id"] == best
+    assert r["keeper_quality"] == qs[best]
