@@ -311,8 +311,8 @@ def embedding_neardup_oracle() -> str:
 N_CENTROIDS = 4  # coarse quantizer size (nlist); fixture-scaled
 
 
-def _centroids(embeddings: DataFrame) -> DataFrame:
-    """Seed centroid table: the first ``N_CENTROIDS`` vectors by vec_id.
+def _centroids(embeddings: DataFrame, nlist: int = N_CENTROIDS) -> DataFrame:
+    """Seed centroid table: the first ``nlist`` vectors by vec_id.
 
     Production IVF trains centroids OFFLINE (sampled k-means) and ships
     them as a small table; the online path — assignment + probe — is
@@ -320,12 +320,12 @@ def _centroids(embeddings: DataFrame) -> DataFrame:
     the whole pipeline deterministic and SQL-expressible (a float
     k-means update averages doubles, whose summation order is not
     cross-engine stable)."""
-    return embeddings.filter(F.col("vec_id") < N_CENTROIDS).select(
+    return embeddings.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("c_id"), _as_double("embedding").alias("c_emb")
     )
 
 
-def ivf_assign(embeddings: DataFrame) -> DataFrame:
+def ivf_assign(embeddings: DataFrame, nlist: int = N_CENTROIDS) -> DataFrame:
     """IVF coarse assignment: nearest centroid per vector by squared L2.
 
     Plan shape: broadcast the tiny centroid table against every vector,
@@ -335,7 +335,7 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
     this is one scan + a broadcast join with nlist rows — the shape a
     real coarse quantizer runs in."""
     e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
-    scored = e.crossJoin(F.broadcast(_centroids(embeddings))).select(
+    scored = e.crossJoin(F.broadcast(_centroids(embeddings, nlist))).select(
         "vec_id",
         "c_id",
         F.round(
@@ -360,15 +360,20 @@ _DIST2_DUCK = (
     f", {ROUND_COS})"
 )
 
-_ASSIGN_DUCK = f"""
+
+def _assign_duck(nlist: int = N_CENTROIDS) -> str:
+    return f"""
     SELECT vec_id, centroid_id, dist2 FROM (
         SELECT e.vec_id, c.vec_id AS centroid_id, {_DIST2_DUCK} AS dist2,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_DIST2_DUCK} ASC, c.vec_id ASC) AS rn
         FROM embeddings e
-        JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+        JOIN embeddings c ON c.vec_id < {nlist}
     ) WHERE rn = 1
 """
+
+
+_ASSIGN_DUCK = _assign_duck()
 
 IVF_ASSIGN_ORACLE = _ASSIGN_DUCK
 
@@ -821,6 +826,9 @@ QUANTIZED_RECALL_REPORT_ORACLE = f"""
 
 
 SEMDEDUP_COS = 0.4  # keep-threshold; fixture vectors are near-orthogonal
+SEM_NLIST = 16      # ~sqrt(n) clusters: pair volume is Σ cluster², so the
+                    # cluster count — not the threshold — is the cost dial
+                    # (nlist=4 measured 4.7s at sf0.1; 16 cuts pairs ~4x)
 
 
 def semantic_dedup(embeddings: DataFrame) -> DataFrame:
@@ -838,7 +846,7 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
     deterministic stand-in for SemDeDup's keep-one-per-group); kept
     rows carry their max lower-mate cosine (-1 when the vector has no
     lower cluster-mate) so the decision is auditable."""
-    assign = ivf_assign(embeddings).select("vec_id", "centroid_id")
+    assign = ivf_assign(embeddings, SEM_NLIST).select("vec_id", "centroid_id")
     m = (
         spread(embeddings)
         .join(assign, "vec_id")
@@ -885,7 +893,7 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
 
 
 SEMANTIC_DEDUP_ORACLE = f"""
-    WITH assign AS ({_ASSIGN_DUCK}),
+    WITH assign AS ({_assign_duck(SEM_NLIST)}),
     members AS (
         SELECT e.vec_id, a.centroid_id, e.embedding
         FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
