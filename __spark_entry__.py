@@ -36,6 +36,7 @@ from real_time_mobility_heatmap_spark.operators import (
     spatial,
     textops,
     tiles,
+    tpch,
     trajectory,
     windows,
     wire,
@@ -82,6 +83,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r7) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        "min_cost_supplier": tpch.q_min_cost_supplier,
+        "late_order_priority": tpch.q_late_order_priority,
+        "nation_trade_volume": tpch.q_nation_trade_volume,
+        "market_share": tpch.q_market_share,
+        "product_type_profit": tpch.q_product_type_profit,
+        "customer_order_distribution": tpch.q_customer_order_distribution,
+        "promo_revenue_share": tpch.q_promo_revenue_share,
+        "top_suppliers": tpch.q_top_suppliers,
+        "part_supplier_counts": tpch.q_part_supplier_counts,
+        "large_volume_customers": tpch.q_large_volume_customers,
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,
+        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,
+        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,
+        "idle_customer_balance": tpch.q_idle_customer_balance,
         "semantic_dedup": similarity.q_semantic_dedup,
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,
         "key_skew_report": relational.q_key_skew_report,
@@ -224,6 +239,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
+        "min_cost_supplier": tpch.MIN_COST_SUPPLIER_ORACLE,
+        "late_order_priority": tpch.LATE_ORDER_PRIORITY_ORACLE,
+        "nation_trade_volume": tpch.NATION_TRADE_VOLUME_ORACLE,
+        "market_share": tpch.MARKET_SHARE_ORACLE,
+        "product_type_profit": tpch.PRODUCT_TYPE_PROFIT_ORACLE,
+        "customer_order_distribution": tpch.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
+        "promo_revenue_share": tpch.PROMO_REVENUE_SHARE_ORACLE,
+        "top_suppliers": tpch.TOP_SUPPLIERS_ORACLE,
+        "part_supplier_counts": tpch.PART_SUPPLIER_COUNTS_ORACLE,
+        "large_volume_customers": tpch.LARGE_VOLUME_CUSTOMERS_ORACLE,
+        "disjunctive_revenue": tpch.DISJUNCTIVE_REVENUE_ORACLE,
+        "excess_shipment_suppliers": tpch.EXCESS_SHIPMENT_SUPPLIERS_ORACLE,
+        "late_shipment_suppliers": tpch.LATE_SHIPMENT_SUPPLIERS_ORACLE,
+        "idle_customer_balance": tpch.IDLE_CUSTOMER_BALANCE_ORACLE,
         "mobility_tiles": tiles.tiles_oracle_sql(PINGS_ORACLE_SQL, CFG),
         "json_decode": decode.JSON_DECODE_ORACLE,
         "wire_roundtrip": decode.WIRE_ROUNDTRIP_ORACLE,
