@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r7) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        "minhash_error_report": dedup.q_minhash_error_report,
+        "zorder_layout_report": spatial.q_zorder_layout_report,
         "min_cost_supplier": tpch.q_min_cost_supplier,
         "late_order_priority": tpch.q_late_order_priority,
         "nation_trade_volume": tpch.q_nation_trade_volume,
@@ -239,6 +241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
+        "minhash_error_report": dedup.minhash_error_report_oracle(),
+        "zorder_layout_report": spatial.zorder_layout_report_oracle(),
         "min_cost_supplier": tpch.MIN_COST_SUPPLIER_ORACLE,
         "late_order_priority": tpch.LATE_ORDER_PRIORITY_ORACLE,
         "nation_trade_volume": tpch.NATION_TRADE_VOLUME_ORACLE,

@@ -441,6 +441,106 @@ def ngram_jaccard_oracle() -> str:
     """
 
 
+def minhash_error_report(docs: DataFrame) -> DataFrame:
+    """Sketch-accuracy report: MinHash-estimated vs exact Jaccard, bucketed
+    by exact-similarity decile — the "measure, don't guess" dial for sizing
+    the signature (N_HASHES) before trusting LSH at corpus scale.
+
+    For every co-shingle candidate pair (the same capped-bucket pair
+    pipeline as ``ngram_jaccard_pairs``, unthresholded), the estimate is
+    (matching signature components) / N_HASHES and the truth is the exact
+    shingle Jaccard; the report aggregates |error| per truth-decile.
+
+    Plan: one shingling pass feeds both the pair pipeline and the signature
+    aggregate; the pair table (post-cap, ≪ corpus²) joins the doc-keyed
+    signature table twice — both joins keyed, nothing corpus-scale
+    broadcast. Everything after the hash is exact int64 (ppm via integer
+    div; per-decile mean as sum div count), so the report is bit-identical
+    across engines — no float boundary anywhere.
+    """
+    ex = _exploded_hashed(docs)
+    buckets = (
+        ex.groupBy("s_h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .crossJoin(F.broadcast(_doc_cap(docs)))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
+    )
+    pairs = buckets.select(F.explode(F.expr(_PAIRS_WITH_SIZES)).alias("p")).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    sigs = minhash_signatures(docs)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(N_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(N_HASHES)
+    )
+    scored = (
+        inter.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)").alias("exact_ppm"),
+            (matches * F.lit(1000000)).cast("long").alias("est_num"),
+        )
+        .withColumn("est_ppm", F.expr(f"est_num div {N_HASHES}"))
+        .withColumn("abs_err", F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+    )
+    return scored.groupBy(
+        F.expr("exact_ppm div 100000").alias("jaccard_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(abs_err) div count(*)").alias("mean_abs_err_ppm"),
+        F.max("abs_err").alias("max_abs_err_ppm"),
+    )
+
+
+def minhash_error_report_oracle() -> str:
+    sig_cols = ", ".join(f"{_mh_duck(k)} AS mh{k}" for k in range(N_HASHES))
+    matches = " + ".join(
+        f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)" for k in range(N_HASHES)
+    )
+    return f"""
+        WITH {_SHINGLED_DUCK},
+        ex AS ({_EX_DUCK}),
+        ok AS (
+            SELECT s_h FROM ex GROUP BY s_h
+            HAVING count(*) >= 2 AND count(*) <= {_DF_CAP_DUCK}
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+            FROM ex a
+            JOIN ok ON a.s_h = ok.s_h
+            JOIN ex b ON a.s_h = b.s_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sigs AS (SELECT doc_id, {sig_cols} FROM shingled),
+        scored AS (
+            SELECT (n_inter * 1000000) // (n_a + n_b - n_inter) AS exact_ppm,
+                   (({matches}) * 1000000) // {N_HASHES} AS est_ppm
+            FROM inter
+            JOIN sigs a ON doc_a = a.doc_id
+            JOIN sigs b ON doc_b = b.doc_id
+        )
+        SELECT exact_ppm // 100000 AS jaccard_decile,
+               count(*) AS n_pairs,
+               CAST(CAST(sum(abs(est_ppm - exact_ppm)) AS BIGINT) // count(*)
+                    AS BIGINT) AS mean_abs_err_ppm,
+               max(abs(est_ppm - exact_ppm)) AS max_abs_err_ppm
+        FROM scored
+        GROUP BY jaccard_decile
+    """
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """SimHash fingerprint: signed per-bit sums of token hashes.
 
@@ -1350,6 +1450,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_error_report(load_table(spark, sf_dir, "documents"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

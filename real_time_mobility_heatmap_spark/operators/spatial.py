@@ -138,3 +138,125 @@ def q_zone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zone_counts(
         pings_from_events(spark, sf_dir), load_table(spark, sf_dir, "nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) data-layout report
+# --------------------------------------------------------------------------
+
+# 8 bits per axis over the ping area -> 16-bit Morton key; 32 "files" model
+# the write partitioning a layout job would produce at any scale.
+_Z_BITS = 8
+_Z_FILES = 32
+_Z_KEYSPACE = 1 << (2 * _Z_BITS)  # 65536
+
+
+def _axis_sql(expr: str, origin: float) -> str:
+    """Snap a coordinate to an integer 0..255 axis index — identical SQL in
+    Spark and DuckDB (floor of double math, then clamp)."""
+    hi = (1 << _Z_BITS) - 1
+    return (
+        f"CAST(least({hi}, greatest(0, "
+        f"floor(({expr} - CAST({origin} AS DOUBLE)) * {1 << _Z_BITS}))) AS BIGINT)"
+    )
+
+
+def _zkey_sql(ix: str, iy: str, idiv: str) -> str:
+    """Bit-interleave two axis indices into a Morton key using only integer
+    div/mod arithmetic (``idiv`` = 'div' for Spark, '//' for DuckDB) so both
+    engines compute bit-identical keys without engine-specific bit operators."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({ix} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({iy} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout_report(pings: DataFrame) -> DataFrame:
+    """Data-layout diagnostic: how much scan pruning a Z-order (Morton)
+    clustered file layout buys over ingestion-order (round-robin) files.
+
+    At 100 TB the dominant cost of a spatial query is which files its bbox
+    predicate can SKIP via min/max column statistics. This report assigns
+    every ping to a file under two layouts — ``zorder`` (contiguous Morton
+    ranges, what ``writeTo().sortedBy(zkey)`` or a compaction job produces)
+    and ``roundrobin`` (event_id % files, i.e. arrival order) — and
+    measures, per layout, the average/maximum per-file bounding-box
+    footprint and its share of the key space (``avg_bbox_ppm``): the
+    fraction of files a random small bbox query must read. Z-order files
+    cover tiny tight bboxes (skippable); arrival-order files each span the
+    whole area (nothing prunes).
+
+    All post-snap arithmetic is integer (Morton keys, spans, ppm by integer
+    div), so the report hash-matches the oracle exactly. Shape: one scan,
+    a 2x row explode (stack), one (layout, file) aggregate, one per-layout
+    aggregate — diagnostics run at full scale or on a sample, either way
+    shuffle rows = 2 x pings collapsing to 2 x files.
+    """
+    ix, iy = _axis_sql("lat", 42.0), _axis_sql("lon", -72.0)
+    snapped = pings.select(
+        F.expr(ix).alias("ix"),
+        F.expr(iy).alias("iy"),
+        F.col("event_id"),
+    ).withColumn("zkey", F.expr(_zkey_sql("ix", "iy", "div")))
+    per_file_span = _Z_KEYSPACE // _Z_FILES
+    assigned = snapped.select(
+        "ix",
+        "iy",
+        F.expr(
+            f"stack(2, 'zorder', zkey div {per_file_span}, "
+            f"'roundrobin', event_id % {_Z_FILES}) AS (layout, file_id)"
+        ),
+    )
+    per_file = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        ((F.max("ix") - F.min("ix") + 1) * (F.max("iy") - F.min("iy") + 1)).alias(
+            "bbox_area"
+        ),
+    )
+    cells_total = _Z_KEYSPACE
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.expr("sum(bbox_area) div count(*)").alias("avg_bbox_area"),
+        F.max("bbox_area").alias("max_bbox_area"),
+        F.expr(f"sum(bbox_area) * 1000000 div (count(*) * {cells_total})").alias(
+            "avg_bbox_ppm"
+        ),
+    )
+
+
+def zorder_layout_report_oracle() -> str:
+    ix, iy = _axis_sql("lat", 42.0), _axis_sql("lon", -72.0)
+    zkey = _zkey_sql("ix", "iy", "//")
+    per_file_span = _Z_KEYSPACE // _Z_FILES
+    return f"""
+        WITH pings AS ({PINGS_ORACLE_SQL}),
+        snapped AS (
+            SELECT {ix} AS ix, {iy} AS iy, event_id FROM pings
+        ),
+        keyed AS (SELECT ix, iy, event_id, {zkey} AS zkey FROM snapped),
+        assigned AS (
+            SELECT 'zorder' AS layout, zkey // {per_file_span} AS file_id, ix, iy
+            FROM keyed
+            UNION ALL
+            SELECT 'roundrobin' AS layout, event_id % {_Z_FILES} AS file_id, ix, iy
+            FROM keyed
+        ),
+        per_file AS (
+            SELECT layout, file_id, count(*) AS n_rows,
+                   (max(ix) - min(ix) + 1) * (max(iy) - min(iy) + 1) AS bbox_area
+            FROM assigned GROUP BY layout, file_id
+        )
+        SELECT layout,
+               count(*) AS n_files,
+               CAST(sum(bbox_area) AS BIGINT) // count(*) AS avg_bbox_area,
+               max(bbox_area) AS max_bbox_area,
+               CAST(sum(bbox_area) * 1000000 AS BIGINT)
+                   // (count(*) * {_Z_KEYSPACE}) AS avg_bbox_ppm
+        FROM per_file
+        GROUP BY layout
+    """
+
+
+def q_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zorder_layout_report(pings_from_events(spark, sf_dir))

@@ -624,3 +624,34 @@ def test_dedup_keep_best_picks_highest_quality_cluster_mate(spark):
     best = max(qs, key=lambda d: (qs[d], -d))
     assert r["keeper_doc_id"] == best
     assert r["keeper_quality"] == qs[best]
+
+
+def test_minhash_error_report_bounds(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import dedup
+
+    rows = dedup.q_minhash_error_report(spark, sf_dir).collect()
+    assert rows, "fixture corpus must produce co-shingle pairs"
+    for r in rows:
+        assert 0 <= r["jaccard_decile"] <= 10
+        # errors are ppm values inside [0, 1e6] by construction
+        assert 0 <= r["mean_abs_err_ppm"] <= 1_000_000
+        assert r["mean_abs_err_ppm"] <= r["max_abs_err_ppm"] <= 1_000_000
+        assert r["n_pairs"] >= 1
+
+
+def test_zorder_layout_beats_roundrobin(spark, sf_dir):
+    """The point of the operator: Morton-clustered files must have a
+    dramatically tighter average bbox footprint than arrival-order files."""
+    from real_time_mobility_heatmap_spark.operators import spatial
+
+    got = {
+        r["layout"]: r for r in spark.createDataFrame(
+            spatial.q_zorder_layout_report(spark, sf_dir).collect()
+        ).collect()
+    }
+    z, rr = got["zorder"], got["roundrobin"]
+    # every round-robin file spans (almost) the full data extent; z-order
+    # files cover a small fraction of it — at least 4x tighter on average
+    assert z["avg_bbox_area"] * 4 < rr["avg_bbox_area"]
+    assert z["avg_bbox_ppm"] * 4 < rr["avg_bbox_ppm"]
+    assert z["max_bbox_area"] < rr["max_bbox_area"]
