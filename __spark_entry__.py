@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_error_report": dedup.q_minhash_error_report,
         "zorder_layout_report": spatial.q_zorder_layout_report,
         "min_cost_supplier": tpch.q_min_cost_supplier,
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,
+        "returned_item_reporting": tpch.q_returned_item_reporting,
+        "important_parts": tpch.q_important_parts,
         "late_order_priority": tpch.q_late_order_priority,
         "nation_trade_volume": tpch.q_nation_trade_volume,
         "market_share": tpch.q_market_share,
@@ -244,6 +247,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_error_report": dedup.minhash_error_report_oracle(),
         "zorder_layout_report": spatial.zorder_layout_report_oracle(),
         "min_cost_supplier": tpch.MIN_COST_SUPPLIER_ORACLE,
+        "forecast_revenue_change": tpch.FORECAST_REVENUE_CHANGE_ORACLE,
+        "returned_item_reporting": tpch.RETURNED_ITEM_REPORTING_ORACLE,
+        "important_parts": tpch.IMPORTANT_PARTS_ORACLE,
         "late_order_priority": tpch.LATE_ORDER_PRIORITY_ORACLE,
         "nation_trade_volume": tpch.NATION_TRADE_VOLUME_ORACLE,
         "market_share": tpch.MARKET_SHARE_ORACLE,

@@ -52,6 +52,9 @@ __all__ = [
     "excess_shipment_suppliers",
     "late_shipment_suppliers",
     "idle_customer_balance",
+    "forecast_revenue_change",
+    "returned_item_reporting",
+    "important_parts",
 ]
 
 
@@ -946,4 +949,162 @@ def q_late_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idle_customer_balance(
         load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change (pure scan-side predicate aggregate)
+# --------------------------------------------------------------------------
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: single-table filtered aggregate — the canonical
+    predicate-pushdown probe. Every predicate (ship window, discount band,
+    quantity cap) reaches the parquet scan as a PushedFilter; the plan is
+    scan -> partial agg -> 1-row final agg, zero joins, one 1-row shuffle."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+FORECAST_REVENUE_CHANGE_ORACLE = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned item reporting (top-k customers by lost revenue)
+# --------------------------------------------------------------------------
+
+
+def returned_item_reporting(
+    nation: DataFrame, customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over a quarter,
+    top 20. Ranking is over cent-rounded revenue with the customer key as
+    the deterministic tie-break (a raw-double ORDER BY ... LIMIT would be
+    engine-unstable at ties). The top-k is a TakeOrdered over the
+    customer-sized aggregate — never a global sort of the facts."""
+    l = lineitem.filter(F.col("l_returnflag") == "R")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+    return (
+        per_cust.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REPORTING_ORACLE = """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important parts (HAVING against a global scalar)
+# --------------------------------------------------------------------------
+
+
+def important_parts(
+    nation: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value for one nation's suppliers,
+    keeping parts above a fixed fraction of that nation's total — a GROUP
+    BY ... HAVING > (SELECT sum(...) * f) global-scalar subquery.
+
+    Adaptation: no partsupp — value is lineitem extended price for lines
+    shipped by NATION_7 suppliers. The global total is the 1-row aggregate
+    of the SAME per-part frame broadcast-cross-joined back (no second scan
+    of the facts), and both sides of the compare are cent-rounded before
+    the threshold so engines agree at the boundary."""
+    n7 = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == "NATION_7").select("n_nationkey")
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(F.broadcast(n7), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+    )
+    total = per_part.agg(
+        F.round(F.sum("part_value") * 0.001, 2).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+IMPORTANT_PARTS_ORACLE = """
+    WITH per_part AS (
+        SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM per_part
+    WHERE part_value > (SELECT round(sum(part_value) * 0.001, 2) FROM per_part)
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return returned_item_reporting(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return important_parts(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
     )
