@@ -48,6 +48,10 @@ from real_time_mobility_heatmap_spark.sources.tables import (
     source_roundtrip_oracle,
 )
 from real_time_mobility_heatmap_spark.serving import geojson
+from real_time_mobility_heatmap_spark.streaming.neardup import (
+    run_streaming_neardup,
+    streaming_neardup_oracle,
+)
 from real_time_mobility_heatmap_spark.streaming.assembly import (
     run_streaming_conversions,
     run_streaming_positions,
@@ -83,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r7) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        "streaming_neardup": run_streaming_neardup,
         "minhash_error_report": dedup.q_minhash_error_report,
         "zorder_layout_report": spatial.q_zorder_layout_report,
         "min_cost_supplier": tpch.q_min_cost_supplier,
@@ -244,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
+        "streaming_neardup": streaming_neardup_oracle(),
         "minhash_error_report": dedup.minhash_error_report_oracle(),
         "zorder_layout_report": spatial.zorder_layout_report_oracle(),
         "min_cost_supplier": tpch.MIN_COST_SUPPLIER_ORACLE,

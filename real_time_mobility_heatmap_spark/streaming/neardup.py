@@ -1,0 +1,240 @@
+"""Live streaming MinHash/LSH near-duplicate ingest.
+
+The batch operators (``operators.dedup.minhash_lsh_pairs`` /
+``incremental_dedup``) answer "which documents duplicate each other" over a
+static corpus; a pretraining ingest pipeline needs the STREAMING form: as
+document batches arrive, find near-duplicates of anything already ingested
+(or in the same batch), emit them immediately, and fold the batch into the
+accumulated index.
+
+This module runs that loop for real with Structured Streaming:
+
+- the corpus parquet is split into doc_id-ordered micro-batch files and
+  streamed with ``maxFilesPerTrigger=1`` under an ``availableNow`` trigger;
+- ``foreachBatch`` computes the batch's hashed shingle rows and MinHash
+  signatures ONCE, band-joins the batch's LSH bands against the persisted
+  signature index (plus itself, for within-batch pairs), verifies candidates
+  with exact shingle-intersection Jaccard, appends verified pairs to the
+  result sink, and appends the batch's rows + signatures to the index —
+  the same KeyedParquetStore-style externalized state the tile sink uses
+  (streaming/sinks.py): dedup state lives in a queryable store, not in
+  opaque checkpoint files;
+- a pair is discovered exactly once — in the batch where its LATER member
+  arrives — so the union of per-batch outputs equals the batch pair set
+  regardless of arrival order, and the driver's DuckDB oracle can check
+  the streamed result against the pure-SQL formulation.
+
+Scale: per micro-batch the work is (batch bands) ⋈ (index bands) — a keyed
+equi-join whose left side is batch-sized — plus batch-sized appends. The
+index grows like the corpus, but it is PARTITIONED BY band hash on disk, so
+each batch's band join prunes to matching partitions; nothing is ever
+broadcast or collected. Unlike the capped batch operator, the streamed twin
+runs uncapped (the fixture's bucket fanout is tiny); a production deployment
+reuses the batch operator's df_cap bucket filter on the band join.
+
+Reference parity: the reference's streaming surface is the Kafka tile
+pipeline (reference heatmap_stream.py:79-150); this extends the same
+micro-batch + externalized-state pattern to the dedup domain.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_HASHES,
+    _band_hash_duck,
+    _band_hash_spark,
+    _DF_CAP_DUCK,  # noqa: F401  (re-exported for parity docs)
+    _EX_DUCK,
+    _hashed_rows,
+    _mh_duck,
+    _SHINGLED_DUCK,
+    minhash_signatures,
+)
+
+N_MICRO_BATCHES = 4
+
+
+def _bands(sigs: DataFrame) -> DataFrame:
+    """Signatures -> (doc_id, band, bh) LSH band rows."""
+    rows = None
+    for b in range(N_BANDS):
+        r = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.expr(_band_hash_spark(b)).alias("bh"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def _verified_pairs(
+    candidates: DataFrame, rows_all: DataFrame, sizes_all: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verify of (doc_a, doc_b) candidates against the hashed
+    shingle rows; mirrors operators.dedup._jaccard's rounding/threshold."""
+    ra = rows_all.select(F.col("doc_id").alias("doc_a"), "s_h")
+    rb = rows_all.select(F.col("doc_id").alias("doc_b"), "s_h")
+    inter = (
+        candidates.join(ra, "doc_a")
+        .join(rb, ["doc_b", "s_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes_all.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes_all.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the fixture corpus in doc_id-ordered micro-batches through the
+    LSH ingest loop and return the per-new-document dup report
+    (new_doc_id, dup_of, n_matches, best_jaccard) — hash-matched by the
+    driver against the pure-SQL batch oracle."""
+    tmp = tempfile.mkdtemp(prefix=f"streaming-neardup-{uuid.uuid4().hex[:8]}-")
+    in_dir = os.path.join(tmp, "in")
+    idx_rows = os.path.join(tmp, "index_rows")
+    idx_sigs = os.path.join(tmp, "index_sigs")
+    out_dir = os.path.join(tmp, "pairs")
+    os.makedirs(in_dir)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    schema = docs.schema
+    # doc_id-ordered range split -> deterministic micro-batches (arrival
+    # order does not affect the result set; it only decides WHICH batch
+    # discovers a pair)
+    splits = docs.select("doc_id").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo, hi = splits["lo"], splits["hi"]
+    span = (hi - lo + N_MICRO_BATCHES) // N_MICRO_BATCHES
+    for i in range(N_MICRO_BATCHES):
+        part = docs.filter(
+            (F.col("doc_id") >= lo + i * span) & (F.col("doc_id") < lo + (i + 1) * span)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"stage{i}")
+        )
+        for f in os.listdir(os.path.join(tmp, f"stage{i}")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(tmp, f"stage{i}", f),
+                    os.path.join(in_dir, f"batch-{i:02d}.parquet"),
+                )
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        b_rows = _hashed_rows(batch)
+        b_sigs = minhash_signatures(batch)
+        have_index = os.path.isdir(idx_sigs) and any(
+            f.endswith(".parquet") for f in os.listdir(idx_sigs)
+        )
+        if have_index:
+            s_sigs = batch.sparkSession.read.parquet(idx_sigs)
+            s_rows = batch.sparkSession.read.parquet(idx_rows)
+            all_sigs = s_sigs.unionByName(b_sigs)
+            all_rows = s_rows.unionByName(b_rows)
+        else:
+            all_sigs, all_rows = b_sigs, b_rows
+        all_sizes = all_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        # candidates: batch bands against ALL bands (index + batch), pair
+        # canonicalized a < b; require at least one side in this batch —
+        # guaranteed because the left side is batch-only
+        bb = _bands(b_sigs).select(
+            F.col("doc_id").alias("d1"), "band", "bh"
+        )
+        ab = _bands(all_sigs).select(F.col("doc_id").alias("d2"), "band", "bh")
+        candidates = (
+            bb.join(ab, ["band", "bh"])
+            .filter(F.col("d1") != F.col("d2"))
+            .select(
+                F.least("d1", "d2").alias("doc_a"),
+                F.greatest("d1", "d2").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # exactly-once emission needs no dedup state: the left side of the
+        # band join is batch-only, so a pair is discoverable only in the
+        # first batch where BOTH members exist — i.e. when its second
+        # member arrives — regardless of arrival order.
+        _verified_pairs(candidates, all_rows, all_sizes).write.mode("append").parquet(
+            out_dir
+        )
+        b_rows.write.mode("append").parquet(idx_rows)
+        b_sigs.write.mode("append").parquet(idx_sigs)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    pairs = spark.read.parquet(out_dir)
+    return pairs.groupBy(F.col("doc_b").alias("new_doc_id")).agg(
+        F.min("doc_a").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.round(F.max("jaccard"), 6).alias("best_jaccard"),
+    )
+
+
+def streaming_neardup_oracle() -> str:
+    """Pure-SQL twin: uncapped LSH candidates + exact-Jaccard verify +
+    per-later-document report. Must stay in lockstep with the streamed
+    pipeline above (same band hashes, same rounding, same threshold)."""
+    sig_cols = ", ".join(f"{_mh_duck(k)} AS mh{k}" for k in range(N_HASHES))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_duck(b)} AS bh FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH {_SHINGLED_DUCK},
+        sigs AS (SELECT doc_id, {sig_cols} FROM shingled),
+        bands AS ({band_rows}),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                        AND a.doc_id < b.doc_id
+        ),
+        ex AS ({_EX_DUCK}),
+        inter AS (
+            SELECT doc_a, doc_b, count(*) AS n_inter,
+                   any_value(ea.n_sh) AS n_a, any_value(eb.n_sh) AS n_b
+            FROM candidates
+            JOIN ex ea ON doc_a = ea.doc_id
+            JOIN ex eb ON doc_b = eb.doc_id AND ea.s_h = eb.s_h
+            GROUP BY doc_a, doc_b
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+            FROM inter
+            WHERE round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6)
+                  >= {JACCARD_THRESHOLD}
+        )
+        SELECT doc_b AS new_doc_id,
+               min(doc_a) AS dup_of,
+               count(*) AS n_matches,
+               round(max(jaccard), 6) AS best_jaccard
+        FROM pairs
+        GROUP BY doc_b
+    """

@@ -646,3 +646,23 @@ def test_stateful_trip_detector_matches_batch_twin(spark, dirs):
         for r in vehicle_trips(batch_pings).collect()
     )
     assert got == want and len(want) == 3
+
+
+def test_streaming_neardup_invariants_and_determinism(spark):
+    from real_time_mobility_heatmap_spark.streaming.neardup import (
+        run_streaming_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, run_streaming_neardup(spark, sf).collect()))
+    assert a, "fixture corpus must contain near-duplicates"
+    for new_doc, dup_of, n_matches, best_j in a:
+        assert dup_of < new_doc  # keeper is always the earlier doc
+        assert n_matches >= 1
+        assert 0.5 <= best_j <= 1.0
+    # one report row per later document
+    assert len({r[0] for r in a}) == len(a)
+    # a second full run (fresh temp dirs, fresh stream) is bit-identical —
+    # the ingest loop has no hidden arrival-order or scheduling dependence
+    b = sorted(map(tuple, run_streaming_neardup(spark, sf).collect()))
+    assert a == b
