@@ -159,3 +159,41 @@ def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_tpch_exists_shapes_plan_as_semi_anti(spark):
+    # Q4: EXISTS -> left semi with the lateness residual on the hash join
+    assert "LeftSemi" in _plan(spark, "late_order_priority")
+    # Q22: NOT EXISTS(recent orders) -> left anti
+    assert "LeftAnti" in _plan(spark, "idle_customer_balance")
+    # Q16: supplier denylist NOT IN -> broadcast left anti
+    p = _plan(spark, "part_supplier_counts")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_tpch_dims_broadcast_facts_shuffle(spark):
+    # 7-table Q8 star: every dim side broadcast, never a sort-merge join
+    p = _plan(spark, "market_share")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    p = _plan(spark, "product_type_profit")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    pushed = _pushed(_plan(spark, "forecast_revenue_change"))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"Q6 predicate on {col} not pushed to scan"
+
+
+def test_q10_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "returned_item_reporting")
+
+
+def test_q13_join_stays_outer_with_filter_on_null_side(spark):
+    # the ON-clause filter is legal (and optimal) to push into the ORDERS
+    # scan — orders is the null-producing side of the LEFT OUTER join — but
+    # the join itself must never convert to inner (that drops the
+    # zero-order customers bucket, Q13's defining trap)
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan
+    assert "o_orderpriority" in _pushed(plan)
