@@ -69,6 +69,10 @@ def _q_mobility_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_aggregate(pings_from_events(spark, sf_dir), CFG)
 
 
+def _q_hierarchical_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiles.hierarchical_rollups(pings_from_events(spark, sf_dir), CFG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -87,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r7) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        "hierarchical_rollups": _q_hierarchical_rollups,
         "streaming_neardup": run_streaming_neardup,
         "minhash_error_report": dedup.q_minhash_error_report,
         "zorder_layout_report": spatial.q_zorder_layout_report,
@@ -249,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
+        "hierarchical_rollups": tiles.hierarchical_rollups_oracle(PINGS_ORACLE_SQL, CFG),
         "streaming_neardup": streaming_neardup_oracle(),
         "minhash_error_report": dedup.minhash_error_report_oracle(),
         "zorder_layout_report": spatial.zorder_layout_report_oracle(),

@@ -115,3 +115,113 @@ def tiles_oracle_sql(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:
             window_end + INTERVAL '{cfg.ttl_minutes} minutes' AS stale_at
         FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# Hierarchical rollups (continuous-aggregate cascade)
+# --------------------------------------------------------------------------
+
+ROLLUP_GRAINS = [("1min", 60), ("10min", 600), ("1hour", 3600)]
+
+
+def hierarchical_rollups(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: per-cell tile counts
+    at 1-minute grain, then 10-minute and 1-hour grains DERIVED FROM THE
+    PREVIOUS GRAIN — never re-scanning the raw pings. One output frame,
+    all grains unioned with a ``grain`` tag.
+
+    This is the maintenance pattern behind materialized rollup serving at
+    100 TB: the raw scan happens once (finest grain); each coarser level
+    aggregates the previous level's output, whose cardinality is
+    cells x buckets — orders of magnitude below the fact table — so the
+    cascade costs one fact shuffle plus two dim-sized shuffles. Speed
+    sums ride as exact integer micro-km/h (int64 sums are associative,
+    so re-aggregating partial sums is EXACT — the property that makes
+    rollup-from-rollup legal; a pre-rounded avg would drift).
+
+    Buckets are integer epoch seconds (``(epoch div width) * width``),
+    the engine-neutral bucket key (Spark window() and DuckDB time_bucket
+    agree only for widths aligned from midnight; integer math agrees
+    always and is what a rollup TABLE would key on).
+    """
+    snapped = snap_pings(pings, cfg)
+    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    w0 = ROLLUP_GRAINS[0][1]
+    level = (
+        snapped.select(
+            "cell_id",
+            F.expr(f"(unix_timestamp(eventTs) div {w0}) * {w0}").alias("bucket_epoch"),
+            micro.alias("micro"),
+        )
+        .groupBy("cell_id", "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.sum("micro").alias("sum_speed_micro"),
+        )
+    )
+    out = level.withColumn("grain", F.lit(ROLLUP_GRAINS[0][0]))
+    for grain, width in ROLLUP_GRAINS[1:]:
+        level = (
+            level.groupBy(
+                "cell_id",
+                F.expr(f"(bucket_epoch div {width}) * {width}").alias("bucket_epoch"),
+            )
+            .agg(
+                F.sum("n_pings").alias("n_pings"),
+                F.sum("sum_speed_micro").alias("sum_speed_micro"),
+            )
+        )
+        out = out.unionByName(level.withColumn("grain", F.lit(grain)))
+    return out.select(
+        "grain",
+        "cell_id",
+        "bucket_epoch",
+        "n_pings",
+        "sum_speed_micro",
+        F.round(F.col("sum_speed_micro") / 1e6 / F.col("n_pings"), ROUND_AVG).alias(
+            "avg_speed_kmh"
+        ),
+    )
+
+
+def hierarchical_rollups_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:
+    """DuckDB twin — the same cascade, each level reading the previous CTE."""
+    levels = []
+    prev = None
+    for grain, width in ROLLUP_GRAINS:
+        name = f"l_{grain}"
+        if prev is None:
+            levels.append(
+                f"""{name} AS (
+                    SELECT cell_id,
+                           (CAST(floor(epoch(eventTs)) AS BIGINT) // {width}) * {width}
+                               AS bucket_epoch,
+                           count(*) AS n_pings,
+                           CAST(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
+                               AS sum_speed_micro
+                    FROM snapped GROUP BY 1, 2
+                )"""
+            )
+        else:
+            levels.append(
+                f"""{name} AS (
+                    SELECT cell_id,
+                           (bucket_epoch // {width}) * {width} AS bucket_epoch,
+                           CAST(sum(n_pings) AS BIGINT) AS n_pings,
+                           CAST(sum(sum_speed_micro) AS BIGINT) AS sum_speed_micro
+                    FROM {prev} GROUP BY 1, 2
+                )"""
+            )
+        prev = name
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{grain}' AS grain, cell_id, bucket_epoch, n_pings, sum_speed_micro "
+        f"FROM l_{grain}"
+        for grain, _ in ROLLUP_GRAINS
+    )
+    return f"""
+        {snapped_oracle_cte(pings_sql, cfg)},
+        {", ".join(levels)}
+        SELECT grain, cell_id, bucket_epoch, n_pings, sum_speed_micro,
+               round(sum_speed_micro / 1e6 / n_pings, {ROUND_AVG}) AS avg_speed_kmh
+        FROM ({union})
+    """

@@ -86,3 +86,39 @@ def test_pings_loader(spark, sf_dir):
     row = pings.orderBy("event_id").first()
     assert 42.0 <= row["lat"] <= 43.0 and -72.0 <= row["lon"] <= -71.0
     assert pings.count() == 1000
+
+
+def test_hierarchical_rollups_cascade_equals_direct(spark, sf_dir):
+    """Rollup-from-rollup must equal rollup-from-raw: int64 partial sums
+    are associative, so deriving 1-hour buckets from 10-min buckets loses
+    nothing vs aggregating the raw pings directly."""
+    from pyspark.sql import functions as F
+
+    from real_time_mobility_heatmap_spark.operators import tiles
+    from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+
+    pings = pings_from_events(spark, sf_dir)
+    out = tiles.hierarchical_rollups(pings)
+    hourly = out.filter(F.col("grain") == "1hour").select(
+        "cell_id", "bucket_epoch", "n_pings", "sum_speed_micro"
+    )
+    snapped = tiles.snap_pings(pings)
+    direct = (
+        snapped.select(
+            "cell_id",
+            F.expr("(unix_timestamp(eventTs) div 3600) * 3600").alias("bucket_epoch"),
+            F.round(F.col("speedKmh") * 1e6).cast("long").alias("micro"),
+        )
+        .groupBy("cell_id", "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.sum("micro").alias("sum_speed_micro"),
+        )
+    )
+    assert sorted(map(tuple, hourly.collect())) == sorted(map(tuple, direct.collect()))
+    # grain row counts shrink monotonically up the cascade
+    counts = {
+        r["grain"]: r["n"]
+        for r in out.groupBy("grain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["1min"] >= counts["10min"] >= counts["1hour"] >= 1
