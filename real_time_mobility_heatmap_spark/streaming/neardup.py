@@ -49,19 +49,19 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     JACCARD_THRESHOLD,
+    MERSENNE_P,
     N_BANDS,
     N_HASHES,
     _band_hash_duck,
     _band_hash_spark,
-    _DF_CAP_DUCK,  # noqa: F401  (re-exported for parity docs)
     _EX_DUCK,
     _hashed_rows,
     _mh_duck,
+    _MIX,
     _SHINGLED_DUCK,
-    minhash_signatures,
 )
 
-N_MICRO_BATCHES = 4
+N_MICRO_BATCHES = 3
 
 
 def _bands(sigs: DataFrame) -> DataFrame:
@@ -82,8 +82,17 @@ def _verified_pairs(
 ) -> DataFrame:
     """Exact-Jaccard verify of (doc_a, doc_b) candidates against the hashed
     shingle rows; mirrors operators.dedup._jaccard's rounding/threshold."""
-    ra = rows_all.select(F.col("doc_id").alias("doc_a"), "s_h")
-    rb = rows_all.select(F.col("doc_id").alias("doc_b"), "s_h")
+    # prune the rows relation to candidate members BEFORE the intersection
+    # join: the verify stage's shuffle then carries candidate shingles, not
+    # the whole accumulated index, every batch
+    members = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    rows_cand = rows_all.join(members, "doc_id", "left_semi")
+    ra = rows_cand.select(F.col("doc_id").alias("doc_a"), "s_h")
+    rb = rows_cand.select(F.col("doc_id").alias("doc_b"), "s_h")
     inter = (
         candidates.join(ra, "doc_a")
         .join(rb, ["doc_b", "s_h"])
@@ -110,6 +119,7 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(tmp, "in")
     idx_rows = os.path.join(tmp, "index_rows")
     idx_sigs = os.path.join(tmp, "index_sigs")
+    idx_sizes = os.path.join(tmp, "index_sizes")
     out_dir = os.path.join(tmp, "pairs")
     os.makedirs(in_dir)
 
@@ -123,34 +133,48 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     lo, hi = splits["lo"], splits["hi"]
     span = (hi - lo + N_MICRO_BATCHES) // N_MICRO_BATCHES
+    stage = os.path.join(tmp, "stage")
+    # one partitioned write produces every micro-batch file in a single job
+    docs.withColumn(
+        "mb",
+        F.least(
+            F.lit(N_MICRO_BATCHES - 1),
+            F.expr(f"(doc_id - {lo}) div {span}"),
+        ),
+    ).coalesce(1).write.partitionBy("mb").mode("overwrite").parquet(stage)
     for i in range(N_MICRO_BATCHES):
-        part = docs.filter(
-            (F.col("doc_id") >= lo + i * span) & (F.col("doc_id") < lo + (i + 1) * span)
-        )
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, f"stage{i}")
-        )
-        for f in os.listdir(os.path.join(tmp, f"stage{i}")):
+        part_dir = os.path.join(stage, f"mb={i}")
+        for f in os.listdir(part_dir):
             if f.endswith(".parquet"):
                 shutil.copy(
-                    os.path.join(tmp, f"stage{i}", f),
+                    os.path.join(part_dir, f),
                     os.path.join(in_dir, f"batch-{i:02d}.parquet"),
                 )
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        b_rows = _hashed_rows(batch)
-        b_sigs = minhash_signatures(batch)
+        # shingle the batch ONCE; signatures, sizes, and verify rows all
+        # derive from the materialized (doc_id, s_h) rows (min over the
+        # distinct set == min over the multiset, so signatures agree with
+        # the batch operator's formulation)
+        b_rows = _hashed_rows(batch).localCheckpoint(eager=True)
+        mixes = [
+            F.min(
+                F.expr(f"({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}")
+            ).alias(f"mh{k}")
+            for k, (a, b) in enumerate(_MIX)
+        ]
+        b_sigs = b_rows.groupBy("doc_id").agg(*mixes)
+        b_sizes = b_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         have_index = os.path.isdir(idx_sigs) and any(
             f.endswith(".parquet") for f in os.listdir(idx_sigs)
         )
         if have_index:
-            s_sigs = batch.sparkSession.read.parquet(idx_sigs)
-            s_rows = batch.sparkSession.read.parquet(idx_rows)
-            all_sigs = s_sigs.unionByName(b_sigs)
-            all_rows = s_rows.unionByName(b_rows)
+            ss = batch.sparkSession
+            all_sigs = ss.read.parquet(idx_sigs).unionByName(b_sigs)
+            all_rows = ss.read.parquet(idx_rows).unionByName(b_rows)
+            all_sizes = ss.read.parquet(idx_sizes).unionByName(b_sizes)
         else:
-            all_sigs, all_rows = b_sigs, b_rows
-        all_sizes = all_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+            all_sigs, all_rows, all_sizes = b_sigs, b_rows, b_sizes
         # candidates: batch bands against ALL bands (index + batch), pair
         # canonicalized a < b; require at least one side in this batch —
         # guaranteed because the left side is batch-only
@@ -176,6 +200,7 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         b_rows.write.mode("append").parquet(idx_rows)
         b_sigs.write.mode("append").parquet(idx_sigs)
+        b_sizes.write.mode("append").parquet(idx_sizes)
 
     q = (
         spark.readStream.schema(schema)
