@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r7) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        "attribution_report": relational.q_attribution_report,
+        "partition_pruned_stats": relational.q_partition_pruned_stats,
         "hierarchical_rollups": _q_hierarchical_rollups,
         "streaming_neardup": run_streaming_neardup,
         "minhash_error_report": dedup.q_minhash_error_report,
@@ -254,6 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
+        "attribution_report": relational.ATTRIBUTION_REPORT_ORACLE,
+        "partition_pruned_stats": relational.PARTITION_PRUNED_STATS_ORACLE,
         "hierarchical_rollups": tiles.hierarchical_rollups_oracle(PINGS_ORACLE_SQL, CFG),
         "streaming_neardup": streaming_neardup_oracle(),
         "minhash_error_report": dedup.minhash_error_report_oracle(),

@@ -938,3 +938,163 @@ def q_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shipmode_priority_counts(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+def attribution_report(events: DataFrame) -> DataFrame:
+    """Multi-touch marketing attribution over the event stream: every
+    purchase's value credited to the click/view touches of the same user in
+    the preceding hour, under three models at once — first-touch,
+    last-touch, and linear — as CASE arms of ONE aggregation pass (the Q12
+    conditional-agg idiom applied to attribution).
+
+    Plan: the purchase<->touch range join is keyed on user_id (the time
+    range prunes inside key groups — never an interval cross product, same
+    shape as conversion_window_counts); ONE window sort per purchase gives
+    first/last flags (last = count - row_number trick, so no second sort)
+    with event_id as the deterministic tie-break. Purchases with no touch
+    window are unattributed and excluded (inner join), as in standard
+    last-interaction reporting.
+
+    Float-safety: per-model credits are exact per-row expressions (full
+    value, or value/n — one IEEE division); only the final per-channel sums
+    round, to cents.
+    """
+    from pyspark.sql import Window
+
+    touches = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("t_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.col("event_id").alias("p_id"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    ranked = joined.select(
+        "channel",
+        "p_value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("n_touches"),
+    )
+    first_credit = F.when(F.col("rn") == 1, F.col("p_value")).otherwise(0.0)
+    last_credit = F.when(F.col("rn") == F.col("n_touches"), F.col("p_value")).otherwise(
+        0.0
+    )
+    linear_credit = F.col("p_value") / F.col("n_touches")
+    return ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum(first_credit), 2).alias("first_touch_value"),
+        F.round(F.sum(last_credit), 2).alias("last_touch_value"),
+        F.round(F.sum(linear_credit), 2).alias("linear_value"),
+    )
+
+
+ATTRIBUTION_REPORT_ORACLE = """
+    WITH touches AS (
+        SELECT user_id AS t_user, ts AS t_ts, event_type AS channel,
+               event_id AS t_id
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    purchases AS (
+        SELECT user_id AS p_user, ts AS p_ts, value AS p_value,
+               event_id AS p_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT channel, p_value,
+               row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+               count(*) OVER (PARTITION BY p_id) AS n_touches
+        FROM purchases
+        JOIN touches ON t_user = p_user
+                    AND t_ts <= p_ts
+                    AND t_ts > p_ts - INTERVAL 1 HOUR
+    )
+    SELECT channel,
+           count(*) AS n_touches,
+           round(sum(CASE WHEN rn = 1 THEN p_value ELSE 0.0 END), 2)
+               AS first_touch_value,
+           round(sum(CASE WHEN rn = n_touches THEN p_value ELSE 0.0 END), 2)
+               AS last_touch_value,
+           round(sum(p_value / n_touches), 2) AS linear_value
+    FROM ranked
+    GROUP BY channel
+"""
+
+
+def q_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution_report(load_table(spark, sf_dir, "events"))
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture re-laid-out as a Hive-partitioned dataset
+    (partitionBy event_type + order date), written once per (session, sf)
+    to a session-scoped scratch path — the bucketed_tables pattern applied
+    to PARTITION PRUNING instead of shuffle elision.
+
+    At 100 TB, facts land partitioned by their dominant filter columns
+    (event type, ingestion date): a query touching one type/day then reads
+    only matching directories — the scan never opens the other files at
+    all, which is a stronger guarantee than row-group min/max skipping
+    (zorder_layout_report covers that layer). Low-cardinality columns only:
+    5 types x days keeps directories O(hundreds), never a per-key explosion.
+    """
+    import os
+    import tempfile
+
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"parted_events_{app_id}_{tag}")
+    if not os.path.isdir(base):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.partitionBy("event_type", "event_date")
+            .mode("overwrite")
+            .parquet(base)
+        )
+    return spark.read.parquet(base)
+
+
+def partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-value stats read from the partitioned layout: the
+    event_type/event_date predicates resolve to PartitionFilters (directory
+    pruning, asserted in tests/test_plans.py) — no data file outside
+    purchase/<7 days> is opened. Hash-matched against the oracle's plain
+    filtered scan of the raw fixture, proving relayout changes nothing."""
+    ev = partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_date") >= F.lit("2024-01-01").cast("date"))
+        )
+        .groupBy(F.col("event_date").cast("timestamp").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+PARTITION_PRUNED_STATS_ORACLE = """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(ts AS DATE) >= DATE '2024-01-01'
+    GROUP BY 1
+"""
+
+
+def q_partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return partition_pruned_stats(spark, sf_dir)

@@ -197,3 +197,17 @@ def test_q13_join_stays_outer_with_filter_on_null_side(spark):
     plan = _plan(spark, "customer_order_distribution")
     assert "LeftOuter" in plan
     assert "o_orderpriority" in _pushed(plan)
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    df = relational.partition_pruned_stats(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the type/date predicates must resolve as PartitionFilters on the
+    # partitioned layout (directory pruning), not post-scan Filters
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", plan)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date[^\]]*\]", plan)

@@ -122,3 +122,18 @@ def test_table_profile_approx_within_hll_tolerance(spark):
         ), c
         rel = abs(a["n_distinct"] - e["n_distinct"]) / max(e["n_distinct"], 1)
         assert rel <= 0.10, (c, e["n_distinct"], a["n_distinct"], rel)
+
+
+def test_attribution_models_agree_on_totals(spark, sf_dir):
+    """First/last/linear models redistribute the SAME attributed value —
+    their per-channel sums must all total the attributed purchase value."""
+    from real_time_mobility_heatmap_spark.operators.relational import (
+        q_attribution_report,
+    )
+
+    rows = q_attribution_report(spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} == {"click", "view"}
+    tot_first = round(sum(r["first_touch_value"] for r in rows), 1)
+    tot_last = round(sum(r["last_touch_value"] for r in rows), 1)
+    tot_linear = round(sum(r["linear_value"] for r in rows), 1)
+    assert tot_first == tot_last == tot_linear > 0
