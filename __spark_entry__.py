@@ -25,6 +25,7 @@ if str(_REPO) not in sys.path:
 
 from real_time_mobility_heatmap_spark.config import DEFAULT as CFG
 from real_time_mobility_heatmap_spark.operators import (
+    analytics,
     asof,
     decode,
     dedup,
@@ -91,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r7) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        "cohort_retention": analytics.q_cohort_retention,
+        "markov_transitions": analytics.q_markov_transitions,
+        "zscore_outliers": analytics.q_zscore_outliers,
         "attribution_report": relational.q_attribution_report,
         "partition_pruned_stats": relational.q_partition_pruned_stats,
         "hierarchical_rollups": _q_hierarchical_rollups,
@@ -256,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
+        "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
+        "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
+        "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,
         "attribution_report": relational.ATTRIBUTION_REPORT_ORACLE,
         "partition_pruned_stats": relational.PARTITION_PRUNED_STATS_ORACLE,
         "hierarchical_rollups": tiles.hierarchical_rollups_oracle(PINGS_ORACLE_SQL, CFG),

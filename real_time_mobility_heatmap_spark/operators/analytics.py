@@ -1,0 +1,202 @@
+"""Event-analytics operators over the ``events`` table.
+
+Warehouse-standard user-behavior queries the reference's serving layer
+would grow into: cohort retention, behavioral transition matrices, and
+statistical outlier flagging. The reference models vehicles emitting a
+keyed event stream (heatmap_stream.py:79-107); these are the same
+keyed-stream analytics applied to users instead of vehicles.
+
+All arithmetic that crosses the oracle boundary is integer (epoch-second
+buckets, parts-per-million shares) or rounded to 6 dp, the repo-wide
+cross-engine convention.
+
+Scale notes (100 TB posture):
+- ``cohort_retention``: one shuffle keyed on user_id (window min), one on
+  (cohort, offset); the cohort-size side of the final join is bounded by
+  the number of calendar weeks in the corpus -> broadcast is safe.
+- ``markov_transitions``: one shuffle keyed on user_id for the lag window;
+  the transition matrix is |event_type|^2 rows -> the per-prev total is a
+  tiny window, never a driver collect.
+- ``zscore_outliers``: per-type moments via one map-side-combined hash
+  aggregate (5 groups); stats join back is a broadcast of |event_type|
+  rows, so the flagging pass is map-side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+WEEK_S = 7 * 24 * 3600  # cohort bucket width, epoch seconds
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users active N weeks after their first week.
+
+    ``cohort_epoch`` is the epoch-aligned week of a user's first event;
+    ``week_offset`` counts weeks since; ``retention_ppm`` is the share of
+    the cohort still active, in parts-per-million (integer-exact).
+    """
+    per_user = events.select(
+        "user_id",
+        F.expr(f"(unix_timestamp(ts) div {WEEK_S}) * {WEEK_S}").alias("week_epoch"),
+    )
+    w = Window.partitionBy("user_id")
+    active = (
+        per_user.withColumn("cohort_epoch", F.min("week_epoch").over(w))
+        .select("user_id", "cohort_epoch", "week_epoch")
+        .distinct()
+    )
+    counts = active.groupBy(
+        "cohort_epoch",
+        F.expr(f"(week_epoch - cohort_epoch) div {WEEK_S}").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    # offset-0 row counts every cohort member (a user is active in their own
+    # first week by construction) -> cohort size; bounded by corpus weeks.
+    sizes = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_epoch", F.col("n_active").alias("cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_epoch").select(
+        "cohort_epoch",
+        "week_offset",
+        "n_active",
+        F.expr("n_active * 1000000 div cohort_size").alias("retention_ppm"),
+    )
+
+
+COHORT_RETENTION_ORACLE = f"""
+    WITH pu AS (
+        SELECT user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // {WEEK_S}) * {WEEK_S} AS week_epoch
+        FROM events
+    ),
+    act AS (
+        SELECT DISTINCT user_id, week_epoch,
+               min(week_epoch) OVER (PARTITION BY user_id) AS cohort_epoch
+        FROM pu
+    ),
+    counts AS (
+        SELECT cohort_epoch,
+               (week_epoch - cohort_epoch) // {WEEK_S} AS week_offset,
+               count(*) AS n_active
+        FROM act GROUP BY 1, 2
+    )
+    SELECT c.cohort_epoch, c.week_offset, c.n_active,
+           (c.n_active * 1000000) // s.cohort_size AS retention_ppm
+    FROM counts c
+    JOIN (SELECT cohort_epoch, n_active AS cohort_size
+          FROM counts WHERE week_offset = 0) s USING (cohort_epoch)
+"""
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix with integer-ppm probabilities.
+
+    The behavioral model behind next-event prediction / funnel design:
+    order each user's stream by (ts, event_id), count (prev -> next)
+    transitions, and normalize per source state.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000").alias("_num"),
+        F.sum("n_transitions").over(per_prev).alias("_den"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr("_num div _den").alias("prob_ppm"),
+    )
+
+
+MARKOV_TRANSITIONS_ORACLE = """
+    WITH t AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, next_type, count(*) AS n_transitions
+        FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST((n_transitions * 1000000)
+               // CAST(sum(n_transitions) OVER (PARTITION BY prev_type)
+                       AS BIGINT) AS BIGINT) AS prob_ppm
+    FROM counts
+"""
+
+
+def zscore_outliers(events: DataFrame) -> DataFrame:
+    """Per-event-type z-score outlier flags on ``value``.
+
+    Moments are computed once per type (sum / sum-of-squares, sample
+    variance) and joined back broadcast, so the row-level pass stays
+    map-side. z is rounded to 6 dp BEFORE thresholding so the outlier
+    flag is a deterministic function of the rounded score in both engines.
+    """
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("value").alias("_s1"),
+        F.sum(F.col("value") * F.col("value")).alias("_s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        (F.col("_s1") / F.col("_n")).alias("_mean"),
+        F.sqrt((F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (F.col("_n") - 1)).alias("_std"),
+    )
+    flagged = (
+        events.select("event_id", "event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", F.round((F.col("value") - F.col("_mean")) / F.col("_std"), 6))
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        "value",
+        "zscore",
+        (F.abs(F.col("zscore")) > 2.0).alias("is_outlier"),
+    )
+
+
+ZSCORE_OUTLIERS_ORACLE = """
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT event_type, s1 / n AS mean_v,
+               sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v
+        FROM s
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.mean_v) / m.std_v, 6) AS zscore,
+           abs(round((e.value - m.mean_v) / m.std_v, 6)) > 2.0 AS is_outlier
+    FROM events e JOIN m USING (event_type)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zscore_outliers(load_table(spark, sf_dir, "events"))
