@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r7) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        "boilerplate_scrub": textops.q_boilerplate_scrub,
+        "quality_decile_report": textops.q_quality_decile_report,
         "cohort_retention": analytics.q_cohort_retention,
         "markov_transitions": analytics.q_markov_transitions,
         "zscore_outliers": analytics.q_zscore_outliers,
@@ -260,6 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
+        "boilerplate_scrub": textops.BOILERPLATE_SCRUB_ORACLE,
+        "quality_decile_report": textops.QUALITY_DECILE_REPORT_ORACLE,
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

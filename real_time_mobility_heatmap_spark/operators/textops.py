@@ -8,7 +8,7 @@ and every query has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import (
@@ -1042,3 +1042,214 @@ SOURCE_MIXTURE_REPORT_ORACLE = f"""
 
 def q_source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_report(load_table(spark, sf_dir, "documents"))
+
+
+BOILER_SEG_TOKENS = 8   # non-overlapping segment width (tokens)
+BOILER_MIN_DF = 3       # segment is boilerplate if seen in >= this many docs
+
+
+def boilerplate_scrub(docs: DataFrame) -> DataFrame:
+    """CCNet-style boilerplate removal at segment granularity.
+
+    Documents are cut into non-overlapping ``BOILER_SEG_TOKENS``-token
+    segments (the stand-in for lines/paragraphs — the fixture text has no
+    newlines); a segment whose hash occurs in >= ``BOILER_MIN_DF``
+    DISTINCT documents is boilerplate (nav bars, license headers, shared
+    templates) and is dropped; the cleaned document is re-joined from the
+    surviving segments in order.
+
+    Plan: segment explode (map-side), segment-hash document-frequency
+    aggregate, keyed join back on seg_hash (no broadcast — the
+    boilerplate set is corpus-scale in the worst case), then one per-doc
+    aggregate that rebuilds the text via a sorted struct collect. Three
+    keyed shuffles total; cleaned content crosses the compare boundary as
+    sha256 (the ``redact_pii`` convention).
+    """
+    w = BOILER_SEG_TOKENS
+    base = spread(docs).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    segs = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.expr(f"sequence(0, (n - 1) div {w})")).alias("seg_i"),
+    ).select(
+        "doc_id",
+        "seg_i",
+        F.expr(f"concat_ws(' ', slice(toks, seg_i * {w} + 1, {w}))").alias("seg_text"),
+        F.expr(f"least({w}, n - seg_i * {w})").cast("long").alias("seg_len"),
+    ).withColumn("seg_hash", F.expr(hash60_spark_sql("seg_text")))
+    freq = segs.groupBy("seg_hash").agg(
+        F.countDistinct("doc_id").alias("seg_df")
+    )
+    marked = segs.join(freq, "seg_hash").withColumn(
+        "is_boiler", F.col("seg_df") >= BOILER_MIN_DF
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_boiler_segments"),
+        F.sum(F.when(~F.col("is_boiler"), F.col("seg_len")).otherwise(F.lit(0))).alias("clean_n_tokens"),
+        F.sha2(
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("seg_i"),
+                                    F.when(~F.col("is_boiler"), F.col("seg_text")).alias("seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s.seg,
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+            ),
+            256,
+        ).alias("clean_sha256"),
+    )
+
+
+_SEG_HASH_DUCK = hash60_duck_sql("seg_text")
+
+BOILERPLATE_SCRUB_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, {TOKENS_DUCK} AS toks, len({TOKENS_DUCK}) AS n
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(generate_series(0, (n - 1) // {BOILER_SEG_TOKENS})) AS seg_i,
+               toks, n
+        FROM base
+    ),
+    st AS (
+        SELECT doc_id, seg_i,
+               array_to_string(
+                   toks[seg_i * {BOILER_SEG_TOKENS} + 1 :
+                        seg_i * {BOILER_SEG_TOKENS} + {BOILER_SEG_TOKENS}], ' ')
+                   AS seg_text,
+               CAST(least({BOILER_SEG_TOKENS}, n - seg_i * {BOILER_SEG_TOKENS}) AS BIGINT)
+                   AS seg_len
+        FROM segs
+    ),
+    hashed AS (SELECT *, {_SEG_HASH_DUCK} AS seg_hash FROM st),
+    freq AS (
+        SELECT seg_hash, count(DISTINCT doc_id) >= {BOILER_MIN_DF} AS is_boiler
+        FROM hashed GROUP BY seg_hash
+    ),
+    marked AS (SELECT h.*, f.is_boiler FROM hashed h JOIN freq f USING (seg_hash))
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_segments,
+           CAST(sum(CASE WHEN is_boiler THEN 0 ELSE seg_len END) AS BIGINT)
+               AS clean_n_tokens,
+           sha256(coalesce(
+               string_agg(CASE WHEN NOT is_boiler THEN seg_text END, ' '
+                          ORDER BY seg_i), ''))
+               AS clean_sha256
+    FROM marked
+    GROUP BY doc_id
+"""
+
+
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def quality_decile_report(docs: DataFrame) -> DataFrame:
+    """Per-decile corpus report over the composite quality score — the
+    measurement behind "keep the top X% by model score" pruning.
+
+    Deciles are EXACT but never globally sort the corpus: thresholds come
+    from the score VALUE HISTOGRAM (cardinality-bounded, the
+    ``value_histogram`` pattern) — t_k = min{score : cum_count*10 >= k*N}
+    is a pure integer comparison, so the cut points are engine-identical
+    with no percentile-interpolation float drift. The 9-threshold array
+    is a 1-row broadcast; decile assignment is map-side.
+    """
+    s = quality_score(docs).select(
+        "doc_id", F.col("quality_score").alias("qs"), "n_tokens"
+    )
+    vc = s.groupBy("qs").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = vc.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("qs").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = s.agg(F.count(F.lit(1)).alias("n_total"))
+    th = (
+        cum.crossJoin(F.broadcast(total))
+        .select("qs", "cum", "n_total", F.explode(F.expr("sequence(1, 9)")).alias("k"))
+        .filter(F.expr("cum * 10 >= k * n_total"))
+        .groupBy("k")
+        .agg(F.min("qs").alias("t"))
+    )
+    th_arr = th.groupBy().agg(
+        F.array_sort(F.collect_list("t")).alias("th")
+    )
+    assigned = s.crossJoin(F.broadcast(th_arr)).select(
+        "doc_id",
+        "qs",
+        "n_tokens",
+        (1 + F.size(F.filter("th", lambda t: F.col("qs") > t))).alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("qs"), 6).alias("min_score"),
+        F.round(F.max("qs"), 6).alias("max_score"),
+        F.round(F.avg("qs"), 6).alias("avg_score"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
+
+
+QUALITY_DECILE_REPORT_ORACLE = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len({TOKENS_DUCK}) AS n_tokens,
+               round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+               round(len(list_filter({TOKENS_DUCK}, t -> t IN ({_STOP_IN}))) / CAST(len({TOKENS_DUCK}) AS DOUBLE), 6) AS stopword_ratio
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               round(least(n_tokens / CAST(50.0 AS DOUBLE), 1.0) * 0.5
+                     + (1 - least(punct_ratio * 5, CAST(1.0 AS DOUBLE))) * 0.25
+                     + least(stopword_ratio * 4, CAST(1.0 AS DOUBLE)) * 0.25, 6) AS qs
+        FROM feats
+    ),
+    vc AS (SELECT qs, count(*) AS cnt FROM s GROUP BY qs),
+    cum AS (SELECT qs, sum(cnt) OVER (ORDER BY qs
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM vc),
+    tot AS (SELECT count(*) AS n_total FROM s),
+    th AS (
+        SELECT k, min(qs) AS t
+        FROM cum CROSS JOIN tot
+             CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k)
+        WHERE cum * 10 >= k * n_total
+        GROUP BY k
+    ),
+    assigned AS (
+        SELECT s.doc_id, s.qs, s.n_tokens,
+               1 + (SELECT count(*) FROM th WHERE s.qs > th.t) AS decile
+        FROM s
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           count(*) AS n_docs,
+           round(min(qs), 6) AS min_score,
+           round(max(qs), 6) AS max_score,
+           round(avg(qs), 6) AS avg_score,
+           round(avg(n_tokens), 6) AS avg_tokens
+    FROM assigned
+    GROUP BY 1
+"""
+
+
+def q_quality_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_decile_report(load_table(spark, sf_dir, "documents"))

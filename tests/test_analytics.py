@@ -61,3 +61,43 @@ def test_zscore_outliers_rate_and_symmetry(spark, sf_dir):
     )
     for r in means:
         assert abs(r.m) < 1e-3
+
+
+def test_boilerplate_scrub_segment_math(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.boilerplate_scrub(docs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tok"),
+    )
+    joined = out.join(toks, "doc_id").collect()
+    assert len(joined) == docs.count()
+    w = textops.BOILER_SEG_TOKENS
+    any_boiler = any_clean = 0
+    for r in joined:
+        assert r.n_segments == (r.n_tok + w - 1) // w
+        assert 0 <= r.n_boiler_segments <= r.n_segments
+        assert r.clean_n_tokens <= r.n_tok
+        if r.n_boiler_segments:
+            any_boiler += 1
+            assert r.clean_n_tokens < r.n_tok
+        else:
+            any_clean += 1
+            assert r.clean_n_tokens == r.n_tok
+    # the fixture must exercise both classes for the op to mean anything
+    assert any_boiler > 0 and any_clean > 0
+
+
+def test_quality_deciles_partition_and_order(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        textops.quality_decile_report(docs).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_score <= b.min_score, "decile score bands must not overlap"
