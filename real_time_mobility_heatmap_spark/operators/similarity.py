@@ -959,3 +959,146 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+
+
+RP_DIM = 16   # Johnson-Lindenstrauss target dimensionality (64 -> 16)
+RP_SEED = 13  # distinct from the LSH planes seed
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Deterministic ±1 projection matrix (Achlioptas-style), identical
+    literals in Spark and the DuckDB oracle."""
+    rng = random.Random(RP_SEED)
+    return [[float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(RP_DIM)]
+
+
+def rp_project(embeddings: DataFrame) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-d -> 16-d with a ±1
+    matrix scaled by 1/sqrt(RP_DIM) — the 4x distance-preserving
+    compression used before expensive pairwise stages (clustering,
+    near-dup, ANN index build).
+
+    The matrix lives in the PLAN as literal arrays (nothing broadcast,
+    nothing collected); the projection is a map-side fold per row, so at
+    100 TB this pipelines into the scan. sqrt(16) = 4 keeps the scale
+    factor float-exact; components round to 6 dp for the cross-engine
+    hash.
+    """
+    pre = spread(embeddings).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    cols = [
+        F.round(
+            _dot(F.col("e"), F.array(*[F.lit(v) for v in weights])) / 4.0, 6
+        ).alias(f"rp_{k}")
+        for k, weights in enumerate(_rp_matrix())
+    ]
+    return pre.select("vec_id", "label", *cols)
+
+
+def rp_project_oracle() -> str:
+    cols = []
+    for k, weights in enumerate(_rp_matrix()):
+        arr = "[" + ", ".join(repr(v) for v in weights) + "]"
+        cols.append(
+            f"round(list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[])"
+            f" / 4.0, 6) AS rp_{k}"
+        )
+    return f"SELECT vec_id, label, {', '.join(cols)} FROM embeddings"
+
+
+def _rp_vec_duck() -> str:
+    comps = []
+    for weights in _rp_matrix():
+        arr = "[" + ", ".join(repr(v) for v in weights) + "]"
+        comps.append(
+            f"round(list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) / 4.0, 6)"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+def rp_recall_report(embeddings: DataFrame) -> DataFrame:
+    """Recall@k of top-k cosine run in the 16-d projected space against
+    the exact 64-d brute force — the dimensionality-reduction quality
+    dial (the JL analogue of ``ivf_recall_report``). Integer ppm, fully
+    hash-oracle-checked.
+
+    Ranking happens on 6-dp-rounded projected components, so the
+    candidate order is a deterministic function of oracle-identical
+    values in both engines.
+    """
+    proj = rp_project(embeddings).select(
+        "vec_id",
+        F.array(*[F.col(f"rp_{k}") for k in range(RP_DIM)]).alias("r"),
+    )
+    q = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("r").alias("qr"),
+        F.sqrt(_dot(F.col("r"), F.col("r"))).alias("qn"),
+    )
+    scored = (
+        proj.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("r").alias("cr"),
+            F.sqrt(_dot(F.col("r"), F.col("r"))).alias("cn"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qr"), F.col("cr")) / (F.col("qn") * F.col("cn")),
+                ROUND_COS,
+            ).alias("cosine"),
+        )
+    )
+    approx = _rank_topk(scored).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    brute = topk_cosine(embeddings).select("query_id", "cand_id")
+    return (
+        brute.join(approx, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 div {TOP_K}").alias("recall_ppm"),
+        )
+    )
+
+
+def rp_recall_report_oracle() -> str:
+    return f"""
+    WITH rp AS (SELECT vec_id, {_rp_vec_duck()} AS r FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_dot_product(q.r, c.r)
+                     / (sqrt(list_dot_product(q.r, q.r))
+                        * sqrt(list_dot_product(c.r, c.r))), {ROUND_COS}) AS cosine
+        FROM rp q JOIN rp c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, cand_id ASC) AS rank
+        FROM scored
+    ),
+    approx AS (SELECT query_id, cand_id FROM ranked WHERE rank <= {TOP_K}),
+    brute AS ({TOPK_COSINE_ORACLE})
+    SELECT b.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+           (count(a.cand_id) * 1000000) // {TOP_K} AS recall_ppm
+    FROM brute b
+    LEFT JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+    GROUP BY b.query_id
+"""
+
+
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rp_project(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_rp_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rp_recall_report(load_table(spark, sf_dir, "embeddings"))

@@ -101,3 +101,30 @@ def test_quality_deciles_partition_and_order(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == docs.count()
     for a, b in zip(rows, rows[1:]):
         assert a.max_score <= b.min_score, "decile score bands must not overlap"
+
+
+def test_rp_projection_preserves_geometry(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.rp_project(emb)
+    assert proj.count() == emb.count()
+    # JL norm preservation: E[|y|^2] = |x|^2; corpus mean ratio near 1
+    sq = sum(F.col(f"rp_{k}") * F.col(f"rp_{k}") for k in range(similarity.RP_DIM))
+    xn = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v * v,
+    )
+    r = (
+        proj.join(emb.select("vec_id", "embedding"), "vec_id")
+        .select((sq / xn).alias("ratio"))
+        .agg(F.avg("ratio").alias("m"))
+        .collect()[0]
+    )
+    assert 0.7 < r.m < 1.3, f"mean squared-norm ratio {r.m} outside JL band"
+    # projected space must retain real neighborhood signal
+    rec = similarity.rp_recall_report(emb).collect()
+    assert len(rec) == similarity.N_QUERIES
+    mean_recall = sum(x.recall_ppm for x in rec) / len(rec)
+    assert mean_recall > 0, "JL projection lost all neighborhood structure"
