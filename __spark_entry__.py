@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_decile_report": textops.q_quality_decile_report,
         "rp_project": similarity.q_rp_project,
         "rp_recall_report": similarity.q_rp_recall_report,
+        "media_phash": multimodal.q_media_phash,
+        "media_phash_pairs": multimodal.q_media_phash_pairs,
         "cohort_retention": analytics.q_cohort_retention,
         "markov_transitions": analytics.q_markov_transitions,
         "zscore_outliers": analytics.q_zscore_outliers,
@@ -268,6 +270,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_decile_report": textops.QUALITY_DECILE_REPORT_ORACLE,
         "rp_project": similarity.rp_project_oracle(),
         "rp_recall_report": similarity.rp_recall_report_oracle(),
+        "media_phash": multimodal.media_phash_oracle(),
+        "media_phash_pairs": multimodal.media_phash_pairs_oracle(),
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

@@ -328,3 +328,181 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_resize(load_table(spark, sf_dir, "documents"))
+
+
+PHASH_REGIONS = 15      # nibbles in the hash (60 bits, signed-int64-safe)
+PHASH_BANDS = 5         # 3 nibbles (12 bits) per band
+PHASH_BUCKET_CAP = 64   # hot-bucket guard, mirrored in the oracle
+PHASH_NEAR_NIBBLES = 3  # verified-near threshold (nibble hamming distance)
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def region_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Region-sum perceptual-style hash over raw media bytes.
+
+    The blob splits into ``PHASH_REGIONS`` equal byte regions; each
+    contributes one nibble (region byte-sum mod 16), so a local edit
+    flips ONLY its region's nibble — the locality property a real
+    perceptual hash (pHash/aHash DCT variants) provides for images,
+    reproduced here on the byte plane so the banding/verify plumbing is
+    exercised without codecs. Vectorized like ``fake_features``: one
+    concatenated uint8 buffer, one prefix-sum, 15 segment sums per blob
+    read off it (no per-row byte loops).
+    """
+    R = PHASH_REGIONS
+    for pdf in batches:
+        content = pdf["content"]
+        lens = content.map(len).to_numpy(dtype=np.int64)
+        n = len(content)
+        if n == 0 or int(lens.sum()) == 0:
+            ph = np.zeros(n, dtype=np.int64)
+        else:
+            blob = np.frombuffer(b"".join(content), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(blob, dtype=np.int64)))
+            blob_starts = (np.cumsum(lens) - lens)[:, None]
+            idx = np.arange(R + 1)[None, :]
+            bounds = blob_starts + (idx * lens[:, None]) // R  # (n, R+1)
+            seg = csum[bounds[:, 1:]] - csum[bounds[:, :-1]]   # (n, R)
+            nibbles = (seg % 16).astype(np.int64)
+            ph = (nibbles << (4 * np.arange(R, dtype=np.int64))[None, :]).sum(axis=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": lens.astype("int32"),
+                "phash": ph,
+            }
+        )
+
+
+def media_phash(docs: DataFrame) -> DataFrame:
+    media = media_table(spread(docs)).select("doc_id", "content")
+    return media.mapInPandas(region_phash, PHASH_SCHEMA)
+
+
+def _phash_duck() -> str:
+    """DuckDB twin: fixture text is ASCII so octets == characters."""
+    R = PHASH_REGIONS
+    terms = []
+    for i in range(R):
+        seg = (
+            "CAST(COALESCE(list_sum(list_transform("
+            f"string_split(text, '')[(strlen(text) * {i}) // {R} + 1 :"
+            f" (strlen(text) * {i + 1}) // {R}],"
+            " c -> unicode(c))), 0) % 16 AS BIGINT)"
+        )
+        terms.append(f"{seg} * {16 ** i}")
+    expr = " + ".join(terms)
+    return f"""
+        SELECT doc_id,
+               CAST(strlen(text) AS INTEGER) AS byte_len,
+               CAST({expr} AS BIGINT) AS phash
+        FROM documents
+    """
+
+
+def media_phash_oracle() -> str:
+    return _phash_duck()
+
+
+def media_phash_pairs(docs: DataFrame) -> DataFrame:
+    """Hamming-banded near-duplicate candidates over the media phash —
+    the multimodal member of the dedup family.
+
+    LSH-style: 5 bands of 12 bits; blobs sharing any band become a
+    candidate pair (capped buckets — the repo-wide hot-bucket guard),
+    then the EXACT nibble hamming distance verifies each candidate.
+    Emits every candidate with its distance and the ``is_near`` verdict
+    (distance <= 3 of 15 nibbles), so the report doubles as the
+    collision/selectivity audit for sizing bands at corpus scale.
+    """
+    ph = media_phash(docs)
+    banded = ph.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}),"
+                f" b -> struct(b AS band,"
+                f" shiftright(phash, 12 * b) & 4095 AS bv))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bv")
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, PHASH_BUCKET_CAP))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1),"
+                    " i -> transform(sequence(i + 1, size(ds)),"
+                    " j -> struct(element_at(ds, i) AS doc_a,"
+                    " element_at(ds, j) AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    pa = ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"))
+    pb = ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                f"aggregate(sequence(0, {PHASH_REGIONS - 1}), 0,"
+                " (acc, i) -> acc + IF((shiftright(ph_a ^ ph_b, 4 * i) & 15) != 0, 1, 0))"
+            ).alias("nibble_dist"),
+        )
+        .withColumn("is_near", F.col("nibble_dist") <= PHASH_NEAR_NIBBLES)
+    )
+
+
+def media_phash_pairs_oracle() -> str:
+    return f"""
+    WITH ph AS ({_phash_duck()}),
+    banded AS (
+        SELECT doc_id, b, (phash >> (12 * b)) & 4095 AS bv
+        FROM ph, (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS b)
+    ),
+    sized AS (
+        SELECT b, bv FROM banded GROUP BY b, bv
+        HAVING count(*) BETWEEN 2 AND {PHASH_BUCKET_CAP}
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded x
+        JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+        JOIN sized s ON s.b = x.b AND s.bv = x.bv
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(list_sum(list_transform(generate_series(0, {PHASH_REGIONS - 1}),
+                i -> CASE WHEN (xor(pa.phash, pb.phash) >> (4 * i)) & 15 != 0
+                     THEN 1 ELSE 0 END)) AS INTEGER) AS nibble_dist,
+           CAST(list_sum(list_transform(generate_series(0, {PHASH_REGIONS - 1}),
+                i -> CASE WHEN (xor(pa.phash, pb.phash) >> (4 * i)) & 15 != 0
+                     THEN 1 ELSE 0 END)) AS INTEGER) <= {PHASH_NEAR_NIBBLES}
+               AS is_near
+    FROM pairs p
+    JOIN ph pa ON pa.doc_id = p.doc_a
+    JOIN ph pb ON pb.doc_id = p.doc_b
+"""
+
+
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_phash(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_phash_pairs(load_table(spark, sf_dir, "documents"))

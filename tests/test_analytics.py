@@ -128,3 +128,22 @@ def test_rp_projection_preserves_geometry(spark, sf_dir):
     assert len(rec) == similarity.N_QUERIES
     mean_recall = sum(x.recall_ppm for x in rec) / len(rec)
     assert mean_recall > 0, "JL projection lost all neighborhood structure"
+
+
+def test_media_phash_locality_and_banding(spark):
+    from real_time_mobility_heatmap_spark.operators import multimodal
+
+    base = "x" * 300
+    edited = base[:200] + "Q" + base[201:]  # single-byte edit, same length
+    docs = spark.createDataFrame(
+        [(1, base, "en", "src00001", 300), (2, edited, "en", "src00001", 300),
+         (3, "totally different words " * 20, "en", "src00002", 480)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ph = {r.doc_id: r.phash for r in multimodal.media_phash(docs).collect()}
+    x = ph[1] ^ ph[2]
+    flipped = sum(1 for i in range(multimodal.PHASH_REGIONS) if (x >> (4 * i)) & 15)
+    assert flipped <= 1, "single-byte edit must flip at most its own region nibble"
+    pairs = {(r.doc_a, r.doc_b): r for r in multimodal.media_phash_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)].is_near
+    assert pairs[(1, 2)].nibble_dist == flipped
