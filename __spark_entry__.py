@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_recall_report": similarity.q_rp_recall_report,
         "media_phash": multimodal.q_media_phash,
         "media_phash_pairs": multimodal.q_media_phash_pairs,
+        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
         "cohort_retention": analytics.q_cohort_retention,
         "markov_transitions": analytics.q_markov_transitions,
         "zscore_outliers": analytics.q_zscore_outliers,
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_recall_report": similarity.rp_recall_report_oracle(),
         "media_phash": multimodal.media_phash_oracle(),
         "media_phash_pairs": multimodal.media_phash_pairs_oracle(),
+        "bloom_semijoin_stats": relational.BLOOM_SEMIJOIN_STATS_ORACLE,
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

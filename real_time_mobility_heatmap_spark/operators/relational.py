@@ -1098,3 +1098,109 @@ PARTITION_PRUNED_STATS_ORACLE = """
 
 def q_partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_pruned_stats(spark, sf_dir)
+
+
+BSJ_M = 1 << 20          # bloom bits for the order-key filter (128 KiB bitmap)
+BSJ_K = 3                # hash probes per key
+BSJ_PRIORITY = "1-URGENT"
+BSJ_DATE_LO = "1996-01-01"
+BSJ_DATE_HI = "1997-01-01"
+
+
+def bloom_semijoin_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Runtime-bloom semijoin reduction: the fact table is prefiltered
+    MAP-SIDE against a Bloom filter of the selective dimension's keys
+    BEFORE the join shuffle — what Catalyst's InjectRuntimeFilter does
+    automatically on cluster-scale plans, written explicitly so the
+    mechanics are testable.
+
+    Build: qualifying orders (~3% — priority + one order year) emit
+    ``BSJ_K`` bit positions each; per-partition Arrow bitmaps are OR-ed
+    on the driver (a mergeable-sketch collect, 128 KiB regardless of key
+    count) and broadcast. Probe: a vectorized pandas UDF tests lineitem
+    keys against the bitmap, so only ~selectivity × N fact rows enter
+    the join shuffle. The exact inner join then re-verifies every
+    survivor — Bloom false positives are dropped there, false negatives
+    are impossible — so the result is EXACTLY the plain join and the
+    DuckDB oracle is the plain join SQL: the optimization is
+    hash-proven to change only the plan, never the answer.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import _MIX, MERSENNE_P
+
+    spark = orders.sparkSession
+    dim = orders.filter(
+        (F.col("o_orderpriority") == BSJ_PRIORITY)
+        & (F.col("o_orderdate") >= F.lit(BSJ_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(BSJ_DATE_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+
+    mixes = [(a, b) for a, b in _MIX[:BSJ_K]]
+    pos_exprs = [
+        F.expr(
+            f"(({a} * (o_orderkey % {MERSENNE_P}) + {b}) % {MERSENNE_P}) % {BSJ_M}"
+        )
+        for a, b in mixes
+    ]
+    key_pos = dim.select(F.explode(F.array(*pos_exprs)).alias("pos"))
+
+    def build(batches):
+        bm = np.zeros(BSJ_M // 8, dtype=np.uint8)
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = key_pos.mapInPandas(build, "bm binary").collect()
+    bitmap = np.zeros(BSJ_M // 8, dtype=np.uint8)
+    for r in parts:
+        bitmap |= np.frombuffer(r["bm"], dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    def _hit(keys):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        k = keys.to_numpy(dtype=np.int64) % MERSENNE_P
+        hit = np.ones(len(k), dtype=bool)
+        for a, b in mixes:
+            pos = ((a * k + b) % MERSENNE_P) % BSJ_M
+            hit &= (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit)
+
+    _hit.__annotations__ = {"keys": pd.Series, "return": pd.Series}
+    bloom_hit = pandas_udf(_hit, "boolean")
+
+    pruned = lineitem.filter(bloom_hit(F.col("l_orderkey"))).select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    joined = pruned.join(dim, pruned.l_orderkey == dim.o_orderkey)
+    return joined.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue"),
+    )
+
+
+BLOOM_SEMIJOIN_STATS_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '{BSJ_PRIORITY}'
+      AND o.o_orderdate >= TIMESTAMP '{BSJ_DATE_LO}'
+      AND o.o_orderdate < TIMESTAMP '{BSJ_DATE_HI}'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_semijoin_stats(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )

@@ -147,3 +147,40 @@ def test_media_phash_locality_and_banding(spark):
     pairs = {(r.doc_a, r.doc_b): r for r in multimodal.media_phash_pairs(docs).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)].is_near
     assert pairs[(1, 2)].nibble_dist == flipped
+
+
+def test_bloom_semijoin_prunes_and_preserves(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in relational.bloom_semijoin_stats(orders, lineitem).collect()
+    }
+    # exactness: identical to the plain join (no-bloom twin)
+    plain = (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderpriority") == relational.BSJ_PRIORITY)
+                & (F.col("o_orderdate") >= F.lit(relational.BSJ_DATE_LO).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(relational.BSJ_DATE_HI).cast("timestamp"))
+            ).select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .collect()
+    )
+    assert len(plain) == len(out)
+    for r in plain:
+        got = out[(r.l_returnflag, r.l_linestatus)]
+        assert got.n_items == r.n_items and got.sum_qty == r.sum_qty
+    # the filter must actually prune: joined rows << fact rows means the
+    # bloom pass admits far less than the full table (FP rate + true rate)
+    n_fact = lineitem.count()
+    n_joined = sum(r.n_items for r in plain)
+    assert n_joined < n_fact * 0.10, "dim filter lost its selectivity"
