@@ -92,11 +92,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r7) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        # rp_recall_report subsumes rp_project's projection expressions and
+        # media_phash_pairs subsumes media_phash's hash — the base ops sit
+        # just below the marker so every DISTINCT code path fits in the
+        # 50-entry window this round.
         "boilerplate_scrub": textops.q_boilerplate_scrub,
         "quality_decile_report": textops.q_quality_decile_report,
-        "rp_project": similarity.q_rp_project,
         "rp_recall_report": similarity.q_rp_recall_report,
-        "media_phash": multimodal.q_media_phash,
         "media_phash_pairs": multimodal.q_media_phash_pairs,
         "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
         "cohort_retention": analytics.q_cohort_retention,
@@ -146,16 +148,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_positions": run_streaming_positions,
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,
         "source_mixture_report": textops.q_source_mixture_report,
-        # (2) r6-green anchors whose code changed THIS round, so a
-        # regression is caught immediately: embedding_neardup (verify
-        # join now broadcasts the candidate side), dedup_clusters
-        # (dropped the unbounded sizes broadcast), bucketed_join_stats
-        # (per-application scratch path):
+        # ---------------- end of driver window (50 entries) ----------------
+        # Base halves of in-window sibling pairs (same expressions, driver
+        # row due r8):
+        "rp_project": similarity.q_rp_project,
+        "media_phash": multimodal.q_media_phash,
+        # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
+        # removals, pinned by dedicated plan tests + the local oracle
+        # gate); they lead the r8 window:
         "embedding_neardup": similarity.q_embedding_neardup,
         "dedup_clusters": dedup.q_dedup_clusters,
         "bucketed_join_stats": relational.bucketed_join_stats,
-        # (3) stalest green block: last checked in round 5
-        # (CORRECTNESS_r05.json), due again oldest-first:
+        # stalest green block: last checked in round 5
+        # (CORRECTNESS_r05.json), due oldest-first after the above:
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
@@ -184,7 +189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": textops.q_rolling_fingerprint,
         "corpus_stats": textops.q_corpus_stats,
         "term_frequencies": textops.q_term_frequencies,
-        # ---------------- end of driver window (50 entries) ----------------
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "dataset_split": textops.q_dataset_split,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
