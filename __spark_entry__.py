@@ -74,6 +74,10 @@ def _q_hierarchical_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.hierarchical_rollups(pings_from_events(spark, sf_dir), CFG)
 
 
+def _q_rollup_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiles.rollup_delta_merge(pings_from_events(spark, sf_dir), CFG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -149,10 +153,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,
         "source_mixture_report": textops.q_source_mixture_report,
         # ---------------- end of driver window (50 entries) ----------------
-        # Base halves of in-window sibling pairs (same expressions, driver
-        # row due r8):
+        # Round-7 additions past the 50-entry cap (local oracle gate green;
+        # driver rows due FIRST in the r8 window). rp_project/media_phash
+        # are the base halves of in-window sibling pairs (same
+        # expressions):
         "rp_project": similarity.q_rp_project,
         "media_phash": multimodal.q_media_phash,
+        "dq_expectations": relational.q_dq_expectations,
+        "rollup_delta_merge": _q_rollup_delta_merge,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -278,6 +286,8 @@ def oracle_sql() -> dict[str, str]:
         "media_phash": multimodal.media_phash_oracle(),
         "media_phash_pairs": multimodal.media_phash_pairs_oracle(),
         "bloom_semijoin_stats": relational.BLOOM_SEMIJOIN_STATS_ORACLE,
+        "dq_expectations": relational.DQ_EXPECTATIONS_ORACLE,
+        "rollup_delta_merge": tiles.rollup_delta_merge_oracle(PINGS_ORACLE_SQL, CFG),
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

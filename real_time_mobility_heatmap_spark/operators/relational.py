@@ -1204,3 +1204,112 @@ def q_bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semijoin_stats(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+DQ_SHIP_BOUND = "2002-01-01"  # l_shipdate sanity ceiling (fixture spans ..2001)
+
+
+def dq_expectations(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Data-quality expectations suite (the dbt-test / Great-Expectations
+    shape): range, null, and referential-integrity rules over the fact
+    tables, one row per rule with exact violation counts and int-ppm
+    rates.
+
+    Scale shape: all same-table rules FUSE into one aggregate pass per
+    table (one scan each for lineitem and orders, map-side combined);
+    referential rules are left-anti joins that ship key sets only. The
+    rule rows come from ``stack`` over the fused aggregates — no
+    per-rule rescans.
+    """
+    viol = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("l_quantity") <= 0).alias("neg_qty"),
+        viol(~F.col("l_discount").between(0.0, 1.0)).alias("bad_discount"),
+        viol(
+            F.col("l_shipdate") > F.lit(DQ_SHIP_BOUND).cast("timestamp")
+        ).alias("future_ship"),
+    )
+    orphan_li = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    od = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("o_orderpriority").isNull()).alias("null_priority"),
+        viol(F.col("o_totalprice") <= 0).alias("bad_total"),
+    )
+    orphan_od = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    li_rules = li.crossJoin(orphan_li).selectExpr(
+        "stack(4,"
+        " 'lineitem_nonpositive_quantity', neg_qty,"
+        " 'lineitem_discount_out_of_range', bad_discount,"
+        " 'lineitem_shipdate_after_bound', future_ship,"
+        " 'lineitem_orphan_orderkey', orphans"
+        ") AS (rule, n_violations)",
+        "n AS n_checked",
+    )
+    od_rules = od.crossJoin(orphan_od).selectExpr(
+        "stack(3,"
+        " 'orders_null_priority', null_priority,"
+        " 'orders_nonpositive_totalprice', bad_total,"
+        " 'orders_orphan_custkey', orphans"
+        ") AS (rule, n_violations)",
+        "n AS n_checked",
+    )
+    return li_rules.unionByName(od_rules).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.expr("n_violations * 1000000 div n_checked").alias("violation_ppm"),
+    )
+
+
+DQ_EXPECTATIONS_ORACLE = f"""
+    WITH li AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_qty,
+               CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+               CAST(sum(CASE WHEN l_shipdate > TIMESTAMP '{DQ_SHIP_BOUND}' THEN 1 ELSE 0 END) AS BIGINT) AS future_ship
+        FROM lineitem
+    ),
+    orphan_li AS (
+        SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    od AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priority,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_total
+        FROM orders
+    ),
+    orphan_od AS (
+        SELECT CAST(count(*) AS BIGINT) AS orphans FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ),
+    rules AS (
+        SELECT 'lineitem_nonpositive_quantity' AS rule, li.n AS n_checked, li.neg_qty AS n_violations FROM li
+        UNION ALL SELECT 'lineitem_discount_out_of_range', li.n, li.bad_discount FROM li
+        UNION ALL SELECT 'lineitem_shipdate_after_bound', li.n, li.future_ship FROM li
+        UNION ALL SELECT 'lineitem_orphan_orderkey', li.n, orphan_li.orphans FROM li, orphan_li
+        UNION ALL SELECT 'orders_null_priority', od.n, od.null_priority FROM od
+        UNION ALL SELECT 'orders_nonpositive_totalprice', od.n, od.bad_total FROM od
+        UNION ALL SELECT 'orders_orphan_custkey', od.n, orphan_od.orphans FROM od, orphan_od
+    )
+    SELECT rule, n_checked, n_violations,
+           (n_violations * 1000000) // n_checked AS violation_ppm
+    FROM rules
+"""
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_expectations(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )

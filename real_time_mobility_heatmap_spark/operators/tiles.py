@@ -225,3 +225,94 @@ def hierarchical_rollups_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> 
                round(sum_speed_micro / 1e6 / n_pings, {ROUND_AVG}) AS avg_speed_kmh
         FROM ({union})
     """
+
+
+MERGE_CUTOFF = "2024-01-24"  # history/delta split inside the fixture range
+MERGE_W = 600                # 10-min rollup buckets
+
+
+def rollup_delta_merge(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Incremental materialized-view maintenance: a stored tile rollup
+    (history, ``eventTs < MERGE_CUTOFF``) absorbs a new delta batch by
+    MERGING PARTIAL AGGREGATES on the bucket key — the
+    ``MERGE WHEN MATCHED THEN UPDATE SET n = n + delta.n`` pattern —
+    never rescanning history rows.
+
+    Exactness rides on int64 micro-km/h partial sums (associative, so
+    partial+partial == full recompute); the oracle IS the full
+    recompute over all pings, hash-proving the incremental path. The
+    ``n_delta_pings`` column is the MERGE's touched-set audit: buckets
+    with 0 are the ones a real MERGE would never write.
+
+    At 100 TB: the delta aggregate is batch-sized, the merge shuffle is
+    keyed on (cell, bucket) whose cardinality is the MV's — not the
+    fact table's — and history stays on disk as the previous MV
+    snapshot (here recomputed once for self-containment).
+    """
+    snapped = snap_pings(pings, cfg)
+    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    part = snapped.select(
+        "cell_id",
+        F.expr(f"(unix_timestamp(eventTs) div {MERGE_W}) * {MERGE_W}").alias(
+            "bucket_epoch"
+        ),
+        micro.alias("micro"),
+        (F.col("eventTs") >= F.lit(MERGE_CUTOFF).cast("timestamp")).alias("is_delta"),
+    )
+    base = (
+        part.filter(~F.col("is_delta"))
+        .groupBy("cell_id", "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.sum("micro").alias("sum_speed_micro"),
+        )
+        .withColumn("n_delta_pings", F.lit(0).cast("long"))
+    )
+    delta = (
+        part.filter(F.col("is_delta"))
+        .groupBy("cell_id", "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.sum("micro").alias("sum_speed_micro"),
+        )
+        .withColumn("n_delta_pings", F.col("n_pings"))
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("cell_id", "bucket_epoch")
+        .agg(
+            F.sum("n_pings").alias("n_pings"),
+            F.sum("sum_speed_micro").alias("sum_speed_micro"),
+            F.sum("n_delta_pings").alias("n_delta_pings"),
+        )
+    )
+    return merged.select(
+        "cell_id",
+        "bucket_epoch",
+        "n_pings",
+        "n_delta_pings",
+        "sum_speed_micro",
+        F.round(F.col("sum_speed_micro") / 1e6 / F.col("n_pings"), ROUND_AVG).alias(
+            "avg_speed_kmh"
+        ),
+    )
+
+
+def rollup_delta_merge_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:
+    """The FULL RECOMPUTE over all pings — hash-equality proves the
+    incremental merge exact."""
+    return f"""
+        {snapped_oracle_cte(pings_sql, cfg)}
+        SELECT cell_id,
+               (CAST(floor(epoch(eventTs)) AS BIGINT) // {MERGE_W}) * {MERGE_W}
+                   AS bucket_epoch,
+               count(*) AS n_pings,
+               CAST(sum(CASE WHEN eventTs >= TIMESTAMP '{MERGE_CUTOFF}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_pings,
+               CAST(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sum_speed_micro,
+               round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(*),
+                     {ROUND_AVG}) AS avg_speed_kmh
+        FROM snapped
+        GROUP BY 1, 2
+    """

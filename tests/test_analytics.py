@@ -184,3 +184,35 @@ def test_bloom_semijoin_prunes_and_preserves(spark, sf_dir):
     n_fact = lineitem.count()
     n_joined = sum(r.n_items for r in plain)
     assert n_joined < n_fact * 0.10, "dim filter lost its selectivity"
+
+
+def test_dq_expectations_rules(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    out = {
+        r.rule: r
+        for r in relational.dq_expectations(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "customer"),
+        ).collect()
+    }
+    assert len(out) == 7
+    for r in out.values():
+        assert 0 <= r.n_violations <= r.n_checked
+        assert r.violation_ppm == r.n_violations * 1_000_000 // r.n_checked
+    # referential integrity holds in the generated star schema
+    assert out["lineitem_orphan_orderkey"].n_violations == 0
+    assert out["orders_orphan_custkey"].n_violations == 0
+
+
+def test_rollup_delta_merge_touched_set(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import tiles
+    from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+
+    out = tiles.rollup_delta_merge(pings_from_events(spark, sf_dir)).collect()
+    touched = [r for r in out if r.n_delta_pings > 0]
+    untouched = [r for r in out if r.n_delta_pings == 0]
+    assert touched and untouched, "cutoff must split the bucket space"
+    for r in out:
+        assert 0 <= r.n_delta_pings <= r.n_pings
