@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": multimodal.q_media_phash,
         "dq_expectations": relational.q_dq_expectations,
         "rollup_delta_merge": _q_rollup_delta_merge,
+        "modality_agreement_report": similarity.q_modality_agreement_report,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_stats": relational.BLOOM_SEMIJOIN_STATS_ORACLE,
         "dq_expectations": relational.DQ_EXPECTATIONS_ORACLE,
         "rollup_delta_merge": tiles.rollup_delta_merge_oracle(PINGS_ORACLE_SQL, CFG),
+        "modality_agreement_report": similarity.modality_agreement_report_oracle(),
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

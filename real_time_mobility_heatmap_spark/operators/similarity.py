@@ -1102,3 +1102,80 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rp_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def modality_agreement_report(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Cross-modal dedup agreement: every verified TEXT near-dup pair
+    (exact shingle Jaccard, from ``ngram_jaccard_pairs``) scored with the
+    pair's EMBEDDING cosine — the audit that tells you whether lexical
+    and semantic dedup would keep/drop the same pairs, i.e. whether
+    running only the cheaper lexical pass loses semantic duplicates.
+
+    The fixture keys line up (``doc_id == vec_id``), mirroring a real
+    corpus where embeddings are derived per document. Plan: the pair
+    table is cap-bounded (never corpus²); it joins the doc-keyed
+    embedding relation twice — both keyed joins, nothing corpus-scale
+    broadcast. Cosine rounds at 6dp, agreement thresholds on the rounded
+    value (engine-deterministic).
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs)
+    e = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+    )
+    e = e.select(
+        "vec_id", "emb", F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                ROUND_COS,
+            ).alias("cosine"),
+        )
+        .withColumn("semantic_agrees", F.col("cosine") >= NEARDUP_COS)
+    )
+
+
+def modality_agreement_report_oracle() -> str:
+    from .dedup import ngram_jaccard_oracle
+
+    return f"""
+    WITH pairs AS ({ngram_jaccard_oracle()})
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+                 {ROUND_COS}) AS cosine,
+           round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+                 {ROUND_COS}) >= {NEARDUP_COS} AS semantic_agrees
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.doc_a
+    JOIN embeddings eb ON eb.vec_id = p.doc_b
+"""
+
+
+def q_modality_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return modality_agreement_report(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    )

@@ -216,3 +216,17 @@ def test_rollup_delta_merge_touched_set(spark, sf_dir):
     assert touched and untouched, "cutoff must split the bucket space"
     for r in out:
         assert 0 <= r.n_delta_pings <= r.n_pings
+
+
+def test_modality_agreement_report(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import dedup, similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.modality_agreement_report(docs, emb).collect()
+    n_pairs = dedup.ngram_jaccard_pairs(docs).count()
+    assert len(out) == n_pairs and n_pairs > 0
+    for r in out:
+        assert r.jaccard >= dedup.JACCARD_THRESHOLD
+        assert -1.0 <= r.cosine <= 1.0
+        assert r.semantic_agrees == (r.cosine >= similarity.NEARDUP_COS)
