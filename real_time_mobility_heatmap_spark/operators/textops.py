@@ -1080,6 +1080,10 @@ def boilerplate_scrub(docs: DataFrame) -> DataFrame:
         F.expr(f"concat_ws(' ', slice(toks, seg_i * {w} + 1, {w}))").alias("seg_text"),
         F.expr(f"least({w}, n - seg_i * {w})").cast("long").alias("seg_len"),
     ).withColumn("seg_hash", F.expr(hash60_spark_sql("seg_text")))
+    # one segmentation/md5 pass feeds BOTH the frequency aggregate and the
+    # join probe (the dedup.py shared-materialization pattern; local-mode
+    # lineage cut — see SCALE.md known tradeoffs for the cluster variant)
+    segs = segs.localCheckpoint(eager=False)
     freq = segs.groupBy("seg_hash").agg(
         F.countDistinct("doc_id").alias("seg_df")
     )
