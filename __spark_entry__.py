@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations": relational.q_dq_expectations,
         "rollup_delta_merge": _q_rollup_delta_merge,
         "modality_agreement_report": similarity.q_modality_agreement_report,
+        "triangle_count": dedup.q_triangle_count,
+        "range_frame_speed": relational.q_range_frame_speed,
+        "order_rank_report": relational.q_order_rank_report,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -290,6 +293,9 @@ def oracle_sql() -> dict[str, str]:
         "dq_expectations": relational.DQ_EXPECTATIONS_ORACLE,
         "rollup_delta_merge": tiles.rollup_delta_merge_oracle(PINGS_ORACLE_SQL, CFG),
         "modality_agreement_report": similarity.modality_agreement_report_oracle(),
+        "triangle_count": dedup.triangle_count_oracle(),
+        "range_frame_speed": relational.RANGE_FRAME_SPEED_ORACLE,
+        "order_rank_report": relational.ORDER_RANK_REPORT_ORACLE,
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

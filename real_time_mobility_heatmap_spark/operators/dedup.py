@@ -1474,3 +1474,73 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_match_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def triangle_count(docs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the verified near-dup graph — the
+    clustering-coefficient signal that separates tight duplicate CLIQUES
+    (templated content families) from accidental chains before
+    ``dedup_clusters`` merges them.
+
+    Standard ordered-edge triangle enumeration: edges carry doc_a <
+    doc_b, so each triangle (a<b<c) is found exactly once by joining
+    e(a,b)⋈e(b,c)⋈e(a,c). Join fanout is bounded by per-node degree in
+    the post-cap pair graph (≪ corpus²); one shared pair materialization
+    feeds all three join legs.
+    """
+    edges = (
+        ngram_jaccard_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    member = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return nodes.join(member, "doc_id", "left").select(
+        "doc_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles")
+    )
+
+
+def triangle_count_oracle() -> str:
+    return f"""
+        WITH pairs AS ({ngram_jaccard_oracle()}),
+        e AS (SELECT doc_a, doc_b FROM pairs),
+        tri AS (
+            SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+            FROM e e1
+            JOIN e e2 ON e2.doc_a = e1.doc_b
+            JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ),
+        nodes AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM e
+                UNION ALL SELECT doc_b FROM e
+            )
+        ),
+        pern AS (
+            SELECT doc_id, count(*) AS n FROM (
+                SELECT a AS doc_id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY doc_id
+        )
+        SELECT n.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_triangles
+        FROM nodes n LEFT JOIN pern p USING (doc_id)
+    """
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(load_table(spark, sf_dir, "documents"))

@@ -1313,3 +1313,79 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+RANGE_FRAME_S = 600  # 10-minute trailing event-time frame
+
+
+def range_frame_speed(events: DataFrame) -> DataFrame:
+    """Time-interval window frame: per-user trailing 10-minute average of
+    ``value`` — RANGE BETWEEN INTERVAL PRECEDING, the frame
+    ``moving_avg_speed``'s ROWS variant cannot express (rows vs time).
+
+    The frame is keyed on epoch seconds so Spark's rangeBetween and the
+    oracle's RANGE ... PRECEDING agree exactly; ts-tie peers are included
+    in both by RANGE semantics. One shuffle+sort per user key.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-RANGE_FRAME_S, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("avg_value_10m"),
+        F.count(F.lit(1)).over(w).alias("n_events_10m"),
+    )
+
+
+RANGE_FRAME_SPEED_ORACLE = f"""
+    SELECT event_id, user_id, value,
+           round(avg(value) OVER w, 6) AS avg_value_10m,
+           count(*) OVER w AS n_events_10m
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW)
+"""
+
+
+def order_rank_report(orders: DataFrame) -> DataFrame:
+    """Analytic ranking surface: percent_rank / cume_dist / quartile of
+    order value within each priority class — the distribution-position
+    functions (the rank family beyond row_number already pinned by the
+    latest/top-k ops). The orderkey tie-break makes every rank a
+    deterministic function of the data in both engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORDER_RANK_REPORT_ORACLE = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_range_frame_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_frame_speed(load_table(spark, sf_dir, "events"))
+
+
+def q_order_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return order_rank_report(load_table(spark, sf_dir, "orders"))

@@ -230,3 +230,46 @@ def test_modality_agreement_report(spark, sf_dir):
         assert r.jaccard >= dedup.JACCARD_THRESHOLD
         assert -1.0 <= r.cosine <= 1.0
         assert r.semantic_agrees == (r.cosine >= similarity.NEARDUP_COS)
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs).select("doc_a", "doc_b").collect()
+    }
+    expect = {}
+    for a, b in edges:
+        expect.setdefault(a, 0)
+        expect.setdefault(b, 0)
+    for a, b in edges:
+        for c, d in edges:
+            if c == b and (a, d) in edges:  # a<b<c triangle
+                for n in (a, b, d):
+                    expect[n] += 1
+    got = {r.doc_id: r.n_triangles for r in dedup.triangle_count(docs).collect()}
+    assert got == expect
+
+
+def test_range_frame_vs_rows_frame(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    events = load_table(spark, sf_dir, "events")
+    out = relational.range_frame_speed(events)
+    assert out.count() == events.count()
+    rows = out.filter("n_events_10m >= 2").count()
+    assert rows > 0, "frame must span multiple events somewhere"
+
+
+def test_order_rank_report_bounds(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = relational.order_rank_report(orders).collect()
+    assert len(out) == orders.count()
+    for r in out:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume_dist <= 1.0
+        assert 1 <= r.quartile <= 4
