@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": dedup.q_triangle_count,
         "range_frame_speed": relational.q_range_frame_speed,
         "order_rank_report": relational.q_order_rank_report,
+        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": dedup.triangle_count_oracle(),
         "range_frame_speed": relational.RANGE_FRAME_SPEED_ORACLE,
         "order_rank_report": relational.ORDER_RANK_REPORT_ORACLE,
+        "dedup_pipeline_report": dedup.dedup_pipeline_report_oracle(),
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

@@ -1544,3 +1544,68 @@ def triangle_count_oracle() -> str:
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_pipeline_report(docs: DataFrame) -> DataFrame:
+    """End-to-end dedup pipeline summary — the one-row ops dashboard a
+    data team reads after a corpus sweep: exact-duplicate volume,
+    verified near-dup pair count, cluster structure, and the final
+    survivor count if every cluster keeps one doc.
+
+    Composition audit of the registered stages (``exact_dedup``,
+    ``minhash_lsh_pairs``, ``dedup_clusters``): each stage reduces to a
+    1-row aggregate and the report is a chain of 1-row cross joins —
+    nothing wider than one row ever moves after the stage aggregates.
+    """
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    exact = exact_dedup(docs).agg(
+        F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+    )
+    pairs = minhash_lsh_pairs(docs).agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs")
+    )
+    cl = dedup_clusters(docs).agg(
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    return (
+        n_docs.crossJoin(exact)
+        .crossJoin(pairs)
+        .crossJoin(cl)
+        .select(
+            "n_docs",
+            "n_exact_dup_docs",
+            "n_neardup_pairs",
+            "n_clusters",
+            "n_clustered_docs",
+            (F.col("n_clustered_docs") - F.col("n_clusters")).alias("n_dropped_docs"),
+            (F.col("n_docs") - (F.col("n_clustered_docs") - F.col("n_clusters"))).alias(
+                "n_surviving_docs"
+            ),
+        )
+    )
+
+
+def dedup_pipeline_report_oracle() -> str:
+    return f"""
+        WITH exact AS ({EXACT_DEDUP_ORACLE}),
+        pairs AS ({minhash_lsh_pairs_oracle()}),
+        clusters AS ({dedup_clusters_oracle()}),
+        a AS (SELECT count(*) AS n_docs FROM documents),
+        b AS (SELECT CAST(sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)
+                     AS BIGINT) AS n_exact_dup_docs FROM exact),
+        c AS (SELECT count(*) AS n_neardup_pairs FROM pairs),
+        d AS (SELECT count(*) AS n_clustered_docs,
+                     count(DISTINCT cluster_id) AS n_clusters FROM clusters)
+        SELECT a.n_docs, b.n_exact_dup_docs, c.n_neardup_pairs,
+               d.n_clusters, d.n_clustered_docs,
+               d.n_clustered_docs - d.n_clusters AS n_dropped_docs,
+               a.n_docs - (d.n_clustered_docs - d.n_clusters) AS n_surviving_docs
+        FROM a, b, c, d
+    """
+
+
+def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_pipeline_report(load_table(spark, sf_dir, "documents"))

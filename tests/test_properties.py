@@ -228,3 +228,45 @@ def test_chunk_documents_layout_invariants(spark, n_tokens):
         last = chunks[-1]
         assert last["chunk_start"] + last["n_chunk_tokens"] == n  # covers the tail
         assert 1 <= last["n_chunk_tokens"] <= CHUNK_TOKENS
+
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
+DOC_TOKENS = st.lists(st.sampled_from(VOCAB), min_size=1, max_size=40)
+CORPUS = st.lists(DOC_TOKENS, min_size=1, max_size=8)
+
+
+@given(corpus=CORPUS)
+@_SETTINGS
+def test_boilerplate_scrub_reconstruction_property(spark, corpus):
+    """For ANY corpus, the scrubbed text equals the in-order join of the
+    doc's non-boilerplate segments (boilerplate = segment text occurring
+    in >= BOILER_MIN_DF distinct docs), and the token accounting is
+    exact. The tiny vocabulary forces heavy cross-doc segment collisions,
+    exercising the boiler path hypothesis-style."""
+    import hashlib
+
+    from real_time_mobility_heatmap_spark.operators import textops
+
+    w = textops.BOILER_SEG_TOKENS
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks), "en", "src", len(" ".join(toks)))
+         for i, toks in enumerate(corpus)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    seg_docs = {}
+    per_doc_segs = []
+    for i, toks in enumerate(corpus):
+        segs = [" ".join(toks[j * w:(j + 1) * w]) for j in range((len(toks) + w - 1) // w)]
+        per_doc_segs.append(segs)
+        for s in set(segs):
+            seg_docs.setdefault(s, set()).add(i)
+    out = {r.doc_id: r for r in textops.boilerplate_scrub(docs).collect()}
+    for i, toks in enumerate(corpus):
+        segs = per_doc_segs[i]
+        kept = [s for s in segs if len(seg_docs[s]) < textops.BOILER_MIN_DF]
+        clean = " ".join(kept)
+        r = out[i]
+        assert r.n_segments == len(segs)
+        assert r.n_boiler_segments == len(segs) - len(kept)
+        assert r.clean_n_tokens == (len(clean.split()) if clean else 0)
+        assert r.clean_sha256 == hashlib.sha256(clean.encode()).hexdigest()
