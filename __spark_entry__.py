@@ -78,6 +78,10 @@ def _q_rollup_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.rollup_delta_merge(pings_from_events(spark, sf_dir), CFG)
 
 
+def _q_unpivot_tile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiles.unpivot_tile_metrics(pings_from_events(spark, sf_dir), CFG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -166,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_speed": relational.q_range_frame_speed,
         "order_rank_report": relational.q_order_rank_report,
         "dedup_pipeline_report": dedup.q_dedup_pipeline_report,
+        "unpivot_tile_metrics": _q_unpivot_tile_metrics,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -298,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "range_frame_speed": relational.RANGE_FRAME_SPEED_ORACLE,
         "order_rank_report": relational.ORDER_RANK_REPORT_ORACLE,
         "dedup_pipeline_report": dedup.dedup_pipeline_report_oracle(),
+        "unpivot_tile_metrics": tiles.unpivot_tile_metrics_oracle(PINGS_ORACLE_SQL, CFG),
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

@@ -316,3 +316,46 @@ def rollup_delta_merge_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> st
         FROM snapped
         GROUP BY 1, 2
     """
+
+
+UNPIVOT_METRICS = ["ping_count", "avg_speed_kmh", "centroid_lon", "centroid_lat"]
+
+
+def unpivot_tile_metrics(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Wide->long relayout of the tile aggregate (``DataFrame.unpivot`` /
+    SQL UNPIVOT — the inverse of ``event_type_pivot``): one (cell,
+    window, metric, value) row per metric column, the shape a
+    metrics-store or charting sink ingests.
+
+    Map-side only after the tile aggregate (unpivot is a local Expand —
+    no shuffle added); counts cast to double up front so the value
+    column has one type in both engines.
+    """
+    t = tile_aggregate(pings, cfg).select(
+        "cell_id",
+        "window_start",
+        F.col("ping_count").cast("double").alias("ping_count"),
+        "avg_speed_kmh",
+        "centroid_lon",
+        "centroid_lat",
+    )
+    return t.unpivot(
+        ids=["cell_id", "window_start"],
+        values=UNPIVOT_METRICS,
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def unpivot_tile_metrics_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        WITH tiles AS ({tiles_oracle_sql(pings_sql, cfg)})
+        SELECT cell_id, window_start, metric, value
+        FROM (
+            SELECT cell_id, window_start,
+                   CAST(ping_count AS DOUBLE) AS ping_count,
+                   avg_speed_kmh, centroid_lon, centroid_lat
+            FROM tiles
+        ) UNPIVOT (value FOR metric IN
+                   (ping_count, avg_speed_kmh, centroid_lon, centroid_lat))
+    """
