@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rank_report": relational.q_order_rank_report,
         "dedup_pipeline_report": dedup.q_dedup_pipeline_report,
         "unpivot_tile_metrics": _q_unpivot_tile_metrics,
+        "bpe_merge_round": textops.q_bpe_merge_round,
+        "cms_token_counts": textops.q_cms_token_counts,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -304,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "order_rank_report": relational.ORDER_RANK_REPORT_ORACLE,
         "dedup_pipeline_report": dedup.dedup_pipeline_report_oracle(),
         "unpivot_tile_metrics": tiles.unpivot_tile_metrics_oracle(PINGS_ORACLE_SQL, CFG),
+        "bpe_merge_round": textops.BPE_MERGE_ROUND_ORACLE,
+        "cms_token_counts": textops.cms_token_counts_oracle(),
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

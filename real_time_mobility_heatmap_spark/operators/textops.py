@@ -1257,3 +1257,184 @@ QUALITY_DECILE_REPORT_ORACLE = f"""
 
 def q_quality_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_decile_report(load_table(spark, sf_dir, "documents"))
+
+
+BPE_TOP = 20  # merge candidates reported per round
+
+
+def bpe_merge_round(docs: DataFrame) -> DataFrame:
+    """One round of BPE vocabulary induction: the corpus-wide adjacent
+    character-pair statistics whose argmax becomes the next merge rule —
+    tokenizer TRAINING, the complement of the token-counting ops.
+
+    The real BPE trick is in the plan: pair counts come from the
+    DISTINCT-WORD table weighted by word frequency — the corpus crosses
+    the wire once to build word counts (vocabulary-sized), and the
+    character explosion runs over the vocabulary, not the corpus. Ranks
+    tie-break lexicographically so the report is engine-deterministic.
+    """
+    words = spread(docs).select(F.explode(tokens(F.col("text"))).alias("word"))
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "n_w",
+            F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i"),
+            F.col("word"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "n_w")
+        .groupBy("pair")
+        .agg(F.sum("n_w").alias("pair_count"))
+    )
+    top = pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(BPE_TOP)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.select(
+        "pair", "pair_count", F.row_number().over(w).alias("rank")
+    )
+
+
+BPE_MERGE_ROUND_ORACLE = f"""
+    WITH w AS (SELECT unnest({TOKENS_DUCK}) AS word FROM documents),
+    wc AS (SELECT word, count(*) AS n_w FROM w GROUP BY word),
+    ex AS (
+        SELECT word, n_w,
+               unnest(generate_series(1, length(word) - 1)) AS i
+        FROM wc WHERE length(word) >= 2
+    ),
+    pc AS (
+        SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+               CAST(sum(n_w) AS BIGINT) AS pair_count
+        FROM ex GROUP BY 1
+    ),
+    top AS (SELECT * FROM pc ORDER BY pair_count DESC, pair LIMIT {BPE_TOP})
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INTEGER)
+               AS rank
+    FROM top
+"""
+
+
+def q_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_round(load_table(spark, sf_dir, "documents"))
+
+
+CMS_W = 1024  # count-min sketch buckets per row
+CMS_K = 3     # hash rows
+CMS_PROBE_TOP = 50  # exact heavy hitters audited against the sketch
+
+
+def cms_token_counts(docs: DataFrame) -> DataFrame:
+    """Count-min sketch accuracy audit for corpus token frequencies: the
+    constant-memory mergeable counter a streaming wordcount deploys at
+    100 TB, with its estimates checked against exact counts for the
+    top heavy hitters.
+
+    The K hash rows are deterministic affine mixes over the 60-bit token
+    hash (the Bloom/ MinHash family), so the sketch — including its
+    collision OVERestimates — is engine-exact and this report is
+    hash-oracle-checked like the Bloom decontaminator. CMS guarantees
+    estimate >= exact (test-pinned); the ppm column prices the sketch's
+    collision error at this (W, K).
+    """
+    from ..operators.dedup import _MIX, MERSENNE_P
+
+    toks = spread(docs).select(F.explode(tokens(F.col("text"))).alias("token"))
+    hashed = toks.withColumn("t_h", F.expr(hash60_spark_sql("token")))
+    mixes = _MIX[:CMS_K]
+    pos = [
+        f"(({a} * (t_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}) % {CMS_W}"
+        for a, b in mixes
+    ]
+    # sketch rows: (j, bucket) -> count; K*W cells total, mergeable
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row_j"), F.expr(p).alias("bucket")
+                        )
+                        for j, p in enumerate(pos)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.row_j", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    exact = (
+        hashed.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"), F.first("t_h").alias("t_h"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(CMS_PROBE_TOP)
+    )
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("row_j"), F.expr(p).alias("bucket"))
+                    for j, p in enumerate(pos)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "exact_n", "c.row_j", "c.bucket")
+    est = (
+        probes.join(cells, ["row_j", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_n",
+        F.expr("(cms_n - exact_n) * 1000000 div exact_n").alias("overestimate_ppm"),
+    )
+
+
+def cms_token_counts_oracle() -> str:
+    from .dedup import _MIX, MERSENNE_P
+
+    mixes = _MIX[:CMS_K]
+    pos = [
+        f"(({a} * (t_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}) % {CMS_W}"
+        for a, b in mixes
+    ]
+    pos_structs = ", ".join(
+        f"{{'row_j': {j}, 'bucket': {p}}}" for j, p in enumerate(pos)
+    )
+    th = hash60_duck_sql("token")
+    return f"""
+    WITH toks AS (
+        SELECT unnest({TOKENS_DUCK}) AS token FROM documents
+    ),
+    hashed AS (SELECT token, {th} AS t_h FROM toks),
+    cells AS (
+        SELECT c.row_j, c.bucket, count(*) AS cell_n FROM (
+            SELECT unnest([{pos_structs}]) AS c FROM hashed
+        ) GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT token, count(*) AS exact_n, any_value(t_h) AS t_h
+        FROM hashed GROUP BY token
+        ORDER BY exact_n DESC, token LIMIT {CMS_PROBE_TOP}
+    ),
+    probes AS (
+        SELECT token, exact_n, c.row_j AS row_j, c.bucket AS bucket FROM (
+            SELECT token, exact_n, unnest([{pos_structs}]) AS c FROM exact
+        )
+    ),
+    est AS (
+        SELECT p.token, p.exact_n, CAST(min(cells.cell_n) AS BIGINT) AS cms_n
+        FROM probes p JOIN cells USING (row_j, bucket)
+        GROUP BY 1, 2
+    )
+    SELECT token, exact_n, cms_n,
+           ((cms_n - exact_n) * 1000000) // exact_n AS overestimate_ppm
+    FROM est
+"""
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_token_counts(load_table(spark, sf_dir, "documents"))

@@ -273,3 +273,28 @@ def test_order_rank_report_bounds(spark, sf_dir):
         assert 0.0 <= r.pct_rank <= 1.0
         assert 0.0 < r.cume_dist <= 1.0
         assert 1 <= r.quartile <= 4
+
+
+def test_bpe_merge_round_statistics(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = textops.bpe_merge_round(docs).collect()
+    assert 0 < len(rows) <= textops.BPE_TOP
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, len(rows) + 1)
+    )
+    counts = [r.pair_count for r in sorted(rows, key=lambda r: r.rank)]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.pair) == 2 for r in rows)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = textops.cms_token_counts(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_n >= r.exact_n, "CMS must never undercount"
+        assert r.overestimate_ppm >= 0
