@@ -714,7 +714,9 @@ def winnow_match_pairs_oracle() -> str:
     """
 
 
-def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, max_iters: int = 20, edges: DataFrame | None = None
+) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     LSH pair graph, labeled by the component's minimum doc_id (the keeper
     a dedup pipeline would retain).
@@ -734,8 +736,13 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges/labels. Raises if the budget is exhausted before convergence
     (silent divergence from the closure was round 2 advice). Oracle:
     DuckDB recursive CTE computing the same min-label closure.
+
+    ``edges`` lets a caller that ALREADY materialized the verified pair
+    table (``dedup_pipeline_report``) reuse it instead of re-running the
+    LSH pipeline.
     """
-    edges = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    if edges is None:
+        edges = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     # undirected adjacency, deduplicated once up front
     adj = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -1556,6 +1563,9 @@ def dedup_pipeline_report(docs: DataFrame) -> DataFrame:
     ``minhash_lsh_pairs``, ``dedup_clusters``): each stage reduces to a
     1-row aggregate and the report is a chain of 1-row cross joins —
     nothing wider than one row ever moves after the stage aggregates.
+    The verified pair table is materialized ONCE and feeds both the pair
+    count and the cluster pass (``dedup_clusters(edges=...)``) — the LSH
+    pipeline never runs twice.
     """
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     exact = exact_dedup(docs).agg(
@@ -1563,10 +1573,11 @@ def dedup_pipeline_report(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_exact_dup_docs"),
     )
-    pairs = minhash_lsh_pairs(docs).agg(
-        F.count(F.lit(1)).alias("n_neardup_pairs")
+    edge_tbl = (
+        minhash_lsh_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
     )
-    cl = dedup_clusters(docs).agg(
+    pairs = edge_tbl.agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+    cl = dedup_clusters(docs, edges=edge_tbl).agg(
         F.count(F.lit(1)).alias("n_clustered_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
     )
