@@ -118,8 +118,7 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix=f"streaming-neardup-{uuid.uuid4().hex[:8]}-")
     in_dir = os.path.join(tmp, "in")
     idx_rows = os.path.join(tmp, "index_rows")
-    idx_sigs = os.path.join(tmp, "index_sigs")
-    idx_sizes = os.path.join(tmp, "index_sizes")
+    idx_stats = os.path.join(tmp, "index_stats")  # signatures + set sizes
     out_dir = os.path.join(tmp, "pairs")
     os.makedirs(in_dir)
 
@@ -163,25 +162,29 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"mh{k}")
             for k, (a, b) in enumerate(_MIX)
         ]
-        b_sigs = b_rows.groupBy("doc_id").agg(*mixes)
-        b_sizes = b_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        have_index = os.path.isdir(idx_sigs) and any(
-            f.endswith(".parquet") for f in os.listdir(idx_sigs)
+        # ONE aggregate carries both the MinHash signature and the set
+        # size (they share the same doc_id shuffle) -> one store, one
+        # append, one read instead of two of each
+        b_stats = b_rows.groupBy("doc_id").agg(
+            *mixes, F.count(F.lit(1)).alias("n_sh")
+        )
+        have_index = os.path.isdir(idx_stats) and any(
+            f.endswith(".parquet") for f in os.listdir(idx_stats)
         )
         if have_index:
             ss = batch.sparkSession
-            all_sigs = ss.read.parquet(idx_sigs).unionByName(b_sigs)
+            all_stats = ss.read.parquet(idx_stats).unionByName(b_stats)
             all_rows = ss.read.parquet(idx_rows).unionByName(b_rows)
-            all_sizes = ss.read.parquet(idx_sizes).unionByName(b_sizes)
         else:
-            all_sigs, all_rows, all_sizes = b_sigs, b_rows, b_sizes
+            all_stats, all_rows = b_stats, b_rows
+        all_sizes = all_stats.select("doc_id", "n_sh")
         # candidates: batch bands against ALL bands (index + batch), pair
         # canonicalized a < b; require at least one side in this batch —
         # guaranteed because the left side is batch-only
-        bb = _bands(b_sigs).select(
+        bb = _bands(b_stats).select(
             F.col("doc_id").alias("d1"), "band", "bh"
         )
-        ab = _bands(all_sigs).select(F.col("doc_id").alias("d2"), "band", "bh")
+        ab = _bands(all_stats).select(F.col("doc_id").alias("d2"), "band", "bh")
         candidates = (
             bb.join(ab, ["band", "bh"])
             .filter(F.col("d1") != F.col("d2"))
@@ -199,8 +202,7 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir
         )
         b_rows.write.mode("append").parquet(idx_rows)
-        b_sigs.write.mode("append").parquet(idx_sigs)
-        b_sizes.write.mode("append").parquet(idx_sizes)
+        b_stats.write.mode("append").parquet(idx_stats)
 
     q = (
         spark.readStream.schema(schema)
