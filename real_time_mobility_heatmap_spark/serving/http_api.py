@@ -271,9 +271,19 @@ class TileApiServer:
         Both envelopes are deterministic top-``feature_cap`` selections:
         tiles by ping density (the heatmap's salience), positions by
         recency — id tie-broken, so a capped snapshot is stable."""
+        self.refresh_features(
+            latest_window_features(pings, cfg), position_point_features(pings)
+        )
+
+    def refresh_features(
+        self, tile_features: DataFrame, position_features: DataFrame
+    ) -> None:
+        """Swap in payloads from PREBUILT Feature relations — the hook the
+        store-backed pipeline uses (features shaped from the keyed store
+        snapshot rather than re-aggregating raw pings)."""
         self._payloads["/api/tiles/latest"] = (
             _feature_collection_json(
-                latest_window_features(pings, cfg),
+                tile_features,
                 [F.desc("properties.ping_count"), F.asc("id")],
                 self._feature_cap,
             ),
@@ -281,7 +291,7 @@ class TileApiServer:
         )
         self._payloads["/api/positions/latest"] = (
             _feature_collection_json(
-                position_point_features(pings),
+                position_features,
                 [F.desc("properties.ts"), F.asc("id")],
                 self._feature_cap,
             ),

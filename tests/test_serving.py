@@ -210,3 +210,57 @@ def test_http_api_feature_cap_is_deterministic(spark):
         assert ids == sorted(ids)
     finally:
         srv.stop()
+
+
+def test_pipeline_entrypoint_stream_store_serve(spark, tmp_path):
+    """The composed `python -m` pipeline (pipeline.py): demo source ->
+    BOTH streaming queries -> keyed stores -> HTTP endpoints served from
+    the STORE snapshot. The served tile window must be the newest window
+    in the store, and positions must cover every vehicle."""
+    import json
+    import urllib.request
+
+    from real_time_mobility_heatmap_spark.pipeline import (
+        refresh_server_from_stores,
+        run_pipeline,
+    )
+    from real_time_mobility_heatmap_spark.serving.http_api import TileApiServer
+    from real_time_mobility_heatmap_spark.streaming.sources import (
+        pings_stream_from_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    result = run_pipeline(
+        spark,
+        str(tmp_path / "store"),
+        source_factory=lambda: pings_stream_from_events(spark, sf),
+    )
+    assert result["n_tiles"] > 0 and result["n_positions"] > 0
+
+    srv = TileApiServer(feature_cap=10).start()
+    try:
+        refresh_server_from_stores(
+            srv, spark, result["tiles"], result["positions"]
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/tiles/latest"
+        ) as r:
+            tiles = json.load(r)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/positions/latest"
+        ) as r:
+            pos = json.load(r)
+    finally:
+        srv.stop()
+    assert tiles["features"], "tile endpoint must serve the newest window"
+    from pyspark.sql import functions as F
+
+    snap = result["tiles"].read(spark)
+    newest_iso = (
+        snap.agg(F.max("window_start").alias("ws"))
+        .selectExpr("date_format(ws, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") AS i")
+        .first()["i"]
+    )
+    assert {f["properties"]["windowStart"] for f in tiles["features"]} == {newest_iso}
+    assert pos["features"], "positions endpoint must serve latest vehicles"
+    assert len(pos["features"]) == min(10, result["n_positions"])
