@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_tile_metrics": _q_unpivot_tile_metrics,
         "bpe_merge_round": textops.q_bpe_merge_round,
         "cms_token_counts": textops.q_cms_token_counts,
+        "leakage_safe_split": dedup.q_leakage_safe_split,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_tile_metrics": tiles.unpivot_tile_metrics_oracle(PINGS_ORACLE_SQL, CFG),
         "bpe_merge_round": textops.BPE_MERGE_ROUND_ORACLE,
         "cms_token_counts": textops.cms_token_counts_oracle(),
+        "leakage_safe_split": dedup.leakage_safe_split_oracle(),
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

@@ -1620,3 +1620,54 @@ def dedup_pipeline_report_oracle() -> str:
 
 def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pipeline_report(load_table(spark, sf_dir, "documents"))
+
+
+def leakage_safe_split(docs: DataFrame) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: the split is hashed from
+    the document's NEAR-DUP CLUSTER label (its own id when unclustered),
+    so two near-duplicates can never land in different splits — closing
+    the train->test leakage channel that a per-document split
+    (``dataset_split``) leaves open whenever near-dups exist.
+
+    Same salted-hash bucketing as ``dataset_split`` (reproducible,
+    engine-exact, append-stable); the only addition is the cluster join,
+    keyed on doc_id — the cluster relation is dup-graph-sized, so the
+    unclustered majority of a 100 TB corpus anti-joins cheaply.
+    """
+    from ..functions.textfns import hash60_spark_sql
+    from .textops import _split_case
+
+    clusters = dedup_clusters(docs).select("doc_id", "cluster_id")
+    base = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+        F.col("cluster_id").isNotNull().alias("is_clustered"),
+    )
+    split_case = _split_case(hash60_spark_sql).replace(
+        "concat('split|', doc_id)", "concat('split|', group_key)"
+    )
+    return base.withColumn("split", F.expr(split_case))
+
+
+def leakage_safe_split_oracle() -> str:
+    from ..functions.textfns import hash60_duck_sql
+    from .textops import _split_case
+
+    split_case = _split_case(hash60_duck_sql).replace(
+        "concat('split|', doc_id)", "concat('split|', group_key)"
+    )
+    return f"""
+        WITH clusters AS ({dedup_clusters_oracle()}),
+        base AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS group_key,
+                   c.cluster_id IS NOT NULL AS is_clustered
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+        )
+        SELECT doc_id, group_key, is_clustered, {split_case} AS split
+        FROM base
+    """
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))

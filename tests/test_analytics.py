@@ -298,3 +298,25 @@ def test_cms_never_underestimates(spark, sf_dir):
     for r in rows:
         assert r.cms_n >= r.exact_n, "CMS must never undercount"
         assert r.overestimate_ppm >= 0
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.leakage_safe_split(docs)
+    assert out.count() == docs.count()
+    # the guarantee: one split per cluster
+    viol = (
+        out.filter("is_clustered")
+        .groupBy("group_key")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert viol == 0
+    # clustered docs exist in the fixture, and all three splits appear
+    assert out.filter("is_clustered").count() > 0
+    assert {r.split for r in out.select("split").distinct().collect()} == {
+        "train", "val", "test"
+    }

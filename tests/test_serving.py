@@ -264,3 +264,25 @@ def test_pipeline_entrypoint_stream_store_serve(spark, tmp_path):
     assert {f["properties"]["windowStart"] for f in tiles["features"]} == {newest_iso}
     assert pos["features"], "positions endpoint must serve latest vehicles"
     assert len(pos["features"]) == min(10, result["n_positions"])
+
+
+def test_pipeline_restart_is_idempotent(spark, tmp_path):
+    """Re-running the drained pipeline against the SAME checkpoint and
+    store must be a no-op: offsets are committed, so the second run
+    replays nothing and the store snapshots are unchanged (ST6 at the
+    pipeline level, not just the sink level)."""
+    from real_time_mobility_heatmap_spark.pipeline import run_pipeline
+    from real_time_mobility_heatmap_spark.streaming.sources import (
+        pings_stream_from_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    factory = lambda: pings_stream_from_events(spark, sf)  # noqa: E731
+    first = run_pipeline(spark, str(tmp_path / "s"), source_factory=factory)
+    v_tiles = first["tiles"].versions()[-1]
+    second = run_pipeline(spark, str(tmp_path / "s"), source_factory=factory)
+    assert second["n_tiles"] == first["n_tiles"]
+    assert second["n_positions"] == first["n_positions"]
+    # no new micro-batch reached the sink: the tile store version is as
+    # the first run left it
+    assert second["tiles"].versions()[-1] == v_tiles
