@@ -286,3 +286,51 @@ def test_pipeline_restart_is_idempotent(spark, tmp_path):
     # no new micro-batch reached the sink: the tile store version is as
     # the first run left it
     assert second["tiles"].versions()[-1] == v_tiles
+
+
+def test_pipeline_continuous_trigger_ingests_arriving_files(spark, tmp_path):
+    """The TRIGGER_SECONDS path: a processing-time-triggered pipeline
+    picks up files that arrive AFTER start, merging them into the stores
+    while running (the reference's live mode, ST1/ST8)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from real_time_mobility_heatmap_spark.pipeline import run_pipeline
+    from real_time_mobility_heatmap_spark.streaming.sources import json_ping_stream
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+
+    def write_batch(name, vid, ts):
+        with open(os.path.join(indir, name), "w") as f:
+            f.write(_json.dumps({
+                "provider": "mbta", "vehicleId": vid, "lat": 42.35,
+                "lon": -71.06, "speedKmh": 10.0, "bearing": None,
+                "accuracyM": None, "ts": ts,
+            }) + "\n")
+
+    write_batch("b1.json", "v1", "2024-01-01T10:02:00Z")
+    result = run_pipeline(
+        spark,
+        str(tmp_path / "s"),
+        trigger={"processingTime": "1 seconds"},
+        source_factory=lambda: json_ping_stream(spark, indir),
+    )
+    q_tiles, q_pos = result["queries"]
+    try:
+        deadline = _time.time() + 60
+        while result["positions"].read(spark) is None and _time.time() < deadline:
+            _time.sleep(1)
+        write_batch("b2.json", "v2", "2024-01-01T10:03:00Z")
+        while _time.time() < deadline:
+            snap = result["positions"].read(spark)
+            if snap is not None and snap.count() == 2:
+                break
+            _time.sleep(1)
+        snap = result["positions"].read(spark)
+        assert snap is not None and snap.count() == 2, "late file never ingested"
+        assert result["tiles"].read(spark) is not None
+    finally:
+        q_tiles.stop()
+        q_pos.stop()
