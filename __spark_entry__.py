@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_round": textops.q_bpe_merge_round,
         "cms_token_counts": textops.q_cms_token_counts,
         "leakage_safe_split": dedup.q_leakage_safe_split,
+        "compaction_plan": spatial.q_compaction_plan,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_round": textops.BPE_MERGE_ROUND_ORACLE,
         "cms_token_counts": textops.cms_token_counts_oracle(),
         "leakage_safe_split": dedup.leakage_safe_split_oracle(),
+        "compaction_plan": spatial.COMPACTION_PLAN_ORACLE,
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

@@ -260,3 +260,75 @@ def zorder_layout_report_oracle() -> str:
 
 def q_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout_report(pings_from_events(spark, sf_dir))
+
+
+COMPACT_FILE_KEY = 64      # rows sharing l_orderkey div KEY form one "file"
+COMPACT_TARGET_ROWS = 4000  # compacted output size target (row proxy for bytes)
+
+
+def compaction_plan(lineitem: DataFrame) -> DataFrame:
+    """Small-files compaction planner — the maintenance job that turns a
+    fragmented table (many under-sized files from streaming appends /
+    over-parallel writes) into target-sized outputs, completing the
+    data-layout family (zorder_layout_report = WHAT order to write,
+    partition_pruned_stats = WHAT directories, this = WHICH files merge).
+
+    The file inventory is derived deterministically (order-key ranges as
+    file proxies, row counts as size proxies). The plan is sorted-fill
+    bin packing: files ordered size-DESC (id tie-break), running-sum
+    assigned to bins of ``COMPACT_TARGET_ROWS`` — the greedy one-pass
+    assignment real compactors (Delta OPTIMIZE-style) use. The global
+    window runs over the FILE inventory, which is orders of magnitude
+    smaller than the table (the `value_histogram` cardinality argument);
+    the row data itself never shuffles — a real run would then rewrite
+    each bin's files in one task.
+    """
+    from pyspark.sql import Window
+
+    files = (
+        lineitem.groupBy(
+            F.expr(f"l_orderkey div {COMPACT_FILE_KEY}").alias("file_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("file_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    planned = files.withColumn("cum_rows", F.sum("n_rows").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum_rows - n_rows) div {COMPACT_TARGET_ROWS}")
+    )
+    per_bin = Window.partitionBy("bin_id")
+    return planned.select(
+        "file_id",
+        "n_rows",
+        "bin_id",
+        F.sum("n_rows").over(per_bin).alias("bin_rows"),
+        F.count(F.lit(1)).over(per_bin).alias("n_bin_files"),
+    )
+
+
+COMPACTION_PLAN_ORACLE = f"""
+    WITH files AS (
+        SELECT l_orderkey // {COMPACT_FILE_KEY} AS file_id, count(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    planned AS (
+        SELECT file_id, n_rows,
+               sum(n_rows) OVER (ORDER BY n_rows DESC, file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+        FROM files
+    ),
+    binned AS (
+        SELECT file_id, n_rows,
+               CAST((cum_rows - n_rows) // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin_id
+        FROM planned
+    )
+    SELECT file_id, n_rows, bin_id,
+           CAST(sum(n_rows) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_rows,
+           count(*) OVER (PARTITION BY bin_id) AS n_bin_files
+    FROM binned
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compaction_plan(load_table(spark, sf_dir, "lineitem"))

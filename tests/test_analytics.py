@@ -320,3 +320,23 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
     assert {r.split for r in out.select("split").distinct().collect()} == {
         "train", "val", "test"
     }
+
+
+def test_compaction_plan_bins_are_target_sized(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import spatial
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = spatial.compaction_plan(li).collect()
+    assert sum(r.n_rows for r in out) == li.count(), "plan must cover every row"
+    bins = {}
+    for r in out:
+        bins.setdefault(r.bin_id, []).append(r)
+    for bid, files in bins.items():
+        total = sum(f.n_rows for f in files)
+        assert all(f.bin_rows == total for f in files)
+        assert all(f.n_bin_files == len(files) for f in files)
+        # sorted-fill property: a bin overshoots the target by at most
+        # its last file, so bin start stays under the target
+        assert total - max(f.n_rows for f in files) < spatial.COMPACT_TARGET_ROWS
+    # compaction actually compacts: fewer bins than files
+    assert len(bins) < len(out)
