@@ -224,3 +224,108 @@ def resample_trajectories_oracle() -> str:
 
 def q_resample_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_trajectories(pings_from_events(spark, sf_dir))
+
+
+TS_BUCKET_S = 2 * 86400   # profile resolution: 2-day buckets (~15 per fixture month)
+TS_N_QUERIES = 3          # user_id < 3 are the probe profiles
+TS_TOP_K = 3
+
+
+def similar_speed_profiles(events: DataFrame) -> DataFrame:
+    """Time-series similarity search over behavior profiles (the
+    UCR-subsequence pattern, whole-series variant): each user's speed
+    history resamples onto a fixed time grid, and probe users retrieve
+    their nearest neighbors by Euclidean profile distance.
+
+    Shape: the dense (user, bucket) grid comes from one aggregate plus a
+    users × buckets cross join (buckets are a constant-sized series —
+    the calendar, not the data); distances stay in LONG format — probe
+    rows join the grid per bucket, so the comparison is a keyed join
+    whose left side is bounded by the probe set, never an all-pairs
+    blowup. Bucket means round at 6dp before differencing so distances
+    are engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    b = F.expr(f"(unix_timestamp(ts) div {TS_BUCKET_S}) * {TS_BUCKET_S}")
+    per = events.select("user_id", b.alias("bucket"), "value").groupBy(
+        "user_id", "bucket"
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    span = per.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    users = per.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(F.expr(f"sequence(lo, hi, {TS_BUCKET_S})")).alias("bucket"),
+        )
+        .join(per, ["user_id", "bucket"], "left")
+        .select("user_id", "bucket", F.coalesce("v", F.lit(0.0)).alias("v"))
+    )
+    probes = grid.filter(F.col("user_id") < TS_N_QUERIES).select(
+        F.col("user_id").alias("query_user"),
+        "bucket",
+        F.col("v").alias("qv"),
+    )
+    d2 = (
+        grid.join(F.broadcast(probes), "bucket")
+        .filter(F.col("user_id") != F.col("query_user"))
+        .groupBy("query_user", F.col("user_id").alias("cand_user"))
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v")))),
+                6,
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_user").orderBy(F.asc("dist"), F.asc("cand_user"))
+    return (
+        d2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TS_TOP_K)
+        .select("query_user", "cand_user", "dist", "rank")
+    )
+
+
+SIMILAR_SPEED_PROFILES_ORACLE = f"""
+    WITH per AS (
+        SELECT user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // {TS_BUCKET_S}) * {TS_BUCKET_S}
+                   AS bucket,
+               round(avg(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM per),
+    grid AS (
+        SELECT u.user_id, s.bucket, coalesce(p.v, 0.0) AS v
+        FROM (SELECT DISTINCT user_id FROM per) u
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, {TS_BUCKET_S}))
+                        AS bucket FROM span) s
+        LEFT JOIN per p ON p.user_id = u.user_id AND p.bucket = s.bucket
+    ),
+    probes AS (
+        SELECT user_id AS query_user, bucket, v AS qv FROM grid
+        WHERE user_id < {TS_N_QUERIES}
+    ),
+    d2 AS (
+        SELECT p.query_user, g.user_id AS cand_user,
+               round(sqrt(sum((p.qv - g.v) * (p.qv - g.v))), 6) AS dist
+        FROM grid g JOIN probes p ON p.bucket = g.bucket
+        WHERE g.user_id != p.query_user
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_user
+                      ORDER BY dist ASC, cand_user ASC) AS rank
+        FROM d2
+    )
+    SELECT query_user, cand_user, dist, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TS_TOP_K}
+"""
+
+
+def q_similar_speed_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    return similar_speed_profiles(load_table(spark, sf_dir, "events"))

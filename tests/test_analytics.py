@@ -340,3 +340,20 @@ def test_compaction_plan_bins_are_target_sized(spark, sf_dir):
         assert total - max(f.n_rows for f in files) < spatial.COMPACT_TARGET_ROWS
     # compaction actually compacts: fewer bins than files
     assert len(bins) < len(out)
+
+
+def test_similar_speed_profiles_topk(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import trajectory
+
+    events = load_table(spark, sf_dir, "events")
+    out = trajectory.similar_speed_profiles(events).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_user, []).append(r)
+    assert set(by_q) == set(range(trajectory.TS_N_QUERIES))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, trajectory.TS_TOP_K + 1))
+        dists = [r.dist for r in rows]
+        assert dists == sorted(dists)
+        assert all(r.cand_user != q and r.dist >= 0 for r in rows)
