@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": dedup.q_leakage_safe_split,
         "compaction_plan": spatial.q_compaction_plan,
         "similar_speed_profiles": trajectory.q_similar_speed_profiles,
+        "ewma_speed": analytics.q_ewma_speed,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -314,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": dedup.leakage_safe_split_oracle(),
         "compaction_plan": spatial.COMPACTION_PLAN_ORACLE,
         "similar_speed_profiles": trajectory.SIMILAR_SPEED_PROFILES_ORACLE,
+        "ewma_speed": analytics.EWMA_SPEED_ORACLE,
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

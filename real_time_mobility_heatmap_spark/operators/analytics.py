@@ -200,3 +200,63 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(load_table(spark, sf_dir, "events"))
+
+
+EWMA_ALPHA_NUM, EWMA_ALPHA_DEN = 1, 2  # alpha = 1/2: binary-exact smoothing
+
+
+def ewma_speed(events: DataFrame) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` — the
+    order-SENSITIVE sequential aggregate (exponential smoothing /
+    control-chart center line) that windowed means can't express:
+    ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded with the first value.
+
+    α = 1/2 makes every multiplication binary-exact, so the fold is
+    engine-identical given the same order — pinned by the (ts, event_id)
+    sort inside one per-user collect (the ``rolling_fingerprint``
+    seed-with-first convention, since DuckDB's list_reduce has no init).
+    One user-keyed shuffle; state per user is one double.
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    folded = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),"
+        " (acc, x) -> acc / 2.0D + x / 2.0D)"
+    )
+    per = (
+        events.groupBy("user_id")
+        .agg(arr.alias("seq"))
+        .select(
+            "user_id",
+            F.expr("transform(seq, s -> s.value)").alias("vals"),
+        )
+        .select(
+            "user_id",
+            F.size("vals").alias("n_events"),
+            F.element_at("vals", -1).alias("last_value"),
+            F.round(folded, 6).alias("ewma"),
+        )
+    )
+    return per.withColumn(
+        "last_above_trend", F.col("last_value") > F.col("ewma")
+    )
+
+
+EWMA_SPEED_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS INTEGER) AS n_events,
+           vals[-1] AS last_value,
+           round(list_reduce(vals, (acc, x) -> acc / 2.0 + x / 2.0), 6) AS ewma,
+           vals[-1] > round(list_reduce(vals, (acc, x) -> acc / 2.0 + x / 2.0), 6)
+               AS last_above_trend
+    FROM seq
+"""
+
+
+def q_ewma_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_speed(load_table(spark, sf_dir, "events"))

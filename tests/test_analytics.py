@@ -357,3 +357,22 @@ def test_similar_speed_profiles_topk(spark, sf_dir):
         dists = [r.dist for r in rows]
         assert dists == sorted(dists)
         assert all(r.cand_user != q and r.dist >= 0 for r in rows)
+
+
+def test_ewma_matches_sequential_fold(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import analytics
+
+    events = load_table(spark, sf_dir, "events")
+    got = {r.user_id: r for r in analytics.ewma_speed(events).collect()}
+    rows = events.select("user_id", "ts", "event_id", "value").collect()
+    seqs = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.value)
+    assert set(got) == set(seqs)
+    for uid, vals in seqs.items():
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = acc / 2.0 + x / 2.0
+        assert got[uid].n_events == len(vals)
+        assert got[uid].last_value == vals[-1]
+        assert abs(got[uid].ewma - round(acc, 6)) < 1e-9
