@@ -1389,3 +1389,56 @@ def q_range_frame_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_order_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_rank_report(load_table(spark, sf_dir, "orders"))
+
+
+K_ANON_THRESHOLD = 5  # groups smaller than k are re-identification risks
+
+
+def k_anonymity_report(customer: DataFrame) -> DataFrame:
+    """Privacy audit: k-anonymity of the quasi-identifier combination
+    (nation, market segment) over the customer table — the
+    release-readiness check run before sharing "anonymized" data, since
+    any group smaller than k pinpoints individuals.
+
+    One hash aggregate on the quasi-id; the corpus-wide risk share is a
+    1-row aggregate broadcast back. Exact integer ppm.
+    """
+    groups = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    tot = groups.agg(
+        F.sum("group_size").alias("n_total"),
+        F.sum(
+            F.when(F.col("group_size") < K_ANON_THRESHOLD, F.col("group_size"))
+            .otherwise(F.lit(0))
+        ).alias("n_risky"),
+    )
+    return groups.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        (F.col("group_size") < K_ANON_THRESHOLD).alias("below_k"),
+        F.expr("n_risky * 1000000 div n_total").alias("corpus_risky_ppm"),
+    )
+
+
+K_ANONYMITY_REPORT_ORACLE = f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        FROM customer GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(sum(group_size) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN group_size < {K_ANON_THRESHOLD}
+                        THEN group_size ELSE 0 END) AS BIGINT) AS n_risky
+        FROM groups
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           group_size < {K_ANON_THRESHOLD} AS below_k,
+           (n_risky * 1000000) // n_total AS corpus_risky_ppm
+    FROM groups CROSS JOIN tot
+"""
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymity_report(load_table(spark, sf_dir, "customer"))

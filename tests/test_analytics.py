@@ -376,3 +376,17 @@ def test_ewma_matches_sequential_fold(spark, sf_dir):
         assert got[uid].n_events == len(vals)
         assert got[uid].last_value == vals[-1]
         assert abs(got[uid].ewma - round(acc, 6)) < 1e-9
+
+
+def test_k_anonymity_report_accounting(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    cust = load_table(spark, sf_dir, "customer")
+    rows = relational.k_anonymity_report(cust).collect()
+    assert sum(r.group_size for r in rows) == cust.count()
+    risky = sum(r.group_size for r in rows if r.below_k)
+    total = sum(r.group_size for r in rows)
+    expect_ppm = risky * 1_000_000 // total
+    assert {r.corpus_risky_ppm for r in rows} == {expect_ppm}
+    for r in rows:
+        assert r.below_k == (r.group_size < relational.K_ANON_THRESHOLD)
