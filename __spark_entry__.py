@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_speed_profiles": trajectory.q_similar_speed_profiles,
         "ewma_speed": analytics.q_ewma_speed,
         "k_anonymity_report": relational.q_k_anonymity_report,
+        "join_size_estimate": relational.q_join_size_estimate,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "similar_speed_profiles": trajectory.SIMILAR_SPEED_PROFILES_ORACLE,
         "ewma_speed": analytics.EWMA_SPEED_ORACLE,
         "k_anonymity_report": relational.K_ANONYMITY_REPORT_ORACLE,
+        "join_size_estimate": relational.JOIN_SIZE_ESTIMATE_ORACLE,
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

@@ -1442,3 +1442,86 @@ K_ANONYMITY_REPORT_ORACLE = f"""
 
 def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(load_table(spark, sf_dir, "customer"))
+
+
+JSE_BUCKET = 64  # statistics granularity: orderkey ranges as histogram buckets
+
+
+def join_size_estimate(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Cost-based-optimizer diagnostics: the System-R join-cardinality
+    estimate |A⋈B| ≈ Σ_buckets ca·cb / max(ndv_a, ndv_b) computed from
+    per-bucket key statistics, audited against the TRUE join size — the
+    measurement that tells you how far histogram stats would mislead the
+    planner on this key distribution.
+
+    Statistics are one aggregate per side (count + exact NDV per key
+    bucket); the estimate joins the two tiny stats relations on bucket;
+    the actual size is the real keyed join counted. Integer arithmetic
+    end-to-end (signed ppm error), so the audit itself is
+    hash-oracle-checked.
+    """
+    a = orders.groupBy(
+        F.expr(f"o_orderkey div {JSE_BUCKET}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("ca"),
+        F.countDistinct("o_orderkey").alias("ndv_a"),
+    )
+    b = lineitem.groupBy(
+        F.expr(f"l_orderkey div {JSE_BUCKET}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("cb"),
+        F.countDistinct("l_orderkey").alias("ndv_b"),
+    )
+    est = (
+        a.join(b, "bucket")
+        .select(F.expr("ca * cb div greatest(ndv_a, ndv_b)").alias("e"))
+        .agg(F.sum("e").alias("est_rows"))
+    )
+    actual = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "est_rows",
+        "actual_rows",
+        # sign-decomposed so the nonnegative division floors identically
+        # in both engines (Spark div truncates, DuckDB // floors)
+        F.expr(
+            "IF(est_rows >= actual_rows, 1, -1)"
+            " * (abs(est_rows - actual_rows) * 1000000 div actual_rows)"
+        ).alias("err_ppm"),
+    )
+
+
+JOIN_SIZE_ESTIMATE_ORACLE = f"""
+    WITH a AS (
+        SELECT o_orderkey // {JSE_BUCKET} AS bucket, count(*) AS ca,
+               count(DISTINCT o_orderkey) AS ndv_a
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT l_orderkey // {JSE_BUCKET} AS bucket, count(*) AS cb,
+               count(DISTINCT l_orderkey) AS ndv_b
+        FROM lineitem GROUP BY 1
+    ),
+    est AS (
+        SELECT CAST(sum((ca * cb) // greatest(ndv_a, ndv_b)) AS BIGINT)
+                   AS est_rows
+        FROM a JOIN b USING (bucket)
+    ),
+    act AS (
+        SELECT count(*) AS actual_rows
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT est_rows, actual_rows,
+           (CASE WHEN est_rows >= actual_rows THEN 1 ELSE -1 END)
+               * ((abs(est_rows - actual_rows) * 1000000) // actual_rows)
+               AS err_ppm
+    FROM est CROSS JOIN act
+"""
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return join_size_estimate(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )

@@ -390,3 +390,18 @@ def test_k_anonymity_report_accounting(spark, sf_dir):
     assert {r.corpus_risky_ppm for r in rows} == {expect_ppm}
     for r in rows:
         assert r.below_k == (r.group_size < relational.K_ANON_THRESHOLD)
+
+
+def test_join_size_estimate_exact_on_pk_fk(spark, sf_dir):
+    """On a PK-FK join (orders.o_orderkey unique), the System-R bucket
+    estimate collapses to the true size: ndv_a == ca per bucket, so
+    ca*cb/max(ndv) == cb summed == |join|. A skewed/duplicated key side
+    would surface as nonzero err_ppm."""
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    r = relational.join_size_estimate(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    ).first()
+    assert r.actual_rows == load_table(spark, sf_dir, "lineitem").count()
+    assert r.err_ppm == 0 and r.est_rows == r.actual_rows
