@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_speed": analytics.q_ewma_speed,
         "k_anonymity_report": relational.q_k_anonymity_report,
         "join_size_estimate": relational.q_join_size_estimate,
+        "polygon_zone_counts": spatial.q_polygon_zone_counts,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -320,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_speed": analytics.EWMA_SPEED_ORACLE,
         "k_anonymity_report": relational.K_ANONYMITY_REPORT_ORACLE,
         "join_size_estimate": relational.JOIN_SIZE_ESTIMATE_ORACLE,
+        "polygon_zone_counts": spatial.polygon_zone_counts_oracle(),
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

@@ -332,3 +332,101 @@ COMPACTION_PLAN_ORACLE = f"""
 
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(load_table(spark, sf_dir, "lineitem"))
+
+
+# Inscribed-pentagon vertices as (lat, lon) fractions of the zone bbox —
+# plan literals, identical in both engines.
+PENT_VERTS = [(1.0, 0.5), (0.65, 1.0), (0.1, 0.8), (0.1, 0.2), (0.65, 0.0)]
+PENT_EDGES = [
+    (PENT_VERTS[i], PENT_VERTS[(i + 1) % len(PENT_VERTS)])
+    for i in range(len(PENT_VERTS))
+]
+
+
+def _crossing_terms(y0: str, x0: str, lat: str = "lat", lon: str = "lon") -> list[str]:
+    """Ray-cast crossing test per pentagon edge (ray toward +lon), one SQL
+    term per edge; identical text in Spark and DuckDB dialects. Vertex
+    coordinates are ``bbox origin + fraction * span`` so every operand is
+    a column or a literal double."""
+    terms = []
+    for (a1, b1), (a2, b2) in PENT_EDGES:
+        y1 = f"({y0} + {a1!r} * {ZONE_LAT_SPAN!r})"
+        y2 = f"({y0} + {a2!r} * {ZONE_LAT_SPAN!r})"
+        x1 = f"({x0} + {b1!r} * {ZONE_LON_SPAN!r})"
+        x2 = f"({x0} + {b2!r} * {ZONE_LON_SPAN!r})"
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat}) != ({y2} > {lat}))"
+            f" AND {lon} < {x1} + ({lat} - {y1}) * ({x2} - {x1}) / ({y2} - {y1})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return terms
+
+
+def polygon_zone_counts(
+    pings: DataFrame, nation: DataFrame, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """TRUE polygon containment (the ST_Contains shape): per-zone stats
+    for points inside an irregular pentagon inscribed in each zone bbox,
+    by even-odd ray casting — upgrading ``zone_counts``'s rectangles to
+    real polygon geometry with the SAME scale plan.
+
+    Candidates still come from the grid-bucketed bbox cover (broadcast
+    equi-join on cell_id, no nested loop); the ray-cast is a pure column
+    expression over plan-literal edge fractions — zero extra joins or
+    shuffles for the exact geometry test. Identical IEEE expressions on
+    both engines make the crossing parity engine-deterministic.
+    """
+    p = validate_pings(pings).withColumn(
+        "cell_id", cell_id(F.col("lat"), F.col("lon"), cfg.grid_scale)
+    )
+    cover = zone_covering_cells(zones_from_nation(nation), cfg.grid_scale)
+    cand = p.join(F.broadcast(cover), "cell_id").filter(
+        (F.col("lat") >= F.col("lat0"))
+        & (F.col("lat") < F.col("lat1"))
+        & (F.col("lon") >= F.col("lon0"))
+        & (F.col("lon") < F.col("lon1"))
+    )
+    crossings = " + ".join(_crossing_terms("lat0", "lon0"))
+    inside = cand.filter(F.expr(f"(({crossings}) % 2) = 1"))
+    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    return inside.groupBy("zone_key", "zone_name").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.count_distinct("vehicleId").alias("n_vehicles"),
+        F.round(F.sum(micro) / F.lit(1e6) / F.count("speedKmh"), 6).alias(
+            "avg_speed_kmh"
+        ),
+    )
+
+
+def polygon_zone_counts_oracle() -> str:
+    crossings = " + ".join(_crossing_terms("z.lat0", "z.lon0", "v.lat", "v.lon"))
+    return f"""
+    WITH pings AS ({PINGS_ORACLE_SQL}),
+    valid AS (SELECT * FROM pings WHERE {VALID_SQL}),
+    zones AS (
+        SELECT n_nationkey AS zone_key,
+               n_name AS zone_name,
+               {_LAT0} AS lat0,
+               {_LAT0} + {ZONE_LAT_SPAN} AS lat1,
+               {_LON0} AS lon0,
+               {_LON0} + {ZONE_LON_SPAN} AS lon1
+        FROM nation
+    )
+    SELECT zone_key, zone_name,
+           count(*) AS n_pings,
+           count(DISTINCT vehicleId) AS n_vehicles,
+           round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh), 6)
+               AS avg_speed_kmh
+    FROM valid v
+    JOIN zones z
+      ON v.lat >= z.lat0 AND v.lat < z.lat1
+     AND v.lon >= z.lon0 AND v.lon < z.lon1
+     AND (({crossings}) % 2) = 1
+    GROUP BY zone_key, zone_name
+"""
+
+
+def q_polygon_zone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return polygon_zone_counts(
+        pings_from_events(spark, sf_dir), load_table(spark, sf_dir, "nation")
+    )

@@ -405,3 +405,23 @@ def test_join_size_estimate_exact_on_pk_fk(spark, sf_dir):
     ).first()
     assert r.actual_rows == load_table(spark, sf_dir, "lineitem").count()
     assert r.err_ppm == 0 and r.est_rows == r.actual_rows
+
+
+def test_polygon_containment_is_subset_of_bbox(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import spatial
+    from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+
+    pings = pings_from_events(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    box = {r.zone_key: r.n_pings for r in spatial.zone_counts(pings, nation).collect()}
+    poly = {
+        r.zone_key: r.n_pings
+        for r in spatial.polygon_zone_counts(pings, nation).collect()
+    }
+    assert poly, "pentagons must contain some points"
+    for zk, n in poly.items():
+        assert 0 < n < box[zk], "pentagon ⊂ bbox must hold strictly on this data"
+    # pentagon covers ~66% of the bbox area; containment counts should
+    # land in a broad band around that, confirming the cast is real
+    frac = sum(poly.values()) / sum(box[z] for z in poly)
+    assert 0.4 < frac < 0.9
