@@ -240,6 +240,58 @@ class KeyedParquetStore:
         self._gc_versions()
 
 
+    def delete(self, keys_df: DataFrame) -> int:
+        """Targeted key purge (the right-to-be-forgotten path): remove
+        every stored row matching ``keys_df``'s key columns, rewriting
+        ONLY the buckets those keys hash into — the same
+        touched-buckets-only contract as ``merge``, so a deletion request
+        over a 100 TB store costs |touched buckets|, not a table rewrite.
+
+        Buckets whose rows are all deleted drop out of the manifest
+        entirely. Commits a numbered snapshot like ``merge`` (time travel
+        still serves pre-deletion versions until GC — set
+        ``retain_versions=1``, the default, for prompt disposal).
+        Idempotent: re-deleting absent keys is a no-op. Returns the
+        number of touched buckets.
+        """
+        spark = keys_df.sparkSession
+        keyed = (
+            keys_df.select(*self.key_cols)
+            .distinct()
+            .withColumn("__bucket", self._bucket_col())
+        )
+        touched = sorted(
+            r["__bucket"] for r in keyed.select("__bucket").distinct().collect()
+        )
+        stored_dirs = self._bucket_dirs(touched)
+        if not stored_dirs:
+            return 0
+        existing = spark.read.parquet(*stored_dirs).withColumn(
+            "__bucket", self._bucket_col()
+        )
+        remaining = existing.join(
+            keyed.drop("__bucket"), self.key_cols, "left_anti"
+        )
+        out = os.path.join(self.path, f"data-{uuid.uuid4().hex}")
+        remaining.repartition(F.col("__bucket")).write.partitionBy(
+            "__bucket"
+        ).mode("overwrite").parquet(out)
+
+        manifest = self._load_manifest()
+        stored_buckets = {
+            int(b) for b in manifest["buckets"] if int(b) in set(touched)
+        }
+        for b in stored_buckets:
+            bucket_dir = os.path.join(out, f"__bucket={b}")
+            if os.path.isdir(bucket_dir):
+                manifest["buckets"][str(b)] = os.path.relpath(bucket_dir, self.path)
+            else:  # every row of this bucket was deleted
+                manifest["buckets"].pop(str(b), None)
+        manifest["version"] = manifest.get("version", 0) + 1
+        self._commit_manifest(manifest)
+        self._gc_versions()
+        return len(stored_buckets)
+
     def vacuum(self) -> list[str]:
         """Remove data dirs no RETAINED snapshot references — leftovers of
         a merge that crashed after writing data but before the manifest

@@ -270,3 +270,30 @@ def test_boilerplate_scrub_reconstruction_property(spark, corpus):
         assert r.n_boiler_segments == len(segs) - len(kept)
         assert r.clean_n_tokens == (len(clean.split()) if clean else 0)
         assert r.clean_sha256 == hashlib.sha256(clean.encode()).hexdigest()
+
+
+DEL_KEYS = st.lists(KEYS, min_size=0, max_size=3, unique=True)
+
+
+@given(batch=BATCH, to_delete=DEL_KEYS)
+@_SETTINGS
+def test_delete_purges_exactly_the_requested_keys(spark, tmp_path_factory, batch, to_delete):
+    """delete() removes all rows of the requested keys and nothing else,
+    drops fully-emptied buckets from the manifest, and is idempotent."""
+    store = KeyedParquetStore(
+        str(tmp_path_factory.mktemp("del")), key_cols=["k"], newer_col="ts", n_buckets=2
+    )
+    store.merge(_df(spark, batch))
+    before = {r["k"]: r for r in store.read(spark).collect()}
+    kdf = spark.createDataFrame([(k,) for k in to_delete] or [("zz",)], "k string")
+    store.delete(kdf)
+    snap = store.read(spark)
+    after = {} if snap is None else {r["k"]: r for r in snap.collect()}
+    assert set(after) == set(before) - set(to_delete)
+    for k, row in after.items():
+        assert row == before[k], "survivors must be byte-identical"
+    # idempotent second delete
+    store.delete(kdf)
+    snap2 = store.read(spark)
+    after2 = {} if snap2 is None else {r["k"]: r for r in snap2.collect()}
+    assert after2 == after
