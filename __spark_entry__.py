@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_report": relational.q_k_anonymity_report,
         "join_size_estimate": relational.q_join_size_estimate,
         "polygon_zone_counts": spatial.q_polygon_zone_counts,
+        "grouping_sets_sales": relational.q_grouping_sets_sales,
+        "props_key_stats": decode.q_props_key_stats,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -322,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_report": relational.K_ANONYMITY_REPORT_ORACLE,
         "join_size_estimate": relational.JOIN_SIZE_ESTIMATE_ORACLE,
         "polygon_zone_counts": spatial.polygon_zone_counts_oracle(),
+        "grouping_sets_sales": relational.GROUPING_SETS_SALES_ORACLE,
+        "props_key_stats": decode.PROPS_KEY_STATS_ORACLE,
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

@@ -109,3 +109,45 @@ def q_wire_roundtrip(spark, sf_dir: str) -> DataFrame:
 
 def q_normalize(spark, sf_dir: str) -> DataFrame:
     return normalize(load_table(spark, sf_dir, "events"))
+
+
+def props_key_stats(events: DataFrame) -> DataFrame:
+    """MapType surface: parse the raw JSON ``props`` payload as a
+    map<string,long> (schema-on-read where field names are NOT known in
+    advance — the complement of the fixed-struct ``json_decode``),
+    explode the entries, and aggregate per key.
+
+    Map explode is a Generate (map-side); the aggregate is keyed on the
+    tiny property-name space.
+    """
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        events.select(F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("prop_value").alias("min_value"),
+            F.max("prop_value").alias("max_value"),
+            F.sum("prop_value").alias("sum_value"),
+        )
+    )
+
+
+PROPS_KEY_STATS_ORACLE = """
+    WITH kv AS (
+        SELECT unnest(map_keys(m)) AS prop_key, unnest(map_values(m)) AS prop_value
+        FROM (SELECT CAST(json(props) AS MAP(VARCHAR, BIGINT)) AS m FROM events)
+    )
+    SELECT prop_key,
+           count(*) AS n_events,
+           min(prop_value) AS min_value,
+           max(prop_value) AS max_value,
+           CAST(sum(prop_value) AS BIGINT) AS sum_value
+    FROM kv GROUP BY prop_key
+"""
+
+
+def q_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    return props_key_stats(load_table(spark, sf_dir, "events"))

@@ -1525,3 +1525,40 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_estimate(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+def grouping_sets_sales(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary grouping combinations in ONE
+    Expand pass (completing the rollup/cube family with the general
+    form): per-(flag,status), per-flag, and per-status aggregates,
+    distinguished by ``grouping_id`` so readers can tell a subtotal's
+    level without NULL ambiguity.
+    """
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("level_id"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+GROUPING_SETS_SALES_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+               AS level_id,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus))
+"""
+
+
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouping_sets_sales(load_table(spark, sf_dir, "lineitem"))

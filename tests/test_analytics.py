@@ -425,3 +425,34 @@ def test_polygon_containment_is_subset_of_bbox(spark, sf_dir):
     # land in a broad band around that, confirming the cast is real
     frac = sum(poly.values()) / sum(box[z] for z in poly)
     assert 0.4 < frac < 0.9
+
+
+def test_grouping_sets_levels(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = relational.grouping_sets_sales(li).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.level_id, []).append(r)
+    # level 0 = (flag,status); 1 = per-flag (status grouped); 2 = per-status
+    assert set(by_level) == {0, 1, 2}
+    total = li.count()
+    assert sum(r.n_items for r in by_level[1]) == total
+    assert sum(r.n_items for r in by_level[2]) == total
+    assert sum(r.n_items for r in by_level[0]) == total
+    assert all(r.l_linestatus is None for r in by_level[1])
+    assert all(r.l_returnflag is None for r in by_level[2])
+
+
+def test_props_key_stats_covers_all_events(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import decode
+
+    events = load_table(spark, sf_dir, "events")
+    rows = decode.props_key_stats(events).collect()
+    assert rows
+    assert sum(r.n_events for r in rows) == events.filter(
+        "props IS NOT NULL"
+    ).count()
+    for r in rows:
+        assert r.min_value <= r.max_value
