@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_zone_counts": spatial.q_polygon_zone_counts,
         "grouping_sets_sales": relational.q_grouping_sets_sales,
         "props_key_stats": decode.q_props_key_stats,
+        "snapshot_diff_report": relational.q_snapshot_diff_report,
         # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
         # removals, pinned by dedicated plan tests + the local oracle
         # gate); they lead the r8 window:
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_zone_counts": spatial.polygon_zone_counts_oracle(),
         "grouping_sets_sales": relational.GROUPING_SETS_SALES_ORACLE,
         "props_key_stats": decode.PROPS_KEY_STATS_ORACLE,
+        "snapshot_diff_report": relational.SNAPSHOT_DIFF_REPORT_ORACLE,
         "cohort_retention": analytics.COHORT_RETENTION_ORACLE,
         "markov_transitions": analytics.MARKOV_TRANSITIONS_ORACLE,
         "zscore_outliers": analytics.ZSCORE_OUTLIERS_ORACLE,

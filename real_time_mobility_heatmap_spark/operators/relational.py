@@ -1562,3 +1562,97 @@ GROUPING_SETS_SALES_ORACLE = """
 
 def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouping_sets_sales(load_table(spark, sf_dir, "lineitem"))
+
+
+def snapshot_diff_report(lineitem: DataFrame) -> DataFrame:
+    """Table-diff reconciliation (the data-regression-test primitive):
+    classify every key of two table versions as added / removed /
+    changed / unchanged via ONE full-outer join on the key with row-hash
+    comparison — the only operator family (FULL OUTER) the rest of the
+    suite doesn't already exercise.
+
+    The "new" version derives deterministically from the old (hash-picked
+    ~2% modified, ~2% deleted, ~1% cloned under a shifted line number),
+    so the report is engine-exact. Rows first aggregate to the
+    (orderkey, linenumber) grain — the diff key must be UNIQUE or a
+    full-outer diff multiplies rows (the fixture has duplicate line
+    numbers). At scale both sides shuffle once on the composite key; the
+    hash comparison ships one int64 per row.
+    """
+    key_h = "CAST(conv(substr(md5(concat('mod|', l_orderkey, ':', l_linenumber)), 1, 15), 16, 10) AS BIGINT) % 100"
+    old = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("l_quantity"))
+        .withColumn("bucket", F.expr(key_h))
+    )
+    modified = old.filter(F.col("bucket") < 2).withColumn(
+        "l_quantity", F.col("l_quantity") + 1
+    )
+    kept = old.filter((F.col("bucket") >= 4))
+    clones = old.filter(F.col("bucket").between(4, 4)).withColumn(
+        "l_linenumber", F.col("l_linenumber") + 100
+    )
+    new = modified.unionByName(kept).unionByName(clones)
+    o = old.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CAST(conv(substr(md5(concat(l_quantity)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("old_hash"),
+    )
+    n = new.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CAST(conv(substr(md5(concat(l_quantity)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("new_hash"),
+    )
+    joined = o.join(n, ["l_orderkey", "l_linenumber"], "full_outer")
+    cls = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(cls.alias("diff_class")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SNAPSHOT_DIFF_REPORT_ORACLE = """
+    WITH old AS (
+        SELECT l_orderkey, l_linenumber,
+               round(sum(l_quantity), 2) AS l_quantity,
+               CAST('0x' || substr(md5('mod|' || l_orderkey || ':' || l_linenumber), 1, 15) AS BIGINT) % 100 AS bucket
+        FROM lineitem GROUP BY 1, 2
+    ),
+    new AS (
+        SELECT l_orderkey, l_linenumber, l_quantity + 1 AS l_quantity
+        FROM old WHERE bucket < 2
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity FROM old WHERE bucket >= 4
+        UNION ALL
+        SELECT l_orderkey, l_linenumber + 100, l_quantity FROM old WHERE bucket = 4
+    ),
+    o AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST('0x' || substr(md5(CAST(l_quantity AS VARCHAR)), 1, 15) AS BIGINT) AS old_hash
+        FROM old
+    ),
+    n AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST('0x' || substr(md5(CAST(l_quantity AS VARCHAR)), 1, 15) AS BIGINT) AS new_hash
+        FROM new
+    )
+    SELECT CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash != new_hash THEN 'changed'
+                ELSE 'unchanged' END AS diff_class,
+           count(*) AS n_rows
+    FROM o FULL OUTER JOIN n USING (l_orderkey, l_linenumber)
+    GROUP BY 1
+"""
+
+
+def q_snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return snapshot_diff_report(load_table(spark, sf_dir, "lineitem"))

@@ -456,3 +456,18 @@ def test_props_key_stats_covers_all_events(spark, sf_dir):
     ).count()
     for r in rows:
         assert r.min_value <= r.max_value
+
+
+def test_snapshot_diff_classes_account_for_both_versions(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = {r.diff_class: r.n_rows for r in relational.snapshot_diff_report(li).collect()}
+    assert set(out) == {"added", "removed", "changed", "unchanged"}
+    n_old = li.select("l_orderkey", "l_linenumber").distinct().count()
+    # every old key is removed, changed, or unchanged
+    assert out["removed"] + out["changed"] + out["unchanged"] == n_old
+    # derivation rates: ~2% changed, ~2% removed, ~1% added of the corpus
+    assert 0.005 < out["changed"] / n_old < 0.05
+    assert 0.005 < out["removed"] / n_old < 0.05
+    assert 0.001 < out["added"] / n_old < 0.03
