@@ -833,11 +833,16 @@ def winnow_match_spans(docs: DataFrame) -> DataFrame:
     fingerprint count >= threshold), emit the aligned positions of each
     shared fingerprint hash, i.e. WHERE the overlap is, not just that it
     exists. Candidate pairs come from ``winnow_match_pairs`` (already
-    capped/bucketed); the span join then touches only matched docs'
-    fingerprints — two broadcast-small joins, fanout bounded by shared
-    fps per pair (ties on a hash inside one doc explode, which is the
-    correct alignment semantics and vanishingly rare with 60-bit
-    hashes).
+    capped/bucketed); the fingerprint relation is then left-semi-pruned
+    to the matched docs BEFORE the alignment joins, so the span shuffle
+    carries only matched docs' fingerprints (bounded by the pair cap),
+    never the corpus-scale fingerprint table. No broadcast hints: the
+    full fp relation is ~k rows per document (corpus-sized at 100 TB ⇒
+    hinting it is a driver OOM), and the pruned side's size is runtime-
+    dependent — AQE picks the build side from actual stats. Fanout is
+    bounded by shared fps per pair (ties on a hash inside one doc
+    explode, which is the correct alignment semantics and vanishingly
+    rare with 60-bit hashes).
 
     The fingerprint relation is consumed three times (pair generation +
     both alignment sides) and its pre-shuffle map work differs per
@@ -845,15 +850,22 @@ def winnow_match_spans(docs: DataFrame) -> DataFrame:
     minhash_lsh_pairs' hashed-shingle checkpoint)."""
     fps = winnow_fingerprints(docs).localCheckpoint(eager=False)
     pairs = winnow_match_pairs(docs, fps=fps).select("doc_a", "doc_b")
+    # same member-prune pattern as streaming/neardup.py's verify stage
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    fps_matched = fps.join(members, "doc_id", "left_semi")
     return (
         pairs.join(
-            F.broadcast(fps.select(F.col("doc_id").alias("doc_a"),
-                                   F.col("pos").alias("pos_a"), "fp_hash")),
+            fps_matched.select(F.col("doc_id").alias("doc_a"),
+                               F.col("pos").alias("pos_a"), "fp_hash"),
             "doc_a",
         )
         .join(
-            F.broadcast(fps.select(F.col("doc_id").alias("doc_b"),
-                                   F.col("pos").alias("pos_b"), "fp_hash")),
+            fps_matched.select(F.col("doc_id").alias("doc_b"),
+                               F.col("pos").alias("pos_b"), "fp_hash"),
             ["doc_b", "fp_hash"],
         )
         .select("doc_a", "doc_b", "fp_hash", "pos_a", "pos_b")
