@@ -72,15 +72,18 @@ PRICING_SUMMARY_ORACLE = f"""
 def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> top-k by revenue.
 
-    customer(BUILDING) is broadcast into orders; the orders->lineitem join
-    shuffles on l_orderkey (the fact key). Top-10 is TakeOrderedAndProject —
-    no global sort. Revenue is rounded before ranking and tie-broken by
-    key so ordering is engine-independent.
+    customer(BUILDING) is still ~1/5 of customer — LINEAR in scale factor
+    (15B rows * 0.2 at a 100 TB TPC-H), so it carries NO broadcast hint:
+    AQE broadcasts it when runtime stats say it fits, shuffles otherwise
+    (r7 verdict item #3). The orders->lineitem join shuffles on
+    l_orderkey (the fact key). Top-10 is TakeOrderedAndProject — no
+    global sort. Revenue is rounded before ranking and tie-broken by key
+    so ordering is engine-independent.
     """
     c = customer.filter(F.col("c_mktsegment") == "BUILDING")
     o = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     l = lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
-    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(c, o.o_custkey == c.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
@@ -112,10 +115,13 @@ def local_supplier_volume(
 ) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join, revenue per nation.
 
-    All dimensions (region->nation->customer, supplier) broadcast; only the
-    orders<->lineitem fact-fact join shuffles. The c_nationkey = s_nationkey
-    constraint makes it a genuine multi-dim correlation, not a snowflake
-    lookup.
+    Only the genuinely BOUNDED dims (region: 5 rows, nation: 25 rows)
+    carry broadcast hints. customer and supplier grow linearly with
+    scale factor (ASIA cuts customer to 1/5 of 15B rows at 100 TB — not
+    broadcastable), so those joins are left to AQE/stats (r7 verdict
+    item #3). The orders<->lineitem fact-fact join shuffles on the order
+    key. The c_nationkey = s_nationkey constraint makes it a genuine
+    multi-dim correlation, not a snowflake lookup.
     """
     n = nation.join(
         F.broadcast(region.filter(F.col("r_name") == "ASIA")),
@@ -128,9 +134,9 @@ def local_supplier_volume(
     )
     joined = (
         lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == supplier.s_suppkey)
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -202,9 +208,14 @@ CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
 
 
 def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
-    """Explicit broadcast-hash dim join: per-brand item volume."""
+    """Per-brand item volume over the part dim join.
+
+    No broadcast hint: part is SF-scaled (20B rows at a 100 TB TPC-H),
+    so the join strategy is left to size stats / AQE — at small scale
+    the planner still broadcasts the pruned (p_partkey, p_brand)
+    projection on its own."""
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("item_count"),

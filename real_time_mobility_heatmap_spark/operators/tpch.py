@@ -86,9 +86,12 @@ def min_cost_supplier(
     engine-stable (no sum-order float drift).
 
     Scale: the part filter (p_size = 15) prunes before any join; region ->
-    nation -> supplier collapses to one broadcast; the only shuffle is the
-    per-(part, supplier) MIN aggregate, keyed on the part key — the same key
-    the window min then uses, so AQE reuses the partitioning.
+    nation stays a broadcast (bounded dims), but the EUROPE-filtered
+    supplier side is still 1/5 of an SF-scaled table, so it carries no
+    hint — AQE broadcasts it only when runtime stats fit (r7 verdict
+    item #3). The main shuffle is the per-(part, supplier) MIN
+    aggregate, keyed on the part key — the same key the window min then
+    uses, so AQE reuses the partitioning.
     """
     eu_nations = nation.join(
         F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
@@ -101,7 +104,7 @@ def min_cost_supplier(
 
     pair_cost = (
         lineitem.join(F.broadcast(sized), lineitem.l_partkey == sized.p_partkey)
-        .join(F.broadcast(eu_supp), lineitem.l_suppkey == eu_supp.s_suppkey)
+        .join(eu_supp, lineitem.l_suppkey == eu_supp.s_suppkey)
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     )
@@ -194,24 +197,30 @@ def nation_trade_volume(
     """TPC-H Q7 shape: bilateral trade volume — revenue by (supplier nation,
     customer nation, ship year) for the two directed pairs of a nation pair.
 
-    Scale: both nation-tagged dims broadcast; the directed-pair disjunction is
-    evaluated after the dim joins as a residual filter on two broadcast-joined
-    columns, never as a join explosion. The single shuffle is
-    lineitem<->orders on the order key.
+    Scale: the nation lookup (25 rows) broadcasts, but the nation-tagged
+    customer/supplier relations are 2/25 of SF-scaled tables, so they
+    carry no hint (r7 verdict item #3). The two-nation disjunction is
+    DECOMPOSED: each half of the pair predicate pushes into its own dim
+    (a side must be NATION_1 or NATION_2 for any directed pair to
+    survive), so the fact join inputs shrink 12.5x before any shuffle;
+    only the cross-side exclusion (same-nation pairs) remains as a
+    residual filter. The main shuffle is lineitem<->orders on the order
+    key.
     """
+    two = F.col("n_name").isin("NATION_1", "NATION_2")
     supp_n = supplier.join(
-        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        F.broadcast(nation.filter(two)), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     cust_n = customer.join(
-        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        F.broadcast(nation.filter(two)), customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -257,7 +266,10 @@ def market_share(
     into ASIA, per order year — a conditional-sum ratio over a 7-table star.
 
     The numerator/denominator split is two CASE arms of one aggregate pass
-    (the Q12 idiom applied to a ratio); all dims broadcast.
+    (the Q12 idiom applied to a ratio). Only the bounded dims (region,
+    nation) and the type-filtered part list carry broadcast hints; the
+    ASIA-customer and nation-tagged supplier sides scale with SF, so AQE
+    chooses their join strategy from runtime stats (r7 verdict item #3).
     """
     asia_cust = (
         customer.join(
@@ -277,8 +289,8 @@ def market_share(
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(eco), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     rev = _rev()
     return (
@@ -331,7 +343,9 @@ def product_type_profit(
     Adaptation: no partsupp.ps_supplycost — cost is modeled as
     0.6 * p_retailprice * l_quantity, preserving Q9's defining plan feature
     (the profit expression mixes lineitem and part columns, so part cannot be
-    pruned to the join key).
+    pruned to the join key). The name-filtered part list keeps its
+    broadcast hint; the nation-tagged supplier side scales with SF, so
+    its join is AQE-chosen (r7 verdict item #3).
     """
     widgets = part.filter(F.col("p_name").like("%widget%")).select(
         "p_partkey", "p_retailprice"
@@ -343,7 +357,7 @@ def product_type_profit(
     return (
         lineitem.join(F.broadcast(widgets), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("order_year"),
@@ -421,9 +435,10 @@ def promo_revenue_share(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
     rev = _rev()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    # the (p_partkey, p_type) projection is still SF-scaled — no hint
     return (
         l.join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
@@ -458,6 +473,11 @@ def top_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     Float-safety: per-supplier revenue is rounded to cents BEFORE the max /
     equality compare, so a sub-ulp sum-order difference between engines
     cannot flip the winner.
+
+    Scale: the broadcast hints sit on the two genuinely bounded sides —
+    the 1-row MAX and the winner set (revenue ties at the max; a handful
+    of rows) — which broadcast INTO the SF-scaled supplier table, never
+    the reverse (r7 verdict item #3).
     """
     q = lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -465,10 +485,11 @@ def top_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
     revs = q.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     top = revs.agg(F.max("total_revenue").alias("max_revenue"))
+    winners = revs.crossJoin(F.broadcast(top)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
     return (
-        revs.crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        supplier.join(F.broadcast(winners), F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -547,7 +568,10 @@ def large_volume_customers(
 
     The qualifying-order set after HAVING is tiny (the threshold sits in the
     far tail), so it broadcasts into orders; quantities are integral doubles,
-    making the HAVING compare exact in both engines.
+    making the HAVING compare exact in both engines. The bare customer
+    table is SF-scaled (15B rows at 100 TB) so its join carries no hint —
+    after the big-order semijoin the left side is tiny and AQE will
+    broadcast THAT instead (r7 verdict item #3).
     """
     big = (
         lineitem.groupBy("l_orderkey")
@@ -556,7 +580,7 @@ def large_volume_customers(
     )
     return (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -610,7 +634,10 @@ def disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            # Catalyst derives the brand IN-list + size bounds from the
+            # disjunction and pushes them into the part scan; the pruned
+            # side is a filtered part list but still SF-linear — no hint
+            part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .filter(b1 | b2 | b3)
@@ -680,7 +707,8 @@ def excess_shipment_suppliers(
         .filter(F.col("pair_qty") > 1.2 * F.col("avg_qty"))
         .select("l_suppkey")
         .distinct()
-        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # asia_supp is 1/5 of SF-scaled supplier — no hint, AQE decides
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
 
@@ -749,8 +777,9 @@ def late_shipment_suppliers(
         .select("o_orderkey", "l_suppkey")
         .distinct()
     )
+    # supplier is SF-scaled — no hint; nation (25 rows) stays broadcast
     return (
-        sole_late.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        sole_late.join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -1010,7 +1039,7 @@ def returned_item_reporting(
     )
     per_cust = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
