@@ -211,7 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_latedrop": latest.q_watermark_latedrop,
         "latest_rownum": latest.q_latest_rownum,
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
-        "approx_distinct_vehicles": relational.q_approx_distinct_vehicles,
+        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,
         "position_features": geojson.q_position_features,
         "quality_score": textops.q_quality_score,
         "lang_id": textops.q_lang_id,
@@ -264,7 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": windows.q_value_histogram,
         "vehicle_travel_stats": windows.q_vehicle_travel_stats,
         "recent_tiles_merged": latest.q_recent_tiles_merged,
-        "table_profile_approx": windows.q_table_profile_approx,
+        "table_profile_accuracy": windows.q_table_profile_accuracy,
         "zone_counts": spatial.q_zone_counts,
         "salted_join_stats": relational.q_salted_join_stats,
         "quality_filter": textops.q_quality_filter,
@@ -291,7 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vehicle_sessions": windows.q_vehicle_sessions,
         "salted_cell_counts": windows.q_salted_cell_counts,
         "value_percentiles": windows.q_value_percentiles,
-        "approx_value_percentiles": windows.q_approx_value_percentiles,
+        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
         "streaming_tiles": run_streaming_tiles,
@@ -384,8 +384,13 @@ def oracle_sql() -> dict[str, str]:
         "conversion_window_counts": relational.CONVERSION_WINDOW_ORACLE,
         "funnel_conversions": relational.FUNNEL_CONVERSIONS_ORACLE,
         "distinct_vehicles_per_cell": relational.distinct_vehicles_oracle(CFG),
-        # approx_distinct_vehicles: no oracle — HLL sketch estimates are
-        # engine-specific; driver records rows-only check.
+        # the three sketch ops are registered as ACCURACY REPORTS: exact
+        # stats + within-bound flags (estimates are engine-specific and
+        # never appear in the output), so the hash gate checks the
+        # sketch guarantee instead of recording err:no_oracle forever
+        "approx_distinct_accuracy": relational.approx_distinct_accuracy_oracle(CFG),
+        "approx_percentile_accuracy": windows.APPROX_PERCENTILE_ACCURACY_ORACLE,
+        "table_profile_accuracy": windows.table_profile_accuracy_oracle(),
         "streaming_tiles": tiles.tiles_oracle_sql(PINGS_ORACLE_SQL, CFG),
         "tile_features_flat": geojson.tile_features_flat_oracle(CFG),
         "tile_feature_collection": geojson.tile_feature_collection_json_oracle(CFG),
@@ -479,10 +484,4 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": textops.MIXTURE_SAMPLE_ORACLE,
         "pack_sequences": textops.PACK_SEQUENCES_ORACLE,
         "source_roundtrip": source_roundtrip_oracle(),
-        # approx_value_percentiles: no oracle — KLL sketch estimates are
-        # engine-specific; rows-only (value_percentiles carries the exact
-        # cross-check of the same statistic).
-        # table_profile_approx: no oracle — HLL estimates are engine-
-        # specific; rows-only (exact twin table_profile is oracle-checked;
-        # tests pin the estimates within HLL tolerance of exact counts).
     }

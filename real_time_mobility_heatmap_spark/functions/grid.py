@@ -15,6 +15,7 @@ parity with H3's string cell ids and concat cheaply into tile keys.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so the pandas_udf type hints resolve
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -72,16 +73,17 @@ def h3_cell_udf(resolution: int):
     """
     try:
         import h3  # noqa: F401
-    except ImportError as e:  # pragma: no cover - h3 absent in this container
+    except ImportError as e:
         raise ImportError("h3 package not installed; use the grid snapper") from e
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # version-adaptive dispatch, reference heatmap_stream.py:65-75: h3-py
+    # v4 renamed geo_to_h3 -> latlng_to_cell
     to_cell = getattr(h3, "latlng_to_cell", None) or getattr(h3, "geo_to_h3")
 
     @pandas_udf("string")
-    def snap(lat: pd.Series, lon: pd.Series) -> pd.Series:  # pragma: no cover
+    def snap(lat: pd.Series, lon: pd.Series) -> pd.Series:
         mask = lat.notna() & lon.notna() & lat.between(-90, 90) & lon.between(-180, 180)
         out = pd.Series([None] * len(lat), dtype=object)
         out[mask] = [to_cell(a, b, resolution) for a, b in zip(lat[mask], lon[mask])]

@@ -1,0 +1,43 @@
+"""Lineage-cut strategy switch for the iterative / shared-materialization
+operators.
+
+``localCheckpoint`` stores UNREPLICATED executor-local blocks: cheap (no
+distributed write) but an executor loss after the cut makes the job
+unrecoverable-from-lineage (SCALE.md "Known tradeoffs"). A production
+deployment with preemptible executors should flip to a reliable
+``checkpoint()`` to the cluster FS. This module makes that a CONFIG
+SWITCH instead of prose (r7 verdict item #9): set
+``SPARK_GRAFT_CHECKPOINT_DIR`` to a cluster-visible path and every
+lineage cut in the engine becomes a reliable checkpoint; leave it unset
+and the cheap local form is used (the right default for local[\\*] and
+non-preemptible clusters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s logical plan, returning a DataFrame whose
+    lineage starts from the materialized blocks.
+
+    With ``SPARK_GRAFT_CHECKPOINT_DIR`` set: a reliable ``checkpoint()``
+    to that directory (survives executor loss; per-cut distributed
+    write). Unset: ``localCheckpoint`` (executor-local, free, lost with
+    the executor). Callers choose eagerness exactly as they would on the
+    underlying API: iterative fixpoint loops cut eagerly to keep plans
+    constant-size; shared-materialization sites cut lazily so one
+    action triggers the single write.
+    """
+    ck_dir = os.getenv(CHECKPOINT_DIR_ENV)
+    if ck_dir:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ck_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

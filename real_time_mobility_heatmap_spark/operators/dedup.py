@@ -48,6 +48,7 @@ from ..functions.textfns import (
     tokens,
 )
 from ..sources.tables import load_table, spread
+from ..lineage import cut_lineage
 from .textops import (
     QUALITY_SCORE_ORACLE,
     quality_score,
@@ -269,7 +270,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # canonical iterative/reused-branch pattern. MinHash over the
     # DISTINCT rows equals MinHash over the multiset (min is
     # set-invariant), so one relation serves both consumers exactly.
-    hashed = _hashed_rows(docs).localCheckpoint(eager=False)
+    hashed = cut_lineage(_hashed_rows(docs), eager=False)
     mixes = [
         F.min(F.expr(f"({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}")).alias(f"mh{k}")
         for k, (a, b) in enumerate(_MIX)
@@ -747,15 +748,15 @@ def dedup_clusters(
     adj = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()
-    adj = adj.localCheckpoint(eager=True)  # cut lineage: edges are reused every round
+    adj = cut_lineage(adj, eager=True)  # cut lineage: edges are reused every round
     # seed = least(self, min neighbor): the first propagation half-round
     # folded into the node-list aggregation (adj is symmetric, so every
     # node appears as doc_a) — one fewer loop round than identity seeding
-    labels = (
+    labels = cut_lineage(
         adj.groupBy(F.col("doc_a").alias("doc_id"))
         .agg(F.min("doc_b").alias("mn"))
-        .select("doc_id", F.least("doc_id", "mn").alias("label"))
-        .localCheckpoint(eager=True)
+        .select("doc_id", F.least("doc_id", "mn").alias("label")),
+        eager=True,
     )
     converged = False
     for _ in range(max_iters):
@@ -776,13 +777,15 @@ def dedup_clusters(
             F.col("doc_id").alias("label"), F.col("label").alias("jump")
         )
         new_labels = (
-            stepped.join(lmap, "label", "left")
-            .select(
-                "doc_id",
-                "old_label",
-                F.least("label", F.coalesce("jump", "label")).alias("label"),
+            # fixpoint loop: keep plans constant-size
+            cut_lineage(
+                stepped.join(lmap, "label", "left").select(
+                    "doc_id",
+                    "old_label",
+                    F.least("label", F.coalesce("jump", "label")).alias("label"),
+                ),
+                eager=True,
             )
-            .localCheckpoint(eager=True)  # fixpoint loop: keep plans constant-size
         )
         # the old label rides through the checkpoint, so the convergence
         # count scans the just-materialized partitions — no extra join
@@ -848,7 +851,7 @@ def winnow_match_spans(docs: DataFrame) -> DataFrame:
     both alignment sides) and its pre-shuffle map work differs per
     branch, so it's materialized once (same reasoning as
     minhash_lsh_pairs' hashed-shingle checkpoint)."""
-    fps = winnow_fingerprints(docs).localCheckpoint(eager=False)
+    fps = cut_lineage(winnow_fingerprints(docs), eager=False)
     pairs = winnow_match_pairs(docs, fps=fps).select("doc_a", "doc_b")
     # same member-prune pattern as streaming/neardup.py's verify stage
     members = (
@@ -1042,11 +1045,12 @@ def decontaminate_bloom(docs: DataFrame) -> DataFrame:
     in one aggregation over train shingles; the corpus-wide s_h shuffle
     of the exact pass is gone.
     """
-    rows = (
+    # one shingling pass feeds build + probe
+    rows = cut_lineage(
         _hashed_rows(docs)
         .withColumn("split", F.expr(split_spark_sql()))
-        .filter(F.col("split") != "val")
-        .localCheckpoint(eager=False)  # one shingling pass feeds build + probe
+        .filter(F.col("split") != "val"),
+        eager=False,
     )
     train_bits = (
         rows.filter(F.col("split") == "train")
@@ -1150,11 +1154,11 @@ def decontaminate_bloom_bitmap(docs: DataFrame) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     spark = docs.sparkSession
-    rows = (
+    rows = cut_lineage(
         _hashed_rows(docs)
         .withColumn("split", F.expr(split_spark_sql()))
-        .filter(F.col("split") != "val")
-        .localCheckpoint(eager=False)
+        .filter(F.col("split") != "val"),
+        eager=False,
     )
     train_pos = rows.filter(F.col("split") == "train").select(
         F.explode(
@@ -1388,7 +1392,7 @@ def pagerank_pairs(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     adj = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()
-    adj = adj.localCheckpoint(eager=True)  # reused every round
+    adj = cut_lineage(adj, eager=True)  # reused every round
     deg = adj.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -1507,10 +1511,8 @@ def triangle_count(docs: DataFrame) -> DataFrame:
     the post-cap pair graph (≪ corpus²); one shared pair materialization
     feeds all three join legs.
     """
-    edges = (
-        ngram_jaccard_pairs(docs)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+    edges = cut_lineage(
+        ngram_jaccard_pairs(docs).select("doc_a", "doc_b"), eager=False
     )
     e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
@@ -1586,7 +1588,7 @@ def dedup_pipeline_report(docs: DataFrame) -> DataFrame:
         .alias("n_exact_dup_docs"),
     )
     edge_tbl = (
-        minhash_lsh_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
+        cut_lineage(minhash_lsh_pairs(docs).select("doc_a", "doc_b"), eager=False)
     )
     pairs = edge_tbl.agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
     cl = dedup_clusters(docs, edges=edge_tbl).agg(
@@ -1655,9 +1657,7 @@ def leakage_safe_split(docs: DataFrame) -> DataFrame:
         F.coalesce("cluster_id", "doc_id").alias("group_key"),
         F.col("cluster_id").isNotNull().alias("is_clustered"),
     )
-    split_case = _split_case(hash60_spark_sql).replace(
-        "concat('split|', doc_id)", "concat('split|', group_key)"
-    )
+    split_case = _split_case(hash60_spark_sql, key="group_key")
     return base.withColumn("split", F.expr(split_case))
 
 
@@ -1665,9 +1665,7 @@ def leakage_safe_split_oracle() -> str:
     from ..functions.textfns import hash60_duck_sql
     from .textops import _split_case
 
-    split_case = _split_case(hash60_duck_sql).replace(
-        "concat('split|', doc_id)", "concat('split|', group_key)"
-    )
+    split_case = _split_case(hash60_duck_sql, key="group_key")
     return f"""
         WITH clusters AS ({dedup_clusters_oracle()}),
         base AS (

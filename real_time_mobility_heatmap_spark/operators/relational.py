@@ -284,6 +284,43 @@ def approx_distinct_vehicles(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> D
     )
 
 
+def approx_distinct_accuracy(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Oracle-checkable accuracy report for the HLL++ distinct sketch
+    (the ``ivf_recall_report`` pattern, r7 verdict item #4): per cell,
+    the EXACT distinct count plus a within-bound flag for the
+    ``approx_count_distinct`` estimate. The estimate itself is engine-
+    specific so it never appears in the output — the oracle asserts the
+    bound holds (TRUE), and the driver's value hash then fails exactly
+    when a sketch estimate violates its guarantee.
+
+    Bound: ±5% relative (rsd=0.02, 2.5 sigma) with an absolute slack of
+    2 for tiny cells, evaluated in exact integer arithmetic
+    (|est-exact|*100 <= max(exact*5, 200))."""
+    snapped = snap_pings(pings, cfg)
+    per_cell = snapped.groupBy("cell_id").agg(
+        F.count_distinct("vehicleId").alias("unique_vehicles"),
+        F.approx_count_distinct("vehicleId", 0.02).alias("est"),
+    )
+    return per_cell.select(
+        "cell_id",
+        "unique_vehicles",
+        (
+            F.abs(F.col("est") - F.col("unique_vehicles")) * 100
+            <= F.greatest(F.col("unique_vehicles") * 5, F.lit(200))
+        ).alias("within_bound"),
+    )
+
+
+def approx_distinct_accuracy_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)}
+        SELECT cell_id,
+               count(DISTINCT vehicleId) AS unique_vehicles,
+               TRUE AS within_bound
+        FROM snapped GROUP BY cell_id
+    """
+
+
 def above_avg_orders(orders: DataFrame) -> DataFrame:
     """Correlated-aggregate pattern: orders whose price exceeds 1.5x their
     own customer's average. Expressed in its DECORRELATED form (per-key
@@ -753,6 +790,10 @@ def q_distinct_vehicles_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_distinct_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct_vehicles(pings_from_events(spark, sf_dir))
+
+
+def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_distinct_accuracy(pings_from_events(spark, sf_dir))
 
 
 # --- salted skew join -------------------------------------------------------

@@ -19,6 +19,7 @@ from ..functions.textfns import (
     tokens,
 )
 from ..sources.tables import load_table, spread
+from ..lineage import cut_lineage
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
 BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -285,14 +286,17 @@ TFIDF_TOP_TERMS_ORACLE = f"""
 SPLIT_PCTS = (90, 5, 5)  # train / val / test
 
 
-def _split_case(hash60_sql) -> str:
-    """train/val/test CASE expr from doc_id, in either engine's dialect.
+def _split_case(hash60_sql, key: str = "doc_id") -> str:
+    """train/val/test CASE expr from ``key``, in either engine's dialect.
 
-    A pure function of doc_id (no split table, no join): any operator
-    that needs the assignment — ``dataset_split``, ``decontaminate`` —
-    recomputes it as a column expression on whatever rows it already
-    has in hand."""
-    split_hash = hash60_sql("concat('split|', doc_id)")
+    A pure function of the key column (no split table, no join): any
+    operator that needs the assignment — ``dataset_split``,
+    ``decontaminate`` — recomputes it as a column expression on whatever
+    rows it already has in hand. ``leakage_safe_split`` passes
+    key="group_key" so the whole near-dup cluster hashes as one unit
+    (a key PARAMETER, not post-hoc string surgery on the generated SQL,
+    which silently no-ops if the wording drifts — ADVICE r7)."""
+    split_hash = hash60_sql(f"concat('split|', {key})")
     bucket = f"{split_hash} % 100"
     train, val = SPLIT_PCTS[0], SPLIT_PCTS[0] + SPLIT_PCTS[1]
     return (
@@ -1083,7 +1087,7 @@ def boilerplate_scrub(docs: DataFrame) -> DataFrame:
     # one segmentation/md5 pass feeds BOTH the frequency aggregate and the
     # join probe (the dedup.py shared-materialization pattern; local-mode
     # lineage cut — see SCALE.md known tradeoffs for the cluster variant)
-    segs = segs.localCheckpoint(eager=False)
+    segs = cut_lineage(segs, eager=False)
     freq = segs.groupBy("seg_hash").agg(
         F.countDistinct("doc_id").alias("seg_df")
     )

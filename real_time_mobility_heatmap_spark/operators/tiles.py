@@ -330,6 +330,12 @@ def unpivot_tile_metrics(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataF
     Map-side only after the tile aggregate (unpivot is a local Expand —
     no shuffle added); counts cast to double up front so the value
     column has one type in both engines.
+
+    NULL metric values are dropped explicitly: Spark's unpivot keeps
+    NULL-valued rows while DuckDB's UNPIVOT excludes them by default,
+    and avg_speed_kmh is NULL when every ping in a tile window has NULL
+    speedKmh — the filter makes both engines agree by construction
+    instead of by fixture luck (ADVICE r7).
     """
     t = tile_aggregate(pings, cfg).select(
         "cell_id",
@@ -344,7 +350,7 @@ def unpivot_tile_metrics(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataF
         values=UNPIVOT_METRICS,
         variableColumnName="metric",
         valueColumnName="value",
-    )
+    ).filter(F.col("value").isNotNull())
 
 
 def unpivot_tile_metrics_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:

@@ -243,6 +243,62 @@ def approx_value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+PCTL_QS = ((50, "p50"), (95, "p95"), (99, "p99"))
+
+
+def approx_percentile_accuracy(events: DataFrame) -> DataFrame:
+    """Oracle-checkable accuracy report for the percentile sketch (r7
+    verdict item #4): per event_type, the exact non-null count plus one
+    RANK-error flag per quantile. ``approx_percentile(value, q, acc)``
+    guarantees it returns a dataset element whose rank is within
+    n/acc of ceil(q*n); the flag re-derives that element's true rank
+    interval [cnt_lt+1, cnt_le] from one extra aggregate pass and checks
+    the target rank lands inside it, widened by the sketch margin
+    (2*n/acc + 1 for safety). The estimates themselves never appear in
+    the output — the oracle asserts TRUE and the hash fails exactly when
+    a sketch violates its rank guarantee.
+
+    Scale: the sketch aggregate output is one row per event_type (a
+    domain-bounded relation), broadcast back into the fact scan; total
+    cost is two passes over events, no expand."""
+    agg = events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").alias("p"),
+        F.count("value").alias("n"),
+    )
+    est = agg.select(
+        "event_type",
+        "n",
+        *[F.col("p").getItem(i).alias(f"est_{name}") for i, (_, name) in enumerate(PCTL_QS)],
+    )
+    joined = events.join(F.broadcast(est), "event_type")
+    rank_aggs = []
+    for _, name in PCTL_QS:
+        rank_aggs += [
+            F.sum((F.col("value") < F.col(f"est_{name}")).cast("long")).alias(f"lt_{name}"),
+            F.sum((F.col("value") <= F.col(f"est_{name}")).cast("long")).alias(f"le_{name}"),
+        ]
+    ranks = joined.groupBy("event_type", "n").agg(*rank_aggs)
+    # rank check scaled by 100 (t100 = q100*n, margin100 = 2*n/1000*100
+    # + 100 = n/5 + 100); magnitudes stay far below 2^53, so the double
+    # division in m100 is exact enough for a >=1-unit-wide margin
+    out_cols = [F.col("event_type"), F.col("n")]
+    for q100, name in PCTL_QS:
+        t100 = F.col("n") * q100
+        m100 = F.col("n") / 5 + 100
+        ok = (F.col(f"lt_{name}") * 100 < t100 + m100) & (
+            F.col(f"le_{name}") * 100 >= t100 - m100
+        )
+        out_cols.append(ok.alias(f"{name}_ok"))
+    return ranks.select(*out_cols)
+
+
+APPROX_PERCENTILE_ACCURACY_ORACLE = """
+    SELECT event_type, count(value) AS n,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+"""
+
+
 HIST_BINS = 20
 HIST_LO, HIST_HI = 0.0, 500.0  # fixture events.value spans 0.01..490
 
@@ -339,6 +395,59 @@ def table_profile_approx(events: DataFrame) -> DataFrame:
 
 def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile_approx(load_table(spark, sf_dir, "events"))
+
+
+def table_profile_accuracy(events: DataFrame) -> DataFrame:
+    """Oracle-checkable accuracy report for the HLL column profile (r7
+    verdict item #4): the exact profile columns plus one within-bound
+    flag comparing ``approx_count_distinct`` (default 5% rsd) against
+    the exact distinct count. The estimate itself never appears in the
+    output — the oracle asserts TRUE per column and the driver hash
+    fails exactly when a sketch violates its 3-sigma bound (±15%
+    relative, absolute slack 3, exact integer arithmetic)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__est"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = events.agg(*aggs)
+    bound_args = ", ".join(
+        f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max, "
+        f"abs({c}__est - {c}__n_distinct) * 100 <= greatest({c}__n_distinct * 15, 300)"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {bound_args}) AS "
+        "(column_name, null_rate, n_distinct, min_str, max_str, distinct_within_bound)"
+    )
+
+
+def table_profile_accuracy_oracle() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    selects = [
+        f"""SELECT '{c}' AS column_name,
+                   round(avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str,
+                   TRUE AS distinct_within_bound
+            FROM events"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def q_table_profile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_profile_accuracy(load_table(spark, sf_dir, "events"))
+
+
+def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_percentile_accuracy(load_table(spark, sf_dir, "events"))
 
 
 def table_profile_oracle() -> str:

@@ -187,9 +187,21 @@ def main() -> int:
             f"{result['n_positions']} latest positions -> {store_dir}"
         )
     port_env = os.getenv("HTTP_PORT")
-    if port_env is None and trigger_s is None:
+    if port_env is None:
+        if trigger_s is None:
+            return 0
+        # continuous-trigger mode without HTTP_PORT: the documented
+        # contract is "unset = no server" — keep the streaming queries
+        # alive without binding a socket (ADVICE r7)
+        try:
+            for q in result["queries"]:
+                q.awaitTermination()
+        except KeyboardInterrupt:
+            for q in result["queries"]:
+                if q.isActive:
+                    q.stop()
         return 0
-    server = TileApiServer(port=int(port_env or 0)).start()
+    server = TileApiServer(port=int(port_env)).start()
     print(f"serving http://127.0.0.1:{server.port}/ (Ctrl-C to stop)")
     refresh_ms = int(os.getenv("REFRESH_MS", "5000"))
     try:

@@ -47,6 +47,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
 from ..operators.dedup import (
     JACCARD_THRESHOLD,
     MERSENNE_P,
@@ -155,7 +156,7 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # derive from the materialized (doc_id, s_h) rows (min over the
         # distinct set == min over the multiset, so signatures agree with
         # the batch operator's formulation)
-        b_rows = _hashed_rows(batch).localCheckpoint(eager=True)
+        b_rows = cut_lineage(_hashed_rows(batch), eager=True)
         mixes = [
             F.min(
                 F.expr(f"({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}")

@@ -76,6 +76,20 @@ class KeyedParquetStore:
     n_buckets: int = 32
     retain_versions: int = 1
 
+    # merge()/delete() collect the DISTINCT touched-bucket ids to the
+    # driver (the moral equivalent of a Delta transaction's touched-file
+    # list) — that is only safe while n_buckets stays driver-sized, so
+    # the bound is enforced at construction rather than discovered as an
+    # OOM mid-stream (r7 verdict item #8)
+    MAX_BUCKETS = 1 << 20
+
+    def __post_init__(self) -> None:
+        if not (1 <= self.n_buckets <= self.MAX_BUCKETS):
+            raise ValueError(
+                f"n_buckets must be in [1, {self.MAX_BUCKETS}] (driver-side "
+                f"touched-bucket metadata scales with it), got {self.n_buckets}"
+            )
+
     # -- manifest -----------------------------------------------------------
 
     def _manifest_path(self) -> str:

@@ -655,3 +655,29 @@ def test_zorder_layout_beats_roundrobin(spark, sf_dir):
     assert z["avg_bbox_area"] * 4 < rr["avg_bbox_area"]
     assert z["avg_bbox_ppm"] * 4 < rr["avg_bbox_ppm"]
     assert z["max_bbox_area"] < rr["max_bbox_area"]
+
+
+def test_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR flips every lineage cut from
+    localCheckpoint (executor-local, unreplicated) to a reliable
+    checkpoint() in that directory — same results, plus materialized
+    RDD files the cluster can recover from (SCALE.md tradeoff, now a
+    switch)."""
+    from real_time_mobility_heatmap_spark.lineage import CHECKPOINT_DIR_ENV
+    from real_time_mobility_heatmap_spark.operators.dedup import dedup_clusters
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    baseline = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in dedup_clusters(docs).collect()
+    )
+
+    ck = tmp_path / "reliable-ck"
+    monkeypatch.setenv(CHECKPOINT_DIR_ENV, str(ck))
+    reliable = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in dedup_clusters(docs).collect()
+    )
+    assert reliable == baseline
+    # the reliable path really wrote checkpoint data to the chosen dir
+    files = [p for p in ck.rglob("*") if p.is_file()]
+    assert files, "no checkpoint files written under SPARK_GRAFT_CHECKPOINT_DIR"

@@ -97,11 +97,10 @@ def test_registry_contract_window_and_oracle_pairing():
     assert len(qs) >= 50, "driver window needs 50 entries"
     assert set(oracles) <= set(qs), "oracle without a registered query"
     rows_only = {k for k in qs if k not in oracles}
-    assert rows_only == {
-        "table_profile_approx",
-        "approx_value_percentiles",
-        "approx_distinct_vehicles",
-    }, f"unexpected rows-only queries: {rows_only}"
+    assert rows_only == set(), (
+        f"unexpected rows-only queries: {rows_only} — every registry entry "
+        "must be hash-checkable (sketch ops register accuracy-report forms)"
+    )
 
     # parse the source: duplicate dict keys never reach the runtime dict
     src = pathlib.Path(m.__file__).read_text()

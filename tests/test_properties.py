@@ -79,6 +79,22 @@ WIDE_BATCH = st.lists(
 WIDE_SEQ = st.lists(WIDE_BATCH, min_size=2, max_size=4)
 
 
+def test_store_rejects_driver_unsafe_bucket_counts(tmp_path):
+    """merge()/delete() collect touched-bucket ids to the driver, so the
+    bucket count must be bounded at CONSTRUCTION — a misconfigured
+    n_buckets should fail fast, not OOM the driver mid-stream."""
+    import pytest
+
+    for bad in (0, -1, KeyedParquetStore.MAX_BUCKETS + 1):
+        with pytest.raises(ValueError, match="n_buckets"):
+            KeyedParquetStore(str(tmp_path / "s"), key_cols=["k"], n_buckets=bad)
+    # boundary values construct fine
+    KeyedParquetStore(str(tmp_path / "a"), key_cols=["k"], n_buckets=1)
+    KeyedParquetStore(
+        str(tmp_path / "b"), key_cols=["k"], n_buckets=KeyedParquetStore.MAX_BUCKETS
+    )
+
+
 @given(seq=WIDE_SEQ, n_buckets=st.sampled_from([1, 2]))
 @_SETTINGS
 def test_merge_under_bucket_collision_pressure(
