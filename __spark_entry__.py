@@ -97,70 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest row first", not a fixed every-other-round cadence.
     """
     return {
-        # ---- driver window (r7) ----
-        # (0) NEW this round (never driver-checked — checked first, the
-        # same round they land):
-        # rp_recall_report subsumes rp_project's projection expressions and
-        # media_phash_pairs subsumes media_phash's hash — the base ops sit
-        # just below the marker so every DISTINCT code path fits in the
-        # 50-entry window this round.
-        "boilerplate_scrub": textops.q_boilerplate_scrub,
-        "quality_decile_report": textops.q_quality_decile_report,
-        "rp_recall_report": similarity.q_rp_recall_report,
-        "media_phash_pairs": multimodal.q_media_phash_pairs,
-        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
-        "cohort_retention": analytics.q_cohort_retention,
-        "markov_transitions": analytics.q_markov_transitions,
-        "zscore_outliers": analytics.q_zscore_outliers,
-        "attribution_report": relational.q_attribution_report,
-        "partition_pruned_stats": relational.q_partition_pruned_stats,
-        "hierarchical_rollups": _q_hierarchical_rollups,
-        "streaming_neardup": run_streaming_neardup,
-        "minhash_error_report": dedup.q_minhash_error_report,
-        "zorder_layout_report": spatial.q_zorder_layout_report,
-        "min_cost_supplier": tpch.q_min_cost_supplier,
-        "forecast_revenue_change": tpch.q_forecast_revenue_change,
-        "returned_item_reporting": tpch.q_returned_item_reporting,
-        "important_parts": tpch.q_important_parts,
-        "late_order_priority": tpch.q_late_order_priority,
-        "nation_trade_volume": tpch.q_nation_trade_volume,
-        "market_share": tpch.q_market_share,
-        "product_type_profit": tpch.q_product_type_profit,
-        "customer_order_distribution": tpch.q_customer_order_distribution,
-        "promo_revenue_share": tpch.q_promo_revenue_share,
-        "top_suppliers": tpch.q_top_suppliers,
-        "part_supplier_counts": tpch.q_part_supplier_counts,
-        "large_volume_customers": tpch.q_large_volume_customers,
-        "disjunctive_revenue": tpch.q_disjunctive_revenue,
-        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,
-        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,
-        "idle_customer_balance": tpch.q_idle_customer_balance,
-        "semantic_dedup": similarity.q_semantic_dedup,
-        "fuzzy_part_matches": relational.q_fuzzy_part_matches,
-        "key_skew_report": relational.q_key_skew_report,
-        "small_quantity_revenue": relational.q_small_quantity_revenue,
-        "pagerank_pairs": dedup.q_pagerank_pairs,
-        "containment_pairs": dedup.q_containment_pairs,
-        "dedup_keep_best": dedup.q_dedup_keep_best,
-        # (1) the 12 round-6 queries that landed past the r6 window and
-        # have never had a driver row (VERDICT r6 top-next #1):
-        "lm_score": textops.q_lm_score,
-        "decontaminate_bloom": dedup.q_decontaminate_bloom,
-        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
-        "streaming_sessions": run_streaming_sessions,
-        "chunk_documents": textops.q_chunk_documents,
-        "ivf_recall_report": similarity.q_ivf_recall_report,
-        "streaming_conversions": run_streaming_conversions,
-        "quantize_embeddings": similarity.q_quantize_embeddings,
-        "quantized_recall_report": similarity.q_quantized_recall_report,
-        "streaming_positions": run_streaming_positions,
-        "shipmode_priority_counts": relational.q_shipmode_priority_counts,
-        "source_mixture_report": textops.q_source_mixture_report,
-        # ---------------- end of driver window (50 entries) ----------------
-        # Round-7 additions past the 50-entry cap (local oracle gate green;
-        # driver rows due FIRST in the r8 window). rp_project/media_phash
-        # are the base halves of in-window sibling pairs (same
-        # expressions):
+        # ---- driver window (r8) ----
+        # (0) the 22 round-7 additions that landed past the r7 window —
+        # never driver-checked; local oracle gate green (verdict r7 #1):
         "rp_project": similarity.q_rp_project,
         "media_phash": multimodal.q_media_phash,
         "dq_expectations": relational.q_dq_expectations,
@@ -183,14 +122,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_sales": relational.q_grouping_sets_sales,
         "props_key_stats": decode.q_props_key_stats,
         "snapshot_diff_report": relational.q_snapshot_diff_report,
-        # r6-green anchors whose r7 change was PLAN-ONLY (broadcast-hint
-        # removals, pinned by dedicated plan tests + the local oracle
-        # gate); they lead the r8 window:
+        # (1) NEW this round: the three sketch ops re-registered as
+        # oracle-checkable accuracy reports (verdict r7 #4):
+        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,
+        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,
+        "table_profile_accuracy": windows.q_table_profile_accuracy,
+        # (2) CHANGED this round — winnow_match_spans (corpus-broadcast
+        # fix, verdict r7 #2) and the TPC-H suite whose SF-scaled
+        # broadcast hints were removed (verdict r7 #3): results must be
+        # re-verified under planner-chosen joins:
+        "winnow_match_spans": dedup.q_winnow_match_spans,
+        "brand_volume": relational.q_brand_volume,
+        "shipping_priority": relational.q_shipping_priority,
+        "local_supplier_volume": relational.q_local_supplier_volume,
+        "min_cost_supplier": tpch.q_min_cost_supplier,
+        "nation_trade_volume": tpch.q_nation_trade_volume,
+        "market_share": tpch.q_market_share,
+        "product_type_profit": tpch.q_product_type_profit,
+        "top_suppliers": tpch.q_top_suppliers,
+        "customer_order_distribution": tpch.q_customer_order_distribution,
+        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,
+        "returned_item_reporting": tpch.q_returned_item_reporting,
+        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,
+        "promo_revenue_share": tpch.q_promo_revenue_share,
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,
+        # (3) stalest green anchors (r5 rows, deferred two rounds):
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "simhash": dedup.q_simhash,
+        "vehicle_trips": windows.q_vehicle_trips,
+        "pack_sequences": textops.q_pack_sequences,
+        "conversion_window_counts": relational.q_conversion_window_counts,
+        "orders_with_big_items": relational.q_orders_with_big_items,
+        "customers_without_orders": relational.q_customers_without_orders,
+        "sales_rollup": relational.q_sales_rollup,
+        "above_avg_orders": relational.q_above_avg_orders,
+        "cube_sales": relational.q_cube_sales,
+        # ---------------- end of driver window (50 entries) ----------------
+        # Below the window: green anchors in round-robin rotation,
+        # oldest row first (r5/r6/r7 rows per VERDICT coverage table);
+        # all stay covered by the local oracle gate + plan lints.
+        "boilerplate_scrub": textops.q_boilerplate_scrub,
+        "quality_decile_report": textops.q_quality_decile_report,
+        "rp_recall_report": similarity.q_rp_recall_report,
+        "media_phash_pairs": multimodal.q_media_phash_pairs,
+        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
+        "cohort_retention": analytics.q_cohort_retention,
+        "markov_transitions": analytics.q_markov_transitions,
+        "zscore_outliers": analytics.q_zscore_outliers,
+        "attribution_report": relational.q_attribution_report,
+        "partition_pruned_stats": relational.q_partition_pruned_stats,
+        "hierarchical_rollups": _q_hierarchical_rollups,
+        "streaming_neardup": run_streaming_neardup,
+        "minhash_error_report": dedup.q_minhash_error_report,
+        "zorder_layout_report": spatial.q_zorder_layout_report,
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,
+        "important_parts": tpch.q_important_parts,
+        "late_order_priority": tpch.q_late_order_priority,
+        "part_supplier_counts": tpch.q_part_supplier_counts,
+        "large_volume_customers": tpch.q_large_volume_customers,
+        "idle_customer_balance": tpch.q_idle_customer_balance,
+        "semantic_dedup": similarity.q_semantic_dedup,
+        "fuzzy_part_matches": relational.q_fuzzy_part_matches,
+        "key_skew_report": relational.q_key_skew_report,
+        "small_quantity_revenue": relational.q_small_quantity_revenue,
+        "pagerank_pairs": dedup.q_pagerank_pairs,
+        "containment_pairs": dedup.q_containment_pairs,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
+        "lm_score": textops.q_lm_score,
+        "decontaminate_bloom": dedup.q_decontaminate_bloom,
+        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
+        "streaming_sessions": run_streaming_sessions,
+        "chunk_documents": textops.q_chunk_documents,
+        "ivf_recall_report": similarity.q_ivf_recall_report,
+        "streaming_conversions": run_streaming_conversions,
+        "quantize_embeddings": similarity.q_quantize_embeddings,
+        "quantized_recall_report": similarity.q_quantized_recall_report,
+        "streaming_positions": run_streaming_positions,
+        "shipmode_priority_counts": relational.q_shipmode_priority_counts,
+        "source_mixture_report": textops.q_source_mixture_report,
         "embedding_neardup": similarity.q_embedding_neardup,
         "dedup_clusters": dedup.q_dedup_clusters,
         "bucketed_join_stats": relational.bucketed_join_stats,
-        # stalest green block: last checked in round 5
-        # (CORRECTNESS_r05.json), due oldest-first after the above:
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
@@ -211,7 +223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_latedrop": latest.q_watermark_latedrop,
         "latest_rownum": latest.q_latest_rownum,
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
-        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,
         "position_features": geojson.q_position_features,
         "quality_score": textops.q_quality_score,
         "lang_id": textops.q_lang_id,
@@ -221,32 +232,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": textops.q_term_frequencies,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "dataset_split": textops.q_dataset_split,
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        "simhash": dedup.q_simhash,
-        "vehicle_trips": windows.q_vehicle_trips,
-        "pack_sequences": textops.q_pack_sequences,
-        "conversion_window_counts": relational.q_conversion_window_counts,
-        # Below the window: r5-green anchors deferred one extra round to
-        # make room for the round-7 additions (unchanged since early
-        # rounds, covered by plan tests + the local oracle gate; due
-        # FIRST in the r8 window — ngram_jaccard_pairs, simhash,
-        # vehicle_trips, pack_sequences, conversion_window_counts plus
-        # the 13 relational/setops anchors), then the 50 entries
-        # driver-green in round 6 (CORRECTNESS_r06.json).
-        "shipping_priority": relational.q_shipping_priority,
-        "local_supplier_volume": relational.q_local_supplier_volume,
-        "orders_with_big_items": relational.q_orders_with_big_items,
-        "customers_without_orders": relational.q_customers_without_orders,
-        "brand_volume": relational.q_brand_volume,
-        "sales_rollup": relational.q_sales_rollup,
-        "above_avg_orders": relational.q_above_avg_orders,
-        "cube_sales": relational.q_cube_sales,
         "event_type_pivot": relational.q_event_type_pivot,
         "moving_avg_speed": relational.q_moving_avg_speed,
         "active_cells_setops": relational.q_active_cells_setops,
         "active_cells_flags": relational.q_active_cells_flags,
         "funnel_conversions": relational.q_funnel_conversions,
-        # r6-green block (fresh rows in CORRECTNESS_r06.json):
         "kmeans_update": similarity.q_kmeans_update,
         "ivf_assign_trained": similarity.q_ivf_assign_trained,
         "scd2_user_segments": windows.q_scd2_user_segments,
@@ -264,7 +254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": windows.q_value_histogram,
         "vehicle_travel_stats": windows.q_vehicle_travel_stats,
         "recent_tiles_merged": latest.q_recent_tiles_merged,
-        "table_profile_accuracy": windows.q_table_profile_accuracy,
         "zone_counts": spatial.q_zone_counts,
         "salted_join_stats": relational.q_salted_join_stats,
         "quality_filter": textops.q_quality_filter,
@@ -275,7 +264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": similarity.q_ivf_assign,
         "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
         "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
-        "winnow_match_spans": dedup.q_winnow_match_spans,
         "decontaminate": dedup.q_decontaminate,
         "repetition_stats": textops.q_repetition_stats,
         "mixture_sample": textops.q_mixture_sample,
@@ -291,7 +279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vehicle_sessions": windows.q_vehicle_sessions,
         "salted_cell_counts": windows.q_salted_cell_counts,
         "value_percentiles": windows.q_value_percentiles,
-        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
         "streaming_tiles": run_streaming_tiles,
