@@ -98,7 +98,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- driver window (r8) ----
-        # (0) the 22 round-7 additions that landed past the r7 window —
+        # (0) NEW this round (never driver-checked — checked first, the
+        # same round they land):
+        "repeated_span_report": dedup.q_repeated_span_report,
+        "source_overlap_matrix": dedup.q_source_overlap_matrix,
+        "vocab_coverage_report": textops.q_vocab_coverage_report,
+        "weighted_sample": textops.q_weighted_sample,
+        "lang_mix_report": textops.q_lang_mix_report,
+        "range_partition_plan": relational.q_range_partition_plan,
+        # (0b) the 22 round-7 additions that landed past the r7 window —
         # never driver-checked; local oracle gate green (verdict r7 #1):
         "rp_project": similarity.q_rp_project,
         "media_phash": multimodal.q_media_phash,
@@ -152,12 +160,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vehicle_trips": windows.q_vehicle_trips,
         "pack_sequences": textops.q_pack_sequences,
         "conversion_window_counts": relational.q_conversion_window_counts,
+        # ---------------- end of driver window (50 entries) ----------------
+        # (displaced by this round's 6 new ops; due first in the r9 window)
         "orders_with_big_items": relational.q_orders_with_big_items,
         "customers_without_orders": relational.q_customers_without_orders,
         "sales_rollup": relational.q_sales_rollup,
         "above_avg_orders": relational.q_above_avg_orders,
         "cube_sales": relational.q_cube_sales,
-        # ---------------- end of driver window (50 entries) ----------------
         # Below the window: green anchors in round-robin rotation,
         # oldest row first (r5/r6/r7 rows per VERDICT coverage table);
         # all stay covered by the local oracle gate + plan lints.
@@ -376,6 +385,13 @@ def oracle_sql() -> dict[str, str]:
         # never appear in the output), so the hash gate checks the
         # sketch guarantee instead of recording err:no_oracle forever
         "approx_distinct_accuracy": relational.approx_distinct_accuracy_oracle(CFG),
+        # round-8 additions
+        "repeated_span_report": dedup.repeated_span_report_oracle(),
+        "source_overlap_matrix": dedup.source_overlap_matrix_oracle(),
+        "vocab_coverage_report": textops.vocab_coverage_report_oracle(),
+        "weighted_sample": textops.weighted_sample_oracle(),
+        "lang_mix_report": textops.lang_mix_report_oracle(),
+        "range_partition_plan": relational.range_partition_plan_oracle(),
         "approx_percentile_accuracy": windows.APPROX_PERCENTILE_ACCURACY_ORACLE,
         "table_profile_accuracy": windows.table_profile_accuracy_oracle(),
         "streaming_tiles": tiles.tiles_oracle_sql(PINGS_ORACLE_SQL, CFG),

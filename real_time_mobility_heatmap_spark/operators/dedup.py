@@ -82,6 +82,62 @@ EXACT_DEDUP_ORACLE = """
 """
 
 
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair
+    (source_a <= source_b, unordered), how many VERIFIED near-duplicate
+    document pairs connect the two sources, plus the distinct documents
+    involved on each side — the report that tells a corpus curator which
+    feeds re-scrape each other (and how much duplicated mass a mixture
+    weight would double-count). Diagonal rows (same source) are kept:
+    within-source duplication is the other half of the story.
+
+    Shape: the pair graph comes from the capped banded-LSH pipeline
+    (pair-graph-sized, never corpus²); the two source lookups are
+    doc_id-keyed joins against the (doc_id, source) projection; the
+    matrix aggregate is bounded by |sources|² (a bounded domain).
+    """
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"),
+                              F.col("source").alias("src_a")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("src_b")), "doc_b")
+    )
+    sa = F.least("src_a", "src_b").alias("source_a")
+    sb = F.greatest("src_a", "src_b").alias("source_b")
+    return (
+        tagged.select(sa, sb, "doc_a", "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            # distinct docs on the lower/higher DOC-ID side of each pair
+            # (pair orientation is id-order, not source-order)
+            F.count_distinct("doc_a").alias("n_docs_lo"),
+            F.count_distinct("doc_b").alias("n_docs_hi"),
+        )
+    )
+
+
+def source_overlap_matrix_oracle() -> str:
+    return f"""
+        WITH pairs AS ({minhash_lsh_pairs_oracle()})
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs,
+               count(DISTINCT p.doc_a) AS n_docs_lo,
+               count(DISTINCT p.doc_b) AS n_docs_hi
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+        GROUP BY 1, 2
+    """
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
 def _shingle_rows(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, 3-gram shingle) rows for docs with >= 3 tokens.
 
@@ -888,6 +944,139 @@ def winnow_match_spans_oracle() -> str:
 
 def q_winnow_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_match_spans(load_table(spark, sf_dir, "documents"))
+
+
+# exact-span detection knobs: 5-token grams target verbatim repeats (vs
+# the 3-gram similarity shingles); grams shared by more than SPAN_DF_CAP
+# docs are boilerplate (headers, licenses) — the scrub operator's domain,
+# not span alignment's — and excluding them bounds the self-join fanout;
+# spans shorter than MIN_SPAN_TOKENS are noise at 60-bit hash collision
+# rates.
+K_SPAN = 5
+SPAN_DF_CAP = 16
+MIN_SPAN_TOKENS = 8
+
+
+def repeated_span_report(docs: DataFrame) -> DataFrame:
+    """EXACT verbatim-span detection across documents (the exact-substring
+    complement of ``winnow_match_spans``' sampled fingerprints — the
+    Lee et al. 2022 'Deduplicating Training Data' failure mode where
+    near-dup sketches miss long copied passages inside otherwise
+    different documents): every maximal run of consecutive shared
+    5-token grams between a doc pair, as (doc_a, doc_b, start_a,
+    start_b, span_tokens) rows with span_tokens >= MIN_SPAN_TOKENS.
+
+    Shape: hash every 5-gram with its position; keep grams whose
+    document frequency is in [2, SPAN_DF_CAP] (cap excludes boilerplate
+    AND bounds the self-join fanout per gram); self-join on the gram
+    hash to get position-aligned matches; merge consecutive matches with
+    the gaps-and-islands idiom — matches of one contiguous copied
+    passage share a diagonal (pos_a - pos_b), so
+    ``pos_a - row_number() over (pair, diagonal order by pos_a)`` is
+    constant exactly along a run.
+
+    Scale: the DF filter prunes BEFORE the self-join (one aggregate on
+    the gram hash — the same key the join shuffles on, so AQE reuses the
+    partitioning); per-gram fanout is <= C(SPAN_DF_CAP, 2); the island
+    window partitions by (pair, diagonal) — pair-graph-sized, never
+    corpus-wide.
+    """
+    tok = (
+        spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= K_SPAN)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pos = tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
+    lead_cols = [F.lead("tk", i).over(w).alias(f"t{i}") for i in range(1, K_SPAN)]
+    grams = (
+        pos.select("doc_id", "pos", "tk", *lead_cols)
+        .filter(F.col(f"t{K_SPAN - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                hash60_spark_sql(
+                    "concat_ws(' ', tk, " + ", ".join(f"t{i}" for i in range(1, K_SPAN)) + ")"
+                )
+            ).alias("h"),
+        )
+    )
+    shared = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_DF_CAP))
+        .select("h")
+    )
+    g = grams.join(shared, "h")
+    matches = (
+        g.alias("a")
+        .join(g.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+        .distinct()
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    iw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = matches.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
+        "g", F.col("pos_a") - F.row_number().over(iw)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "g")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(K_SPAN - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= MIN_SPAN_TOKENS)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+def repeated_span_report_oracle() -> str:
+    gram = f"array_to_string(toks[i:i+{K_SPAN - 1}], ' ')"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+            WHERE len({TOKENS_DUCK}) >= {K_SPAN}
+        ),
+        grams AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   {hash60_duck_sql(gram)} AS h
+            FROM tok, unnest(generate_series(1, len(toks) - {K_SPAN - 1})) AS t(i)
+        ),
+        shared AS (
+            SELECT h FROM grams GROUP BY h
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}
+        ),
+        matches AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.pos AS pos_a, b.pos AS pos_b
+            FROM grams a JOIN shared USING (h)
+            JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        islands AS (
+            SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                   pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+                   ) AS g
+            FROM matches
+        )
+        SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+               count(*) + {K_SPAN - 1} AS span_tokens
+        FROM islands
+        GROUP BY doc_a, doc_b, diag, g
+        HAVING count(*) + {K_SPAN - 1} >= {MIN_SPAN_TOKENS}
+    """
+
+
+def q_repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_span_report(load_table(spark, sf_dir, "documents"))
 
 
 INCOMING_MOD = 10  # doc_id % 10 == 0 plays the "incoming batch" role

@@ -18,7 +18,7 @@ Scale notes per query are in the docstrings; the common rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
@@ -1150,6 +1150,96 @@ PARTITION_PRUNED_STATS_ORACLE = """
 
 def q_partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_pruned_stats(spark, sf_dir)
+
+
+RANGE_BUCKETS = 8
+
+
+def range_partition_plan(docs: DataFrame) -> DataFrame:
+    """Range-partitioner planning — the boundary math behind every
+    global sort / range-bucketed layout at scale (Spark's
+    ``repartitionByRange`` samples; a 100 TB sort lives or dies on these
+    boundaries): compute exact discrete percentile boundaries of
+    ``n_chars``, assign every document its range bucket, and report the
+    per-bucket occupancy with its deviation from the ideal 1/B share —
+    the skew report that says whether the planned ranges would balance
+    the shuffle.
+
+    Shape: one percentile aggregate (a single 1-row reduce over the
+    column; exact ``percentile_disc`` here because the plan must be
+    engine-reproducible — production would use ``approxQuantile`` and
+    this report is exactly how you'd validate its error), broadcast to
+    the scan as a 1-row bound set, then a B-bounded hash aggregate; the
+    final share window runs over B rows.
+    """
+    qs = [i / RANGE_BUCKETS for i in range(1, RANGE_BUCKETS)]
+    bounds = docs.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+            ).alias(f"b{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    bucket = sum(
+        F.when(F.col("n_chars") > F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(len(qs))
+    )
+    tagged = docs.crossJoin(F.broadcast(bounds)).select(
+        bucket.alias("bucket"), "n_chars"
+    )
+    per_bucket = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("lo_chars"),
+        F.max("n_chars").alias("hi_chars"),
+    )
+    w = Window.partitionBy()  # B rows — bounded by construction
+    ideal = 1000000 // RANGE_BUCKETS
+    # integer DIV keeps the ppm share exact (a double division could
+    # truncate differently than the oracle's // floor)
+    share = F.expr("n_docs * 1000000 DIV total")
+    return (
+        per_bucket.withColumn("total", F.sum("n_docs").over(w))
+        .select(
+            "bucket",
+            "n_docs",
+            "lo_chars",
+            "hi_chars",
+            share.alias("share_ppm"),
+            F.abs(share - F.lit(ideal)).cast("bigint").alias("skew_ppm"),
+        )
+    )
+
+
+def range_partition_plan_oracle() -> str:
+    qs = [i / RANGE_BUCKETS for i in range(1, RANGE_BUCKETS)]
+    b_cols = ", ".join(
+        f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS b{i}" for i, q in enumerate(qs)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN n_chars > b{i} THEN 1 ELSE 0 END)" for i in range(len(qs))
+    )
+    ideal = 1000000 // RANGE_BUCKETS
+    return f"""
+        WITH bounds AS (SELECT {b_cols} FROM documents),
+        tagged AS (
+            SELECT {bucket} AS bucket, n_chars FROM documents, bounds
+        ),
+        per_bucket AS (
+            SELECT bucket, count(*) AS n_docs,
+                   min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+            FROM tagged GROUP BY bucket
+        )
+        SELECT bucket, n_docs, lo_chars, hi_chars,
+               CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS share_ppm,
+               CAST(abs(n_docs * 1000000 // sum(n_docs) OVER () - {ideal}) AS BIGINT)
+                   AS skew_ppm
+        FROM per_bucket
+    """
+
+
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_partition_plan(load_table(spark, sf_dir, "documents"))
 
 
 BSJ_M = 1 << 20          # bloom bits for the order-key filter (128 KiB bitmap)

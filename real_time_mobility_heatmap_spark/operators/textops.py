@@ -813,6 +813,240 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequencies(spread(load_table(spark, sf_dir, "documents")))
 
 
+VOCAB_SIZE = 16  # top-V unigrams; ~50k in production — the FIXTURE corpus
+# has a 31-token vocabulary, so 16 keeps the OOV rate non-degenerate
+
+
+def vocab_coverage_report(docs: DataFrame) -> DataFrame:
+    """Tokenizer-vocabulary coverage per source: build the top-V
+    corpus-frequency vocabulary (the greedy unigram baseline every BPE /
+    WordPiece training starts from), then report each source's
+    out-of-vocabulary rate — the go/no-go stat for reusing an existing
+    tokenizer on a new data source.
+
+    Shape: one token explode feeds both sides. The vocabulary is
+    ``TakeOrderedAndProject`` (top-V by count, token-string tie-break —
+    never a global sort) and V is a CONSTANT, so broadcasting it into
+    the per-source pass is scale-safe by construction. OOV ppm is exact
+    integer arithmetic.
+    """
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(VOCAB_SIZE)
+        .select("token")
+    )
+    tagged = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") * 1000000 / F.col("n_tokens")).cast("bigint").alias("oov_ppm"),
+        )
+    )
+
+
+def vocab_coverage_report_oracle() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT source, unnest({TOKENS_DUCK}) AS token FROM documents
+        ),
+        vocab AS (
+            SELECT token FROM tok GROUP BY token
+            ORDER BY count(*) DESC, token ASC LIMIT {VOCAB_SIZE}
+        ),
+        tagged AS (
+            SELECT t.source, v.token IS NOT NULL AS in_vocab
+            FROM tok t LEFT JOIN vocab v USING (token)
+        )
+        SELECT source,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) * 1000000
+                    // count(*) AS BIGINT) AS oov_ppm
+        FROM tagged GROUP BY source
+    """
+
+
+def q_vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage_report(load_table(spark, sf_dir, "documents"))
+
+
+WEIGHTED_SAMPLE_K = 20
+_TWO60 = float(1 << 60)
+
+
+def weighted_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement,
+    k per source (Efraimidis–Spirakis A-ES, the reservoir scheme a
+    mixture builder uses to downsample a source while keeping long
+    documents proportionally represented): each doc gets priority
+    ln(u)/w with u a doc_id-derived deterministic uniform and w =
+    n_chars; the k largest priorities per group are exactly a
+    w-proportional draw.
+
+    Determinism across engines: u comes from the shared 60-bit md5 hash,
+    so priorities are reproducible; they are used ONLY for ordering
+    (never emitted — ln differs in final ulps between libms, which is
+    harmless for comparisons but would flip a value hash), with doc_id
+    as the total-order tie-break. One shuffle on source; rank is a
+    per-group window over it, no global sort.
+    """
+    u = (
+        F.expr(hash60_spark_sql("concat('ws|', doc_id)")).cast("double") + 1.0
+    ) / F.lit(_TWO60)
+    pri = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("pri"), F.asc("doc_id"))
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("source", "doc_id", "n_chars", pri.alias("pri"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
+        .select("source", "doc_id", "n_chars", "rank")
+    )
+
+
+def weighted_sample_oracle() -> str:
+    u = f"(CAST({hash60_duck_sql(chr(39) + 'ws|' + chr(39) + ' || doc_id')} AS DOUBLE) + 1.0) / {_TWO60}"
+    return f"""
+        WITH pri AS (
+            SELECT source, doc_id, n_chars,
+                   ln({u}) / n_chars AS pri
+            FROM documents WHERE n_chars > 0
+        ),
+        ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY pri DESC, doc_id ASC
+                   ) AS rank
+            FROM pri
+        )
+        SELECT source, doc_id, n_chars, rank
+        FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_K}
+    """
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+LANG_MIX_WIN = 15      # tokens per language-scored window
+LANG_MIX_MIN_TOKENS = 4  # windows below this are signal-free
+
+
+def lang_mix_report(docs: DataFrame) -> DataFrame:
+    """Within-document language-consistency scan — the code-switching /
+    concatenation-artifact detector a cleaning pipeline runs before
+    treating a document as monolingual: score fixed LANG_MIX_WIN-token
+    windows with the stopword language heuristic (tail windows below
+    LANG_MIX_MIN_TOKENS tokens are skipped as signal-free) and report
+    every document whose windows DISAGREE, with the majority vote and
+    the minority share in ppm.
+
+    Fixed token windows rather than lines/sentences: the segmentation is
+    tokenizer-defined, so it works on unpunctuated text and is exactly
+    reproducible in the oracle. Shape: explode-by-window (bounded by
+    doc length / WIN, never corpus-shaped), pure-column scoring, one
+    hash aggregate back to doc grain — no window function, no join.
+    """
+    W = LANG_MIX_WIN
+    segs = docs.select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(toks) / CAST("
+                f"{W} AS DOUBLE)) AS INT) - 1), i -> slice(toks, i * {W} + 1, {W}))"
+            )
+        ).alias("seg"),
+    )
+    ratio = F.size(F.filter(F.col("seg"), lambda t: t.isin(*STOPWORDS))) / F.size("seg")
+    scored = segs.filter(F.size("seg") >= LANG_MIX_MIN_TOKENS).select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("seg_lang"),
+    )
+    agg = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("seg_lang") == "en", 1).otherwise(0)).alias("n_en_segs"),
+    )
+    maj = F.when(
+        F.col("n_en_segs") * 2 >= F.col("n_segs"), F.lit("en")
+    ).otherwise(F.lit("unknown"))
+    return (
+        agg.filter((F.col("n_en_segs") > 0) & (F.col("n_en_segs") < F.col("n_segs")))
+        .select(
+            "doc_id",
+            "lang",
+            "n_segs",
+            "n_en_segs",
+            maj.alias("majority_lang"),
+            (
+                F.least(F.col("n_en_segs"), F.col("n_segs") - F.col("n_en_segs"))
+                * 1000000
+                / F.col("n_segs")
+            ).cast("bigint").alias("minority_ppm"),
+        )
+    )
+
+
+def lang_mix_report_oracle() -> str:
+    W = LANG_MIX_WIN
+    seg_toks = "list_filter(seg, t -> t IS NOT NULL)"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, lang, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, lang,
+                   toks[i * {W} + 1 : i * {W} + {W}] AS seg
+            FROM tok,
+                 unnest(generate_series(
+                     0, CAST(ceil(len(toks) / CAST({W} AS DOUBLE)) AS INT) - 1
+                 )) AS t(i)
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len(list_filter(seg, t -> t IN ({_STOP_IN})))
+                             / CAST(len(seg) AS DOUBLE) >= 0.05
+                        THEN 'en' ELSE 'unknown' END AS seg_lang
+            FROM segs
+            WHERE len(seg) >= {LANG_MIX_MIN_TOKENS}
+        ),
+        agg AS (
+            SELECT doc_id, lang, count(*) AS n_segs,
+                   sum(CASE WHEN seg_lang = 'en' THEN 1 ELSE 0 END) AS n_en_segs
+            FROM scored GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_segs,
+               CAST(n_en_segs AS BIGINT) AS n_en_segs,
+               CASE WHEN n_en_segs * 2 >= n_segs THEN 'en' ELSE 'unknown' END
+                   AS majority_lang,
+               CAST(least(n_en_segs, n_segs - n_en_segs) * 1000000
+                    // n_segs AS BIGINT) AS minority_ppm
+        FROM agg
+        WHERE n_en_segs > 0 AND n_en_segs < n_segs
+    """
+
+
+def q_lang_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_mix_report(load_table(spark, sf_dir, "documents"))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 

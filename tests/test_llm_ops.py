@@ -681,3 +681,102 @@ def test_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
     # the reliable path really wrote checkpoint data to the chosen dir
     files = [p for p in ck.rglob("*") if p.is_file()]
     assert files, "no checkpoint files written under SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def test_repeated_spans_are_real_verbatim_matches(spark, sf_dir):
+    """Every reported span must correspond to ACTUALLY IDENTICAL token
+    runs in both documents (exactness is the operator's whole claim),
+    and be at least MIN_SPAN_TOKENS long."""
+    from real_time_mobility_heatmap_spark.operators.dedup import (
+        MIN_SPAN_TOKENS,
+        q_repeated_span_report,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    spans = q_repeated_span_report(spark, sf_dir).collect()
+    assert spans, "fixture contains near-dups; expected at least one span"
+    texts = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for s in spans:
+        assert s["span_tokens"] >= MIN_SPAN_TOKENS
+        a = texts[s["doc_a"]][s["start_a"] : s["start_a"] + s["span_tokens"]]
+        b = texts[s["doc_b"]][s["start_b"] : s["start_b"] + s["span_tokens"]]
+        assert a == b, (s, a[:5], b[:5])
+
+
+def test_weighted_sample_is_deterministic_and_length_biased(spark, sf_dir):
+    """A-ES sampling: exactly k rows per source (fixture groups exceed
+    k), identical output across invocations, and the length-weighted
+    draw overrepresents long documents vs the corpus mean."""
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        WEIGHTED_SAMPLE_K,
+        q_weighted_sample,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    r1 = sorted(map(tuple, q_weighted_sample(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, q_weighted_sample(spark, sf_dir).collect()))
+    assert r1 == r2
+    per_src = {}
+    for src, doc_id, n_chars, rank in r1:
+        per_src.setdefault(src, []).append(n_chars)
+    assert all(len(v) == WEIGHTED_SAMPLE_K for v in per_src.values())
+    corpus = [r["n_chars"] for r in load_table(spark, sf_dir, "documents").collect()]
+    sampled = [c for v in per_src.values() for c in v]
+    assert sum(sampled) / len(sampled) > sum(corpus) / len(corpus), (
+        "length-weighted sample should skew long"
+    )
+
+
+def test_range_partition_plan_balances_buckets(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators.relational import (
+        RANGE_BUCKETS,
+        q_range_partition_plan,
+    )
+
+    rows = {r["bucket"]: r for r in q_range_partition_plan(spark, sf_dir).collect()}
+    assert set(rows) == set(range(RANGE_BUCKETS)), "every range bucket occupied"
+    total_ppm = sum(r["share_ppm"] for r in rows.values())
+    assert 999000 <= total_ppm <= 1000000  # integer-floor shares
+    assert max(r["skew_ppm"] for r in rows.values()) <= 100000, (
+        "exact percentile bounds must keep buckets within 10% of ideal"
+    )
+    # ranges are disjoint and ordered
+    ordered = [rows[b] for b in range(RANGE_BUCKETS)]
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo["hi_chars"] <= hi["lo_chars"]
+
+
+def test_source_overlap_matrix_accounts_for_every_pair(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        q_source_overlap_matrix,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    n_pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).count()
+    matrix = q_source_overlap_matrix(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in matrix) == n_pairs
+    for r in matrix:
+        assert r["source_a"] <= r["source_b"]
+        assert r["n_docs_lo"] <= r["n_pairs"] and r["n_docs_hi"] <= r["n_pairs"]
+
+
+def test_vocab_and_lang_mix_reports_are_nontrivial(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        q_lang_mix_report,
+        q_vocab_coverage_report,
+    )
+
+    vocab = q_vocab_coverage_report(spark, sf_dir).collect()
+    assert vocab and all(0 <= r["oov_ppm"] <= 1_000_000 for r in vocab)
+    assert sum(r["n_oov"] for r in vocab) > 0, (
+        "VOCAB_SIZE is tuned below the fixture vocabulary; OOV must be non-zero"
+    )
+    mix = q_lang_mix_report(spark, sf_dir).collect()
+    assert mix, "fixture windows disagree on the stopword heuristic somewhere"
+    for r in mix:
+        assert 0 < r["n_en_segs"] < r["n_segs"]
+        assert 0 < r["minority_ppm"] <= 500_000
