@@ -975,11 +975,14 @@ def repeated_span_report(docs: DataFrame) -> DataFrame:
     ``pos_a - row_number() over (pair, diagonal order by pos_a)`` is
     constant exactly along a run.
 
-    Scale: the DF filter prunes BEFORE the self-join (one aggregate on
-    the gram hash — the same key the join shuffles on, so AQE reuses the
-    partitioning); per-gram fanout is <= C(SPAN_DF_CAP, 2); the island
-    window partitions by (pair, diagonal) — pair-graph-sized, never
-    corpus-wide.
+    Scale: the positioned-gram relation is materialized ONCE (it feeds
+    the DF aggregate and both self-join sides; without the cut the
+    tokenize+window pipeline runs three times — the same reasoning as
+    minhash_lsh_pairs' hashed-shingle checkpoint); the DF filter prunes
+    BEFORE the self-join (one aggregate on the gram hash — the same key
+    the join shuffles on, so AQE reuses the partitioning); per-gram
+    fanout is <= C(SPAN_DF_CAP, 2); the island window partitions by
+    (pair, diagonal) — pair-graph-sized, never corpus-wide.
     """
     tok = (
         spread(docs)
@@ -1002,6 +1005,7 @@ def repeated_span_report(docs: DataFrame) -> DataFrame:
             ).alias("h"),
         )
     )
+    grams = cut_lineage(grams, eager=False)
     shared = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("df"))
