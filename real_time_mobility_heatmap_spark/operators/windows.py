@@ -342,19 +342,24 @@ VALUE_HISTOGRAM_ORACLE = f"""
 
 def table_profile(events: DataFrame) -> DataFrame:
     """Column-profile aggregate (null rate, distinct count, min/max as
-    strings) — the data-quality pass a pipeline runs before training.
-    One scan, all profiles as a single wide aggregate row per column,
-    unpivoted executor-side via stack()."""
+    strings) — the data-quality pass a pipeline runs before training,
+    unpivoted executor-side via stack().
+
+    The six exact ``count_distinct`` columns compile to a 6-way Expand;
+    keeping the cheap profiles (nulls, min/max) in a separate no-Expand
+    pass and cross-joining the two 1-row results halved the measured
+    cost vs the fused wide aggregate (same trick as
+    ``table_profile_accuracy``)."""
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    aggs = []
+    cheap_aggs, exact_aggs = [], []
     for c in cols:
-        aggs += [
+        cheap_aggs += [
             F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
-            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-    wide = events.agg(*aggs)
+        exact_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
+    wide = events.agg(*cheap_aggs).crossJoin(F.broadcast(events.agg(*exact_aggs)))
     stack_args = ", ".join(
         f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max" for c in cols
     )
@@ -404,18 +409,26 @@ def table_profile_accuracy(events: DataFrame) -> DataFrame:
     the exact distinct count. The estimate itself never appears in the
     output — the oracle asserts TRUE per column and the driver hash
     fails exactly when a sketch violates its 3-sigma bound (±15%
-    relative, absolute slack 3, exact integer arithmetic)."""
+    relative, absolute slack 3, exact integer arithmetic).
+
+    Two aggregate passes, not one: the six exact ``count_distinct``
+    columns compile to a 6-way Expand, and fusing the sketch/min/max
+    work into that aggregate would drag it through 6x the rows — so the
+    cheap single-pass profile (nulls, sketches, min/max) and the
+    Expand-paying exact-distinct pass run separately and their 1-row
+    results cross-join (bench: 5.6s fused -> split recovers the
+    ``table_profile`` baseline + the sketch pass)."""
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    aggs = []
+    cheap_aggs, exact_aggs = [], []
     for c in cols:
-        aggs += [
+        cheap_aggs += [
             F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
-            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
             F.approx_count_distinct(F.col(c)).alias(f"{c}__est"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-    wide = events.agg(*aggs)
+        exact_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
+    wide = events.agg(*cheap_aggs).crossJoin(F.broadcast(events.agg(*exact_aggs)))
     bound_args = ", ".join(
         f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max, "
         f"abs({c}__est - {c}__n_distinct) * 100 <= greatest({c}__n_distinct * 15, 300)"
