@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
         "repeated_span_report": dedup.q_repeated_span_report,
+        "ngram_novelty_report": textops.q_ngram_novelty_report,
         "source_overlap_matrix": dedup.q_source_overlap_matrix,
         "vocab_coverage_report": textops.q_vocab_coverage_report,
         "weighted_sample": textops.q_weighted_sample,
@@ -158,10 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
         "vehicle_trips": windows.q_vehicle_trips,
+        # ---------------- end of driver window (50 entries) ----------------
+        # (displaced by this round's 7 new ops; due first in the r9 window)
         "pack_sequences": textops.q_pack_sequences,
         "conversion_window_counts": relational.q_conversion_window_counts,
-        # ---------------- end of driver window (50 entries) ----------------
-        # (displaced by this round's 6 new ops; due first in the r9 window)
         "orders_with_big_items": relational.q_orders_with_big_items,
         "customers_without_orders": relational.q_customers_without_orders,
         "sales_rollup": relational.q_sales_rollup,
@@ -387,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_accuracy": relational.approx_distinct_accuracy_oracle(CFG),
         # round-8 additions
         "repeated_span_report": dedup.repeated_span_report_oracle(),
+        "ngram_novelty_report": textops.ngram_novelty_report_oracle(),
         "source_overlap_matrix": dedup.source_overlap_matrix_oracle(),
         "vocab_coverage_report": textops.vocab_coverage_report_oracle(),
         "weighted_sample": textops.weighted_sample_oracle(),

@@ -940,6 +940,85 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(load_table(spark, sf_dir, "documents"))
 
 
+NOVELTY_K = 5  # gram width for novelty attribution
+
+
+def ngram_novelty_report(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization-risk curve a
+    curation pipeline tracks while ingesting in arrival order: for each
+    doc, the ppm share of its distinct 5-gram hashes whose FIRST corpus
+    occurrence (min doc_id over containing docs) is this document. Low
+    novelty = the doc is mostly re-statement of earlier content; the
+    per-doc rows feed a keep/drop threshold the same way quality scores
+    do.
+
+    Shape: distinct (doc, gram-hash) rows; first-occurrence via a
+    ``min over (partition by hash)`` window — ONE shuffle on the gram
+    hash (no join), then the per-doc aggregate reuses the doc_id
+    shuffle. Both relations are gram-rows-sized (~tokens per doc), never
+    corpus².
+    """
+    tok = (
+        spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= NOVELTY_K)
+    )
+    grams = tok.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {NOVELTY_K - 1}),"
+                    f" i -> {hash60_spark_sql(f'concat_ws({chr(39)} {chr(39)}, slice(toks, i, {NOVELTY_K}))')})"
+                )
+            )
+        ).alias("h"),
+    )
+    first = F.min("doc_id").over(Window.partitionBy("h"))
+    tagged = grams.select("doc_id", (F.col("doc_id") == first).cast("int").alias("novel"))
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_grams").alias("novelty_ppm"),
+        )
+    )
+
+
+def ngram_novelty_report_oracle() -> str:
+    gram = f"array_to_string(toks[i:i+{NOVELTY_K - 1}], ' ')"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+            WHERE len({TOKENS_DUCK}) >= {NOVELTY_K}
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, {hash60_duck_sql(gram)} AS h
+            FROM tok, unnest(generate_series(1, len(toks) - {NOVELTY_K - 1})) AS t(i)
+        ),
+        tagged AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h)
+                        THEN 1 ELSE 0 END AS novel
+            FROM grams
+        )
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(novel) AS BIGINT) AS n_novel,
+               CAST(sum(novel) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+        FROM tagged GROUP BY doc_id
+    """
+
+
+def q_ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty_report(load_table(spark, sf_dir, "documents"))
+
+
 LANG_MIX_WIN = 15      # tokens per language-scored window
 LANG_MIX_MIN_TOKENS = 4  # windows below this are signal-free
 

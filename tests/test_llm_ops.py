@@ -780,3 +780,25 @@ def test_vocab_and_lang_mix_reports_are_nontrivial(spark, sf_dir):
     for r in mix:
         assert 0 < r["n_en_segs"] < r["n_segs"]
         assert 0 < r["minority_ppm"] <= 500_000
+
+
+def test_ngram_novelty_flags_near_dup_docs_low(spark, sf_dir):
+    """Documents that near-duplicate an EARLIER doc must score lower
+    novelty than the corpus median; the first member of each pair keeps
+    its grams novel."""
+    from real_time_mobility_heatmap_spark.operators.dedup import minhash_lsh_pairs
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        q_ngram_novelty_report,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    nov = {r["doc_id"]: r["novelty_ppm"] for r in q_ngram_novelty_report(spark, sf_dir).collect()}
+    assert all(0 <= v <= 1_000_000 for v in nov.values())
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).collect()
+    assert pairs
+    later = {max(p["doc_a"], p["doc_b"]) for p in pairs}
+    dup_scores = [nov[d] for d in later if d in nov]
+    rest = [v for k, v in nov.items() if k not in later]
+    assert sum(dup_scores) / len(dup_scores) < sum(rest) / len(rest), (
+        "later near-dup members should be less novel on average"
+    )
