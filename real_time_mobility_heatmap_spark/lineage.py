@@ -37,7 +37,26 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     ck_dir = os.getenv(CHECKPOINT_DIR_ENV)
     if ck_dir:
         sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        cur = sc._jsc.sc().getCheckpointDir()
+        cur_s = None if cur.isEmpty() else cur.get()
+        # setCheckpointDir appends a per-call UUID subdir, so the live
+        # value is <ck_dir>/<uuid>; (re)set whenever the configured base
+        # is NOT the one in effect — a silently-inherited different dir
+        # (first-setter-wins) would write "reliable" checkpoints to the
+        # wrong filesystem, the exact failure this switch exists to fix
+        base = _strip_scheme(ck_dir).rstrip("/")
+        cur_p = _strip_scheme(cur_s) if cur_s else None
+        in_effect = cur_p is not None and (
+            cur_p == base or cur_p.startswith(base + "/")
+        )
+        if not in_effect:
             sc.setCheckpointDir(ck_dir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def _strip_scheme(path: str) -> str:
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            return path[len(prefix):]
+    return path

@@ -830,7 +830,13 @@ def vocab_coverage_report(docs: DataFrame) -> DataFrame:
     the per-source pass is scale-safe by construction. OOV ppm is exact
     integer arithmetic.
     """
-    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    # one tokenize+explode feeds BOTH the vocab aggregate and the probe
+    # side — Spark does no cross-subtree CSE, so cut the lineage or the
+    # corpus scan runs twice (same pattern as repeated_span_report)
+    tok = cut_lineage(
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token")),
+        eager=False,
+    )
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -851,7 +857,9 @@ def vocab_coverage_report(docs: DataFrame) -> DataFrame:
             "source",
             "n_tokens",
             "n_oov",
-            (F.col("n_oov") * 1000000 / F.col("n_tokens")).cast("bigint").alias("oov_ppm"),
+            # integer DIV: a double division could truncate differently
+            # than the oracle's // floor once counts are huge
+            F.expr("n_oov * 1000000 DIV n_tokens").alias("oov_ppm"),
         )
     )
 
@@ -1074,18 +1082,15 @@ def lang_mix_report(docs: DataFrame) -> DataFrame:
             "n_segs",
             "n_en_segs",
             maj.alias("majority_lang"),
-            (
-                F.least(F.col("n_en_segs"), F.col("n_segs") - F.col("n_en_segs"))
-                * 1000000
-                / F.col("n_segs")
-            ).cast("bigint").alias("minority_ppm"),
+            F.expr(
+                "least(n_en_segs, n_segs - n_en_segs) * 1000000 DIV n_segs"
+            ).alias("minority_ppm"),
         )
     )
 
 
 def lang_mix_report_oracle() -> str:
     W = LANG_MIX_WIN
-    seg_toks = "list_filter(seg, t -> t IS NOT NULL)"
     return f"""
         WITH tok AS (
             SELECT doc_id, lang, {TOKENS_DUCK} AS toks FROM documents

@@ -288,7 +288,10 @@ def approx_percentile_accuracy(events: DataFrame) -> DataFrame:
         ok = (F.col(f"lt_{name}") * 100 < t100 + m100) & (
             F.col(f"le_{name}") * 100 >= t100 - m100
         )
-        out_cols.append(ok.alias(f"{name}_ok"))
+        # an all-NULL value group has n = 0, NULL estimates, and NULL
+        # rank sums -> ok would be NULL while the oracle emits TRUE; the
+        # bound holds vacuously for an empty sample
+        out_cols.append(F.when(F.col("n") == 0, F.lit(True)).otherwise(ok).alias(f"{name}_ok"))
     return ranks.select(*out_cols)
 
 

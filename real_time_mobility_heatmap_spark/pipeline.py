@@ -197,6 +197,10 @@ def main() -> int:
             for q in result["queries"]:
                 q.awaitTermination()
         except KeyboardInterrupt:
+            pass
+        finally:
+            # a StreamingQueryException from one query must not leave the
+            # sibling running (same contract as the HTTP branch below)
             for q in result["queries"]:
                 if q.isActive:
                     q.stop()

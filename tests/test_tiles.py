@@ -178,11 +178,14 @@ def test_h3_udf_plumbing_with_fake_h3(spark, monkeypatch, api):
 def test_h3_udf_raises_cleanly_without_h3(spark):
     """Without the h3 package the plug-in must fail at CONSTRUCTION with
     ImportError (callers fall back to the grid snapper), never at
-    execution time on the workers."""
-    import sys
+    execution time on the workers. Skipped on environments where the
+    real h3 wheel IS installed — there the construction legitimately
+    succeeds (and the plumbing test above covers behavior)."""
+    import importlib.util
 
     from real_time_mobility_heatmap_spark.functions.grid import h3_cell_udf
 
-    assert "h3" not in sys.modules or sys.modules["h3"].__spec__ is not None
+    if importlib.util.find_spec("h3") is not None:
+        pytest.skip("real h3 package installed; constructor succeeds by design")
     with pytest.raises(ImportError, match="grid snapper"):
         h3_cell_udf(resolution=8)
