@@ -55,9 +55,11 @@ from real_time_mobility_heatmap_spark.streaming.neardup import (
 )
 from real_time_mobility_heatmap_spark.streaming.assembly import (
     run_streaming_conversions,
+    run_streaming_enriched,
     run_streaming_positions,
     run_streaming_sessions,
     run_streaming_tiles,
+    streaming_enriched_oracle,
 )
 
 
@@ -102,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same round they land):
         "repeated_span_report": dedup.q_repeated_span_report,
         "ngram_novelty_report": textops.q_ngram_novelty_report,
+        "streaming_enriched": run_streaming_enriched,
         "source_overlap_matrix": dedup.q_source_overlap_matrix,
         "vocab_coverage_report": textops.q_vocab_coverage_report,
         "weighted_sample": textops.q_weighted_sample,
@@ -158,9 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3) stalest green anchors (r5 rows, deferred two rounds):
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
-        "vehicle_trips": windows.q_vehicle_trips,
         # ---------------- end of driver window (50 entries) ----------------
-        # (displaced by this round's 7 new ops; due first in the r9 window)
+        # (displaced by this round's 8 new ops; due first in the r9 window)
+        "vehicle_trips": windows.q_vehicle_trips,
         "pack_sequences": textops.q_pack_sequences,
         "conversion_window_counts": relational.q_conversion_window_counts,
         "orders_with_big_items": relational.q_orders_with_big_items,
@@ -389,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         # round-8 additions
         "repeated_span_report": dedup.repeated_span_report_oracle(),
         "ngram_novelty_report": textops.ngram_novelty_report_oracle(),
+        "streaming_enriched": streaming_enriched_oracle(PINGS_ORACLE_SQL, CFG),
         "source_overlap_matrix": dedup.source_overlap_matrix_oracle(),
         "vocab_coverage_report": textops.vocab_coverage_report_oracle(),
         "weighted_sample": textops.weighted_sample_oracle(),

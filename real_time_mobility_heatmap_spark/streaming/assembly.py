@@ -439,6 +439,102 @@ def windowed_sessions_stream(
     )
 
 
+def provider_dim(pings: DataFrame) -> DataFrame:
+    """Static provider dimension for the stream-static join: per
+    provider, fleet size and an above-average-traffic tier flag. Built
+    batch-side (|providers| rows — the reference-data shape) and
+    re-resolved into every micro-batch by ``enrich_with_static_dim``."""
+    per = pings.groupBy("provider").agg(
+        F.count_distinct("vehicleId").alias("fleet"),
+        F.count(F.lit(1)).alias("n_pings"),
+    )
+    avg_pings = per.agg(F.avg("n_pings").alias("avg_pings"))
+    return (
+        per.crossJoin(F.broadcast(avg_pings))
+        .select(
+            "provider",
+            "fleet",
+            F.when(F.col("n_pings") > F.col("avg_pings"), F.lit("heavy"))
+            .otherwise(F.lit("light"))
+            .alias("tier"),
+        )
+    )
+
+
+def run_streaming_enriched(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Live STREAM-STATIC join registered as a driver query (the one
+    Structured Streaming join shape the registry didn't exercise
+    end-to-end): the ping stream left-joins the batch-derived provider
+    dimension per micro-batch — no join state, the broadcast re-resolves
+    each batch — then a watermarked tumbling count per (tier, window) in
+    update mode lands in an idempotent keyed store. Hash-matched to the
+    pure-SQL batch oracle.
+    """
+    import tempfile
+
+    from ..sources.tables import pings_from_events
+    from .sinks import KeyedParquetStore
+    from .sources import pings_stream_from_events
+
+    dim = provider_dim(pings_from_events(spark, sf_dir))
+    stream = enrich_with_static_dim(
+        pings_stream_from_events(spark, sf_dir), dim, "provider"
+    )
+    agg = (
+        stream.withWatermark("eventTs", cfg.watermark)
+        .groupBy(F.window("eventTs", cfg.window_duration).alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("ping_count"),
+            F.sum("fleet").alias("fleet_weight"),
+        )
+        .select(
+            F.concat_ws("|", "tier", F.col("w.start").cast("string")).alias("k"),
+            "tier",
+            F.col("w.start").alias("window_start"),
+            "ping_count",
+            "fleet_weight",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="streaming-enriched-")
+    store = KeyedParquetStore(f"{tmp}/store", key_cols=["k"], newer_col=None)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .foreachBatch(lambda b, e: store.merge(b, e))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return store.read(spark).select(
+        "tier", "window_start", "ping_count", "fleet_weight"
+    )
+
+
+def streaming_enriched_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:
+    w = f"time_bucket(INTERVAL '{cfg.tile_minutes} minutes', eventTs)"
+    return f"""
+        WITH pings AS ({pings_sql}),
+        per AS (
+            SELECT provider, count(DISTINCT vehicleId) AS fleet,
+                   count(*) AS n_pings
+            FROM pings GROUP BY provider
+        ),
+        dim AS (
+            SELECT provider, fleet,
+                   CASE WHEN n_pings > (SELECT avg(n_pings) FROM per)
+                        THEN 'heavy' ELSE 'light' END AS tier
+            FROM per
+        )
+        SELECT d.tier,
+               {w} AS window_start,
+               count(*) AS ping_count,
+               CAST(sum(d.fleet) AS BIGINT) AS fleet_weight
+        FROM pings p LEFT JOIN dim d ON p.provider = d.provider
+        GROUP BY d.tier, {w}
+    """
+
+
 def enrich_with_static_dim(pings: DataFrame, dim: DataFrame, key: str = "provider") -> DataFrame:
     """Stream-static join: enrich the unbounded ping stream with a small
     static dimension (broadcast into every micro-batch — no streaming

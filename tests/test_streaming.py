@@ -666,3 +666,24 @@ def test_streaming_neardup_invariants_and_determinism(spark):
     # the ingest loop has no hidden arrival-order or scheduling dependence
     b = sorted(map(tuple, run_streaming_neardup(spark, sf).collect()))
     assert a == b
+
+
+def test_streaming_enriched_matches_batch_totals(spark):
+    """Live stream-static enrichment: the tier dimension re-resolves per
+    micro-batch and the update-mode aggregate must account for every
+    ping exactly once (no join state to leak or drop)."""
+    from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        run_streaming_enriched,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = run_streaming_enriched(spark, sf_dir).collect()
+    assert {r["tier"] for r in out} == {"heavy", "light"}
+    n_stream = sum(r["ping_count"] for r in out)
+    n_batch = pings_from_events(spark, sf_dir).count()
+    assert n_stream == n_batch
+    for r in out:
+        # fleet_weight aggregates a per-provider constant: divisible
+        # consistency — every row's weight >= its ping count (fleet >= 1)
+        assert r["fleet_weight"] >= r["ping_count"]
