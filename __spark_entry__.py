@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_report": dedup.q_repeated_span_report,
         "ngram_novelty_report": textops.q_ngram_novelty_report,
         "streaming_enriched": run_streaming_enriched,
+        "cluster_quality_report": similarity.q_cluster_quality_report,
         "source_overlap_matrix": dedup.q_source_overlap_matrix,
         "vocab_coverage_report": textops.q_vocab_coverage_report,
         "weighted_sample": textops.q_weighted_sample,
@@ -160,9 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": tpch.q_disjunctive_revenue,
         # (3) stalest green anchors (r5 rows, deferred two rounds):
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        "simhash": dedup.q_simhash,
         # ---------------- end of driver window (50 entries) ----------------
-        # (displaced by this round's 8 new ops; due first in the r9 window)
+        # (displaced by this round's 9 new ops; due first in the r9 window)
+        "simhash": dedup.q_simhash,
         "vehicle_trips": windows.q_vehicle_trips,
         "pack_sequences": textops.q_pack_sequences,
         "conversion_window_counts": relational.q_conversion_window_counts,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_span_report": dedup.repeated_span_report_oracle(),
         "ngram_novelty_report": textops.ngram_novelty_report_oracle(),
         "streaming_enriched": streaming_enriched_oracle(PINGS_ORACLE_SQL, CFG),
+        "cluster_quality_report": similarity.CLUSTER_QUALITY_ORACLE,
         "source_overlap_matrix": dedup.source_overlap_matrix_oracle(),
         "vocab_coverage_report": textops.vocab_coverage_report_oracle(),
         "weighted_sample": textops.weighted_sample_oracle(),

@@ -933,6 +933,99 @@ def q_ivf_assign_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign_trained(load_table(spark, sf_dir, "embeddings"))
 
 
+def cluster_quality_report(embeddings: DataFrame) -> DataFrame:
+    """Clustering-quality audit over the trained coarse quantizer — the
+    compactness-vs-separation report (a Davies-Bouldin-style signal) a
+    deployment checks before trusting IVF routing: per cluster, member
+    count, total/average within-cluster squared distance, the squared
+    distance to the nearest OTHER centroid, and a ``compact`` flag
+    (avg within-distance < nearest-neighbor-centroid distance).
+
+    All distance sums are int64 MICRO units (dist2 is already rounded
+    to 6dp identically in both engines by ``ivf_assign_trained``;
+    summing the 1e6-scaled integers sidesteps float accumulation-order
+    drift — the hierarchical_rollups trick). The centroid-pair
+    separation scan is k² rows with k = nlist (config-bounded), behind
+    a broadcast nested-loop on a k-row side.
+    """
+    assign = ivf_assign_trained(embeddings)
+    per = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.round(F.col("dist2") * 1000000).cast("long")).alias("inertia_micro"),
+    )
+    cents = _trained_centroids(embeddings)
+    other = cents.select(
+        F.col("c_id").alias("o_id"), F.col("c_emb").alias("o_emb")
+    )
+    sep = (
+        cents.crossJoin(F.broadcast(other))
+        .filter(F.col("c_id") != F.col("o_id"))
+        .select(
+            "c_id",
+            F.round(
+                (
+                    _dot(F.col("c_emb"), F.col("c_emb"))
+                    - 2 * _dot(F.col("c_emb"), F.col("o_emb"))
+                    + _dot(F.col("o_emb"), F.col("o_emb"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pair_micro"),
+        )
+        .groupBy("c_id")
+        .agg(F.min("pair_micro").alias("nn_centroid_dist2_micro"))
+    )
+    return (
+        per.join(sep, per.centroid_id == sep.c_id)
+        .select(
+            "centroid_id",
+            "n_members",
+            "inertia_micro",
+            F.expr("inertia_micro DIV n_members").alias("avg_dist2_micro"),
+            "nn_centroid_dist2_micro",
+            (
+                F.expr("inertia_micro DIV n_members")
+                < F.col("nn_centroid_dist2_micro")
+            ).alias("compact"),
+        )
+    )
+
+
+CLUSTER_QUALITY_ORACLE = f"""
+    WITH upd AS ({_KMEANS_UPDATE_DUCK}),
+    cent AS (
+        SELECT centroid_id AS c_id, list(coord ORDER BY pos) AS cemb
+        FROM upd GROUP BY centroid_id
+    ),
+    assign AS ({IVF_ASSIGN_TRAINED_ORACLE}),
+    per AS (
+        SELECT centroid_id, count(*) AS n_members,
+               CAST(sum(CAST(round(dist2 * 1000000) AS BIGINT)) AS BIGINT)
+                   AS inertia_micro
+        FROM assign GROUP BY centroid_id
+    ),
+    sep AS (
+        SELECT a.c_id,
+               min(CAST(round((list_dot_product(a.cemb, a.cemb)
+                               - 2 * list_dot_product(a.cemb, b.cemb)
+                               + list_dot_product(b.cemb, b.cemb)) * 1000000)
+                        AS BIGINT)) AS nn_centroid_dist2_micro
+        FROM cent a JOIN cent b ON a.c_id <> b.c_id
+        GROUP BY a.c_id
+    )
+    SELECT p.centroid_id, p.n_members, p.inertia_micro,
+           p.inertia_micro // p.n_members AS avg_dist2_micro,
+           s.nn_centroid_dist2_micro,
+           (p.inertia_micro // p.n_members) < s.nn_centroid_dist2_micro AS compact
+    FROM per p JOIN sep s ON p.centroid_id = s.c_id
+"""
+
+
+def q_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_quality_report(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_topk_cosine_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_ivf_probe2(load_table(spark, sf_dir, "embeddings"))
 

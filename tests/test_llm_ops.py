@@ -802,3 +802,20 @@ def test_ngram_novelty_flags_near_dup_docs_low(spark, sf_dir):
     assert sum(dup_scores) / len(dup_scores) < sum(rest) / len(rest), (
         "later near-dup members should be less novel on average"
     )
+
+
+def test_cluster_quality_report_is_internally_consistent(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        N_CENTROIDS,
+        q_cluster_quality_report,
+    )
+
+    rows = q_cluster_quality_report(spark, sf_dir).collect()
+    assert len(rows) == N_CENTROIDS
+    total = sum(r["n_members"] for r in rows)
+    n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert total == n_vectors, "every vector assigned to exactly one cluster"
+    for r in rows:
+        assert r["inertia_micro"] >= 0 and r["nn_centroid_dist2_micro"] > 0
+        assert r["avg_dist2_micro"] == r["inertia_micro"] // r["n_members"]
+        assert r["compact"] == (r["avg_dist2_micro"] < r["nn_centroid_dist2_micro"])
