@@ -313,3 +313,82 @@ def test_delete_purges_exactly_the_requested_keys(spark, tmp_path_factory, batch
     snap2 = store.read(spark)
     after2 = {} if snap2 is None else {r["k"]: r for r in snap2.collect()}
     assert after2 == after
+
+
+# ---- repeated_span_report differential property ------------------------
+
+TOKENS_ALPHABET = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+DOC_TEXT = st.lists(
+    st.sampled_from(TOKENS_ALPHABET), min_size=0, max_size=30
+).map(" ".join)
+CORPUS = st.lists(DOC_TEXT, min_size=2, max_size=6)
+
+
+def _ref_spans(texts):
+    """Brute-force O(n_docs² · len²) reference of repeated_span_report's
+    semantics: 5-token grams, DF in [2, SPAN_DF_CAP] distinct docs,
+    distinct position matches, maximal consecutive runs per (pair,
+    diagonal), span >= MIN_SPAN_TOKENS."""
+    from real_time_mobility_heatmap_spark.operators.dedup import (
+        K_SPAN,
+        MIN_SPAN_TOKENS,
+        SPAN_DF_CAP,
+    )
+
+    grams = {}  # doc -> list[(pos, gram)]
+    for d, t in texts.items():
+        toks = t.lower().strip().split()
+        grams[d] = [
+            (i, " ".join(toks[i : i + K_SPAN]))
+            for i in range(max(0, len(toks) - K_SPAN + 1))
+        ]
+    df = {}
+    for d, lst in grams.items():
+        for g in {g for _, g in lst}:
+            df[g] = df.get(g, 0) + 1
+    ok = {g for g, n in df.items() if 2 <= n <= SPAN_DF_CAP}
+    spans = set()
+    docs = sorted(grams)
+    for ai, a in enumerate(docs):
+        for b in docs[ai + 1 :]:
+            matches = {
+                (pa, pb)
+                for pa, ga in grams[a]
+                for pb, gb in grams[b]
+                if ga == gb and ga in ok
+            }
+            by_diag = {}
+            for pa, pb in matches:
+                by_diag.setdefault(pa - pb, set()).add(pa)
+            for diag, pas in by_diag.items():
+                run = []
+                for p in sorted(pas) + [None]:
+                    if run and (p is None or p != run[-1] + 1):
+                        if len(run) + K_SPAN - 1 >= MIN_SPAN_TOKENS:
+                            spans.add(
+                                (a, b, run[0], run[0] - diag, len(run) + K_SPAN - 1)
+                            )
+                        run = []
+                    if p is not None:
+                        run.append(p)
+    return spans
+
+
+@given(corpus=CORPUS)
+@_SETTINGS
+def test_repeated_span_report_matches_bruteforce(spark, corpus):
+    """Differential check on random tiny corpora from a 6-token alphabet
+    (high gram-collision pressure): the distributed gaps-and-islands
+    implementation must emit exactly the brute-force span set."""
+    from real_time_mobility_heatmap_spark.operators.dedup import repeated_span_report
+
+    texts = {i: t for i, t in enumerate(corpus)}
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in repeated_span_report(docs).collect()
+    }
+    assert got == _ref_spans(texts)
