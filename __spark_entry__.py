@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_report": textops.q_ngram_novelty_report,
         "streaming_enriched": run_streaming_enriched,
         "cluster_quality_report": similarity.q_cluster_quality_report,
+        "mad_outliers": analytics.q_mad_outliers,
         "source_overlap_matrix": dedup.q_source_overlap_matrix,
         "vocab_coverage_report": textops.q_vocab_coverage_report,
         "weighted_sample": textops.q_weighted_sample,
@@ -160,9 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": tpch.q_promo_revenue_share,
         "disjunctive_revenue": tpch.q_disjunctive_revenue,
         # (3) stalest green anchors (r5 rows, deferred two rounds):
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         # ---------------- end of driver window (50 entries) ----------------
-        # (displaced by this round's 9 new ops; due first in the r9 window)
+        # (displaced by this round's 10 new ops; due first in the r9 window)
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
         "vehicle_trips": windows.q_vehicle_trips,
         "pack_sequences": textops.q_pack_sequences,
@@ -395,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty_report": textops.ngram_novelty_report_oracle(),
         "streaming_enriched": streaming_enriched_oracle(PINGS_ORACLE_SQL, CFG),
         "cluster_quality_report": similarity.CLUSTER_QUALITY_ORACLE,
+        "mad_outliers": analytics.MAD_OUTLIERS_ORACLE,
         "source_overlap_matrix": dedup.source_overlap_matrix_oracle(),
         "vocab_coverage_report": textops.vocab_coverage_report_oracle(),
         "weighted_sample": textops.weighted_sample_oracle(),

@@ -202,6 +202,71 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(load_table(spark, sf_dir, "events"))
 
 
+MAD_K = 3  # flag |value - median| > MAD_K * MAD
+
+
+def mad_outliers(events: DataFrame) -> DataFrame:
+    """Robust outlier detection per event_type: median / MAD instead of
+    ``zscore_outliers``' mean / stddev — the variant that survives the
+    very outliers it hunts (a single 1e9 reading inflates a stddev
+    threshold into uselessness but moves a median by one rank).
+
+    Determinism: both statistics are ``percentile_disc`` (an ELEMENT of
+    the data, engine-identical — verified against DuckDB quantile_disc),
+    and the flag compares IEEE-exact |v - med| against MAD_K * mad, so
+    no accumulation-order or libm drift exists anywhere. Two bounded
+    stats aggregates (|event_type| rows each) broadcast back into the
+    scan; rows with NULL value can never flag (NULL comparison).
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))"
+        ).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(F.abs(F.col("value") - F.col("med")), 6).alias("deviation"),
+        )
+    )
+
+
+MAD_OUTLIERS_ORACLE = f"""
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    wm AS (
+        SELECT e.*, m.med FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_disc(abs(value - med), 0.5) AS mad
+        FROM wm GROUP BY event_type
+    )
+    SELECT w.event_id, w.event_type,
+           round(w.value, 6) AS value,
+           round(w.med, 6) AS med,
+           round(d.mad, 6) AS mad,
+           round(abs(w.value - w.med), 6) AS deviation
+    FROM wm w JOIN mad d USING (event_type)
+    WHERE abs(w.value - w.med) > {MAD_K} * d.mad
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
 EWMA_ALPHA_NUM, EWMA_ALPHA_DEN = 1, 2  # alpha = 1/2: binary-exact smoothing
 
 

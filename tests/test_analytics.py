@@ -471,3 +471,27 @@ def test_snapshot_diff_classes_account_for_both_versions(spark, sf_dir):
     assert 0.005 < out["changed"] / n_old < 0.05
     assert 0.005 < out["removed"] / n_old < 0.05
     assert 0.001 < out["added"] / n_old < 0.03
+
+
+def test_mad_outliers_is_robust_where_zscore_is_not(spark):
+    """The point of MAD: one extreme reading must not change the
+    flag threshold. Injecting a 1e9 value into a type leaves every
+    OTHER row's flagged/unflagged status identical (median and MAD move
+    by at most one rank), while the extreme row itself flags."""
+    from real_time_mobility_heatmap_spark.operators.analytics import mad_outliers
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, sf_dir, "events")
+    base = {r["event_id"] for r in mad_outliers(events).collect()}
+
+    poison = spark.createDataFrame(
+        [(10**12, events.select("ts").first()["ts"], 1, "click", 1e9, None)],
+        events.schema,
+    )
+    spiked = mad_outliers(events.unionByName(poison)).collect()
+    spiked_ids = {r["event_id"] for r in spiked}
+    assert 10**12 in spiked_ids, "the injected extreme must flag"
+    others = spiked_ids - {10**12}
+    # at most a handful of boundary rows may shift by the one-rank move
+    assert len(others ^ base) <= len(base) * 0.02 + 2

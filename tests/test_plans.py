@@ -250,6 +250,17 @@ def test_dedup_clusters_size_join_is_not_broadcast(spark):
     assert "ResolvedHint" not in logical, "unexpected broadcast hint"
 
 
+def test_vocab_topv_is_take_ordered_not_global_sort(spark):
+    """The top-V vocabulary must plan as TakeOrderedAndProject (a
+    distributed partial top-k), never a global Sort of the token-count
+    relation — the difference between O(V) driver memory and a full
+    corpus-vocabulary sort at 100 TB."""
+    plan = _plan(spark, "vocab_coverage_report")
+    assert "TakeOrderedAndProject" in plan
+    # no global (non-partial) Sort node anywhere in the plan
+    assert not re.search(r"\(\d+\) Sort\b", plan), "unexpected global sort"
+
+
 def test_winnow_match_spans_no_broadcast_hint_and_semi_pruned(spark):
     """The span-alignment joins must NOT hint a broadcast on the
     fingerprint relation (corpus-sized at 100 TB => driver OOM; r7
