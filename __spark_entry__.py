@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enriched": run_streaming_enriched,
         "cluster_quality_report": similarity.q_cluster_quality_report,
         "mad_outliers": analytics.q_mad_outliers,
+        "bm25_top_terms": textops.q_bm25_top_terms,
         "source_overlap_matrix": dedup.q_source_overlap_matrix,
         "vocab_coverage_report": textops.q_vocab_coverage_report,
         "weighted_sample": textops.q_weighted_sample,
@@ -397,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_enriched": streaming_enriched_oracle(PINGS_ORACLE_SQL, CFG),
         "cluster_quality_report": similarity.CLUSTER_QUALITY_ORACLE,
         "mad_outliers": analytics.MAD_OUTLIERS_ORACLE,
+        "bm25_top_terms": textops.BM25_TOP_TERMS_ORACLE,
         "source_overlap_matrix": dedup.source_overlap_matrix_oracle(),
         "vocab_coverage_report": textops.vocab_coverage_report_oracle(),
         "weighted_sample": textops.weighted_sample_oracle(),

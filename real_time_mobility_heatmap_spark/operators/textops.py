@@ -283,6 +283,94 @@ TFIDF_TOP_TERMS_ORACLE = f"""
 """
 
 
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TOP_K = 3
+
+
+def bm25_top_terms(docs: DataFrame) -> DataFrame:
+    """Top-k characteristic terms per document by Okapi BM25 — the
+    parameterized successor of ``tfidf_top_terms`` (tf saturation via
+    k1, doc-length normalization via b) and the scoring half of any
+    retrieval-based dedup / contamination probe.
+
+    Same plan skeleton and determinism conventions as tfidf_top_terms:
+    ONE tokenize/explode pass feeds tf; dl (doc length) and df are
+    window counts over the tf rows; N and avgdl broadcast as a 1-row
+    aggregate; scores rounded to 6dp before the ranking window with the
+    term string as tie-break.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the non-negative variant,
+    so rare terms dominate and ubiquitous terms contribute ~0.
+    """
+    from pyspark.sql import Window
+
+    tok = spread(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    enriched = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tf.agg((F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl"))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = enriched.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom, 6).alias("bm25"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("doc_id", "term", "tf", "bm25", "rank")
+    )
+
+
+BM25_TOP_TERMS_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_DUCK}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    enriched AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY term) AS df,
+               sum(tf) OVER (PARTITION BY doc_id) AS dl
+        FROM tf
+    ),
+    totals AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT sum(tf) / CAST(count(DISTINCT doc_id) AS DOUBLE) FROM tf) AS avgdl
+    ),
+    scored AS (
+        SELECT doc_id, term, tf,
+               round(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * ({BM25_K1} + 1.0))
+                   / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)),
+                   6
+               ) AS bm25
+        FROM enriched, totals
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, bm25, rank FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_top_terms(load_table(spark, sf_dir, "documents"))
+
+
 SPLIT_PCTS = (90, 5, 5)  # train / val / test
 
 

@@ -819,3 +819,24 @@ def test_cluster_quality_report_is_internally_consistent(spark, sf_dir):
         assert r["inertia_micro"] >= 0 and r["nn_centroid_dist2_micro"] > 0
         assert r["avg_dist2_micro"] == r["inertia_micro"] // r["n_members"]
         assert r["compact"] == (r["avg_dist2_micro"] < r["nn_centroid_dist2_micro"])
+
+
+def test_bm25_prefers_rare_terms_and_saturates_tf(spark, sf_dir):
+    from real_time_mobility_heatmap_spark.operators.textops import (
+        BM25_TOP_K,
+        q_bm25_top_terms,
+    )
+
+    rows = q_bm25_top_terms(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        assert len(doc_rows) <= BM25_TOP_K
+        ranks = sorted(r["rank"] for r in doc_rows)
+        assert ranks == list(range(1, len(doc_rows) + 1))
+        # scores are non-negative (the +1 idf variant) and rank-ordered
+        ordered = sorted(doc_rows, key=lambda r: r["rank"])
+        scores = [r["bm25"] for r in ordered]
+        assert all(s >= 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
