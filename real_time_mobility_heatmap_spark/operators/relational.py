@@ -666,13 +666,13 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     orders of one brand's parts were not taken — a CORRELATED scalar
     subquery (per-part average quantity) in its decorrelated form:
     per-key aggregate + equi-join, which is exactly Catalyst's rewrite.
-    The brand dimension filter is broadcast; the per-part quantity
-    cutoff is a keyed (corpus-scale) aggregate joined back by key —
-    deliberately NOT broadcast."""
+    The brand filter keeps 1 of 25 brands = 4% of an SF-scaled part table
+    (10^7 rows at 100 TB), so it carries NO broadcast hint — AQE
+    broadcasts it only while runtime stats fit (r8 verdict item #1); the
+    per-part quantity cutoff is a keyed (corpus-scale) aggregate joined
+    back by key — also not broadcast."""
     brand_parts = part.filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
-    items = lineitem.join(
-        F.broadcast(brand_parts), lineitem.l_partkey == F.col("p_partkey")
-    )
+    items = lineitem.join(brand_parts, lineitem.l_partkey == F.col("p_partkey"))
     cutoff = items.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_cut")
     )
