@@ -231,8 +231,16 @@ def _baseline() -> tuple[str, dict[str, float]]:
     try:
         detail = json.loads(DETAIL_PATH.read_text())
         # only a SAME-scale-factor detail record is a valid baseline (a
-        # local debug run at another sf would otherwise poison the guard)
-        if isinstance(detail.get("queries"), dict) and detail.get("sf") == run_sf:
+        # local debug run at another sf would otherwise poison the guard);
+        # both sides must be KNOWN — an unparseable sf dir (run_sf None)
+        # and a detail record missing its "sf" key would otherwise admit
+        # each other via None == None (r8 advice #4)
+        if (
+            isinstance(detail.get("queries"), dict)
+            and run_sf is not None
+            and detail.get("sf") is not None
+            and detail.get("sf") == run_sf
+        ):
             merged.update(detail["queries"])
             label = f"{DETAIL_PATH.name}+{label}" if label else DETAIL_PATH.name
     except (OSError, ValueError):

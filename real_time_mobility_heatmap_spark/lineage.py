@@ -37,22 +37,36 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     ck_dir = os.getenv(CHECKPOINT_DIR_ENV)
     if ck_dir:
         sc = df.sparkSession.sparkContext
-        cur = sc._jsc.sc().getCheckpointDir()
-        cur_s = None if cur.isEmpty() else cur.get()
-        # setCheckpointDir appends a per-call UUID subdir, so the live
-        # value is <ck_dir>/<uuid>; (re)set whenever the configured base
-        # is NOT the one in effect — a silently-inherited different dir
-        # (first-setter-wins) would write "reliable" checkpoints to the
-        # wrong filesystem, the exact failure this switch exists to fix
-        base = _strip_scheme(ck_dir).rstrip("/")
-        cur_p = _strip_scheme(cur_s) if cur_s else None
-        in_effect = cur_p is not None and (
-            cur_p == base or cur_p.startswith(base + "/")
-        )
-        if not in_effect:
-            sc.setCheckpointDir(ck_dir)
+        # Spark stores the live checkpoint dir FULLY QUALIFIED against
+        # the default FS (e.g. hdfs://nn:8020/path/<uuid>), so comparing
+        # it to the raw configured string never matches for non-file or
+        # unqualified paths — and every cut would then setCheckpointDir
+        # again, spawning a fresh UUID subdirectory per cut (r8 advice
+        # #3). Instead this module caches the base IT last set per
+        # SparkContext and only (re)sets on first use or an env change;
+        # the scheme-stripped prefix check remains as a fallback for a
+        # matching dir set externally (first-setter-wins inheritance of
+        # a DIFFERENT dir still gets overridden — "reliable" checkpoints
+        # on the wrong filesystem are the failure this switch fixes).
+        key = sc.applicationId
+        if _LAST_SET.get(key) != ck_dir:
+            cur = sc._jsc.sc().getCheckpointDir()
+            cur_s = None if cur.isEmpty() else cur.get()
+            base = _strip_scheme(ck_dir).rstrip("/")
+            cur_p = _strip_scheme(cur_s) if cur_s else None
+            in_effect = cur_p is not None and (
+                cur_p == base or cur_p.startswith(base + "/")
+            )
+            if not in_effect:
+                sc.setCheckpointDir(ck_dir)
+            _LAST_SET[key] = ck_dir
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+# SparkContext.applicationId -> the SPARK_GRAFT_CHECKPOINT_DIR value this
+# module last put into effect for that context
+_LAST_SET: dict[str, str] = {}
 
 
 def _strip_scheme(path: str) -> str:

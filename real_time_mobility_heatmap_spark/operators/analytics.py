@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.percentiles import percentile_disc_exact
 from ..sources.tables import load_table
 
 WEEK_S = 7 * 24 * 3600  # cohort bucket width, epoch seconds
@@ -211,21 +212,30 @@ def mad_outliers(events: DataFrame) -> DataFrame:
     very outliers it hunts (a single 1e9 reading inflates a stddev
     threshold into uselessness but moves a median by one rank).
 
-    Determinism: both statistics are ``percentile_disc`` (an ELEMENT of
+    Determinism: both statistics are discrete percentiles (an ELEMENT of
     the data, engine-identical — verified against DuckDB quantile_disc),
     and the flag compares IEEE-exact |v - med| against MAD_K * mad, so
     no accumulation-order or libm drift exists anywhere. Two bounded
     stats aggregates (|event_type| rows each) broadcast back into the
     scan; rows with NULL value can never flag (NULL comparison).
+
+    Scale (r8 verdict item #3): the medians are computed with
+    ``percentile_disc_exact`` — distinct-value counts plus a spillable
+    running-sum window — NOT the built-in ``percentile_disc``, whose
+    per-group value->count aggregation buffer must FIT in one executor's
+    memory (an OOM once a per-event_type group's distinct values are
+    corpus-scale). Memory here is bounded by distinct values per group
+    in a hash aggregate and the window sort is disk-backed; semantics
+    are pinned identical to the built-in by tests/test_analytics.py.
     """
-    med = events.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
-    )
+    med = percentile_disc_exact(events, ["event_type"], "value", [0.5], ["med"])
     with_med = events.join(F.broadcast(med), "event_type")
-    mad = with_med.groupBy("event_type").agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))"
-        ).alias("mad")
+    mad = percentile_disc_exact(
+        with_med.withColumn("dev", F.abs(F.col("value") - F.col("med"))),
+        ["event_type"],
+        "dev",
+        [0.5],
+        ["mad"],
     )
     return (
         with_med.join(F.broadcast(mad), "event_type")

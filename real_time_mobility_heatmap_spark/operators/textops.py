@@ -992,11 +992,20 @@ def weighted_sample(docs: DataFrame) -> DataFrame:
     w-proportional draw.
 
     Determinism across engines: u comes from the shared 60-bit md5 hash,
-    so priorities are reproducible; they are used ONLY for ordering
-    (never emitted — ln differs in final ulps between libms, which is
-    harmless for comparisons but would flip a value hash), with doc_id
-    as the total-order tie-break. One shuffle on source; rank is a
-    per-group window over it, no global sort.
+    so priorities are reproducible; they are used ONLY for ordering,
+    never emitted (ln differs in final ulps between libms, which would
+    flip a value hash outright), with doc_id as the total-order
+    tie-break. Residual risk, stated honestly (r8 advice #5): the
+    doc_id tie-break fires only on EXACT priority equality, so if two
+    documents' true priorities differ by less than the cross-libm ln
+    ulp drift, the two engines can order them oppositely and the
+    emitted rank flips. With 60-bit uniforms the chance of two
+    priorities landing within ~1 ulp of each other is astronomically
+    small (~2^-50 per pair at fixture scale) but not zero; an
+    engine-exact ordering would require abandoning the A-ES
+    distribution (no rational surrogate of u^(1/w) preserves exact
+    w-proportionality), which is the wrong trade. One shuffle on
+    source; rank is a per-group window over it, no global sort.
     """
     u = (
         F.expr(hash60_spark_sql("concat('ws|', doc_id)")).cast("double") + 1.0

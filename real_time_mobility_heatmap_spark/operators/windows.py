@@ -270,7 +270,11 @@ def approx_percentile_accuracy(events: DataFrame) -> DataFrame:
         "n",
         *[F.col("p").getItem(i).alias(f"est_{name}") for i, (_, name) in enumerate(PCTL_QS)],
     )
-    joined = events.join(F.broadcast(est), "event_type")
+    # eqNullSafe: groupBy emits a NULL event_type group and est carries
+    # its row — a null-unsafe equi-join would silently drop that group
+    # while the oracle's GROUP BY still emits it (r8 advice #1)
+    ev = events.select("event_type", "value").withColumnRenamed("event_type", "ev_type")
+    joined = ev.join(F.broadcast(est), F.col("ev_type").eqNullSafe(F.col("event_type")))
     rank_aggs = []
     for _, name in PCTL_QS:
         rank_aggs += [

@@ -495,3 +495,46 @@ def test_mad_outliers_is_robust_where_zscore_is_not(spark):
     others = spiked_ids - {10**12}
     # at most a handful of boundary rows may shift by the one-rank move
     assert len(others ^ base) <= len(base) * 0.02 + 2
+
+
+def test_percentile_disc_exact_matches_builtin(spark, sf_dir):
+    """The distributed exact-percentile reformulation (r8 verdict item
+    #3) must be value-identical to Spark's built-in percentile_disc —
+    grouped on a continuous double column AND global on an integer
+    column, across every dyadic p the repo uses."""
+    from real_time_mobility_heatmap_spark.functions.percentiles import (
+        percentile_disc_exact,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: (r["p50"], r["p25"])
+        for r in percentile_disc_exact(
+            events, ["event_type"], "value", [0.5, 0.25], ["p50", "p25"]
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["p50"], r["p25"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("p25"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = [i / 8 for i in range(1, 8)]
+    got_g = percentile_disc_exact(
+        docs, [], "n_chars", qs, [f"b{i}" for i in range(7)]
+    ).collect()[0]
+    want_g = docs.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_chars)").alias(
+                f"b{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    assert tuple(got_g) == tuple(want_g)
