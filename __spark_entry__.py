@@ -99,9 +99,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest row first", not a fixed every-other-round cadence.
     """
     return {
-        # ---- driver window (r8) ----
+        # ---- driver window (r9) ----
         # (0) NEW this round (never driver-checked — checked first, the
         # same round they land):
+        "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,
         "repeated_span_report": dedup.q_repeated_span_report,
         "ngram_novelty_report": textops.q_ngram_novelty_report,
         "streaming_enriched": run_streaming_enriched,
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": windows.table_profile_oracle(),
         "zone_counts": spatial.ZONE_COUNTS_ORACLE,
         "salted_join_stats": relational.salted_join_stats_oracle(),
+        "skewjoin_aqe_stats": relational.SKEWJOIN_AQE_STATS_ORACLE,
         "quality_filter": textops.QUALITY_FILTER_ORACLE,
         "stratified_sample": textops.STRATIFIED_SAMPLE_ORACLE,
         "token_commonness": textops.TOKEN_COMMONNESS_ORACLE,

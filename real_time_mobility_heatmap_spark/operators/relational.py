@@ -893,6 +893,83 @@ def q_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join_stats(load_table(spark, sf_dir, "events"))
 
 
+SKEWDEMO_HOT_PPT = 800   # per-mille of fact rows mapped to the single hot key
+SKEWDEMO_COLD_KEYS = 100  # cold keys the remaining tail spreads over
+
+
+def _skewdemo_key():
+    """Deterministic, oracle-expressible hot-key assignment: 80% of rows
+    land on key 0, the rest spread over SKEWDEMO_COLD_KEYS cold keys."""
+    return (
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(1000)) < SKEWDEMO_HOT_PPT, F.lit(0)
+        )
+        .otherwise(F.pmod(F.col("event_id"), F.lit(SKEWDEMO_COLD_KEYS)) + 1)
+        .cast("long")
+    )
+
+
+def skewjoin_aqe_stats(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """The THIRD skew tool, alongside ``key_skew_report`` (diagnose) and
+    ``salted_join_stats`` (hand-salt): let AQE's runtime skew-join
+    handling split the hot partition — the option a 100 TB operator
+    reaches for FIRST, because it needs no query rewrite and acts only
+    when measured partition sizes actually warrant it
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default).
+
+    The join: events enriched with customer attributes on a key where
+    80% of facts hit ONE customer — the canonical celebrity-account
+    skew. The plan is deliberately LEFT UNHINTED and shaped so both
+    SMJ children are plain shuffles (``SMJ(Sort(Shuffle),
+    Sort(Shuffle))`` — the exact pattern ``OptimizeSkewedJoin``
+    matches; an aggregate between sort and shuffle stage defeats the
+    rewrite, which is itself a fact worth pinning):
+    ``tests/test_plans.py::test_aqe_skew_join_splits_hot_partition``
+    executes this plan under forced-SMJ + fixture-scale thresholds and
+    asserts the final adaptive plan carries the skew split (and doesn't
+    when skewJoin is disabled). The final aggregate groups by
+    c_mktsegment — NOT the join key — on purpose: a post-join regroup
+    on the join key would need the clustering the split destroys,
+    making AQE skip the optimization; grouping on another key means
+    the downstream shuffle happens either way and the split is free.
+    All output arithmetic is integer-exact (counts, distinct counts),
+    so the DuckDB oracle — the PLAIN join — hash-matches regardless of
+    how the physical partitions were carved.
+    """
+    fact = events.select(_skewdemo_key().alias("k"), "user_id")
+    return (
+        fact.join(customer, fact.k == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("k").alias("n_keys"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SKEWJOIN_AQE_STATS_ORACLE = f"""
+    WITH fact AS (
+        SELECT CASE WHEN event_id % 1000 < {SKEWDEMO_HOT_PPT} THEN 0
+                    ELSE event_id % {SKEWDEMO_COLD_KEYS} + 1 END AS k,
+               user_id
+        FROM events
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           count(DISTINCT f.k) AS n_keys,
+           count(DISTINCT f.user_id) AS n_users
+    FROM fact f JOIN customer c ON f.k = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+def q_skewjoin_aqe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skewjoin_aqe_stats(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
 BUCKET_N = 8  # bucket count shared by both sides (must match for co-location)
 
 

@@ -454,3 +454,66 @@ def test_partitioned_scan_prunes_directories(spark):
     # partitioned layout (directory pruning), not post-scan Filters
     assert re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", plan)
     assert re.search(r"PartitionFilters: \[[^\]]*event_date[^\]]*\]", plan)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The r8 verdict item #6 pair: the SAME hot-key join executed with
+    AQE skew-join handling on vs off. With thresholds lowered to fixture
+    scale and broadcast disabled (forcing the sort-merge path a 100 TB
+    two-large-sides join takes), OptimizeSkewedJoin must split the 80%
+    hot partition — visible in the FINAL adaptive plan as
+    ``SortMergeJoin(skew=true)`` + ``AQEShuffleRead ... skewed``; with
+    skewJoin.enabled=false the same plan must carry no skew annotation
+    and both runs must return identical rows (the optimization changes
+    the physical carving only; value correctness vs the plain join is
+    the driver's skewjoin_aqe_stats oracle row).
+
+    The fact side is repartition(8)'d first: AQE splits a skewed reduce
+    partition along MAPPER boundaries, and the one-file fixture scan
+    yields a single mapper (one parquet row group), which is
+    unsplittable by construction — the repartition emulates the
+    thousands of mappers any real-scale scan has naturally."""
+    from real_time_mobility_heatmap_spark.operators.relational import (
+        skewjoin_aqe_stats,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        events = load_table(spark, SF_DIR, "events").repartition(8)
+        customer = load_table(spark, SF_DIR, "customer")
+
+        df = skewjoin_aqe_stats(events, customer)
+        rows_on = {tuple(r) for r in df.collect()}
+        final_on = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_on, (
+            "OptimizeSkewedJoin did not split the hot partition:\n" + final_on
+        )
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        df_off = skewjoin_aqe_stats(events, customer)
+        rows_off = {tuple(r) for r in df_off.collect()}
+        final_off = df_off._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in final_off
+        assert rows_on == rows_off
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
