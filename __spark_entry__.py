@@ -100,71 +100,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- driver window (r9) ----
-        # (0) NEW this round (never driver-checked — checked first, the
-        # same round they land):
+        # (0) NEW this round (never driver-checked):
         "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,
-        "repeated_span_report": dedup.q_repeated_span_report,
-        "ngram_novelty_report": textops.q_ngram_novelty_report,
-        "streaming_enriched": run_streaming_enriched,
-        "cluster_quality_report": similarity.q_cluster_quality_report,
-        "mad_outliers": analytics.q_mad_outliers,
-        "bm25_top_terms": textops.q_bm25_top_terms,
-        "source_overlap_matrix": dedup.q_source_overlap_matrix,
-        "vocab_coverage_report": textops.q_vocab_coverage_report,
-        "weighted_sample": textops.q_weighted_sample,
-        "lang_mix_report": textops.q_lang_mix_report,
-        "range_partition_plan": relational.q_range_partition_plan,
-        # (0b) the 22 round-7 additions that landed past the r7 window —
-        # never driver-checked; local oracle gate green (verdict r7 #1):
-        "rp_project": similarity.q_rp_project,
-        "media_phash": multimodal.q_media_phash,
-        "dq_expectations": relational.q_dq_expectations,
-        "rollup_delta_merge": _q_rollup_delta_merge,
-        "modality_agreement_report": similarity.q_modality_agreement_report,
-        "triangle_count": dedup.q_triangle_count,
-        "range_frame_speed": relational.q_range_frame_speed,
-        "order_rank_report": relational.q_order_rank_report,
-        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,
-        "unpivot_tile_metrics": _q_unpivot_tile_metrics,
-        "bpe_merge_round": textops.q_bpe_merge_round,
-        "cms_token_counts": textops.q_cms_token_counts,
-        "leakage_safe_split": dedup.q_leakage_safe_split,
-        "compaction_plan": spatial.q_compaction_plan,
-        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
-        "ewma_speed": analytics.q_ewma_speed,
-        "k_anonymity_report": relational.q_k_anonymity_report,
-        "join_size_estimate": relational.q_join_size_estimate,
-        "polygon_zone_counts": spatial.q_polygon_zone_counts,
-        "grouping_sets_sales": relational.q_grouping_sets_sales,
-        "props_key_stats": decode.q_props_key_stats,
-        "snapshot_diff_report": relational.q_snapshot_diff_report,
-        # (1) NEW this round: the three sketch ops re-registered as
-        # oracle-checkable accuracy reports (verdict r7 #4):
-        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,
-        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,
-        "table_profile_accuracy": windows.q_table_profile_accuracy,
-        # (2) CHANGED this round — winnow_match_spans (corpus-broadcast
-        # fix, verdict r7 #2) and the TPC-H suite whose SF-scaled
-        # broadcast hints were removed (verdict r7 #3): results must be
-        # re-verified under planner-chosen joins:
-        "winnow_match_spans": dedup.q_winnow_match_spans,
-        "brand_volume": relational.q_brand_volume,
-        "shipping_priority": relational.q_shipping_priority,
-        "local_supplier_volume": relational.q_local_supplier_volume,
+        # (1) CHANGED this round — results must be re-verified the
+        # same round the code lands: the 9 TPC-H queries whose
+        # SF-scaled broadcast hints were removed (r8 verdict #1/#2)
+        # and the 4 queries with reworked internals (exact-percentile
+        # reformulation; accuracy-gate redesigns; null-safe join):
         "min_cost_supplier": tpch.q_min_cost_supplier,
-        "nation_trade_volume": tpch.q_nation_trade_volume,
         "market_share": tpch.q_market_share,
         "product_type_profit": tpch.q_product_type_profit,
         "top_suppliers": tpch.q_top_suppliers,
-        "customer_order_distribution": tpch.q_customer_order_distribution,
-        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,
-        "returned_item_reporting": tpch.q_returned_item_reporting,
+        "important_parts": tpch.q_important_parts,
+        "part_supplier_counts": tpch.q_part_supplier_counts,
+        "small_quantity_revenue": relational.q_small_quantity_revenue,
+        "large_volume_customers": tpch.q_large_volume_customers,
         "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,
-        "promo_revenue_share": tpch.q_promo_revenue_share,
-        "disjunctive_revenue": tpch.q_disjunctive_revenue,
-        # (3) stalest green anchors (r5 rows, deferred two rounds):
-        # ---------------- end of driver window (50 entries) ----------------
-        # (displaced by this round's 10 new ops; due first in the r9 window)
+        "mad_outliers": analytics.q_mad_outliers,
+        "range_partition_plan": relational.q_range_partition_plan,
+        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,
+        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,
+        # (2) the r5-stale cohort (r8 verdict #4: no green row should
+        # be older than 2 rounds) — 36 of the 45, oldest-first:
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
         "vehicle_trips": windows.q_vehicle_trips,
@@ -175,51 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": relational.q_sales_rollup,
         "above_avg_orders": relational.q_above_avg_orders,
         "cube_sales": relational.q_cube_sales,
-        # Below the window: green anchors in round-robin rotation,
-        # oldest row first (r5/r6/r7 rows per VERDICT coverage table);
-        # all stay covered by the local oracle gate + plan lints.
-        "boilerplate_scrub": textops.q_boilerplate_scrub,
-        "quality_decile_report": textops.q_quality_decile_report,
-        "rp_recall_report": similarity.q_rp_recall_report,
-        "media_phash_pairs": multimodal.q_media_phash_pairs,
-        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
-        "cohort_retention": analytics.q_cohort_retention,
-        "markov_transitions": analytics.q_markov_transitions,
-        "zscore_outliers": analytics.q_zscore_outliers,
-        "attribution_report": relational.q_attribution_report,
-        "partition_pruned_stats": relational.q_partition_pruned_stats,
-        "hierarchical_rollups": _q_hierarchical_rollups,
-        "streaming_neardup": run_streaming_neardup,
-        "minhash_error_report": dedup.q_minhash_error_report,
-        "zorder_layout_report": spatial.q_zorder_layout_report,
-        "forecast_revenue_change": tpch.q_forecast_revenue_change,
-        "important_parts": tpch.q_important_parts,
-        "late_order_priority": tpch.q_late_order_priority,
-        "part_supplier_counts": tpch.q_part_supplier_counts,
-        "large_volume_customers": tpch.q_large_volume_customers,
-        "idle_customer_balance": tpch.q_idle_customer_balance,
-        "semantic_dedup": similarity.q_semantic_dedup,
-        "fuzzy_part_matches": relational.q_fuzzy_part_matches,
-        "key_skew_report": relational.q_key_skew_report,
-        "small_quantity_revenue": relational.q_small_quantity_revenue,
-        "pagerank_pairs": dedup.q_pagerank_pairs,
-        "containment_pairs": dedup.q_containment_pairs,
-        "dedup_keep_best": dedup.q_dedup_keep_best,
-        "lm_score": textops.q_lm_score,
-        "decontaminate_bloom": dedup.q_decontaminate_bloom,
-        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
-        "streaming_sessions": run_streaming_sessions,
-        "chunk_documents": textops.q_chunk_documents,
-        "ivf_recall_report": similarity.q_ivf_recall_report,
-        "streaming_conversions": run_streaming_conversions,
-        "quantize_embeddings": similarity.q_quantize_embeddings,
-        "quantized_recall_report": similarity.q_quantized_recall_report,
-        "streaming_positions": run_streaming_positions,
-        "shipmode_priority_counts": relational.q_shipmode_priority_counts,
-        "source_mixture_report": textops.q_source_mixture_report,
         "embedding_neardup": similarity.q_embedding_neardup,
-        "dedup_clusters": dedup.q_dedup_clusters,
-        "bucketed_join_stats": relational.bucketed_join_stats,
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,
         "pricing_summary": relational.q_pricing_summary,
@@ -245,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textops.q_lang_id,
         "fingerprint": textops.q_fingerprint,
         "rolling_fingerprint": textops.q_rolling_fingerprint,
+        # ---------------- end of driver window (50 entries) ----------------
+        # the 9 r5-stale leftovers — due FIRST in the r10 window:
         "corpus_stats": textops.q_corpus_stats,
         "term_frequencies": textops.q_term_frequencies,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
@@ -254,6 +169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_cells_setops": relational.q_active_cells_setops,
         "active_cells_flags": relational.q_active_cells_flags,
         "funnel_conversions": relational.q_funnel_conversions,
+        # r6-green anchors, then r7, then r8 (newest rows last);
+        # all remain covered by the local oracle gate + plan lints:
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "bucketed_join_stats": relational.bucketed_join_stats,
         "kmeans_update": similarity.q_kmeans_update,
         "ivf_assign_trained": similarity.q_ivf_assign_trained,
         "scd2_user_segments": windows.q_scd2_user_segments,
@@ -299,6 +218,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": decode.q_normalize,
         "latest_maxby": latest.q_latest_maxby,
         "streaming_tiles": run_streaming_tiles,
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,
+        "boilerplate_scrub": textops.q_boilerplate_scrub,
+        "quality_decile_report": textops.q_quality_decile_report,
+        "rp_recall_report": similarity.q_rp_recall_report,
+        "media_phash_pairs": multimodal.q_media_phash_pairs,
+        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
+        "cohort_retention": analytics.q_cohort_retention,
+        "markov_transitions": analytics.q_markov_transitions,
+        "zscore_outliers": analytics.q_zscore_outliers,
+        "attribution_report": relational.q_attribution_report,
+        "partition_pruned_stats": relational.q_partition_pruned_stats,
+        "hierarchical_rollups": _q_hierarchical_rollups,
+        "streaming_neardup": run_streaming_neardup,
+        "minhash_error_report": dedup.q_minhash_error_report,
+        "zorder_layout_report": spatial.q_zorder_layout_report,
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,
+        "late_order_priority": tpch.q_late_order_priority,
+        "idle_customer_balance": tpch.q_idle_customer_balance,
+        "semantic_dedup": similarity.q_semantic_dedup,
+        "fuzzy_part_matches": relational.q_fuzzy_part_matches,
+        "key_skew_report": relational.q_key_skew_report,
+        "pagerank_pairs": dedup.q_pagerank_pairs,
+        "containment_pairs": dedup.q_containment_pairs,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
+        "lm_score": textops.q_lm_score,
+        "decontaminate_bloom": dedup.q_decontaminate_bloom,
+        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
+        "streaming_sessions": run_streaming_sessions,
+        "chunk_documents": textops.q_chunk_documents,
+        "ivf_recall_report": similarity.q_ivf_recall_report,
+        "streaming_conversions": run_streaming_conversions,
+        "quantize_embeddings": similarity.q_quantize_embeddings,
+        "quantized_recall_report": similarity.q_quantized_recall_report,
+        "streaming_positions": run_streaming_positions,
+        "shipmode_priority_counts": relational.q_shipmode_priority_counts,
+        "source_mixture_report": textops.q_source_mixture_report,
+        "repeated_span_report": dedup.q_repeated_span_report,
+        "ngram_novelty_report": textops.q_ngram_novelty_report,
+        "streaming_enriched": run_streaming_enriched,
+        "cluster_quality_report": similarity.q_cluster_quality_report,
+        "bm25_top_terms": textops.q_bm25_top_terms,
+        "source_overlap_matrix": dedup.q_source_overlap_matrix,
+        "vocab_coverage_report": textops.q_vocab_coverage_report,
+        "weighted_sample": textops.q_weighted_sample,
+        "lang_mix_report": textops.q_lang_mix_report,
+        "rp_project": similarity.q_rp_project,
+        "media_phash": multimodal.q_media_phash,
+        "dq_expectations": relational.q_dq_expectations,
+        "rollup_delta_merge": _q_rollup_delta_merge,
+        "modality_agreement_report": similarity.q_modality_agreement_report,
+        "triangle_count": dedup.q_triangle_count,
+        "range_frame_speed": relational.q_range_frame_speed,
+        "order_rank_report": relational.q_order_rank_report,
+        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,
+        "unpivot_tile_metrics": _q_unpivot_tile_metrics,
+        "bpe_merge_round": textops.q_bpe_merge_round,
+        "cms_token_counts": textops.q_cms_token_counts,
+        "leakage_safe_split": dedup.q_leakage_safe_split,
+        "compaction_plan": spatial.q_compaction_plan,
+        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
+        "ewma_speed": analytics.q_ewma_speed,
+        "k_anonymity_report": relational.q_k_anonymity_report,
+        "join_size_estimate": relational.q_join_size_estimate,
+        "polygon_zone_counts": spatial.q_polygon_zone_counts,
+        "grouping_sets_sales": relational.q_grouping_sets_sales,
+        "props_key_stats": decode.q_props_key_stats,
+        "snapshot_diff_report": relational.q_snapshot_diff_report,
+        "table_profile_accuracy": windows.q_table_profile_accuracy,
+        "winnow_match_spans": dedup.q_winnow_match_spans,
+        "brand_volume": relational.q_brand_volume,
+        "shipping_priority": relational.q_shipping_priority,
+        "local_supplier_volume": relational.q_local_supplier_volume,
+        "nation_trade_volume": tpch.q_nation_trade_volume,
+        "customer_order_distribution": tpch.q_customer_order_distribution,
+        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,
+        "returned_item_reporting": tpch.q_returned_item_reporting,
+        "promo_revenue_share": tpch.q_promo_revenue_share,
     }
 
 

@@ -25,6 +25,12 @@ import uuid
 
 import pytest
 
+# An in-process broker was attempted and is definitively impossible in
+# this sandbox (r9 probe, full log in SCALE.md "Environment blockers"):
+# no kafka-server-start/mongod/redpanda binary on PATH, no Kafka
+# distribution under /opt to launch a single-node KRaft from, no
+# kafka-python to drive one, zero connector jars in /opt/spark/jars,
+# and no DNS for --packages to fetch any of the above.
 pytestmark = pytest.mark.skipif(
     not os.environ.get("KAFKA_BOOTSTRAP"),
     reason="live-broker smoke: set KAFKA_BOOTSTRAP=host:9092 (and provide "

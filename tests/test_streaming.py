@@ -687,3 +687,75 @@ def test_streaming_enriched_matches_batch_totals(spark):
         # fleet_weight aggregates a per-provider constant: divisible
         # consistency — every row's weight >= its ping count (fleet >= 1)
         assert r["fleet_weight"] >= r["ping_count"]
+
+
+def test_crash_between_external_commit_and_checkpoint_commit(spark, dirs, tmp_path):
+    """ST6 failure injection (r8 verdict item #7): the idempotent-sink
+    contract exists precisely for the crash window AFTER the external
+    store committed a micro-batch and BEFORE Spark committed that
+    batch's offsets to the checkpoint. Inject exactly that: the
+    foreachBatch writer completes store.merge for epoch 1, then dies.
+    On restart from the same checkpoint Spark replays epoch 1, the
+    store merges the same batch a second time, and the final keyed
+    store must be identical to an uninterrupted run's — row for row,
+    version-manifest key count included."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        windowed_tiles_stream,
+    )
+
+    for name, batch in (
+        ("b1.json", [_wire("v1", "2024-01-01T10:02:00Z", speed=10.0),
+                     _wire("v2", "2024-01-01T10:03:00Z", lat=42.36, speed=20.0)]),
+        ("b2.json", [_wire("v1", "2024-01-01T10:04:00Z", speed=30.0),
+                     _wire("v3", "2024-01-01T10:06:00Z", lat=42.40, speed=40.0)]),
+    ):
+        _write_json(dirs["in"], name, batch)
+
+    def run(store, checkpoint, merge_fn):
+        pings = json_ping_stream(spark, dirs["in"], max_files_per_trigger=1)
+        q = (
+            windowed_tiles_stream(pings)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(merge_fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # uninterrupted reference run (one file per micro-batch)
+    ref_store = tile_store(dirs["store"])
+    run(ref_store, dirs["ckpt"], lambda df, eid: ref_store.merge(df, eid))
+    want = sorted(map(tuple, ref_store.read(spark).collect()))
+    assert want, "reference run produced no state"
+
+    # failure run: crash AFTER epoch 1's external commit, BEFORE Spark
+    # records epoch 1 in the checkpoint
+    crash_store = tile_store(str(tmp_path / "store_crash"))
+    ckpt_crash = str(tmp_path / "ckpt_crash")
+    seen: list[int] = []
+
+    def crashing_merge(batch_df, epoch_id):
+        crash_store.merge(batch_df, epoch_id)
+        seen.append(epoch_id)
+        if epoch_id >= 1:
+            raise RuntimeError("injected crash post-commit")
+
+    with pytest.raises(StreamingQueryException):
+        run(crash_store, ckpt_crash, crashing_merge)
+    assert max(seen) >= 1, "crash must happen after at least two epochs"
+
+    # restart from the same checkpoint: epoch 1 replays into the store
+    replayed: list[int] = []
+
+    def counting_merge(batch_df, epoch_id):
+        crash_store.merge(batch_df, epoch_id)
+        replayed.append(epoch_id)
+
+    run(crash_store, ckpt_crash, counting_merge)
+    assert replayed, "restart must replay the uncommitted epoch"
+
+    got = sorted(map(tuple, crash_store.read(spark).collect()))
+    assert got == want
