@@ -74,10 +74,24 @@ def main() -> None:
     # other pass's min absorbs it) instead of poisoning both runs of
     # whichever query it hit — the r4 verdict's variance post-mortem asked
     # for exactly this protocol.
+    #
+    # FIXED (sorted) execution order, decoupled from the dict order: the
+    # queries() dict is the driver's correctness rotation window, so its
+    # order RESHUFFLES every round. Per-query wall time is position-
+    # dependent (accumulated codegen/GC session pressure after ~100 plans:
+    # r9's media_frame_sample measured 0.98s at suite position 69 in both
+    # passes vs 0.55s isolated and 0.62s after only its 6 r9-order
+    # predecessors — code unchanged since r7), so an order that moves
+    # between rounds makes baselines incomparable and flags phantom
+    # regressions. Sorted-by-name order keeps each query's predecessors
+    # stable across rounds; the ratcheting baseline then compares
+    # like-for-like positions.
+    run_order = sorted(qs)
     all_times: dict[str, list[float]] = {name: [] for name in qs}
     calibration: list[float] = []
     for _ in range(runs):
-        for i, (name, fn) in enumerate(qs.items()):
+        for i, name in enumerate(run_order):
+            fn = qs[name]
             if i % 20 == 0:
                 calibration.append(round(noop_probe(), 3))
             t0 = time.perf_counter()

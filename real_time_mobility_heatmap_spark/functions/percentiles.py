@@ -30,6 +30,15 @@ IEEE double, so ``p`` must be a dyadic rational (k/2^m — 0.5, 0.25,
 i/8...) for the ceil to be exact at any n < 2^53. Every call site in
 this repo uses dyadic p; ``tests/test_analytics.py`` pins equivalence
 with the built-in ``percentile_disc`` on real data.
+
+Global-percentile caveat (r9 advice #3): with ``keys`` empty both
+windows are ``Window.partitionBy()`` — every distinct value funnels
+through ONE task. Disk-backed (no OOM), but a single-task bottleneck
+for a genuinely high-cardinality global column; callers wanting a
+global percentile over corpus-scale distinct values should bound
+cardinality first (bucketize) or use ``approxQuantile``. The
+``range_partition_plan`` call site is fine: ``n_chars`` cardinality is
+bounded by document length.
 """
 
 from __future__ import annotations
@@ -49,17 +58,30 @@ def percentile_disc_exact(
 ) -> DataFrame:
     """Exact discrete percentiles of ``col`` per ``keys`` group (global
     when ``keys`` is empty), one output column per (p, alias) pair.
-    NULL values are ignored, matching the built-in."""
+
+    NULL handling matches the built-in exactly (r9 advice #1): NULL
+    values are ignored within a group, and a group whose values are ALL
+    NULL still emits its row with NULL percentiles. Implemented without
+    an extra keys-distinct pass: the distinct-pair aggregate KEEPS the
+    null-value row but gives it zero cumulative weight (nulls sort first
+    under ``asc``, so non-null running sums are unaffected), and
+    ``min(when(...))`` skips the null candidate — so an all-null group
+    survives as one zero-weight row that yields NULL.
+
+    ``p`` may be any dyadic rational in [0, 1]; ``p=0`` returns the
+    group minimum, same as the built-in ``percentile_disc(0)``
+    (``cum >= ceil(0) = 0`` first matches the smallest value).
+    """
     if len(ps) != len(aliases):
         raise ValueError("ps and aliases must pair up")
     for p in ps:
-        if not 0.0 < p <= 1.0:
+        if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentile out of range: {p}")
     kcols = list(keys)
-    counts = (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(*kcols, col)
-        .agg(F.count(F.lit(1)).alias("_c"))
+    counts = df.groupBy(*kcols, col).agg(
+        # zero weight for the null-value row: it preserves its group in
+        # the output without contributing to n or the running sum
+        F.count(col).alias("_c")
     )
     w_cum = Window.partitionBy(*kcols).orderBy(F.asc(col))
     w_all = Window.partitionBy(*kcols)

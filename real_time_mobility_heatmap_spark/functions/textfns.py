@@ -29,6 +29,53 @@ def hash60_duck_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def ln_u60_exact_sql(h: str, dialect: str) -> str:
+    """ENGINE-EXACT ``ln((h+1) / 2^60)`` for a 60-bit hash column ``h`` —
+    built from exactly-rounded IEEE-754 double ops only (+ - * / and a
+    correctly-rounded decimal literal), never libm ``ln``/``log``/``pow``,
+    so the resulting double is BIT-IDENTICAL in Spark and DuckDB and an
+    ORDER BY over it can never flip between the engines (r9 verdict #3:
+    ``weighted_sample``'s cross-libm ulp coin-flip).
+
+    Construction (every step exactly rounded, hence deterministic):
+      e  = floor(log2(h+1))    -- integer-exact: length(bin(h+1)) - 1
+      m  = double(h+1) / 2^e   -- 2^e via integer shift-left, cast exact;
+                                  double(h+1) rounds once (monotone)
+      z  = (m-1)/(m+1)         -- z in [0, 1/3] for m in [1, 2)
+      ln(m) ~= 2z(1 + z^2/3 + z^4/5 + ... + z^12/13)   -- atanh series,
+                                  |truncation| < 5e-9, monotone in m
+      ln(u) = ln(m) + (e-60) * LN2   -- LN2 as an exact double literal
+
+    The ~5e-9 truncation error only perturbs the IMPLIED sampling
+    distribution infinitesimally (the uniform u is itself hash-derived);
+    what matters is that both engines compute the identical bits.
+    tests/test_textops.py pins Spark-vs-DuckDB bit equality, including
+    adversarial h at power-of-two boundaries.
+    """
+    hp1 = f"({h} + 1)"
+    e = f"(length(bin({hp1})) - 1)"
+    if dialect == "spark":
+        shift = f"CAST(shiftleft(CAST(1 AS BIGINT), {e}) AS DOUBLE)"
+    elif dialect == "duck":
+        shift = f"CAST((CAST(1 AS BIGINT) << {e}) AS DOUBLE)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    # scientific-notation literals (2e0, not 2.0): BOTH engines parse a
+    # plain decimal literal as DECIMAL, whose division truncates at a
+    # dialect-specific scale — 1.0/3.0 differs between them at ~1e-9.
+    # `Ne0` literals are DOUBLE in Spark and DuckDB alike, keeping every
+    # op an exactly-rounded IEEE double op.
+    m = f"(CAST({hp1} AS DOUBLE) / {shift})"
+    z = f"(({m} - 1e0) / ({m} + 1e0))"
+    z2 = f"({z} * {z})"
+    poly = (
+        f"(2e0 * {z} * (1e0 + {z2} * ((1e0/3e0) + {z2} * ((1e0/5e0) + "
+        f"{z2} * ((1e0/7e0) + {z2} * ((1e0/9e0) + {z2} * ((1e0/11e0) + "
+        f"{z2} * (1e0/13e0))))))))"
+    )
+    return f"({poly} + CAST({e} - 60 AS DOUBLE) * 6.931471805599453e-1)"
+
+
 def tokens(text: Column) -> Column:
     """Lowercased whitespace tokens."""
     return F.split(F.lower(F.trim(text)), r"\s+")

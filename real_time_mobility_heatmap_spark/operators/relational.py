@@ -317,7 +317,11 @@ def approx_distinct_accuracy(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> D
     return per_cell.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("uniq").alias("sum_unique_vehicles"),
-        (F.sum(violated) * 100 <= F.count(F.lit(1)) + 100).alias("violation_rate_ok"),
+        # coalesce: on EMPTY input sum(violated) is NULL and the comparison
+        # would yield NULL while the oracle emits TRUE (r9 advice #2)
+        (F.coalesce(F.sum(violated), F.lit(0)) * 100 <= F.count(F.lit(1)) + 100).alias(
+            "violation_rate_ok"
+        ),
     )
 
 

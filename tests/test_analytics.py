@@ -538,3 +538,31 @@ def test_percentile_disc_exact_matches_builtin(spark, sf_dir):
         ]
     ).collect()[0]
     assert tuple(got_g) == tuple(want_g)
+
+
+def test_percentile_disc_exact_null_groups_and_p0(spark):
+    """r9 advice #1/#3: an all-NULL group must still emit its row (with a
+    NULL percentile, like the built-in), NULLs inside a mixed group are
+    ignored, and p=0 is accepted and returns the group minimum."""
+    from real_time_mobility_heatmap_spark.functions.percentiles import (
+        percentile_disc_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3.0), ("a", 1.0), ("a", None), ("b", None), ("b", None), ("c", 7.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: (r["p0"], r["p50"])
+        for r in percentile_disc_exact(df, ["k"], "v", [0.0, 0.5], ["p0", "p50"]).collect()
+    }
+    want = {
+        r["k"]: (r["p0"], r["p50"])
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile_disc(0.0) WITHIN GROUP (ORDER BY v)").alias("p0"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50"),
+        )
+        .collect()
+    }
+    assert got == want == {"a": (1.0, 1.0), "b": (None, None), "c": (7.0, 7.0)}

@@ -730,6 +730,52 @@ def test_weighted_sample_is_deterministic_and_length_biased(spark, sf_dir):
     )
 
 
+def test_ln_u60_exact_is_bit_identical_across_engines(spark):
+    """r9 verdict #3: weighted_sample's ordering key must be ENGINE-EXACT
+    — the Spark and DuckDB evaluations of ln_u60_exact_sql must agree to
+    the BIT (not epsilon), including adversarial h at power-of-two
+    mantissa/exponent boundaries where the old libm-ln path could flip
+    by an ulp. Bit-identical priorities make an ulp-boundary rank flip
+    impossible by construction, so ordering is stable wherever two
+    priorities differ at all (and exact ties fall to the doc_id
+    tie-break identically in both engines)."""
+    import struct
+
+    import duckdb
+
+    from real_time_mobility_heatmap_spark.functions.textfns import ln_u60_exact_sql
+
+    hs = [0, 1, 2, 3]
+    for k in (52, 53, 59):
+        hs += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    hs += [(1 << 60) - 2, (1 << 60) - 1]
+    import random
+
+    rng = random.Random(20260814)
+    hs += [rng.getrandbits(60) for _ in range(3000)]
+
+    sdf = spark.createDataFrame([(h,) for h in hs], "h bigint")
+    spark_vals = [
+        r["v"]
+        for r in sdf.selectExpr("h", f"{ln_u60_exact_sql('h', 'spark')} AS v")
+        .orderBy("h")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(h BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(h,) for h in hs])
+    duck_vals = [
+        v for (v,) in con.execute(
+            f"SELECT {ln_u60_exact_sql('h', 'duck')} FROM t ORDER BY h"
+        ).fetchall()
+    ]
+    assert len(spark_vals) == len(duck_vals)
+    for s, d in zip(spark_vals, duck_vals):
+        assert struct.pack("<d", s) == struct.pack("<d", d), (s, d)
+    # sanity: monotone non-decreasing in h (sorted h => sorted ln(u))
+    assert all(a <= b for a, b in zip(spark_vals, spark_vals[1:]))
+
+
 def test_range_partition_plan_balances_buckets(spark, sf_dir):
     from real_time_mobility_heatmap_spark.operators.relational import (
         RANGE_BUCKETS,
