@@ -260,6 +260,16 @@ def _baseline() -> tuple[str, dict[str, float]]:
     except (OSError, ValueError):
         pass
     for p in recorded:
+        # same sf guard as the detail record: BENCH_r*.json are always
+        # driver runs at sf0.1, so a local debug run at another sf must
+        # not compare against them (it flagged phantom "regressions"
+        # when smoke-testing at sf0.001)
+        try:
+            rec_sf = json.loads(p.read_text()).get("parsed", {}).get("sf")
+        except (OSError, ValueError, AttributeError):
+            rec_sf = None
+        if run_sf is not None and rec_sf is not None and rec_sf != run_sf:
+            continue
         for k, v in _recorded_queries(p).items():
             merged.setdefault(k, v)
     return label, merged

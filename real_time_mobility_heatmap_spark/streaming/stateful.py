@@ -24,6 +24,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
 
 TRIP_GAP_MIN = 30
 
@@ -105,5 +111,82 @@ def vehicle_trips_stream(pings: DataFrame, watermark: str = "10 minutes") -> Dat
             TRIP_STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+class TripProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` twin of ``detect_trips`` — the same
+    per-vehicle trip state machine on PySpark 4.x's successor API
+    (typed state handles + explicit event-time TIMERS instead of the
+    single ``GroupState`` + timeout slot). Semantics are identical by
+    construction: one value-state record for the open trip, a timer at
+    ``trip_end + gap`` re-armed on every update, state cleared when the
+    timer fires — so state is watermark-bounded exactly like the
+    ``applyInPandasWithState`` form. Requires the RocksDB state store
+    provider (the API needs multiple column families), which
+    ``assembly.run_streaming_trips_tws`` scopes around the query."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._trip = handle.getValueState("trip", TRIP_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        provider, vehicle = key
+        ts_us: list[int] = []
+        for pdf in rows:
+            # dropna BEFORE the int cast — same NaT guard as detect_trips
+            ts = pd.to_datetime(pdf["eventTs"]).dropna()
+            ts_us.extend(int(v) // 1000 for v in ts.astype("int64"))
+        ts_us.sort()
+
+        open_trip = tuple(self._trip.get()) if self._trip.exists() else None
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if open_trip is None:
+                open_trip = (t, t, 1)
+            elif t - open_trip[1] <= _GAP_US:
+                open_trip = (open_trip[0], max(open_trip[1], t), open_trip[2] + 1)
+            else:
+                closed.append(open_trip)
+                open_trip = (t, t, 1)
+
+        if open_trip is not None:
+            self._trip.update(open_trip)
+            # re-arm the finalization timer at the NEW horizon: a stale
+            # timer from a previous batch would fire early and split the
+            # still-open trip, so it is deleted before registering
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(open_trip[1] // 1000 + TRIP_GAP_MIN * 60 * 1000)
+        if closed:
+            yield _emit(provider, vehicle, closed)
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        provider, vehicle = key
+        if self._trip.exists():
+            trip = tuple(self._trip.get())
+            self._trip.clear()
+            yield _emit(provider, vehicle, [trip])
+
+    def close(self) -> None:
+        pass
+
+
+def vehicle_trips_stream_tws(pings: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """pings stream -> closed-trip stream via ``transformWithStateInPandas``
+    (append; event-time timers finalize dangling trips)."""
+    return (
+        pings.withWatermark("eventTs", watermark)
+        .groupBy("provider", "vehicleId")
+        .transformWithStateInPandas(
+            TripProcessor(),
+            TRIP_OUTPUT_SCHEMA,
+            "append",
+            "eventTime",
         )
     )

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 
@@ -538,6 +539,119 @@ def test_detect_trips_all_null_timestamps_no_state_crash():
     state = _StubState()
     out = list(detect_trips(("mbta", "v9"), iter([pdf]), state))
     assert out == [] and state.updated is None
+
+
+class _StubValueState:
+    def __init__(self):
+        self.value = None
+
+    def exists(self):
+        return self.value is not None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        assert v is not None
+        self.value = tuple(v)
+
+    def clear(self):
+        self.value = None
+
+
+class _StubHandle:
+    def __init__(self):
+        self.state = _StubValueState()
+        self.timers: list[int] = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def registerTimer(self, ts_ms):
+        self.timers.append(ts_ms)
+
+    def deleteTimer(self, ts_ms):
+        self.timers.remove(ts_ms)
+
+
+def test_trip_processor_state_machine_with_stub_handle():
+    """TripProcessor (the transformWithStateInPandas twin of detect_trips)
+    must run the same state machine: gap-close in-batch, open trip carried
+    across invocations with the timer RE-ARMED at the new horizon (exactly
+    one live timer), and the expired timer emitting + clearing the
+    dangling trip. Driven through a stub handle because the live API needs
+    google.protobuf, absent in this sandbox (see SCALE.md blockers)."""
+    import pandas as pd
+
+    from real_time_mobility_heatmap_spark.streaming.stateful import (
+        TRIP_GAP_MIN,
+        TripProcessor,
+    )
+
+    proc = TripProcessor()
+    handle = _StubHandle()
+    proc.init(handle)
+
+    key = ("mbta", "v1")
+    # batch 1: two close pings + one past the gap -> first trip closes
+    b1 = pd.DataFrame(
+        {"eventTs": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 12:00"])}
+    )
+    out1 = list(proc.handleInputRows(key, iter([b1]), None))
+    assert len(out1) == 1 and len(out1[0]) == 1
+    assert out1[0]["n_pings"].tolist() == [2]
+    assert handle.state.exists() and handle.state.get()[2] == 1  # 12:00 trip open
+    assert len(handle.timers) == 1
+
+    # batch 2: ping within the gap extends the open trip; old timer replaced
+    b2 = pd.DataFrame({"eventTs": pd.to_datetime(["2024-01-01 12:20"])})
+    old_timer = handle.timers[0]
+    out2 = list(proc.handleInputRows(key, iter([b2]), None))
+    assert out2 == [] and handle.state.get()[2] == 2
+    assert len(handle.timers) == 1 and handle.timers[0] > old_timer
+
+    # the expected horizon: trip_end + gap, in epoch ms
+    end_us = handle.state.get()[1]
+    assert handle.timers[0] == end_us // 1000 + TRIP_GAP_MIN * 60 * 1000
+
+    # timer fires: dangling trip emitted once, state cleared
+    out3 = list(proc.handleExpiredTimer(key, None, None))
+    assert len(out3) == 1 and out3[0]["n_pings"].tolist() == [2]
+    assert not handle.state.exists()
+    assert list(proc.handleExpiredTimer(key, None, None)) == []
+
+
+twstate_available = pytest.mark.skipif(
+    importlib.util.find_spec("google") is None
+    or importlib.util.find_spec("google.protobuf") is None,
+    reason="transformWithStateInPandas needs the protobuf package (its "
+    "state-API client speaks protobuf to the JVM state server); not "
+    "installed here and uninstallable offline — blocker in SCALE.md",
+)
+
+
+@twstate_available
+def test_transform_with_state_trips_match_batch(spark):
+    """Live transformWithStateInPandas trip run == batch gaps-and-islands
+    (same assertion the applyInPandasWithState test makes)."""
+    from real_time_mobility_heatmap_spark.operators.windows import q_vehicle_trips
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        run_streaming_trips_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["provider"], r["vehicleId"], r["trip_no"], r["trip_start"], r["trip_end"], r["n_pings"])
+        for r in run_streaming_trips_tws(spark, sf).collect()
+    )
+    want = sorted(
+        (r["provider"], r["vehicleId"], r["trip_no"], r["trip_start"], r["trip_end"], r["n_pings"])
+        for r in q_vehicle_trips(spark, sf).collect()
+    )
+    assert got == want and len(want) > 0
 
 
 def test_store_time_travel_and_retention(spark, tmp_path):
