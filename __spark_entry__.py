@@ -99,202 +99,206 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest row first", not a fixed every-other-round cadence.
     """
     return {
-        # ---- driver window (r9) ----
+        # ---- driver window (r10) ----
         # (0) NEW this round (never driver-checked):
-        "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,
-        # (1) CHANGED this round — results must be re-verified the
-        # same round the code lands: the 9 TPC-H queries whose
-        # SF-scaled broadcast hints were removed (r8 verdict #1/#2)
-        # and the 4 queries with reworked internals (exact-percentile
-        # reformulation; accuracy-gate redesigns; null-safe join):
-        "min_cost_supplier": tpch.q_min_cost_supplier,
-        "market_share": tpch.q_market_share,
-        "product_type_profit": tpch.q_product_type_profit,
-        "top_suppliers": tpch.q_top_suppliers,
-        "important_parts": tpch.q_important_parts,
-        "part_supplier_counts": tpch.q_part_supplier_counts,
-        "small_quantity_revenue": relational.q_small_quantity_revenue,
-        "large_volume_customers": tpch.q_large_volume_customers,
-        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,
+        "vband_geometry_report": similarity.q_vband_geometry_report,
+        # (1) CHANGED this round — re-verified the round the code
+        # lands: weighted_sample (engine-exact ordering),
+        # approx_distinct_accuracy (empty-input coalesce),
+        # mad_outliers/range_partition_plan (percentile lib null/p=0
+        # semantics), minhash_lsh_pairs (_lsh_buckets factor-out),
+        # embedding_neardup (cap bound + band param),
+        # streaming_sessions (sentinel-dir factor-out):
+        "weighted_sample": textops.q_weighted_sample,
+        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,
         "mad_outliers": analytics.q_mad_outliers,
         "range_partition_plan": relational.q_range_partition_plan,
-        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,
-        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,
-        # (2) the r5-stale cohort (r8 verdict #4: no green row should
-        # be older than 2 rounds) — 36 of the 45, oldest-first:
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        "simhash": dedup.q_simhash,
-        "vehicle_trips": windows.q_vehicle_trips,
-        "pack_sequences": textops.q_pack_sequences,
-        "conversion_window_counts": relational.q_conversion_window_counts,
-        "orders_with_big_items": relational.q_orders_with_big_items,
-        "customers_without_orders": relational.q_customers_without_orders,
-        "sales_rollup": relational.q_sales_rollup,
-        "above_avg_orders": relational.q_above_avg_orders,
-        "cube_sales": relational.q_cube_sales,
-        "embedding_neardup": similarity.q_embedding_neardup,
-        "mobility_tiles": _q_mobility_tiles,
-        "multiplex_summary": multiplex.q_multiplex_summary,
-        "pricing_summary": relational.q_pricing_summary,
-        "tile_feature_collection": geojson.q_tile_feature_collection,
-        "token_count": textops.q_token_count,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
-        "wire_roundtrip": decode.q_wire_roundtrip,
-        "latest_positions": latest.q_latest_positions,
-        "latest_window_snapshot": latest.q_latest_window_snapshot,
-        "demux_tiles": multiplex.q_demux_tiles,
-        "tile_features_flat": geojson.q_tile_features_flat,
-        "fresh_tiles": geojson.q_fresh_tiles,
-        "exact_dedup": dedup.q_exact_dedup,
-        "minhash_signatures": dedup.q_minhash_signatures,
-        "json_decode": decode.q_json_decode,
-        "latest_join": latest.q_latest_join,
-        "top_window": latest.q_top_window,
-        "watermark_latedrop": latest.q_watermark_latedrop,
-        "latest_rownum": latest.q_latest_rownum,
-        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
-        "position_features": geojson.q_position_features,
-        "quality_score": textops.q_quality_score,
-        "lang_id": textops.q_lang_id,
-        "fingerprint": textops.q_fingerprint,
-        "rolling_fingerprint": textops.q_rolling_fingerprint,
-        # ---------------- end of driver window (50 entries) ----------------
-        # the 9 r5-stale leftovers — due FIRST in the r10 window:
+        "embedding_neardup": similarity.q_embedding_neardup,
+        "streaming_sessions": run_streaming_sessions,
+        # (2) the 9 r5-stale anchors (r9 verdict #2 — due first):
+        "active_cells_flags": relational.q_active_cells_flags,
+        "active_cells_setops": relational.q_active_cells_setops,
         "corpus_stats": textops.q_corpus_stats,
-        "term_frequencies": textops.q_term_frequencies,
-        "tfidf_top_terms": textops.q_tfidf_top_terms,
         "dataset_split": textops.q_dataset_split,
         "event_type_pivot": relational.q_event_type_pivot,
-        "moving_avg_speed": relational.q_moving_avg_speed,
-        "active_cells_setops": relational.q_active_cells_setops,
-        "active_cells_flags": relational.q_active_cells_flags,
         "funnel_conversions": relational.q_funnel_conversions,
-        # r6-green anchors, then r7, then r8 (newest rows last);
-        # all remain covered by the local oracle gate + plan lints:
-        "dedup_clusters": dedup.q_dedup_clusters,
-        "bucketed_join_stats": relational.bucketed_join_stats,
-        "kmeans_update": similarity.q_kmeans_update,
-        "ivf_assign_trained": similarity.q_ivf_assign_trained,
-        "scd2_user_segments": windows.q_scd2_user_segments,
-        "wire_encode": wire.q_wire_encode,
-        "tile_colors": wire.q_tile_colors,
-        "sql_pricing_summary": wire.q_sql_pricing_summary,
-        "winnow_fingerprints": dedup.q_winnow_fingerprints,
-        "winnow_match_pairs": dedup.q_winnow_match_pairs,
-        "media_frame_sample": multimodal.q_media_frame_sample,
-        "media_resize": multimodal.q_media_resize,
-        "resample_trajectories": trajectory.q_resample_trajectories,
+        "moving_avg_speed": relational.q_moving_avg_speed,
+        "term_frequencies": textops.q_term_frequencies,
+        "tfidf_top_terms": textops.q_tfidf_top_terms,
+        # (3) oldest 33 of the 47 r6-green cohort:
+        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
         "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
-        "table_profile": windows.q_table_profile,
-        "value_histogram": windows.q_value_histogram,
-        "vehicle_travel_stats": windows.q_vehicle_travel_stats,
-        "recent_tiles_merged": latest.q_recent_tiles_merged,
-        "zone_counts": spatial.q_zone_counts,
-        "salted_join_stats": relational.q_salted_join_stats,
-        "quality_filter": textops.q_quality_filter,
-        "stratified_sample": textops.q_stratified_sample,
-        "token_commonness": textops.q_token_commonness,
-        "incremental_dedup": dedup.q_incremental_dedup,
-        "redact_pii": textops.q_redact_pii,
-        "ivf_assign": similarity.q_ivf_assign,
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "bucketed_join_stats": relational.bucketed_join_stats,
         "decontaminate": dedup.q_decontaminate,
-        "repetition_stats": textops.q_repetition_stats,
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "incremental_dedup": dedup.q_incremental_dedup,
+        "ivf_assign": similarity.q_ivf_assign,
+        "ivf_assign_trained": similarity.q_ivf_assign_trained,
+        "kmeans_update": similarity.q_kmeans_update,
+        "latest_maxby": latest.q_latest_maxby,
+        "lsh_buckets": similarity.q_lsh_buckets,
+        "media_features": multimodal.q_media_features,
+        "media_frame_sample": multimodal.q_media_frame_sample,
+        "media_metadata": multimodal.q_media_metadata,
+        "media_resize": multimodal.q_media_resize,
         "mixture_sample": textops.q_mixture_sample,
+        "normalize": decode.q_normalize,
+        "quality_filter": textops.q_quality_filter,
+        "recent_tiles_merged": latest.q_recent_tiles_merged,
+        "redact_pii": textops.q_redact_pii,
+        "repetition_stats": textops.q_repetition_stats,
+        "resample_trajectories": trajectory.q_resample_trajectories,
+        "salted_cell_counts": windows.q_salted_cell_counts,
+        "salted_join_stats": relational.q_salted_join_stats,
+        "scd2_user_segments": windows.q_scd2_user_segments,
+        "sliding_cell_counts": windows.q_sliding_cell_counts,
         "source_roundtrip": source_roundtrip,
+        "sql_pricing_summary": wire.q_sql_pricing_summary,
+        "stratified_sample": textops.q_stratified_sample,
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
+        "streaming_tiles": run_streaming_tiles,
+        "table_profile": windows.q_table_profile,
+        # ------------- end of driver window (50 entries) -------------
+        # 14 r6-green leftovers — due FIRST in the r11 window (all 14
+        # re-verified locally this round via tools/check_oracles.py):
+        "tile_colors": wire.q_tile_colors,
+        "token_commonness": textops.q_token_commonness,
         "topk_cosine": similarity.q_topk_cosine,
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
-        "lsh_buckets": similarity.q_lsh_buckets,
-        "media_metadata": multimodal.q_media_metadata,
-        "media_features": multimodal.q_media_features,
-        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
-        "sliding_cell_counts": windows.q_sliding_cell_counts,
-        "vehicle_sessions": windows.q_vehicle_sessions,
-        "salted_cell_counts": windows.q_salted_cell_counts,
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "value_histogram": windows.q_value_histogram,
         "value_percentiles": windows.q_value_percentiles,
-        "normalize": decode.q_normalize,
-        "latest_maxby": latest.q_latest_maxby,
-        "streaming_tiles": run_streaming_tiles,
-        "disjunctive_revenue": tpch.q_disjunctive_revenue,
-        "boilerplate_scrub": textops.q_boilerplate_scrub,
-        "quality_decile_report": textops.q_quality_decile_report,
-        "rp_recall_report": similarity.q_rp_recall_report,
-        "media_phash_pairs": multimodal.q_media_phash_pairs,
-        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
-        "cohort_retention": analytics.q_cohort_retention,
-        "markov_transitions": analytics.q_markov_transitions,
-        "zscore_outliers": analytics.q_zscore_outliers,
+        "vehicle_sessions": windows.q_vehicle_sessions,
+        "vehicle_travel_stats": windows.q_vehicle_travel_stats,
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,
+        "winnow_match_pairs": dedup.q_winnow_match_pairs,
+        "wire_encode": wire.q_wire_encode,
+        "zone_counts": spatial.q_zone_counts,
+        # r7-, r8-, then r9-green anchors (newest rows last); all
+        # remain covered by the local oracle gate + plan lints:
         "attribution_report": relational.q_attribution_report,
-        "partition_pruned_stats": relational.q_partition_pruned_stats,
-        "hierarchical_rollups": _q_hierarchical_rollups,
-        "streaming_neardup": run_streaming_neardup,
-        "minhash_error_report": dedup.q_minhash_error_report,
-        "zorder_layout_report": spatial.q_zorder_layout_report,
-        "forecast_revenue_change": tpch.q_forecast_revenue_change,
-        "late_order_priority": tpch.q_late_order_priority,
-        "idle_customer_balance": tpch.q_idle_customer_balance,
-        "semantic_dedup": similarity.q_semantic_dedup,
-        "fuzzy_part_matches": relational.q_fuzzy_part_matches,
-        "key_skew_report": relational.q_key_skew_report,
-        "pagerank_pairs": dedup.q_pagerank_pairs,
+        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
+        "boilerplate_scrub": textops.q_boilerplate_scrub,
+        "chunk_documents": textops.q_chunk_documents,
+        "cohort_retention": analytics.q_cohort_retention,
         "containment_pairs": dedup.q_containment_pairs,
-        "dedup_keep_best": dedup.q_dedup_keep_best,
-        "lm_score": textops.q_lm_score,
         "decontaminate_bloom": dedup.q_decontaminate_bloom,
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
-        "streaming_sessions": run_streaming_sessions,
-        "chunk_documents": textops.q_chunk_documents,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,
+        "fuzzy_part_matches": relational.q_fuzzy_part_matches,
+        "hierarchical_rollups": _q_hierarchical_rollups,
+        "idle_customer_balance": tpch.q_idle_customer_balance,
         "ivf_recall_report": similarity.q_ivf_recall_report,
-        "streaming_conversions": run_streaming_conversions,
+        "key_skew_report": relational.q_key_skew_report,
+        "late_order_priority": tpch.q_late_order_priority,
+        "lm_score": textops.q_lm_score,
+        "markov_transitions": analytics.q_markov_transitions,
+        "media_phash_pairs": multimodal.q_media_phash_pairs,
+        "minhash_error_report": dedup.q_minhash_error_report,
+        "pagerank_pairs": dedup.q_pagerank_pairs,
+        "partition_pruned_stats": relational.q_partition_pruned_stats,
+        "quality_decile_report": textops.q_quality_decile_report,
         "quantize_embeddings": similarity.q_quantize_embeddings,
         "quantized_recall_report": similarity.q_quantized_recall_report,
-        "streaming_positions": run_streaming_positions,
+        "rp_recall_report": similarity.q_rp_recall_report,
+        "semantic_dedup": similarity.q_semantic_dedup,
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,
         "source_mixture_report": textops.q_source_mixture_report,
-        "repeated_span_report": dedup.q_repeated_span_report,
-        "ngram_novelty_report": textops.q_ngram_novelty_report,
-        "streaming_enriched": run_streaming_enriched,
-        "cluster_quality_report": similarity.q_cluster_quality_report,
+        "streaming_conversions": run_streaming_conversions,
+        "streaming_neardup": run_streaming_neardup,
+        "streaming_positions": run_streaming_positions,
+        "zorder_layout_report": spatial.q_zorder_layout_report,
+        "zscore_outliers": analytics.q_zscore_outliers,
         "bm25_top_terms": textops.q_bm25_top_terms,
-        "source_overlap_matrix": dedup.q_source_overlap_matrix,
-        "vocab_coverage_report": textops.q_vocab_coverage_report,
-        "weighted_sample": textops.q_weighted_sample,
-        "lang_mix_report": textops.q_lang_mix_report,
-        "rp_project": similarity.q_rp_project,
-        "media_phash": multimodal.q_media_phash,
-        "dq_expectations": relational.q_dq_expectations,
-        "rollup_delta_merge": _q_rollup_delta_merge,
-        "modality_agreement_report": similarity.q_modality_agreement_report,
-        "triangle_count": dedup.q_triangle_count,
-        "range_frame_speed": relational.q_range_frame_speed,
-        "order_rank_report": relational.q_order_rank_report,
-        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,
-        "unpivot_tile_metrics": _q_unpivot_tile_metrics,
         "bpe_merge_round": textops.q_bpe_merge_round,
-        "cms_token_counts": textops.q_cms_token_counts,
-        "leakage_safe_split": dedup.q_leakage_safe_split,
-        "compaction_plan": spatial.q_compaction_plan,
-        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
-        "ewma_speed": analytics.q_ewma_speed,
-        "k_anonymity_report": relational.q_k_anonymity_report,
-        "join_size_estimate": relational.q_join_size_estimate,
-        "polygon_zone_counts": spatial.q_polygon_zone_counts,
-        "grouping_sets_sales": relational.q_grouping_sets_sales,
-        "props_key_stats": decode.q_props_key_stats,
-        "snapshot_diff_report": relational.q_snapshot_diff_report,
-        "table_profile_accuracy": windows.q_table_profile_accuracy,
-        "winnow_match_spans": dedup.q_winnow_match_spans,
         "brand_volume": relational.q_brand_volume,
-        "shipping_priority": relational.q_shipping_priority,
-        "local_supplier_volume": relational.q_local_supplier_volume,
-        "nation_trade_volume": tpch.q_nation_trade_volume,
+        "cluster_quality_report": similarity.q_cluster_quality_report,
+        "cms_token_counts": textops.q_cms_token_counts,
+        "compaction_plan": spatial.q_compaction_plan,
         "customer_order_distribution": tpch.q_customer_order_distribution,
+        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,
+        "dq_expectations": relational.q_dq_expectations,
+        "ewma_speed": analytics.q_ewma_speed,
+        "grouping_sets_sales": relational.q_grouping_sets_sales,
+        "join_size_estimate": relational.q_join_size_estimate,
+        "k_anonymity_report": relational.q_k_anonymity_report,
+        "lang_mix_report": textops.q_lang_mix_report,
         "late_shipment_suppliers": tpch.q_late_shipment_suppliers,
-        "returned_item_reporting": tpch.q_returned_item_reporting,
+        "leakage_safe_split": dedup.q_leakage_safe_split,
+        "local_supplier_volume": relational.q_local_supplier_volume,
+        "media_phash": multimodal.q_media_phash,
+        "modality_agreement_report": similarity.q_modality_agreement_report,
+        "nation_trade_volume": tpch.q_nation_trade_volume,
+        "ngram_novelty_report": textops.q_ngram_novelty_report,
+        "order_rank_report": relational.q_order_rank_report,
+        "polygon_zone_counts": spatial.q_polygon_zone_counts,
         "promo_revenue_share": tpch.q_promo_revenue_share,
+        "props_key_stats": decode.q_props_key_stats,
+        "range_frame_speed": relational.q_range_frame_speed,
+        "repeated_span_report": dedup.q_repeated_span_report,
+        "returned_item_reporting": tpch.q_returned_item_reporting,
+        "rollup_delta_merge": _q_rollup_delta_merge,
+        "rp_project": similarity.q_rp_project,
+        "shipping_priority": relational.q_shipping_priority,
+        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
+        "snapshot_diff_report": relational.q_snapshot_diff_report,
+        "source_overlap_matrix": dedup.q_source_overlap_matrix,
+        "streaming_enriched": run_streaming_enriched,
+        "table_profile_accuracy": windows.q_table_profile_accuracy,
+        "triangle_count": dedup.q_triangle_count,
+        "unpivot_tile_metrics": _q_unpivot_tile_metrics,
+        "vocab_coverage_report": textops.q_vocab_coverage_report,
+        "winnow_match_spans": dedup.q_winnow_match_spans,
+        "above_avg_orders": relational.q_above_avg_orders,
+        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,
+        "conversion_window_counts": relational.q_conversion_window_counts,
+        "cube_sales": relational.q_cube_sales,
+        "customers_without_orders": relational.q_customers_without_orders,
+        "demux_tiles": multiplex.q_demux_tiles,
+        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,
+        "exact_dedup": dedup.q_exact_dedup,
+        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,
+        "fingerprint": textops.q_fingerprint,
+        "fresh_tiles": geojson.q_fresh_tiles,
+        "important_parts": tpch.q_important_parts,
+        "json_decode": decode.q_json_decode,
+        "lang_id": textops.q_lang_id,
+        "large_volume_customers": tpch.q_large_volume_customers,
+        "latest_join": latest.q_latest_join,
+        "latest_positions": latest.q_latest_positions,
+        "latest_rownum": latest.q_latest_rownum,
+        "latest_window_snapshot": latest.q_latest_window_snapshot,
+        "market_share": tpch.q_market_share,
+        "min_cost_supplier": tpch.q_min_cost_supplier,
+        "minhash_signatures": dedup.q_minhash_signatures,
+        "mobility_tiles": _q_mobility_tiles,
+        "multiplex_summary": multiplex.q_multiplex_summary,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "orders_with_big_items": relational.q_orders_with_big_items,
+        "pack_sequences": textops.q_pack_sequences,
+        "part_supplier_counts": tpch.q_part_supplier_counts,
+        "position_features": geojson.q_position_features,
+        "pricing_summary": relational.q_pricing_summary,
+        "product_type_profit": tpch.q_product_type_profit,
+        "quality_score": textops.q_quality_score,
+        "rolling_fingerprint": textops.q_rolling_fingerprint,
+        "sales_rollup": relational.q_sales_rollup,
+        "simhash": dedup.q_simhash,
+        "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,
+        "small_quantity_revenue": relational.q_small_quantity_revenue,
+        "tile_feature_collection": geojson.q_tile_feature_collection,
+        "tile_features_flat": geojson.q_tile_features_flat,
+        "token_count": textops.q_token_count,
+        "top_suppliers": tpch.q_top_suppliers,
+        "top_window": latest.q_top_window,
+        "vehicle_trips": windows.q_vehicle_trips,
+        "watermark_latedrop": latest.q_watermark_latedrop,
+        "wire_roundtrip": decode.q_wire_roundtrip,
     }
 
 
@@ -430,6 +434,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine_blocked": similarity.TOPK_COSINE_BLOCKED_ORACLE,
         "lsh_buckets": similarity.lsh_buckets_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
+        # the band-geometry dial (4x4 default vs 2x8 scale shape) as
+        # hash-checked bucket/candidate/pair counts per geometry
+        "vband_geometry_report": similarity.vband_geometry_report_oracle(),
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "media_frame_sample": multimodal.media_frame_sample_oracle(),
         "media_resize": multimodal.media_resize_oracle(),

@@ -327,6 +327,19 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # DISTINCT rows equals MinHash over the multiset (min is
     # set-invariant), so one relation serves both consumers exactly.
     hashed = cut_lineage(_hashed_rows(docs), eager=False)
+    buckets = _lsh_buckets(docs, hashed)
+    candidates = (
+        buckets.select(F.explode(F.expr(_PAIRS_IDS)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(docs, candidates, hashed=hashed)
+
+
+def _lsh_buckets(docs: DataFrame, hashed: DataFrame) -> DataFrame:
+    """Capped MinHash-LSH bucket relation (band, bh, ds, df_cap): the
+    candidate source shared by ``minhash_lsh_pairs`` and the scale-curve
+    observability hook ``lsh_candidate_stats``."""
     mixes = [
         F.min(F.expr(f"({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}")).alias(f"mh{k}")
         for k, (a, b) in enumerate(_MIX)
@@ -341,18 +354,31 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     exploded = sigs.select("doc_id", F.explode(bands).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
-    buckets = (
+    return (
         exploded.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .crossJoin(F.broadcast(_doc_cap(docs)))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
     )
-    candidates = (
-        buckets.select(F.explode(F.expr(_PAIRS_IDS)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+
+
+def lsh_candidate_stats(docs: DataFrame) -> DataFrame:
+    """1-row observability frame over the capped LSH bucket relation:
+    (n_buckets, n_candidates, max_bucket, df_cap). ``n_candidates`` is
+    the pre-dedup per-bucket pair volume sum(C(|ds|, 2)) — the quantity
+    the df-cap design bounds by ``n_buckets * C(df_cap, 2)`` and the
+    scale-curve test pins to ≈linear growth on an N-times corpus of
+    independent copies (tests/test_scale_curve.py; SCALE.md table)."""
+    hashed = cut_lineage(_hashed_rows(docs), eager=False)
+    buckets = _lsh_buckets(docs, hashed)
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(
+            F.sum(F.expr("size(ds) * (size(ds) - 1) / 2")).cast("long"), F.lit(0)
+        ).alias("n_candidates"),
+        F.coalesce(F.max(F.size("ds")), F.lit(0)).alias("max_bucket"),
+        F.coalesce(F.max("df_cap"), F.lit(0)).alias("df_cap"),
     )
-    return _verify_jaccard(docs, candidates, hashed=hashed)
 
 
 def _verify_jaccard(docs: DataFrame, candidates: DataFrame, hashed: DataFrame | None = None) -> DataFrame:

@@ -185,6 +185,16 @@ BITS_PER_VBAND = N_PLANES // N_VBANDS
 NEARDUP_COS = 0.4          # fixture vectors are near-orthogonal; real
                            # near-dup corpora would sit at ~0.9+
 BUCKET_CAP_FRAC = 0.25     # guard against degenerate all-in-one-bucket data
+BUCKET_CAP_MAX = 1024      # absolute per-bucket bound: C(cap, 2) limits
+                           # fanout on corpora big enough that frac*N is
+                           # itself quadratic trouble (r10 scale curve)
+# the 100 TB band geometry: same 16 planes, 2 bands x 8 bits. Band width
+# must track corpus size (bits ~ log2(N / target_bucket_size)) because a
+# FIXED w-bit band puts ~N/2^w random vectors in every bucket — candidate
+# pairs then grow ~N^2 regardless of any cap fraction. Measured (SCALE.md
+# "Dedup-family scale curve"): 4x4 bands at 10x fixture = 23x wall time;
+# 8-bit bands restore ~linear. Pick n_bands so 2^(planes/n_bands) >> N/B.
+WIDE_VBANDS = 2
 
 # sorted id array -> all i<j pair structs (callers filter size>=2 first)
 _VPAIRS = (
@@ -194,30 +204,29 @@ _VPAIRS = (
 )
 
 
-def _band_bits(planes: list[list[float]], band: int, emb_col: str = "e"):
-    """The band-th 4-bit sign pattern as an int column (over a pre-cast
-    double-array column so the 16 dots share one cast)."""
+def _band_bits(
+    planes: list[list[float]], band: int, emb_col: str = "e", bits: int = BITS_PER_VBAND
+):
+    """The band-th ``bits``-wide sign pattern as an int column (over a
+    pre-cast double-array column so the 16 dots share one cast)."""
     bval = None
-    for i in range(BITS_PER_VBAND):
-        w = F.array(*[F.lit(v) for v in planes[band * BITS_PER_VBAND + i]])
+    for i in range(bits):
+        w = F.array(*[F.lit(v) for v in planes[band * bits + i]])
         bit = F.when(_dot(F.col(emb_col), w) > 0, F.lit(2**i)).otherwise(F.lit(0))
         bval = bit if bval is None else bval + bit
     return bval
 
 
-def embedding_neardup(embeddings: DataFrame) -> DataFrame:
-    """Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
-
-    Candidates come from grouping (band, band-bits) into vector-id buckets
-    and exploding i<j pairs per bucket — a shuffle on the band value,
-    never an all-pairs product. Verification joins the (small) candidate
-    set back to the embeddings for the exact cosine.
-    """
+def _vband_buckets(embeddings: DataFrame, n_bands: int) -> DataFrame:
+    """Capped sign-LSH bucket relation (band, bval, ds, cap) for the given
+    band geometry — shared by ``embedding_neardup`` and the geometry
+    report."""
     planes = _planes()
+    bits = N_PLANES // n_bands
     bands = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), _band_bits(planes, b).alias("bval"))
-            for b in range(N_VBANDS)
+            F.struct(F.lit(b).alias("band"), _band_bits(planes, b, bits=bits).alias("bval"))
+            for b in range(n_bands)
         ]
     )
     exploded = (
@@ -228,15 +237,36 @@ def embedding_neardup(embeddings: DataFrame) -> DataFrame:
     )
     cap = embeddings.agg(
         F.greatest(
-            F.floor(F.count(F.lit(1)) * F.lit(BUCKET_CAP_FRAC)).cast("bigint"), F.lit(2)
+            F.least(
+                F.floor(F.count(F.lit(1)) * F.lit(BUCKET_CAP_FRAC)).cast("bigint"),
+                F.lit(BUCKET_CAP_MAX).cast("bigint"),
+            ),
+            F.lit(2),
         ).alias("cap")
     )
-    buckets = (
+    return (
         exploded.groupBy("band", "bval")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ds"))
         .crossJoin(F.broadcast(cap))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("cap")))
     )
+
+
+def embedding_neardup(embeddings: DataFrame, n_bands: int = N_VBANDS) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-LSH + exact verify.
+
+    Candidates come from grouping (band, band-bits) into vector-id buckets
+    and exploding i<j pairs per bucket — a shuffle on the band value,
+    never an all-pairs product. Verification joins the (small) candidate
+    set back to the embeddings for the exact cosine.
+
+    ``n_bands`` sets the band geometry over the 16 shared planes
+    (bits per band = 16 / n_bands). The default 4x4 is the high-recall
+    small-corpus shape; ``WIDE_VBANDS`` (2x8) is the scale shape — see
+    the band-width note at the constant and the r10 scale-curve table in
+    SCALE.md for the measured quadratic-vs-linear difference.
+    """
+    buckets = _vband_buckets(embeddings, n_bands)
     candidates = (
         buckets.select(F.explode(F.expr(_VPAIRS)).alias("p"))
         .select("p.vec_a", "p.vec_b")
@@ -269,13 +299,16 @@ def embedding_neardup(embeddings: DataFrame) -> DataFrame:
     return scored.filter(F.col("cosine") >= NEARDUP_COS)
 
 
-def embedding_neardup_oracle() -> str:
+def _vband_sql_parts(n_bands: int) -> tuple[str, str]:
+    """(bands_sql, cap_expr) — the DuckDB mirror of ``_vband_buckets``'s
+    banding and cap for the given geometry."""
     planes = _planes()
+    bits = N_PLANES // n_bands
     band_rows = []
-    for b in range(N_VBANDS):
+    for b in range(n_bands):
         terms = []
-        for i in range(BITS_PER_VBAND):
-            arr = "[" + ", ".join(repr(v) for v in planes[b * BITS_PER_VBAND + i]) + "]"
+        for i in range(bits):
+            arr = "[" + ", ".join(repr(v) for v in planes[b * bits + i]) + "]"
             terms.append(
                 f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0"
                 f" THEN {2**i} ELSE 0 END)"
@@ -283,11 +316,15 @@ def embedding_neardup_oracle() -> str:
         band_rows.append(
             f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bval FROM embeddings"
         )
-    bands_sql = "\nUNION ALL\n".join(band_rows)
     cap = (
-        f"greatest(CAST(floor((SELECT count(*) FROM embeddings) * {BUCKET_CAP_FRAC})"
-        f" AS BIGINT), 2)"
+        f"greatest(least(CAST(floor((SELECT count(*) FROM embeddings) * {BUCKET_CAP_FRAC})"
+        f" AS BIGINT), {BUCKET_CAP_MAX}), 2)"
     )
+    return "\nUNION ALL\n".join(band_rows), cap
+
+
+def embedding_neardup_oracle(n_bands: int = N_VBANDS) -> str:
+    bands_sql, cap = _vband_sql_parts(n_bands)
     return f"""
         WITH bands AS ({bands_sql}),
         okb AS (
@@ -306,6 +343,40 @@ def embedding_neardup_oracle() -> str:
         JOIN embeddings qb ON vec_b = qb.vec_id
         WHERE {_COS_DUCK.replace('q.', 'qa.').replace('c.', 'qb.')} >= {NEARDUP_COS}
     """
+
+
+def vband_geometry_report_oracle() -> str:
+    cos = _COS_DUCK.replace("q.", "qa.").replace("c.", "qb.")
+    blocks, selects = [], []
+    for g in (N_VBANDS, WIDE_VBANDS):
+        bands_sql, cap = _vband_sql_parts(g)
+        blocks.append(f"bands{g} AS ({bands_sql})")
+        blocks.append(
+            f"okb{g} AS (SELECT band, bval, count(*) AS n FROM bands{g} "
+            f"GROUP BY band, bval HAVING count(*) >= 2 AND count(*) <= {cap})"
+        )
+        blocks.append(
+            f"cand{g} AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            f"FROM bands{g} a "
+            f"JOIN okb{g} ok ON a.band = ok.band AND a.bval = ok.bval "
+            f"JOIN bands{g} b ON a.band = b.band AND a.bval = b.bval "
+            f"AND a.vec_id < b.vec_id)"
+        )
+        blocks.append(
+            f"np{g} AS (SELECT count(*) AS n FROM cand{g} "
+            f"JOIN embeddings qa ON vec_a = qa.vec_id "
+            f"JOIN embeddings qb ON vec_b = qb.vec_id "
+            f"WHERE {cos} >= {NEARDUP_COS})"
+        )
+        selects.append(
+            f"SELECT CAST({g} AS INT) AS n_bands, "
+            f"(SELECT count(*) FROM okb{g}) AS n_buckets, "
+            f"(SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) FROM okb{g})"
+            f" AS n_candidates, "
+            f"(SELECT CAST(coalesce(max(n), 0) AS INT) FROM okb{g}) AS max_bucket, "
+            f"(SELECT n FROM np{g}) AS n_pairs"
+        )
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 N_CENTROIDS = 4  # coarse quantizer size (nlist); fixture-scaled
@@ -1052,6 +1123,46 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+
+
+def vband_geometry_report(embeddings: DataFrame) -> DataFrame:
+    """Band-geometry dial report for the sign-LSH near-dup pipeline: one
+    row per geometry — the 4x4 small-corpus default and the 2x8 scale
+    shape (``WIDE_VBANDS``) — with the capped bucket stats and the
+    verified pair count. ``n_candidates`` is the quantity the r10 scale
+    curve measured growing ~N^2 under the 4-bit bands on a 10x random
+    corpus (23x wall time) and ~linearly under 8-bit bands; registering
+    both geometries as hash-checked numbers pins the cost/recall dial
+    the way the IVF probe reports pin theirs — including the honest
+    recall cost (the wide geometry finds fewer of the fixture's
+    weak-cosine pairs)."""
+    rows = []
+    for g in (N_VBANDS, WIDE_VBANDS):
+        buckets = _vband_buckets(embeddings, g)
+        stats = buckets.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(
+                F.sum(F.expr("size(ds) * (size(ds) - 1) / 2")).cast("long"), F.lit(0)
+            ).alias("n_candidates"),
+            F.coalesce(F.max(F.size("ds")), F.lit(0)).alias("max_bucket"),
+        )
+        pairs = embedding_neardup(embeddings, n_bands=g).agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+        rows.append(
+            stats.crossJoin(F.broadcast(pairs)).select(
+                F.lit(g).alias("n_bands"),
+                "n_buckets",
+                "n_candidates",
+                "max_bucket",
+                "n_pairs",
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+def q_vband_geometry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vband_geometry_report(load_table(spark, sf_dir, "embeddings"))
 
 
 RP_DIM = 16   # Johnson-Lindenstrauss target dimensionality (64 -> 16)

@@ -1,0 +1,47 @@
+"""Scale-curve pin for the dedup family (r9 verdict item #4): on an
+N-times corpus of INDEPENDENT copies (copy-unique shingles — see
+tools/scale_curve.build_scaled_corpus), the df-capped LSH design must
+produce ~N-times the candidate pairs, never ~N^2, and every bucket must
+respect the cap bound. The wall-clock side of the curve is recorded in
+SCALE.md ("Dedup-family scale curve") from tools/scale_curve.py runs."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.scale_curve import build_scaled_corpus  # noqa: E402
+
+from real_time_mobility_heatmap_spark.operators.dedup import (  # noqa: E402
+    lsh_candidate_stats,
+)
+from real_time_mobility_heatmap_spark.sources.tables import load_table  # noqa: E402
+
+FACTOR = 10
+
+
+def test_lsh_candidate_volume_scales_linearly(spark, sf_dir, tmp_path):
+    scaled = str(tmp_path / "scaled")
+    build_scaled_corpus(sf_dir, scaled, FACTOR)
+
+    s1 = lsh_candidate_stats(load_table(spark, sf_dir, "documents")).collect()[0]
+    sN = lsh_candidate_stats(load_table(spark, scaled, "documents")).collect()[0]
+    assert s1["n_candidates"] > 0, "fixture corpus must produce candidates"
+
+    # structural cap bound at both scales: no bucket above df_cap, total
+    # pre-dedup pair volume within n_buckets * C(df_cap, 2)
+    for s in (s1, sN):
+        assert s["max_bucket"] <= s["df_cap"]
+        cap_pairs = s["df_cap"] * (s["df_cap"] - 1) // 2
+        assert s["n_candidates"] <= s["n_buckets"] * cap_pairs
+
+    # linearity: independent copies multiply buckets and candidates by
+    # ~FACTOR (each perturbed copy is a fresh sample of the base corpus's
+    # shape, so allow +-50% around exact FACTOR-times). A quadratic
+    # blow-up (what an uncapped/cross-copy-colliding design would do)
+    # lands at ~FACTOR^2 = 100x and fails this by an order of magnitude.
+    for col in ("n_buckets", "n_candidates"):
+        lo, hi = 0.5 * FACTOR * s1[col], 1.5 * FACTOR * s1[col]
+        assert lo <= sN[col] <= hi, (col, s1[col], sN[col])
