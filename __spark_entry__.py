@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (r10) ----
         # (0) NEW this round (never driver-checked):
         "vband_geometry_report": similarity.q_vband_geometry_report,
+        "lsh_candidate_stats": dedup.q_lsh_candidate_stats,
         # (1) CHANGED this round — re-verified the round the code
         # lands: weighted_sample (engine-exact ordering),
         # approx_distinct_accuracy (empty-input coalesce),
@@ -159,9 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": textops.q_stratified_sample,
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "streaming_tiles": run_streaming_tiles,
-        "table_profile": windows.q_table_profile,
         # ------------- end of driver window (50 entries) -------------
-        # 14 r6-green leftovers — due FIRST in the r11 window (all 14
+        # 15 r6-green leftovers — due FIRST in the r11 window (all 15
+        "table_profile": windows.q_table_profile,
         # re-verified locally this round via tools/check_oracles.py):
         "tile_colors": wire.q_tile_colors,
         "token_commonness": textops.q_token_commonness,
@@ -437,6 +438,8 @@ def oracle_sql() -> dict[str, str]:
         # the band-geometry dial (4x4 default vs 2x8 scale shape) as
         # hash-checked bucket/candidate/pair counts per geometry
         "vband_geometry_report": similarity.vband_geometry_report_oracle(),
+        # the text-LSH candidate-volume hook the scale curve pins
+        "lsh_candidate_stats": dedup.lsh_candidate_stats_oracle(),
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "media_frame_sample": multimodal.media_frame_sample_oracle(),
         "media_resize": multimodal.media_resize_oracle(),

@@ -371,14 +371,44 @@ def lsh_candidate_stats(docs: DataFrame) -> DataFrame:
     independent copies (tests/test_scale_curve.py; SCALE.md table)."""
     hashed = cut_lineage(_hashed_rows(docs), eager=False)
     buckets = _lsh_buckets(docs, hashed)
-    return buckets.agg(
+    stats = buckets.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.coalesce(
             F.sum(F.expr("size(ds) * (size(ds) - 1) / 2")).cast("long"), F.lit(0)
         ).alias("n_candidates"),
         F.coalesce(F.max(F.size("ds")), F.lit(0)).alias("max_bucket"),
-        F.coalesce(F.max("df_cap"), F.lit(0)).alias("df_cap"),
     )
+    # df_cap from the 1-row cap frame, not max over buckets: survives an
+    # empty bucket relation with the true cap instead of null
+    return stats.crossJoin(F.broadcast(_doc_cap(docs))).select(
+        "n_buckets", "n_candidates", "max_bucket", "df_cap"
+    )
+
+
+def lsh_candidate_stats_oracle() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_duck(b)} AS bh FROM sigs"
+        for b in range(N_BANDS)
+    )
+    sig_cols = ", ".join(f"{_mh_duck(k)} AS mh{k}" for k in range(N_HASHES))
+    return f"""
+        WITH {_SHINGLED_DUCK},
+        sigs AS (SELECT doc_id, {sig_cols} FROM shingled),
+        bands AS ({band_rows}),
+        okb AS (
+            SELECT band, bh, count(*) AS n FROM bands GROUP BY band, bh
+            HAVING count(*) >= 2 AND count(*) <= {_DF_CAP_DUCK}
+        )
+        SELECT count(*) AS n_buckets,
+               CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_candidates,
+               CAST(coalesce(max(n), 0) AS INT) AS max_bucket,
+               {_DF_CAP_DUCK} AS df_cap
+        FROM okb
+    """
+
+
+def q_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_stats(load_table(spark, sf_dir, "documents"))
 
 
 def _verify_jaccard(docs: DataFrame, candidates: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
