@@ -392,3 +392,52 @@ def test_repeated_span_report_matches_bruteforce(spark, corpus):
         for r in repeated_span_report(docs).collect()
     }
     assert got == _ref_spans(texts)
+
+
+PCT_VALS = st.lists(
+    st.one_of(st.none(), st.integers(-5, 5).map(float)), min_size=1, max_size=12
+)
+
+
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["g1", "g2", "g3"]), PCT_VALS, min_size=1, max_size=3
+    ),
+    ps=st.lists(
+        st.sampled_from([0.0, 0.125, 0.25, 0.5, 0.75, 0.875, 1.0]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@_SETTINGS
+def test_percentile_disc_exact_equals_builtin_on_random_groups(spark, groups, ps):
+    """Differential check for the distributed exact-percentile rewrite
+    (functions/percentiles.py) on randomized groups with duplicate values
+    and NULLs — including ALL-NULL groups (which must emit a NULL row,
+    the r9 advice #1 fix) and p in {0, 1} — against Spark's built-in
+    percentile_disc at every dyadic p the repo's call sites use."""
+    from real_time_mobility_heatmap_spark.functions.percentiles import (
+        percentile_disc_exact,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(k, v) for k, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double")
+    aliases = [f"p{i}" for i in range(len(ps))]
+    got = {
+        r["k"]: tuple(r[a] for a in aliases)
+        for r in percentile_disc_exact(df, ["k"], "v", ps, aliases).collect()
+    }
+    want = {
+        r["k"]: tuple(r[a] for a in aliases)
+        for r in df.groupBy("k")
+        .agg(
+            *[
+                F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)").alias(a)
+                for p, a in zip(ps, aliases)
+            ]
+        )
+        .collect()
+    }
+    assert got == want
