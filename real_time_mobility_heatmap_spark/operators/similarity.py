@@ -266,7 +266,11 @@ def embedding_neardup(embeddings: DataFrame, n_bands: int = N_VBANDS) -> DataFra
     the band-width note at the constant and the r10 scale-curve table in
     SCALE.md for the measured quadratic-vs-linear difference.
     """
-    buckets = _vband_buckets(embeddings, n_bands)
+    return _verified_pairs(embeddings, _vband_buckets(embeddings, n_bands))
+
+
+def _verified_pairs(embeddings: DataFrame, buckets: DataFrame) -> DataFrame:
+    """Bucket relation -> exploded i<j candidates -> exact-cosine verify."""
     candidates = (
         buckets.select(F.explode(F.expr(_VPAIRS)).alias("p"))
         .select("p.vec_a", "p.vec_b")
@@ -1138,6 +1142,9 @@ def vband_geometry_report(embeddings: DataFrame) -> DataFrame:
     weak-cosine pairs)."""
     rows = []
     for g in (N_VBANDS, WIDE_VBANDS):
+        # ONE bucket relation per geometry feeds both the stats aggregate
+        # and the verified-pair count (building it twice doubles the
+        # banding dot-products — measured ~2s of the report's cost)
         buckets = _vband_buckets(embeddings, g)
         stats = buckets.agg(
             F.count(F.lit(1)).alias("n_buckets"),
@@ -1146,7 +1153,7 @@ def vband_geometry_report(embeddings: DataFrame) -> DataFrame:
             ).alias("n_candidates"),
             F.coalesce(F.max(F.size("ds")), F.lit(0)).alias("max_bucket"),
         )
-        pairs = embedding_neardup(embeddings, n_bands=g).agg(
+        pairs = _verified_pairs(embeddings, buckets).agg(
             F.count(F.lit(1)).alias("n_pairs")
         )
         rows.append(
