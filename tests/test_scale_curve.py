@@ -45,3 +45,14 @@ def test_lsh_candidate_volume_scales_linearly(spark, sf_dir, tmp_path):
     for col in ("n_buckets", "n_candidates"):
         lo, hi = 0.5 * FACTOR * s1[col], 1.5 * FACTOR * s1[col]
         assert lo <= sN[col] <= hi, (col, s1[col], sN[col])
+
+
+def test_rotate_window_parses_full_registry():
+    """tools/rotate_window.py (the r11+ oldest-first rotation tool) must
+    see every registered query — a parse gap would silently drop entries
+    from the driver window on the next regeneration."""
+    import __spark_entry__ as entry_mod
+    from tools.rotate_window import ENTRY, parse_entries
+
+    parsed = parse_entries(ENTRY.read_text())
+    assert set(parsed) == set(entry_mod.queries())
