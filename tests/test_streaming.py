@@ -623,6 +623,15 @@ def test_trip_processor_state_machine_with_stub_handle():
     assert not handle.state.exists()
     assert list(proc.handleExpiredTimer(key, None, None)) == []
 
+    # all-null-eventTs invocation with no prior state: no-op, no
+    # state.update(None), no timer armed (same regression class the
+    # detect_trips stub test pins)
+    nulls = pd.DataFrame({"eventTs": pd.to_datetime([None, None])})
+    timers_before = list(handle.timers)
+    out4 = list(proc.handleInputRows(("mbta", "v2"), iter([nulls]), None))
+    assert out4 == [] and not handle.state.exists()
+    assert handle.timers == timers_before  # no new timer armed
+
 
 twstate_available = pytest.mark.skipif(
     importlib.util.find_spec("google") is None
