@@ -56,3 +56,39 @@ def test_rotate_window_parses_full_registry():
 
     parsed = parse_entries(ENTRY.read_text())
     assert set(parsed) == set(entry_mod.queries())
+
+
+def test_vband_geometry_bounds_on_scaled_corpus(spark, sf_dir, tmp_path):
+    """Geometry-dial pins on a FACTOR-times embedding corpus of rolled
+    (decorrelated) copies: every bucket respects the absolute cap at both
+    scales, and at the larger scale the wide (8-bit) geometry produces
+    far fewer candidates than the narrow (4-bit) one — the band-width
+    scaling claim behind WIDE_VBANDS (random vectors fill fixed-width
+    buckets ~N/2^bits deep, so candidates shrink ~2^(8-4)-fold per
+    doubling of band width)."""
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        BUCKET_CAP_FRAC,
+        BUCKET_CAP_MAX,
+        N_VBANDS,
+        WIDE_VBANDS,
+        vband_geometry_report,
+    )
+
+    scaled = str(tmp_path / "scaled")
+    build_scaled_corpus(sf_dir, scaled, FACTOR)
+
+    def report(d):
+        emb = load_table(spark, d, "embeddings")
+        n = emb.count()
+        cap = max(2, min(int(n * BUCKET_CAP_FRAC), BUCKET_CAP_MAX))
+        return {r["n_bands"]: r.asDict() for r in vband_geometry_report(emb).collect()}, cap
+
+    for d in (sf_dir, scaled):
+        rows, cap = report(d)
+        assert set(rows) == {N_VBANDS, WIDE_VBANDS}
+        for g, r in rows.items():
+            assert r["max_bucket"] <= cap, (g, r, cap)
+            assert r["n_candidates"] <= r["n_buckets"] * cap * (cap - 1) // 2
+
+    big, _ = report(scaled)
+    assert big[WIDE_VBANDS]["n_candidates"] < big[N_VBANDS]["n_candidates"] / 4, big
