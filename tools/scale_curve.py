@@ -82,6 +82,26 @@ def build_scaled_corpus(base_sf_dir: str, out_dir: str, factor: int) -> None:
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "documents.parquet"))
 
+    ev = pq.read_table(os.path.join(base_sf_dir, "events.parquet"))
+    parts = []
+    for k in range(factor):
+        if k == 0:
+            t = ev
+        else:
+            # copy k = a fresh cohort of vehicles/users emitting the same
+            # traffic pattern: ids shifted, timestamps untouched (state
+            # cardinality grows with keys, windows stay aligned)
+            cols = {}
+            for name in ev.column_names:
+                col = ev.column(name)
+                if name in ("event_id", "user_id"):
+                    cols[name] = pa.compute.add(col, k * OFFSET)
+                else:
+                    cols[name] = col
+            t = pa.table(cols)
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "events.parquet"))
+
     emb = pq.read_table(os.path.join(base_sf_dir, "embeddings.parquet"))
     vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
     parts = []
