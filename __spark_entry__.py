@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows — the invariant is "new/changed code is driver-checked the
     same round it lands; unchanged queries are re-checked round-robin,
     oldest row first", not a fixed every-other-round cadence.
+    ``tools/rotate_window.py`` regenerates this ordering mechanically
+    (oldest-green-first from the CORRECTNESS records; pass the round's
+    changed queries on the command line).
     """
     return {
         # ---- driver window (r10) ----
