@@ -266,19 +266,45 @@ def _doc_cap(docs: DataFrame) -> DataFrame:
     )
 
 
-# sorted bucket array -> all i<j pair structs; callers filter size>=2 first
-# (sequence(1, 0) would produce a DESCENDING sequence, not an empty one)
-_PAIRS_WITH_SIZES = (
-    "flatten(transform(sequence(1, size(ds) - 1), i -> "
-    "transform(slice(ds, i + 1, size(ds) - i), y -> "
-    "struct(element_at(ds, i).doc_id AS doc_a, element_at(ds, i).n_sh AS n_a, "
-    "y.doc_id AS doc_b, y.n_sh AS n_b))))"
-)
-_PAIRS_IDS = (
-    "flatten(transform(sequence(1, size(ds) - 1), i -> "
-    "transform(slice(ds, i + 1, size(ds) - i), y -> "
-    "struct(element_at(ds, i) AS doc_a, y AS doc_b))))"
-)
+# sorted bucket array -> all i<j pairs via TWO-LEVEL explode: anchor
+# index i first, then the tail slice. A single
+# flatten(transform(...)) of all pairs would materialize C(|ds|, 2)
+# structs inside ONE row before its explode — at the df-cap ceiling
+# (HOT_SHINGLE_DF_MAX = 10,000 docs) that is a ~50M-element array
+# (gigabytes) in one row, an executor OOM the cap was supposed to
+# prevent (r10 audit). Two generators emit the same pair set with every
+# intermediate row O(|ds|). Callers filter size>=2 first
+# (sequence(1, 0) would produce a DESCENDING sequence, not an empty
+# one).
+
+
+def _explode_pairs_ids(buckets: DataFrame) -> DataFrame:
+    """(…, ds: array<id>) bucket rows -> (doc_a, doc_b) i<j pairs."""
+    return (
+        buckets.select("ds", F.explode(F.expr("sequence(1, size(ds) - 1)")).alias("i"))
+        .select(
+            F.expr("element_at(ds, i)").alias("doc_a"),
+            F.explode(F.expr("slice(ds, i + 1, size(ds) - i)")).alias("doc_b"),
+        )
+    )
+
+
+def _explode_pairs_with_sizes(buckets: DataFrame) -> DataFrame:
+    """(…, ds: array<struct<doc_id, n_sh>>) -> (doc_a, n_a, doc_b, n_b)."""
+    return (
+        buckets.select("ds", F.explode(F.expr("sequence(1, size(ds) - 1)")).alias("i"))
+        .select(
+            F.expr("element_at(ds, i).doc_id").alias("doc_a"),
+            F.expr("element_at(ds, i).n_sh").alias("n_a"),
+            F.explode(F.expr("slice(ds, i + 1, size(ds) - i)")).alias("y"),
+        )
+        .select(
+            "doc_a",
+            "n_a",
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.n_sh").alias("n_b"),
+        )
+    )
 
 
 def _exploded_hashed(docs: DataFrame) -> DataFrame:
@@ -328,11 +354,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # set-invariant), so one relation serves both consumers exactly.
     hashed = cut_lineage(_hashed_rows(docs), eager=False)
     buckets = _lsh_buckets(docs, hashed)
-    candidates = (
-        buckets.select(F.explode(F.expr(_PAIRS_IDS)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    candidates = _explode_pairs_ids(buckets).distinct()
     return _verify_jaccard(docs, candidates, hashed=hashed)
 
 
@@ -525,7 +547,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(_doc_cap(docs)))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
     )
-    pairs = buckets.select(F.explode(F.expr(_PAIRS_WITH_SIZES)).alias("p")).select("p.*")
+    pairs = _explode_pairs_with_sizes(buckets)
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter"),
         F.first("n_a").alias("n_a"),
@@ -578,7 +600,7 @@ def minhash_error_report(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(_doc_cap(docs)))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
     )
-    pairs = buckets.select(F.explode(F.expr(_PAIRS_WITH_SIZES)).alias("p")).select("p.*")
+    pairs = _explode_pairs_with_sizes(buckets)
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter"),
         F.first("n_a").alias("n_a"),
@@ -799,10 +821,7 @@ def winnow_match_pairs(docs: DataFrame, fps: DataFrame | None = None) -> DataFra
         .crossJoin(F.broadcast(_doc_cap(docs)))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
     )
-    pairs = (
-        buckets.select(F.explode(F.expr(_PAIRS_IDS)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-    )
+    pairs = _explode_pairs_ids(buckets)
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
@@ -1520,7 +1539,7 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(_doc_cap(docs)))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
     )
-    pairs = buckets.select(F.explode(F.expr(_PAIRS_WITH_SIZES)).alias("p")).select("p.*")
+    pairs = _explode_pairs_with_sizes(buckets)
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter"),
         F.first("n_a").alias("n_a"),

@@ -438,20 +438,12 @@ def media_phash_pairs(docs: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds").between(2, PHASH_BUCKET_CAP))
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(ds) - 1),"
-                    " i -> transform(sequence(i + 1, size(ds)),"
-                    " j -> struct(element_at(ds, i) AS doc_a,"
-                    " element_at(ds, j) AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    # two-level explode, not one flatten(transform(...)) of all pairs:
+    # the latter materializes C(|ds|, 2) structs in a single row (see
+    # dedup._explode_pairs_ids — same r10 OOM-at-the-cap fix)
+    from .dedup import _explode_pairs_ids
+
+    pairs = _explode_pairs_ids(buckets).distinct()
     pa = ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"))
     pb = ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
     return (

@@ -196,12 +196,22 @@ BUCKET_CAP_MAX = 1024      # absolute per-bucket bound: C(cap, 2) limits
 # 8-bit bands restore ~linear. Pick n_bands so 2^(planes/n_bands) >> N/B.
 WIDE_VBANDS = 2
 
-# sorted id array -> all i<j pair structs (callers filter size>=2 first)
-_VPAIRS = (
-    "flatten(transform(sequence(1, size(ds) - 1), i -> "
-    "transform(slice(ds, i + 1, size(ds) - i), y -> "
-    "struct(element_at(ds, i) AS vec_a, y AS vec_b))))"
-)
+# sorted id array -> all i<j pairs via two-level explode (callers filter
+# size>=2 first). One flatten(transform(...)) would materialize
+# C(|ds|, 2) structs in a single row before exploding — at
+# BUCKET_CAP_MAX (1024) a ~500k-struct array per bucket row; the
+# two-generator form streams the same pair set with O(|ds|) rows
+# (same fix as dedup._explode_pairs_ids, r10 audit).
+
+
+def _explode_vpairs(buckets: DataFrame) -> DataFrame:
+    return (
+        buckets.select("ds", F.explode(F.expr("sequence(1, size(ds) - 1)")).alias("i"))
+        .select(
+            F.expr("element_at(ds, i)").alias("vec_a"),
+            F.explode(F.expr("slice(ds, i + 1, size(ds) - i)")).alias("vec_b"),
+        )
+    )
 
 
 def _band_bits(
@@ -271,11 +281,7 @@ def embedding_neardup(embeddings: DataFrame, n_bands: int = N_VBANDS) -> DataFra
 
 def _verified_pairs(embeddings: DataFrame, buckets: DataFrame) -> DataFrame:
     """Bucket relation -> exploded i<j candidates -> exact-cosine verify."""
-    candidates = (
-        buckets.select(F.explode(F.expr(_VPAIRS)).alias("p"))
-        .select("p.vec_a", "p.vec_b")
-        .distinct()
-    )
+    candidates = _explode_vpairs(buckets).distinct()
     a = _with_norm(embeddings, "qa")
     b = _with_norm(embeddings, "qb")
     # NO broadcast hint on the verify joins: neither side is reliably
