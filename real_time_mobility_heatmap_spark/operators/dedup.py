@@ -278,6 +278,45 @@ def _doc_cap(docs: DataFrame) -> DataFrame:
 # one).
 
 
+def _capped_sorted_buckets(
+    exploded: DataFrame, keys: list[str], item_col, cap, lo: int = 2
+) -> DataFrame:
+    """``groupBy(keys)`` -> sorted item-array buckets (``ds``), with
+    over-cap groups dropped BEFORE their arrays ever materialize.
+
+    ``collect_list`` assembles each group's FULL array in the reduce-side
+    aggregation buffer before any size filter can run — a boilerplate
+    key at corpus scale (one shingle across 1B docs) is a multi-GB array
+    in one buffer, the same OOM-at-the-cap class as the flatten-pair
+    explosion fixed alongside (r10 audit). Here the over-cap keys are
+    found first with a count aggregate — map-side combined, so its
+    shuffle carries one row per key per mapper — and anti-joined away;
+    the collect then only sees groups at or under the cap. Hot-key
+    cardinality is bounded by total_rows / cap, so the anti join's build
+    side is small by construction (no broadcast HINT — the planner/AQE
+    broadcasts it when its runtime size allows, per the repo's
+    no-SF-scaled-hints policy).
+
+    ``cap``: an int, or a 1-row single-column DataFrame (broadcast).
+    """
+    kcols = list(keys)
+    counted = exploded.groupBy(*kcols).agg(F.count(F.lit(1)).alias("_n"))
+    if isinstance(cap, DataFrame):
+        hot = (
+            counted.crossJoin(F.broadcast(cap.toDF("_cap")))
+            .filter(F.col("_n") > F.col("_cap"))
+            .select(*kcols)
+        )
+    else:
+        hot = counted.filter(F.col("_n") > cap).select(*kcols)
+    return (
+        exploded.join(hot, kcols, "left_anti")
+        .groupBy(*kcols)
+        .agg(F.sort_array(F.collect_list(item_col)).alias("ds"))
+        .filter(F.size("ds") >= lo)
+    )
+
+
 def _explode_pairs_ids(buckets: DataFrame) -> DataFrame:
     """(…, ds: array<id>) bucket rows -> (doc_a, doc_b) i<j pairs."""
     return (
@@ -376,12 +415,13 @@ def _lsh_buckets(docs: DataFrame, hashed: DataFrame) -> DataFrame:
     exploded = sigs.select("doc_id", F.explode(bands).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
-    return (
-        exploded.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .crossJoin(F.broadcast(_doc_cap(docs)))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
-    )
+    # materialize once: the capped-bucket builder reads this relation
+    # twice (hot-key count + collect), and recomputing it means rerunning
+    # the k-hash minhash aggregation per pass (measured +60% on the
+    # pipeline); docs x bands rows, same executor-local pattern as
+    # ``hashed`` above
+    exploded = cut_lineage(exploded, eager=False)
+    return _capped_sorted_buckets(exploded, ["band", "bh"], "doc_id", _doc_cap(docs))
 
 
 def lsh_candidate_stats(docs: DataFrame) -> DataFrame:
@@ -541,11 +581,8 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     Per-doc set sizes ride inside the bucket structs, so no sizes join.
     """
     ex = _exploded_hashed(docs)
-    buckets = (
-        ex.groupBy("s_h")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .crossJoin(F.broadcast(_doc_cap(docs)))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
+    buckets = _capped_sorted_buckets(
+        ex, ["s_h"], F.struct("doc_id", "n_sh"), _doc_cap(docs)
     )
     pairs = _explode_pairs_with_sizes(buckets)
     inter = pairs.groupBy("doc_a", "doc_b").agg(
@@ -594,11 +631,8 @@ def minhash_error_report(docs: DataFrame) -> DataFrame:
     across engines — no float boundary anywhere.
     """
     ex = _exploded_hashed(docs)
-    buckets = (
-        ex.groupBy("s_h")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .crossJoin(F.broadcast(_doc_cap(docs)))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
+    buckets = _capped_sorted_buckets(
+        ex, ["s_h"], F.struct("doc_id", "n_sh"), _doc_cap(docs)
     )
     pairs = _explode_pairs_with_sizes(buckets)
     inter = pairs.groupBy("doc_a", "doc_b").agg(
@@ -815,12 +849,7 @@ def winnow_match_pairs(docs: DataFrame, fps: DataFrame | None = None) -> DataFra
     if fps is None:
         fps = winnow_fingerprints(docs)
     fps = fps.select("doc_id", "fp_hash").distinct()
-    buckets = (
-        fps.groupBy("fp_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .crossJoin(F.broadcast(_doc_cap(docs)))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
-    )
+    buckets = _capped_sorted_buckets(fps, ["fp_hash"], "doc_id", _doc_cap(docs))
     pairs = _explode_pairs_ids(buckets)
     return (
         pairs.groupBy("doc_a", "doc_b")
@@ -1533,11 +1562,8 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     hash-matches structurally. Emitted when EITHER direction crosses the
     threshold; both directions are reported for triage."""
     ex = _exploded_hashed(docs)
-    buckets = (
-        ex.groupBy("s_h")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .crossJoin(F.broadcast(_doc_cap(docs)))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
+    buckets = _capped_sorted_buckets(
+        ex, ["s_h"], F.struct("doc_id", "n_sh"), _doc_cap(docs)
     )
     pairs = _explode_pairs_with_sizes(buckets)
     inter = pairs.groupBy("doc_a", "doc_b").agg(

@@ -433,16 +433,12 @@ def media_phash_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bv")
-    buckets = (
-        banded.groupBy("band", "bv")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds").between(2, PHASH_BUCKET_CAP))
-    )
-    # two-level explode, not one flatten(transform(...)) of all pairs:
-    # the latter materializes C(|ds|, 2) structs in a single row (see
-    # dedup._explode_pairs_ids — same r10 OOM-at-the-cap fix)
-    from .dedup import _explode_pairs_ids
+    # over-cap buckets dropped before their arrays materialize, and pairs
+    # streamed via two-level explode rather than one flatten of all
+    # C(|ds|, 2) structs (dedup helpers — r10 OOM-at-the-cap audit)
+    from .dedup import _capped_sorted_buckets, _explode_pairs_ids
 
+    buckets = _capped_sorted_buckets(banded, ["band", "bv"], "doc_id", PHASH_BUCKET_CAP)
     pairs = _explode_pairs_ids(buckets).distinct()
     pa = ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"))
     pb = ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))

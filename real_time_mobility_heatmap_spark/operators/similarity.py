@@ -254,12 +254,11 @@ def _vband_buckets(embeddings: DataFrame, n_bands: int) -> DataFrame:
             F.lit(2),
         ).alias("cap")
     )
-    return (
-        exploded.groupBy("band", "bval")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ds"))
-        .crossJoin(F.broadcast(cap))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("cap")))
-    )
+    # over-cap buckets dropped BEFORE collect_list materializes their
+    # arrays (dedup._capped_sorted_buckets — r10 OOM-at-the-cap audit)
+    from .dedup import _capped_sorted_buckets
+
+    return _capped_sorted_buckets(exploded, ["band", "bval"], "vec_id", cap)
 
 
 def embedding_neardup(embeddings: DataFrame, n_bands: int = N_VBANDS) -> DataFrame:
