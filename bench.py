@@ -151,6 +151,14 @@ def main() -> None:
     payload["calib_median"] = (
         round(sorted(calibration)[len(calibration) // 2], 3) if calibration else None
     )
+    # setup-subtracted total (r9 verdict #7): per-query job-launch/commit
+    # overhead — the calibration median — times the query count, removed
+    # from the headline so plan-cost changes aren't masked by fixed
+    # overhead accreting with registry growth
+    if payload["calib_median"] is not None:
+        payload["value_net"] = round(
+            max(0.0, total - payload["calib_median"] * len(timings)), 3
+        )
     print(_stdout_line(payload))
     spark.stop()
     if regressions and os.getenv("SPARK_GRAFT_BENCH_STRICT"):
@@ -212,7 +220,7 @@ def _recorded_queries(path: Path) -> dict[str, float]:
     out: dict[str, float] = {}
     for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', raw.get("tail", "")):
         name, val = m.group(1), float(m.group(2))
-        if name not in ("value", "sf", "baseline", "now", "prev_value"):
+        if name not in ("value", "value_net", "sf", "baseline", "now", "prev_value"):
             out[name] = val
     return out
 
