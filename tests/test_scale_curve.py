@@ -92,3 +92,30 @@ def test_vband_geometry_bounds_on_scaled_corpus(spark, sf_dir, tmp_path):
 
     big, _ = report(scaled)
     assert big[WIDE_VBANDS]["n_candidates"] < big[N_VBANDS]["n_candidates"] / 4, big
+
+
+def test_rotate_window_write_roundtrip(tmp_path):
+    """--write on a scratch copy must preserve every entry verbatim, emit
+    a compilable file, and be idempotent (parse(write(x)) == parse(x)) —
+    the trailing `# rN` annotations the tool writes must survive its own
+    parser (caught live: the original regex rejected annotated lines)."""
+    import shutil
+    import sys
+
+    import tools.rotate_window as rw
+
+    scratch = tmp_path / "entry_copy.py"
+    shutil.copy(rw.ENTRY, scratch)
+    orig = rw.parse_entries(scratch.read_text())
+
+    old_entry, old_argv = rw.ENTRY, sys.argv
+    try:
+        rw.ENTRY = scratch
+        sys.argv = ["rotate_window.py", "--write", "weighted_sample"]
+        rw.main()
+        assert rw.parse_entries(scratch.read_text()) == orig
+        compile(scratch.read_text(), str(scratch), "exec")
+        rw.main()  # idempotent on its own output
+        assert rw.parse_entries(scratch.read_text()) == orig
+    finally:
+        rw.ENTRY, sys.argv = old_entry, old_argv
