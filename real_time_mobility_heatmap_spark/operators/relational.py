@@ -18,6 +18,8 @@ Scale notes per query are in the docstrings; the common rules:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -995,7 +997,10 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     import os
     import tempfile
 
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    # sanitize to a valid unquoted SQL identifier / filename: sf_dir
+    # basenames can carry dots or hyphens (scratch corpora), which made
+    # saveAsTable throw INVALID_IDENTIFIER (r10 empty/scratch-input sweep)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)) or "sf")
     # scope the scratch path to THIS Spark application: the catalog
     # entries are session-local, so two concurrent sessions sharing one
     # host would otherwise race on the same /tmp directory (one
@@ -1197,18 +1202,18 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    # sanitize to a valid unquoted SQL identifier / filename: sf_dir
+    # basenames can carry dots or hyphens (scratch corpora), which made
+    # saveAsTable throw INVALID_IDENTIFIER (r10 empty/scratch-input sweep)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)) or "sf")
     app_id = spark.sparkContext.applicationId
     base = os.path.join(tempfile.gettempdir(), f"parted_events_{app_id}_{tag}")
+    src = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     if not os.path.isdir(base):
-        (
-            load_table(spark, sf_dir, "events")
-            .withColumn("event_date", F.to_date("ts"))
-            .write.partitionBy("event_type", "event_date")
-            .mode("overwrite")
-            .parquet(base)
-        )
-    return spark.read.parquet(base)
+        src.write.partitionBy("event_type", "event_date").mode("overwrite").parquet(base)
+    # explicit schema: an EMPTY source writes no data files and schema
+    # inference would throw UNABLE_TO_INFER_SCHEMA (r10 empty-input sweep)
+    return spark.read.schema(src.schema).parquet(base)
 
 
 def partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,7 +1507,13 @@ def dq_expectations(
         "rule",
         "n_checked",
         "n_violations",
-        F.expr("n_violations * 1000000 div n_checked").alias("violation_ppm"),
+        # guard the zero-rows table: ANSI `div` throws on /0 while the
+        # DuckDB oracle's `//` yields NULL — the when() matches DuckDB
+        # (r10 empty-input sweep)
+        F.when(
+            F.col("n_checked") > 0,
+            F.expr("n_violations * 1000000 div n_checked"),
+        ).alias("violation_ppm"),
     )
 
 

@@ -159,14 +159,25 @@ def source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = f"{base}/{fmt}"
         write_table_as(ev, path, fmt)
         back = read_table_as(spark, path, fmt, ev.schema)
-        outs.append(back.select(F.lit(fmt).alias("fmt"), *ev.columns))
-    both = reduce(DataFrame.unionByName, outs)
-    return both.groupBy("fmt").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("event_id").alias("sum_event_id"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.expr(_row_checksum_spark())).alias("row_checksum"),
-    )
+        # per-format global aggregate, not union-then-groupBy: emits one
+        # row per format even when the source is EMPTY (matching the
+        # oracle's static format list — r10 empty-input sweep) and drops
+        # the union shuffle
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_event_id"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.expr(_row_checksum_spark())).alias("row_checksum"),
+            ).select(
+                F.lit(fmt).alias("fmt"),
+                "n_rows",
+                "sum_event_id",
+                "n_users",
+                "row_checksum",
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
 
 
 def source_roundtrip_oracle() -> str:

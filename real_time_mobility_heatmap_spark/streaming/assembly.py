@@ -128,12 +128,11 @@ def run_streaming_tiles(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> Data
 
     tmp = tempfile.mkdtemp(prefix="streaming-tiles-")
     store = tile_store(f"{tmp}/store")
+    stream = pings_stream_from_events(spark, sf_dir)
     with _state_partitions(spark):
-        q = start_tiles_query(
-            pings_stream_from_events(spark, sf_dir), store, f"{tmp}/ckpt", cfg
-        )
+        q = start_tiles_query(stream, store, f"{tmp}/ckpt", cfg)
         q.awaitTermination()
-    snap = store.read(spark)
+    snap = _snap_or_empty(spark, store, windowed_tiles_stream(stream, cfg).schema)
     return snap.withColumn("avg_speed_kmh", F.round("avg_speed_kmh", 6)).withColumn(
         "centroid_lon", F.round("centroid_lon", 6)
     ).withColumn("centroid_lat", F.round("centroid_lat", 6))
@@ -155,12 +154,22 @@ def run_streaming_positions(spark, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="streaming-positions-")
     store = positions_store(f"{tmp}/store")
+    stream = pings_stream_from_events(spark, sf_dir)
     with _state_partitions(spark):
-        q = start_positions_query(
-            pings_stream_from_events(spark, sf_dir), store, f"{tmp}/ckpt"
-        )
+        q = start_positions_query(stream, store, f"{tmp}/ckpt")
         q.awaitTermination()
-    return store.read(spark)
+    return _snap_or_empty(spark, store, positions_batch(stream).schema)
+
+
+def _snap_or_empty(spark, store: KeyedParquetStore, schema) -> DataFrame:
+    """Store snapshot, or an EMPTY frame with the sink relation's schema
+    when the source was empty and nothing was ever merged — the live-run
+    driver queries must be TOTAL (empty result, never a None crash; r10
+    empty-input sweep). ``schema`` comes from applying the same frame
+    builder the sink uses to the (streaming) source, which analyzes
+    without starting the query."""
+    snap = store.read(spark)
+    return snap if snap is not None else spark.createDataFrame([], schema)
 
 
 FLUSH_PROVIDER = "__flush__"  # sentinel key; filtered from session output
@@ -196,11 +205,16 @@ def _sentinel_events_dir(sf_dir: str, flush_after_minutes: int, prefix: str) -> 
         i for i in range(meta.num_columns)
         if meta.schema.column(i).name == "ts"
     )
-    max_ts = max(
-        meta.row_group(g).column(ts_idx).statistics.max
+    stats = [
+        meta.row_group(g).column(ts_idx).statistics
         for g in range(meta.num_row_groups)
-    )
-    flush_ts = max_ts + timedelta(minutes=flush_after_minutes)
+    ]
+    maxes = [s.max for s in stats if s is not None and s.max is not None]
+    if not maxes:
+        # EMPTY fixture: no event-time to bound, nothing for a sentinel to
+        # flush — stream just the (empty) fixture (r10 empty-input sweep)
+        return tmp, in_dir
+    flush_ts = max(maxes) + timedelta(minutes=flush_after_minutes)
     # mirror the fixture's own ts arrow type (unit varies across fixture
     # generations: micros vs nanos) so one stream schema reads both files
     ts_type = pq.ParquetFile(src).schema_arrow.field("ts").type
@@ -605,7 +619,7 @@ def run_streaming_enriched(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> D
             .start()
         )
         q.awaitTermination()
-    return store.read(spark).select(
+    return _snap_or_empty(spark, store, agg.schema).select(
         "tier", "window_start", "ping_count", "fleet_weight"
     )
 

@@ -132,6 +132,13 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).first()
     lo, hi = splits["lo"], splits["hi"]
+    if lo is None:
+        # EMPTY corpus: no micro-batches to stream; the dup report is the
+        # empty relation (r10 empty-input sweep — total, not a crash)
+        return spark.createDataFrame(
+            [],
+            "new_doc_id long, dup_of long, n_matches long, best_jaccard double",
+        )
     span = (hi - lo + N_MICRO_BATCHES) // N_MICRO_BATCHES
     stage = os.path.join(tmp, "stage")
     # one partitioned write produces every micro-batch file in a single job
