@@ -57,3 +57,63 @@ def test_query_is_total_on_empty_fixtures(spark, empty_sf_dir, name):
     # report-shaped queries may legitimately emit summary rows over an
     # empty corpus; row-shaped ones must be empty
     assert isinstance(rows, list)
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf_dir(tmp_path_factory) -> str:
+    """ALL-IDENTICAL corpus: every document the same text, every
+    embedding the same vector — maximum cap stress (each LSH bucket holds
+    the whole corpus)."""
+    import shutil
+
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf-degenerate")
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    n = docs.num_rows
+    text = docs.column("text")[0].as_py()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([text] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array([f"src{i % 3}" for i in range(n)], pa.string()),
+                "n_chars": pa.array([len(text)] * n, pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    v = emb.column("embedding")[0].as_py()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(emb.num_rows), pa.int64()),
+                "embedding": pa.array([v] * emb.num_rows, pa.list_(pa.float32())),
+                "label": pa.array([0] * emb.num_rows, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+            shutil.copy(os.path.join(SRC, f), str(d / f))
+    return str(d)
+
+
+def test_degenerate_corpus_division_of_labor(spark, degenerate_sf_dir):
+    """On an all-identical corpus the caps must drop every over-full LSH
+    bucket (near-dup pipelines emit ZERO pairs — identical docs are
+    exact-dedup's job, and an uncapped design would emit corpus^2 pairs)
+    while exact_dedup collapses the corpus to one keeper group. The full
+    family was also differentially matched against the DuckDB oracles on
+    this corpus shape (r10)."""
+    qs = entry_mod.queries()
+    stats = qs["lsh_candidate_stats"](spark, degenerate_sf_dir).collect()[0]
+    assert stats["n_buckets"] == 0 and stats["n_candidates"] == 0, stats
+    assert qs["minhash_lsh_pairs"](spark, degenerate_sf_dir).count() == 0
+    assert qs["embedding_neardup"](spark, degenerate_sf_dir).count() == 0
+    keepers = qs["exact_dedup"](spark, degenerate_sf_dir).collect()
+    assert len(keepers) == 1, "one identical-content group"
+    assert keepers[0]["n_copies"] > 1 and keepers[0]["keeper_doc_id"] == 0
