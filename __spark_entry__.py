@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "embedding_neardup": similarity.q_embedding_neardup,
         "streaming_sessions": run_streaming_sessions,
+        # engine-exact rounding rewrites (r10 sweep: boundary-double
+        # round + sum-order ulp flips observed at sf0.001):
+        "attribution_report": relational.q_attribution_report,
+        "min_cost_supplier": tpch.q_min_cost_supplier,
         # (2) the 9 r5-stale anchors (r9 verdict #2 — due first):
         "active_cells_flags": relational.q_active_cells_flags,
         "active_cells_setops": relational.q_active_cells_setops,
@@ -130,7 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_speed": relational.q_moving_avg_speed,
         "term_frequencies": textops.q_term_frequencies,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
-        # (3) oldest 33 of the 47 r6-green cohort:
+        # (3) oldest 30 of the 47 r6-green cohort:
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
         "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
@@ -161,10 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_roundtrip": source_roundtrip,
         "sql_pricing_summary": wire.q_sql_pricing_summary,
         "stratified_sample": textops.q_stratified_sample,
+        # ------------- end of driver window (50 entries) -------------
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "streaming_tiles": run_streaming_tiles,
-        # ------------- end of driver window (50 entries) -------------
-        # 15 r6-green leftovers — due FIRST in the r11 window (all 15
+        # 17 r6-green leftovers — due FIRST in the r11 window (all 17
         "table_profile": windows.q_table_profile,
         # re-verified locally this round via tools/check_oracles.py):
         "tile_colors": wire.q_tile_colors,
@@ -183,7 +187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_counts": spatial.q_zone_counts,
         # r7-, r8-, then r9-green anchors (newest rows last); all
         # remain covered by the local oracle gate + plan lints:
-        "attribution_report": relational.q_attribution_report,
         "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
         "boilerplate_scrub": textops.q_boilerplate_scrub,
         "chunk_documents": textops.q_chunk_documents,
@@ -278,7 +281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_rownum": latest.q_latest_rownum,
         "latest_window_snapshot": latest.q_latest_window_snapshot,
         "market_share": tpch.q_market_share,
-        "min_cost_supplier": tpch.q_min_cost_supplier,
         "minhash_signatures": dedup.q_minhash_signatures,
         "mobility_tiles": _q_mobility_tiles,
         "multiplex_summary": multiplex.q_multiplex_summary,

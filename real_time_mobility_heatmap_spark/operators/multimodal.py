@@ -38,8 +38,13 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def media_table(docs: DataFrame) -> DataFrame:
-    """documents -> (doc_id, content binary, metadata struct)."""
-    return docs.select(
+    """documents -> (doc_id, content binary, metadata struct).
+
+    Rows with NULL payload are excluded — a media table has no row
+    without bytes, and a NULL content blob crashed every downstream
+    Arrow ``len(content)`` pass (r10 null-input sweep); the media
+    oracles carry the same ``WHERE text IS NOT NULL``."""
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.struct(
@@ -128,7 +133,7 @@ def media_features_oracle() -> str:
             SELECT doc_id,
                    CAST(strlen(text) AS INTEGER) AS byte_len,
                    {checksum} AS checksum
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id, byte_len, checksum,
                CAST(checksum % 640 + 16 AS INTEGER) AS fake_width,
@@ -206,7 +211,7 @@ def media_frame_sample_oracle() -> str:
                    unnest(generate_series(0,
                        CAST(ceil(strlen(text) / CAST({FRAME_BYTES} AS DOUBLE)) AS BIGINT) - 1
                    )) AS i
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         frames AS (
             SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
@@ -281,7 +286,7 @@ def media_resize_oracle() -> str:
                        CAST(1 + (i * strlen(text)) // {RESIZE_TARGET} AS BIGINT), 1)) AS b
             FROM documents,
                  unnest(generate_series(0, {RESIZE_TARGET - 1})) AS t(i)
-            WHERE strlen(text) > 0
+            WHERE text IS NOT NULL AND strlen(text) > 0
         )
         SELECT doc_id,
                CAST(count(*) AS INTEGER) AS resized_len,
@@ -310,7 +315,7 @@ MEDIA_METADATA_ORACLE = """
            CASE CAST(substr(source, 4, 8) AS BIGINT) % 3
                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
            END AS media_type
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -403,7 +408,7 @@ def _phash_duck() -> str:
         SELECT doc_id,
                CAST(strlen(text) AS INTEGER) AS byte_len,
                CAST({expr} AS BIGINT) AS phash
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.percentiles import percentile_disc_exact
+from ..functions.rounding import round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 
@@ -1137,20 +1138,41 @@ def attribution_report(events: DataFrame) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("n_touches"),
     )
-    first_credit = F.when(F.col("rn") == 1, F.col("p_value")).otherwise(0.0)
-    last_credit = F.when(F.col("rn") == F.col("n_touches"), F.col("p_value")).otherwise(
-        0.0
+    # credits in exact int64 MICRO-units (the lm_score/cluster_quality
+    # convention): per-row micro values come from exactly-rounded double
+    # ops (identical bits in both engines — functions/rounding.py), and
+    # the SUM over int64 is order-independent, unlike a double sum whose
+    # accumulation order differs per engine/partitioning. Observed live
+    # (r10 sweep, sf0.001): the old float sum landed 1 ulp apart across
+    # engines exactly on a cents boundary (121.27499... vs 121.275) and
+    # the driver hash flipped. The final /1e6 + 2dp round are shared
+    # exact expressions over identical integers.
+    micro = "CAST(floor(p_value * 1e6 + 5e-1) AS BIGINT)"
+    first_micro = F.expr(f"CASE WHEN rn = 1 THEN {micro} ELSE 0 END")
+    last_micro = F.expr(f"CASE WHEN rn = n_touches THEN {micro} ELSE 0 END")
+    linear_micro = F.expr("CAST(floor(p_value * 1e6 / n_touches + 5e-1) AS BIGINT)")
+    to_value = lambda c: F.expr(  # noqa: E731
+        round_half_up_sql(f"CAST({c} AS DOUBLE) / 1e6", 2)
     )
-    linear_credit = F.col("p_value") / F.col("n_touches")
-    return ranked.groupBy("channel").agg(
-        F.count(F.lit(1)).alias("n_touches"),
-        F.round(F.sum(first_credit), 2).alias("first_touch_value"),
-        F.round(F.sum(last_credit), 2).alias("last_touch_value"),
-        F.round(F.sum(linear_credit), 2).alias("linear_value"),
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(first_micro).alias("_f"),
+            F.sum(last_micro).alias("_l"),
+            F.sum(linear_micro).alias("_n"),
+        )
+        .select(
+            "channel",
+            "n_touches",
+            to_value("_f").alias("first_touch_value"),
+            to_value("_l").alias("last_touch_value"),
+            to_value("_n").alias("linear_value"),
+        )
     )
 
 
-ATTRIBUTION_REPORT_ORACLE = """
+ATTRIBUTION_REPORT_ORACLE = f"""
     WITH touches AS (
         SELECT user_id AS t_user, ts AS t_ts, event_type AS channel,
                event_id AS t_id
@@ -1172,11 +1194,11 @@ ATTRIBUTION_REPORT_ORACLE = """
     )
     SELECT channel,
            count(*) AS n_touches,
-           round(sum(CASE WHEN rn = 1 THEN p_value ELSE 0.0 END), 2)
+           {round_half_up_sql("CAST(sum(CASE WHEN rn = 1 THEN CAST(floor(p_value * 1e6 + 5e-1) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e6", 2)}
                AS first_touch_value,
-           round(sum(CASE WHEN rn = n_touches THEN p_value ELSE 0.0 END), 2)
+           {round_half_up_sql("CAST(sum(CASE WHEN rn = n_touches THEN CAST(floor(p_value * 1e6 + 5e-1) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e6", 2)}
                AS last_touch_value,
-           round(sum(p_value / n_touches), 2) AS linear_value
+           {round_half_up_sql("CAST(sum(CAST(floor(p_value * 1e6 / n_touches + 5e-1) AS BIGINT)) AS DOUBLE) / 1e6", 2)} AS linear_value
     FROM ranked
     GROUP BY channel
 """

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_half_up_sql
 from ..sources.tables import load_table
 
 __all__ = [
@@ -118,12 +119,15 @@ def min_cost_supplier(
             "p_name",
             "s_name",
             "n_name",
-            F.round("cost", 4).alias("supply_cost"),
+            # engine-exact half-up (functions/rounding.py): F.round and
+            # DuckDB round() disagree on boundary doubles — observed at
+            # sf0.001 (26.2412 vs 26.2413, r10 sweep)
+            F.expr(round_half_up_sql("cost", 4)).alias("supply_cost"),
         )
     )
 
 
-MIN_COST_SUPPLIER_ORACLE = """
+MIN_COST_SUPPLIER_ORACLE = f"""
     WITH pair_cost AS (
         SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
                min(l_extendedprice / l_quantity) AS cost
@@ -135,7 +139,7 @@ MIN_COST_SUPPLIER_ORACLE = """
         GROUP BY ALL
     )
     SELECT p_partkey, p_name, s_name, n_name,
-           round(cost, 4) AS supply_cost
+           {round_half_up_sql("cost", 4)} AS supply_cost
     FROM pair_cost
     WHERE cost = (SELECT min(cost) FROM pair_cost p2
                   WHERE p2.p_partkey = pair_cost.p_partkey)
