@@ -138,15 +138,6 @@ def main() -> None:
     # (multiplicative host/runtime shift, not code) — the flag makes the
     # recorded comparison self-describing instead of needing a post-mortem.
     payload["env_match_prev"] = _env_match_prev(payload)
-    # full calibration series (and per-pass raw times) only in the detail
-    # file — the stdout line carries just the summary so it stays in budget
-    detail = dict(payload)
-    detail["calibration"] = calibration
-    detail["raw_times"] = {k: [round(t, 3) for t in v] for k, v in all_times.items()}
-    try:
-        DETAIL_PATH.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
-    except OSError:
-        pass
     payload["calib_max"] = max(calibration) if calibration else None
     payload["calib_median"] = (
         round(sorted(calibration)[len(calibration) // 2], 3) if calibration else None
@@ -159,6 +150,17 @@ def main() -> None:
         payload["value_net"] = round(
             max(0.0, total - payload["calib_median"] * len(timings)), 3
         )
+    # full calibration series (and per-pass raw times) only in the detail
+    # file — the stdout line carries just the summary so it stays in budget.
+    # Written AFTER the calib/net summary so the detail record carries it
+    # too (the first value_net run left them stdout-only).
+    detail = dict(payload)
+    detail["calibration"] = calibration
+    detail["raw_times"] = {k: [round(t, 3) for t in v] for k, v in all_times.items()}
+    try:
+        DETAIL_PATH.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
+    except OSError:
+        pass
     print(_stdout_line(payload))
     spark.stop()
     if regressions and os.getenv("SPARK_GRAFT_BENCH_STRICT"):
