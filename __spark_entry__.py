@@ -27,6 +27,7 @@ from real_time_mobility_heatmap_spark.config import DEFAULT as CFG
 from real_time_mobility_heatmap_spark.operators import (
     analytics,
     asof,
+    curation,
     decode,
     dedup,
     latest,
@@ -104,6 +105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver window (r10) ----
         # (0) NEW this round (never driver-checked):
+        "per_source_cap": curation.q_per_source_cap,
+        "training_order": curation.q_training_order,
+        "padding_waste_report": curation.q_padding_waste_report,
+        "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,
+        "semantic_decontaminate": curation.q_semantic_decontaminate,
         "vband_geometry_report": similarity.q_vband_geometry_report,
         "lsh_candidate_stats": dedup.q_lsh_candidate_stats,
         # (1) CHANGED this round — re-verified the round the code
@@ -311,6 +317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of ``queries()`` (same column names, same rounding)."""
     return {
+        "per_source_cap": curation.PER_SOURCE_CAP_ORACLE,
+        "training_order": curation.TRAINING_ORDER_ORACLE,
+        "padding_waste_report": curation.PADDING_WASTE_REPORT_ORACLE,
+        "tokenizer_fertility_report": curation.TOKENIZER_FERTILITY_REPORT_ORACLE,
+        "semantic_decontaminate": curation.semantic_decontaminate_oracle(),
         "boilerplate_scrub": textops.BOILERPLATE_SCRUB_ORACLE,
         "quality_decile_report": textops.QUALITY_DECILE_REPORT_ORACLE,
         "rp_project": similarity.rp_project_oracle(),

@@ -383,6 +383,22 @@ def test_winnow_match_spans_no_broadcast_hint_and_semi_pruned(spark):
     assert "LeftSemi" in logical, "fingerprints not member-pruned"
 
 
+def test_per_source_cap_pushes_group_limit_below_shuffle(spark):
+    """The rank<=cap filter must plan as WindowGroupLimit on BOTH sides
+    of the exchange (Spark 3.5+ rewrite): the map-side partial keeps only
+    its local top-cap per source BEFORE shuffling, so a hot domain ships
+    cap x n_partitions rows, not its full row set — the property
+    curation.per_source_cap's 100 TB claim rests on."""
+    plan = _plan(spark, "per_source_cap")
+    # keep only the tree section (the per-node detail block repeats names)
+    tree = plan.split("\n(1)")[0]
+    assert tree.count("WindowGroupLimit") == 2, "missing partial+final pair"
+    # the tree prints root-first, so the MAP-SIDE partial is the
+    # WindowGroupLimit that appears BELOW (textually after) the Exchange
+    below_exchange = tree.split("Exchange", 1)[1]
+    assert "WindowGroupLimit" in below_exchange, "no map-side partial group limit"
+
+
 def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):
     """Anti-pattern sweep over EVERY registered query's plan:
 
