@@ -1,0 +1,300 @@
+"""Movement-flow analytics over the ping stream — the city-scale
+companions of the tile heatmap (SURVEY.md §2 mobility extensions):
+origin→destination flows, co-location contact pairs, and spatial
+smoothing of the cell-count surface.
+
+The reference stops at per-cell densities (heatmap_stream.py:96-132);
+a transit operator's next three questions are *where do trips go*
+(`od_matrix`), *which vehicles travel together* (`encounter_pairs` —
+the contact-tracing / convoy-detection primitive), and *what does the
+density look like with sensor noise smoothed out* (`kring_smooth`, the
+grid analog of H3's k-ring neighborhood average).
+
+Scale shapes, per operator:
+- ``od_matrix``: ONE corpus shuffle on (vehicleId, hour); both endpoint
+  windows and the endpoint aggregate reuse that partitioning, and the
+  final flow aggregate is keyed by cell pairs (geography²-bounded).
+- ``encounter_pairs``: the dedup family's capped-bucket pattern applied
+  to (cell, window) buckets — over-cap buckets (a depot where hundreds
+  of vehicles park) are dropped BEFORE their arrays materialize, so
+  per-bucket fanout is bounded by C(cap, 2), never corpus².
+- ``kring_smooth``: the convolution runs on the CELL relation (one
+  map-side-combined aggregate away from the rows), so the 9× scatter
+  explode and the re-aggregate touch geography-bounded data only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.grid import cell_id
+from ..operators.dedup import _capped_sorted_buckets
+from ..operators.tiles import snap_pings, snapped_oracle_cte
+from ..operators.validate import validate_pings
+from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events
+
+# co-location bucket: same grid cell within the same 5-minute tumbling
+# window counts as one encounter opportunity
+ENC_WINDOW_MIN = 5
+# depot guard: a (cell, window) bucket holding more distinct vehicles
+# than this is a terminal/garage, not an encounter — dropped before its
+# vehicle array materializes (same rationale as dedup's df_cap)
+ENC_CAP = 50
+
+# OD trip grain: first and last observed cell per vehicle per clock hour
+OD_GRAIN = "hour"
+
+
+# --------------------------------------------------------------------------
+# Origin -> destination matrix
+# --------------------------------------------------------------------------
+
+
+def od_matrix(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Hourly origin→destination flow counts between grid cells.
+
+    Trip grain = (vehicleId, clock hour): origin is the cell of the
+    vehicle's FIRST ping in the hour, destination the cell of its LAST,
+    with (eventTs, event_id) as the engine-total order (eventTs alone
+    can tie within a vehicle-hour). Emits one row per observed
+    (origin_cell, dest_cell) with trip and vehicle counts plus the share
+    of trips that actually moved cells.
+
+    Both row_number windows and the endpoint aggregate share the
+    (vehicleId, hour) hash partitioning — Catalyst plans ONE exchange
+    for all three; the flow aggregate then shuffles the per-trip rows
+    (|vehicles|×|hours| at most, far below ping volume).
+    """
+    snapped = snap_pings(pings, cfg).withColumn(
+        "trip_hour", F.date_trunc(OD_GRAIN, F.col("eventTs"))
+    )
+    part = ["vehicleId", "trip_hour"]
+    asc = Window.partitionBy(*part).orderBy(F.asc("eventTs"), F.asc("event_id"))
+    desc = Window.partitionBy(*part).orderBy(F.desc("eventTs"), F.desc("event_id"))
+    trips = (
+        snapped.select(
+            *part,
+            "cell_id",
+            F.row_number().over(asc).alias("rn_a"),
+            F.row_number().over(desc).alias("rn_d"),
+        )
+        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .groupBy(*part)
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("cell_id"))).alias("origin_cell"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cell_id"))).alias("dest_cell"),
+        )
+    )
+    return trips.groupBy("origin_cell", "dest_cell").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.count_distinct("vehicleId").alias("n_vehicles"),
+    )
+
+
+def od_matrix_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        ranked AS (
+            SELECT vehicleId,
+                   date_trunc('{OD_GRAIN}', eventTs) AS trip_hour,
+                   cell_id,
+                   row_number() OVER (
+                       PARTITION BY vehicleId, date_trunc('{OD_GRAIN}', eventTs)
+                       ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST
+                   ) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY vehicleId, date_trunc('{OD_GRAIN}', eventTs)
+                       ORDER BY eventTs DESC NULLS LAST, event_id DESC NULLS LAST
+                   ) AS rn_d
+            FROM snapped
+        ),
+        trips AS (
+            SELECT vehicleId, trip_hour,
+                   max(CASE WHEN rn_a = 1 THEN cell_id END) AS origin_cell,
+                   max(CASE WHEN rn_d = 1 THEN cell_id END) AS dest_cell
+            FROM ranked WHERE rn_a = 1 OR rn_d = 1
+            GROUP BY vehicleId, trip_hour
+        )
+        SELECT origin_cell, dest_cell,
+               count(*) AS n_trips,
+               count(DISTINCT vehicleId) AS n_vehicles
+        FROM trips GROUP BY origin_cell, dest_cell
+    """
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return od_matrix(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Co-location encounter pairs
+# --------------------------------------------------------------------------
+
+
+def encounter_pairs(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Vehicle pairs repeatedly observed in the same (cell, 5-min window).
+
+    The contact-tracing / convoy primitive: distinct co-location triples
+    (cell, window, vehicle) are grouped into capped sorted vehicle-array
+    buckets (``_capped_sorted_buckets`` — the r10-audited builder that
+    drops over-cap depot buckets BEFORE collect_list materializes them),
+    then i<j pairs stream out via the two-level explode. Emits one row
+    per vehicle pair with encounter count, distinct-cell count, and
+    first co-location window. Never an all-pairs product: fanout is
+    bounded by n_buckets × C(ENC_CAP, 2).
+    """
+    snapped = snap_pings(pings, cfg)
+    triples = snapped.select(
+        "cell_id",
+        F.window("eventTs", f"{ENC_WINDOW_MIN} minutes").start.alias("w_start"),
+        "vehicleId",
+    ).distinct()
+    buckets = _capped_sorted_buckets(
+        triples, ["cell_id", "w_start"], "vehicleId", ENC_CAP
+    )
+    pairs = (
+        buckets.select(
+            "cell_id",
+            "w_start",
+            "ds",
+            F.explode(F.expr("sequence(1, size(ds) - 1)")).alias("i"),
+        )
+        .select(
+            "cell_id",
+            "w_start",
+            F.expr("element_at(ds, i)").alias("vehicle_a"),
+            F.explode(F.expr("slice(ds, i + 1, size(ds) - i)")).alias("vehicle_b"),
+        )
+    )
+    return pairs.groupBy("vehicle_a", "vehicle_b").agg(
+        F.count(F.lit(1)).alias("n_encounters"),
+        F.count_distinct("cell_id").alias("n_cells"),
+        F.min("w_start").alias("first_seen"),
+    )
+
+
+def encounter_pairs_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    # sorted-array i<j pairing == self-join with a strict string "<" on
+    # the member column; the cap filter reproduces the bucket drop
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        triples AS (
+            SELECT DISTINCT cell_id,
+                   time_bucket(INTERVAL '{ENC_WINDOW_MIN} minutes', eventTs) AS w_start,
+                   vehicleId
+            FROM snapped
+        ),
+        sized AS (
+            SELECT *, count(*) OVER (PARTITION BY cell_id, w_start) AS _n
+            FROM triples
+        ),
+        kept AS (SELECT * FROM sized WHERE _n <= {ENC_CAP}),
+        pairs AS (
+            SELECT a.cell_id, a.w_start,
+                   a.vehicleId AS vehicle_a, b.vehicleId AS vehicle_b
+            FROM kept a JOIN kept b
+              ON a.cell_id = b.cell_id AND a.w_start = b.w_start
+             AND a.vehicleId < b.vehicleId
+        )
+        SELECT vehicle_a, vehicle_b,
+               count(*) AS n_encounters,
+               count(DISTINCT cell_id) AS n_cells,
+               min(w_start) AS first_seen
+        FROM pairs GROUP BY vehicle_a, vehicle_b
+    """
+
+
+def q_encounter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return encounter_pairs(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# k-ring neighborhood smoothing
+# --------------------------------------------------------------------------
+
+
+def kring_smooth(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """3×3-neighborhood (k-ring 1) smoothing of the per-cell ping counts.
+
+    The grid analog of averaging an H3 cell with its k-ring: every cell
+    SCATTERS its count to itself and its 8 neighbors (a 3×3 uniform
+    kernel via two literal sequence explodes), the scatter re-aggregates
+    on the receiving cell, and occupied cells join back their raw count.
+    Emits (cell_id, ping_count, smoothed_count, share_ppm) where
+    share_ppm = the cell's own fraction of its neighborhood total — a
+    hot-spot isolation score (1e6 = isolated spike, ~111k = uniform
+    field).
+
+    The corpus is touched ONCE (the map-side-combined cell count); the
+    9× explode, re-aggregate, and self-join all run on the
+    geography-bounded cell relation.
+    """
+    cells = (
+        validate_pings(pings)
+        .groupBy(
+            F.floor(F.col("lat") * cfg.grid_scale).cast("bigint").alias("iy"),
+            F.floor(F.col("lon") * cfg.grid_scale).cast("bigint").alias("ix"),
+        )
+        .agg(F.count(F.lit(1)).alias("ping_count"))
+    )
+    scattered = (
+        cells.select(
+            "iy", "ix", "ping_count", F.explode(F.expr("sequence(-1, 1)")).alias("dy")
+        )
+        .select(
+            "iy", "ix", "ping_count", "dy",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+        )
+        .groupBy(
+            (F.col("iy") + F.col("dy")).alias("ny"),
+            (F.col("ix") + F.col("dx")).alias("nx"),
+        )
+        .agg(F.sum("ping_count").alias("smoothed_count"))
+    )
+    joined = cells.join(
+        scattered, (cells.iy == scattered.ny) & (cells.ix == scattered.nx)
+    )
+    return joined.select(
+        F.concat(
+            F.col("iy").cast("string"), F.lit(":"), F.col("ix").cast("string")
+        ).alias("cell_id"),
+        "ping_count",
+        "smoothed_count",
+        F.round(F.col("ping_count") * 1e6 / F.col("smoothed_count"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+def kring_smooth_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    from ..operators.validate import VALID_SQL
+
+    return f"""
+        WITH pings AS ({PINGS_ORACLE_SQL}),
+        cells AS (
+            SELECT CAST(floor(lat * {cfg.grid_scale}) AS BIGINT) AS iy,
+                   CAST(floor(lon * {cfg.grid_scale}) AS BIGINT) AS ix,
+                   count(*) AS ping_count
+            FROM pings WHERE {VALID_SQL}
+            GROUP BY 1, 2
+        ),
+        offsets AS (SELECT * FROM (VALUES (-1), (0), (1)) d(d)),
+        scattered AS (
+            SELECT c.iy + dy.d AS ny, c.ix + dx.d AS nx,
+                   CAST(sum(ping_count) AS BIGINT) AS smoothed_count
+            FROM cells c CROSS JOIN offsets dy CROSS JOIN offsets dx
+            GROUP BY 1, 2
+        )
+        SELECT CAST(c.iy AS VARCHAR) || ':' || CAST(c.ix AS VARCHAR) AS cell_id,
+               c.ping_count,
+               s.smoothed_count,
+               CAST(round(c.ping_count * 1e6 / s.smoothed_count) AS BIGINT)
+                   AS share_ppm
+        FROM cells c JOIN scattered s ON c.iy = s.ny AND c.ix = s.nx
+    """
+
+
+def q_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kring_smooth(pings_from_events(spark, sf_dir))
