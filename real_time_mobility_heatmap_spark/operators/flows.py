@@ -30,9 +30,10 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.grid import cell_id
+from ..functions.percentiles import percentile_disc_exact
 from ..operators.dedup import _capped_sorted_buckets
 from ..operators.tiles import snap_pings, snapped_oracle_cte
-from ..operators.validate import validate_pings
+from ..operators.validate import VALID_SQL, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events
 
 # co-location bucket: same grid cell within the same 5-minute tumbling
@@ -269,8 +270,6 @@ def kring_smooth(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
 
 
 def kring_smooth_oracle(cfg: EngineConfig = DEFAULT) -> str:
-    from ..operators.validate import VALID_SQL
-
     return f"""
         WITH pings AS ({PINGS_ORACLE_SQL}),
         cells AS (
@@ -298,3 +297,220 @@ def kring_smooth_oracle(cfg: EngineConfig = DEFAULT) -> str:
 
 def q_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kring_smooth(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Stay-point detection
+# --------------------------------------------------------------------------
+
+# a vehicle "stays" when >= 2 consecutive pings share a cell for >= 10 min
+STAY_MIN_S = 600
+
+
+def stay_points(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-vehicle stay points: maximal runs of consecutive same-cell
+    pings dwelling >= ``STAY_MIN_S`` — the terminals/layovers extraction
+    that turns raw pings into trip boundaries (the dual of ``od_matrix``,
+    which keeps only endpoints; this keeps only the NON-movement).
+
+    Gaps-and-islands on the cell sequence: lag(cell) change flag, then a
+    running sum numbers the runs — both windows and the run aggregate
+    share ONE (vehicleId) shuffle. Dwell math runs on floored epoch
+    seconds (exact int64 in both engines). Run cardinality <= ping
+    count, so nothing downstream exceeds the input.
+    """
+    snapped = snap_pings(pings, cfg).withColumn(
+        "es", F.unix_timestamp("eventTs").cast("bigint")
+    )
+    w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
+    chg = F.when(
+        F.lag("cell_id").over(w).isNull()
+        | (F.lag("cell_id").over(w) != F.col("cell_id")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = snapped.select(
+        "vehicleId",
+        "cell_id",
+        "eventTs",
+        "event_id",
+        "es",
+        chg.alias("chg"),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(
+            Window.partitionBy("vehicleId")
+            .orderBy(F.asc("eventTs"), F.asc("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("vehicleId", "run_id")
+        .agg(
+            F.min("cell_id").alias("cell_id"),  # constant within a run
+            F.count(F.lit(1)).alias("n_pings"),
+            F.min("es").alias("stay_start_es"),
+            F.max("es").alias("stay_end_es"),
+        )
+        .filter(
+            (F.col("n_pings") >= 2)
+            & (F.col("stay_end_es") - F.col("stay_start_es") >= STAY_MIN_S)
+        )
+        .select(
+            "vehicleId",
+            "cell_id",
+            "n_pings",
+            "stay_start_es",
+            "stay_end_es",
+            (F.col("stay_end_es") - F.col("stay_start_es")).alias("dwell_sec"),
+        )
+    )
+
+
+def stay_points_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        seq AS (
+            SELECT vehicleId, cell_id, eventTs, event_id,
+                   CAST(floor(epoch(eventTs)) AS BIGINT) AS es,
+                   CASE WHEN lag(cell_id) OVER w IS NULL
+                          OR lag(cell_id) OVER w <> cell_id
+                        THEN 1 ELSE 0 END AS chg
+            FROM snapped
+            WINDOW w AS (PARTITION BY vehicleId
+                         ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        ),
+        runs AS (
+            SELECT *, sum(chg) OVER (
+                       PARTITION BY vehicleId
+                       ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run_id
+            FROM seq
+        ),
+        stays AS (
+            SELECT vehicleId, run_id,
+                   min(cell_id) AS cell_id,
+                   count(*) AS n_pings,
+                   min(es) AS stay_start_es,
+                   max(es) AS stay_end_es
+            FROM runs GROUP BY vehicleId, run_id
+        )
+        SELECT vehicleId, cell_id, n_pings, stay_start_es, stay_end_es,
+               stay_end_es - stay_start_es AS dwell_sec
+        FROM stays
+        WHERE n_pings >= 2 AND stay_end_es - stay_start_es >= {STAY_MIN_S}
+    """
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stay_points(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Ping-gap (sensor outage) report
+# --------------------------------------------------------------------------
+
+# a reporting gap longer than this is an outage (vehicle off / out of
+# coverage) — the data-quality dial for any downstream trajectory math
+GAP_OUTAGE_S = 6 * 3600
+
+
+def ping_gap_report(pings: DataFrame) -> DataFrame:
+    """Per-vehicle reporting-cadence profile: gap count/extremes and the
+    share of gaps that are outages (> ``GAP_OUTAGE_S``) in exact ppm.
+
+    The lag window and the aggregate share ONE (vehicleId) shuffle; all
+    gap math is int64 epoch seconds, so every emitted number is exact
+    (`avg_gap_sec` is the only division, rounded identically on both
+    engines). This is the coverage report a fleet operator reads before
+    trusting ``resample_trajectories`` or ``stay_points`` output.
+    """
+    w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
+    gaps = (
+        validate_pings(pings)
+        .withColumn("es", F.unix_timestamp("eventTs").cast("bigint"))
+        .select(
+            "vehicleId", (F.col("es") - F.lag("es").over(w)).alias("gap_s")
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    agged = gaps.groupBy("vehicleId").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_s").alias("max_gap_sec"),
+        F.round(F.sum("gap_s") / F.count(F.lit(1)), 6).alias("avg_gap_sec"),
+        F.sum(F.when(F.col("gap_s") > GAP_OUTAGE_S, 1).otherwise(0)).alias("_n_out"),
+    )
+    # integer `div`, not float-divide-then-cast: Spark's double->long cast
+    # truncates while DuckDB's rounds, so the float path is off by one on
+    # any non-terminating ratio (counts are non-negative, no sign split)
+    return agged.select(
+        "vehicleId",
+        "n_gaps",
+        "max_gap_sec",
+        "avg_gap_sec",
+        F.expr("_n_out * 1000000 div n_gaps").alias("outage_ppm"),
+    )
+
+
+def ping_gap_report_oracle() -> str:
+    return f"""
+        WITH pings AS ({PINGS_ORACLE_SQL}),
+        valid AS (SELECT * FROM pings WHERE {VALID_SQL}),
+        gaps AS (
+            SELECT vehicleId,
+                   CAST(floor(epoch(eventTs)) AS BIGINT)
+                   - lag(CAST(floor(epoch(eventTs)) AS BIGINT)) OVER (
+                         PARTITION BY vehicleId
+                         ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST
+                     ) AS gap_s
+            FROM valid
+        )
+        SELECT vehicleId,
+               count(*) AS n_gaps,
+               max(gap_s) AS max_gap_sec,
+               round(sum(gap_s) / CAST(count(*) AS DOUBLE), 6) AS avg_gap_sec,
+               CAST(sum(CASE WHEN gap_s > {GAP_OUTAGE_S} THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS outage_ppm
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY vehicleId
+    """
+
+
+def q_ping_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ping_gap_report(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Per-cell congestion percentiles
+# --------------------------------------------------------------------------
+
+
+def cell_speed_percentiles(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-cell exact speed percentiles (p50/p75) — the congestion map.
+
+    Reuses ``percentile_disc_exact`` (functions/percentiles.py) on its
+    KEYED path: the distinct-(cell, speed) aggregate plus a spillable
+    running-sum window, never the built-in's per-group value map — so a
+    cell with corpus-scale distinct speeds degrades to disk, not OOM.
+    percentile_disc picks an EXISTING value, so the doubles cross the
+    engine boundary untouched (no accumulation-order hazard).
+    """
+    snapped = snap_pings(pings, cfg).filter(F.col("speedKmh").isNotNull())
+    return percentile_disc_exact(
+        snapped, ["cell_id"], "speedKmh", [0.5, 0.75], ["p50_speed", "p75_speed"]
+    )
+
+
+def cell_speed_percentiles_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)}
+        SELECT cell_id,
+               quantile_disc(speedKmh, 0.5) AS p50_speed,
+               quantile_disc(speedKmh, 0.75) AS p75_speed
+        FROM snapped WHERE speedKmh IS NOT NULL
+        GROUP BY cell_id
+    """
+
+
+def q_cell_speed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cell_speed_percentiles(pings_from_events(spark, sf_dir))

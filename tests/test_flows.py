@@ -11,9 +11,13 @@ from pyspark.sql import Row
 
 from real_time_mobility_heatmap_spark.operators.flows import (
     ENC_CAP,
+    GAP_OUTAGE_S,
+    cell_speed_percentiles,
     encounter_pairs,
     kring_smooth,
     od_matrix,
+    ping_gap_report,
+    stay_points,
 )
 from real_time_mobility_heatmap_spark.schema import PING_SCHEMA
 
@@ -144,6 +148,84 @@ def test_kring_far_cells_unsmoothed(spark):
     assert all(r["smoothed_count"] == 1 for r in out.values())
 
 
+# ---- stay_points ---------------------------------------------------------
+
+
+def test_stay_points_detects_dwell_and_filters_short(spark):
+    rows = [
+        # 15-minute stay in one cell (3 pings) -> one stay row
+        _ping(ts="2024-01-01T10:00:00", eid=1),
+        _ping(ts="2024-01-01T10:07:00", eid=2),
+        _ping(ts="2024-01-01T10:15:00", eid=3),
+        # move away: 5-minute stay elsewhere -> below STAY_MIN_S, dropped
+        _ping(ts="2024-01-01T11:00:00", lat=42.40, eid=4),
+        _ping(ts="2024-01-01T11:05:00", lat=42.40, eid=5),
+        # single-ping run -> dropped (n_pings < 2)
+        _ping(ts="2024-01-01T12:00:00", lat=42.90, eid=6),
+    ]
+    out = stay_points(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r["cell_id"] == "847:-1422"
+    assert r["n_pings"] == 3
+    assert r["dwell_sec"] == 900
+
+
+def test_stay_points_return_visit_is_a_new_run(spark):
+    # leave and come back: two runs in the SAME cell, counted separately
+    rows = [
+        _ping(ts="2024-01-01T10:00:00", eid=1),
+        _ping(ts="2024-01-01T10:20:00", eid=2),
+        _ping(ts="2024-01-01T11:00:00", lat=42.40, eid=3),  # away
+        _ping(ts="2024-01-01T12:00:00", eid=4),
+        _ping(ts="2024-01-01T12:30:00", eid=5),
+    ]
+    out = stay_points(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert len(out) == 2
+    assert {r["dwell_sec"] for r in out} == {1200, 1800}
+
+
+# ---- ping_gap_report -----------------------------------------------------
+
+
+def test_ping_gap_report_exact_integer_stats(spark):
+    # gaps: 600s, 7h (outage), 600s -> 3 gaps, 1 outage -> 333333 ppm
+    rows = [
+        _ping(ts="2024-01-01T10:00:00", eid=1),
+        _ping(ts="2024-01-01T10:10:00", eid=2),
+        _ping(ts="2024-01-01T17:10:00", eid=3),
+        _ping(ts="2024-01-01T17:20:00", eid=4),
+    ]
+    (r,) = ping_gap_report(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert r["n_gaps"] == 3
+    assert r["max_gap_sec"] == 7 * 3600
+    assert r["outage_ppm"] == 333_333  # truncating div, not round
+    assert r["max_gap_sec"] > GAP_OUTAGE_S
+
+
+def test_ping_gap_single_ping_vehicle_emits_nothing(spark):
+    rows = [_ping(vid="only", eid=1)]
+    assert ping_gap_report(spark.createDataFrame(rows, PING_SCHEMA)).collect() == []
+
+
+# ---- cell_speed_percentiles ------------------------------------------------
+
+
+def test_cell_speed_percentiles_pick_existing_values(spark):
+    # speeds 10,20,30,40 in one cell: p50 = 2nd value, p75 = 3rd
+    rows = [
+        _ping(ts=f"2024-01-01T10:0{i}:00", eid=i) for i in range(4)
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, PING_SCHEMA).withColumn(
+        "speedKmh", (F.col("event_id") * 10.0).cast("double")
+    )
+    (r,) = cell_speed_percentiles(df).collect()
+    assert r["p50_speed"] == 10.0  # eids 0..3 -> speeds 0,10,20,30; ceil(.5*4)=2nd
+    assert r["p75_speed"] == 20.0  # ceil(.75*4)=3rd value
+
+
 # ---- totality ------------------------------------------------------------
 
 
@@ -151,7 +233,14 @@ def test_flows_total_on_empty_fixtures(spark, tmp_path):
     src = "/root/testdata/sf0.001/events.parquet"
     pq.write_table(pq.read_table(src).slice(0, 0), str(tmp_path / "events.parquet"))
     qs = entry_mod.queries()
-    for name in ("od_matrix", "encounter_pairs", "kring_smooth"):
+    for name in (
+        "od_matrix",
+        "encounter_pairs",
+        "kring_smooth",
+        "stay_points",
+        "ping_gap_report",
+        "cell_speed_percentiles",
+    ):
         df = qs[name](spark, str(tmp_path))
         assert df.collect() == []
         assert df.schema.fieldNames()
