@@ -514,3 +514,200 @@ def cell_speed_percentiles_oracle(cfg: EngineConfig = DEFAULT) -> str:
 
 def q_cell_speed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_speed_percentiles(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Co-dwell pairs (interval-overlap join over stay points)
+# --------------------------------------------------------------------------
+
+# minimum overlap for a co-dwell, and the coarse time bucket the interval
+# join is keyed on (the bucketed range-join pattern of zone_counts applied
+# to TIME instead of space: stays explode into covering 6h buckets, the
+# join is equi on (cell, bucket), and the exact overlap predicate trims)
+CODWELL_MIN_S = 300
+CODWELL_BUCKET_S = 6 * 3600
+
+
+def co_dwell_pairs(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Vehicle pairs whose stay intervals overlap in the same cell —
+    `encounter_pairs` asks "same place, same 5 minutes"; this asks
+    "parked together": interval intersection >= ``CODWELL_MIN_S``.
+
+    NEVER a per-cell all-pairs product: each stay explodes into its
+    covering coarse time buckets (``sequence`` on the bucket ints — a
+    stay covers dwell/6h + 1 of them), the self-join is equi on
+    (cell, bucket) with a strict vehicle ordering, duplicates from
+    multi-bucket overlaps collapse via ``distinct`` on the interval
+    pair BEFORE the overlap math, and the exact predicate keeps true
+    overlaps only. A depot cell with years of stays joins within 6h
+    slices, not across its whole history.
+    """
+    stays = stay_points(pings, cfg).select(
+        "vehicleId", "cell_id", "stay_start_es", "stay_end_es"
+    )
+    buckets = stays.select(
+        "vehicleId",
+        "cell_id",
+        "stay_start_es",
+        "stay_end_es",
+        F.explode(
+            F.expr(
+                f"sequence(stay_start_es div {CODWELL_BUCKET_S},"
+                f" stay_end_es div {CODWELL_BUCKET_S})"
+            )
+        ).alias("tb"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.tb") == F.col("b.tb"))
+            & (F.col("a.vehicleId") < F.col("b.vehicleId")),
+        )
+        .select(
+            F.col("a.vehicleId").alias("vehicle_a"),
+            F.col("b.vehicleId").alias("vehicle_b"),
+            F.col("a.cell_id").alias("cell_id"),
+            F.col("a.stay_start_es").alias("a0"),
+            F.col("a.stay_end_es").alias("a1"),
+            F.col("b.stay_start_es").alias("b0"),
+            F.col("b.stay_end_es").alias("b1"),
+        )
+        .distinct()
+    )
+    overlap = F.least("a1", "b1") - F.greatest("a0", "b0")
+    return (
+        cand.withColumn("overlap_sec", overlap)
+        .filter(F.col("overlap_sec") >= CODWELL_MIN_S)
+        .groupBy("vehicle_a", "vehicle_b", "cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_codwells"),
+            F.sum("overlap_sec").alias("total_overlap_sec"),
+            F.max("overlap_sec").alias("max_overlap_sec"),
+        )
+    )
+
+
+def co_dwell_pairs_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    stays = stay_points_oracle(cfg)
+    return f"""
+        WITH stays AS ({stays}),
+        buckets AS (
+            SELECT vehicleId, cell_id, stay_start_es, stay_end_es,
+                   unnest(generate_series(stay_start_es // {CODWELL_BUCKET_S},
+                                          stay_end_es // {CODWELL_BUCKET_S})) AS tb
+            FROM stays
+        ),
+        cand AS (
+            SELECT DISTINCT
+                   a.vehicleId AS vehicle_a, b.vehicleId AS vehicle_b,
+                   a.cell_id AS cell_id,
+                   a.stay_start_es AS a0, a.stay_end_es AS a1,
+                   b.stay_start_es AS b0, b.stay_end_es AS b1
+            FROM buckets a JOIN buckets b
+              ON a.cell_id = b.cell_id AND a.tb = b.tb
+             AND a.vehicleId < b.vehicleId
+        ),
+        ov AS (
+            SELECT *, least(a1, b1) - greatest(a0, b0) AS overlap_sec
+            FROM cand
+        )
+        SELECT vehicle_a, vehicle_b, cell_id,
+               count(*) AS n_codwells,
+               CAST(sum(overlap_sec) AS BIGINT) AS total_overlap_sec,
+               max(overlap_sec) AS max_overlap_sec
+        FROM ov WHERE overlap_sec >= {CODWELL_MIN_S}
+        GROUP BY vehicle_a, vehicle_b, cell_id
+    """
+
+
+def q_co_dwell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return co_dwell_pairs(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Tile anomaly (spike) report
+# --------------------------------------------------------------------------
+
+# spike = this bucket's count >= SPIKE_X times the mean of the trailing
+# TRAIL_K observed buckets, after at least MIN_HISTORY observations
+SPIKE_X = 3
+TRAIL_K = 4
+MIN_HISTORY = 2
+ANOM_BUCKET_S = 600
+
+
+def tile_anomaly_report(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-cell demand-spike detection against the cell's own trailing
+    baseline — the ops alert behind the heatmap: which tiles are
+    suddenly hot RELATIVE TO THEMSELVES (an absolute threshold only
+    finds the always-busy downtown).
+
+    Grain: 10-minute buckets; the baseline is the mean of the previous
+    ``TRAIL_K`` OBSERVED buckets (empty buckets are absent, not
+    zero-filled — the report reads "vs recent activity", robust to
+    sparse cells). The spike test is pure integer cross-multiplication
+    (count * trail_n >= SPIKE_X * trail_sum), so the flag is
+    engine-exact with no division anywhere. One corpus shuffle for the
+    (cell, bucket) count; the trailing window runs on the
+    bucket-bounded aggregate.
+    """
+    snapped = snap_pings(pings, cfg)
+    counts = snapped.groupBy(
+        "cell_id",
+        F.expr(f"(unix_timestamp(eventTs) div {ANOM_BUCKET_S}) * {ANOM_BUCKET_S}").alias(
+            "bucket_epoch"
+        ),
+    ).agg(F.count(F.lit(1)).alias("ping_count"))
+    w = (
+        Window.partitionBy("cell_id")
+        .orderBy(F.asc("bucket_epoch"))
+        .rowsBetween(-TRAIL_K, -1)
+    )
+    trailed = counts.select(
+        "cell_id",
+        "bucket_epoch",
+        "ping_count",
+        F.coalesce(F.sum("ping_count").over(w), F.lit(0)).alias("trail_sum"),
+        F.count("ping_count").over(w).alias("trail_n"),
+    )
+    return trailed.filter(F.col("trail_n") >= MIN_HISTORY).select(
+        "cell_id",
+        "bucket_epoch",
+        "ping_count",
+        "trail_sum",
+        "trail_n",
+        (
+            F.col("ping_count") * F.col("trail_n")
+            >= F.lit(SPIKE_X) * F.col("trail_sum")
+        ).alias("is_spike"),
+    )
+
+
+def tile_anomaly_report_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        counts AS (
+            SELECT cell_id,
+                   (CAST(floor(epoch(eventTs)) AS BIGINT) // {ANOM_BUCKET_S})
+                       * {ANOM_BUCKET_S} AS bucket_epoch,
+                   count(*) AS ping_count
+            FROM snapped GROUP BY 1, 2
+        ),
+        trailed AS (
+            SELECT cell_id, bucket_epoch, ping_count,
+                   coalesce(CAST(sum(ping_count) OVER w AS BIGINT), 0) AS trail_sum,
+                   count(ping_count) OVER w AS trail_n
+            FROM counts
+            WINDOW w AS (PARTITION BY cell_id ORDER BY bucket_epoch ASC
+                         ROWS BETWEEN {TRAIL_K} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT cell_id, bucket_epoch, ping_count, trail_sum, trail_n,
+               ping_count * trail_n >= {SPIKE_X} * trail_sum AS is_spike
+        FROM trailed WHERE trail_n >= {MIN_HISTORY}
+    """
+
+
+def q_tile_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_anomaly_report(pings_from_events(spark, sf_dir))

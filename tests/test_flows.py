@@ -13,11 +13,13 @@ from real_time_mobility_heatmap_spark.operators.flows import (
     ENC_CAP,
     GAP_OUTAGE_S,
     cell_speed_percentiles,
+    co_dwell_pairs,
     encounter_pairs,
     kring_smooth,
     od_matrix,
     ping_gap_report,
     stay_points,
+    tile_anomaly_report,
 )
 from real_time_mobility_heatmap_spark.schema import PING_SCHEMA
 
@@ -226,6 +228,78 @@ def test_cell_speed_percentiles_pick_existing_values(spark):
     assert r["p75_speed"] == 20.0  # ceil(.75*4)=3rd value
 
 
+# ---- co_dwell_pairs --------------------------------------------------------
+
+
+def _stay(vid, t0, t1, eid0, lat=42.35):
+    """Two pings framing a stay interval [t0, t1] in one cell."""
+    return [
+        _ping(vid=vid, ts=t0, lat=lat, eid=eid0),
+        _ping(vid=vid, ts=t1, lat=lat, eid=eid0 + 1),
+    ]
+
+
+def test_co_dwell_overlap_math(spark):
+    rows = (
+        # v1 stays 10:00-11:00, v2 stays 10:30-11:30 -> overlap 30 min
+        _stay("v1", "2024-01-01T10:00:00", "2024-01-01T11:00:00", 1)
+        + _stay("v2", "2024-01-01T10:30:00", "2024-01-01T11:30:00", 10)
+        # v3 stays in the same cell but 13:00-14:00 -> no overlap
+        + _stay("v3", "2024-01-01T13:00:00", "2024-01-01T14:00:00", 20)
+    )
+    out = co_dwell_pairs(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["vehicle_a"], r["vehicle_b"]) == ("v1", "v2")
+    assert r["total_overlap_sec"] == 1800
+    assert r["n_codwells"] == 1
+
+
+def test_co_dwell_bucket_straddle_not_double_counted(spark):
+    # overlap straddles a 6h bucket boundary (18:00): the pair appears in
+    # two (cell, bucket) slices but must emit ONE codwell
+    rows = _stay("v1", "2024-01-01T17:00:00", "2024-01-01T19:00:00", 1) + _stay(
+        "v2", "2024-01-01T17:30:00", "2024-01-01T19:30:00", 10
+    )
+    (r,) = co_dwell_pairs(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert r["n_codwells"] == 1
+    assert r["total_overlap_sec"] == 5400  # 17:30-19:00
+
+
+def test_co_dwell_short_overlap_dropped(spark):
+    # 2-minute overlap < CODWELL_MIN_S
+    rows = _stay("v1", "2024-01-01T10:00:00", "2024-01-01T10:32:00", 1) + _stay(
+        "v2", "2024-01-01T10:30:00", "2024-01-01T11:10:00", 10
+    )
+    assert co_dwell_pairs(spark.createDataFrame(rows, PING_SCHEMA)).collect() == []
+
+
+# ---- tile_anomaly_report ---------------------------------------------------
+
+
+def test_tile_anomaly_spike_flag_exact(spark):
+    # 4 buckets of 1 ping, then a bucket of 9 -> 9 * 4 >= 3 * 4 -> spike;
+    # buckets are 10 min apart so each lands in its own ANOM bucket
+    rows = [
+        _ping(ts=f"2024-01-01T1{h}:0{m}:00", eid=h * 10 + m)
+        for h, m in [(0, 0), (1, 0), (2, 0), (3, 0)]
+    ] + [_ping(ts="2024-01-01T14:00:00", eid=100 + i) for i in range(9)]
+    out = {r["bucket_epoch"]: r for r in tile_anomaly_report(
+        spark.createDataFrame(rows, PING_SCHEMA)
+    ).collect()}
+    spike_rows = [r for r in out.values() if r["is_spike"]]
+    assert len(spike_rows) == 1
+    (r,) = spike_rows
+    assert r["ping_count"] == 9
+    assert r["trail_n"] == 4 and r["trail_sum"] == 4
+
+
+def test_tile_anomaly_needs_history(spark):
+    # a single bucket has no trailing history -> filtered out entirely
+    rows = [_ping(ts="2024-01-01T10:00:00", eid=1)]
+    assert tile_anomaly_report(spark.createDataFrame(rows, PING_SCHEMA)).collect() == []
+
+
 # ---- totality ------------------------------------------------------------
 
 
@@ -240,6 +314,8 @@ def test_flows_total_on_empty_fixtures(spark, tmp_path):
         "stay_points",
         "ping_gap_report",
         "cell_speed_percentiles",
+        "co_dwell_pairs",
+        "tile_anomaly_report",
     ):
         df = qs[name](spark, str(tmp_path))
         assert df.collect() == []
