@@ -1395,3 +1395,101 @@ def q_modality_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modality_agreement_report(
         load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift report (per-source domain shift)
+# --------------------------------------------------------------------------
+
+
+def embedding_drift_report(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Per-source embedding-space drift: the cosine between each source's
+    centroid and the corpus centroid — the domain-shift dial a mixture
+    builder reads before re-weighting sources (a source whose centroid
+    points away from the corpus is contributing a different distribution,
+    deliberately or because its scrape went bad).
+
+    Centroids are built in long form exactly like ``kmeans_update`` (one
+    posexplode scan, hash aggregate per (source, pos) — k×dim cells of
+    partial sums, never vectors, through the shuffle), coords rounded at
+    {ROUND_COS}dp so identical doubles enter both engines, then
+    re-assembled and compared with the sequential ``_dot`` fold. The
+    corpus centroid is ONE broadcast row; sources×dim bounds everything
+    after the single corpus-scale scan.
+    """
+    tagged = spread(embeddings).join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    cells = tagged.select(
+        "source", F.posexplode(_as_double("embedding")).alias("pos", "v")
+    )
+    src_cells = cells.groupBy("source", "pos").agg(
+        F.round(F.avg("v"), ROUND_COS).alias("coord")
+    )
+    corpus_cells = cells.groupBy("pos").agg(
+        F.round(F.avg("v"), ROUND_COS).alias("coord")
+    )
+    assemble = lambda df, keys: df.groupBy(*keys).agg(  # noqa: E731
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "coord"))), lambda s: s.coord
+        ).alias("emb")
+    )
+    src_cent = assemble(src_cells, ["source"]).withColumnRenamed("emb", "s_emb")
+    corpus_cent = (
+        assemble(corpus_cells.withColumn("_g", F.lit(1)), ["_g"])
+        .withColumnRenamed("emb", "c_emb")
+        .drop("_g")
+    )
+    counts = tagged.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    cos = F.round(
+        _dot(F.col("s_emb"), F.col("c_emb"))
+        / (
+            F.sqrt(_dot(F.col("s_emb"), F.col("s_emb")))
+            * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+        ),
+        ROUND_COS,
+    )
+    return (
+        src_cent.crossJoin(F.broadcast(corpus_cent))
+        .join(counts, "source")
+        .select("source", "n_docs", cos.alias("centroid_cosine"))
+    )
+
+
+def embedding_drift_report_oracle() -> str:
+    return f"""
+        WITH tagged AS (
+            SELECT d.source, e.vec_id, e.embedding
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        ),
+        cells AS (
+            SELECT source, p.pos, embedding[p.pos + 1]::DOUBLE AS v
+            FROM tagged CROSS JOIN
+                 (SELECT generate_series AS pos FROM generate_series(0, {DIM - 1})) p
+        ),
+        src AS (
+            SELECT source, pos, round(avg(v), {ROUND_COS}) AS coord
+            FROM cells GROUP BY 1, 2
+        ),
+        corpus AS (
+            SELECT pos, round(avg(v), {ROUND_COS}) AS coord
+            FROM cells GROUP BY 1
+        ),
+        src_c AS (
+            SELECT source, list(coord ORDER BY pos) AS s_emb FROM src GROUP BY 1
+        ),
+        corpus_c AS (SELECT list(coord ORDER BY pos) AS c_emb FROM corpus),
+        counts AS (SELECT source, count(*) AS n_docs FROM tagged GROUP BY 1)
+        SELECT s.source, n.n_docs,
+               round(list_dot_product(s_emb, c_emb)
+                     / (sqrt(list_dot_product(s_emb, s_emb))
+                        * sqrt(list_dot_product(c_emb, c_emb))),
+                     {ROUND_COS}) AS centroid_cosine
+        FROM src_c s CROSS JOIN corpus_c JOIN counts n ON n.source = s.source
+    """
+
+
+def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_drift_report(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    )

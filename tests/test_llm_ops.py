@@ -886,3 +886,29 @@ def test_bm25_prefers_rare_terms_and_saturates_tf(spark, sf_dir):
         scores = [r["bm25"] for r in ordered]
         assert all(s >= 0 for s in scores)
         assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_drift_identical_source_has_cosine_one(spark):
+    """A source whose docs all equal the corpus centroid direction scores
+    1.0; a source pointing the other way scores -1.0 against a centroid
+    dominated by the first source."""
+    import pyspark.sql.functions as F
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        DIM,
+        embedding_drift_report,
+    )
+
+    e1 = [1.0] + [0.0] * (DIM - 1)
+    e2 = [-1.0] + [0.0] * (DIM - 1)
+    docs = spark.createDataFrame(
+        [(i, "aligned") for i in range(8)] + [(100, "contrarian")],
+        "doc_id long, source string",
+    )
+    embs = spark.createDataFrame(
+        [(i, e1) for i in range(8)] + [(100, e2)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["source"]: r for r in embedding_drift_report(docs, embs).collect()}
+    assert out["aligned"]["centroid_cosine"] == 1.0
+    assert out["contrarian"]["centroid_cosine"] == -1.0
+    assert out["aligned"]["n_docs"] == 8
