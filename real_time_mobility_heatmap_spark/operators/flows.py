@@ -711,3 +711,142 @@ def tile_anomaly_report_oracle(cfg: EngineConfig = DEFAULT) -> str:
 
 def q_tile_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_anomaly_report(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Convoy clusters (connected components over the encounter graph)
+# --------------------------------------------------------------------------
+
+# vehicles paired at least this many times form a convoy edge
+CONVOY_MIN_ENC = 2
+
+
+def convoy_clusters(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Convoys: connected components over the repeated-encounter graph
+    (pairs with >= ``CONVOY_MIN_ENC`` co-locations), labeled by the
+    component's minimum vehicleId — the fleet-level grouping built on
+    ``encounter_pairs`` exactly the way ``dedup_clusters`` builds
+    communities on the LSH pair graph, and literally REUSING its
+    pointer-jumping label propagation (dedup.py — the edge relation is
+    injected, so the iterative machinery, its convergence guard, and its
+    per-round lineage cut are shared, not re-implemented). min/least are
+    lexicographic on the string ids in both engines."""
+    from .dedup import dedup_clusters
+
+    edges = (
+        encounter_pairs(pings, cfg)
+        .filter(F.col("n_encounters") >= CONVOY_MIN_ENC)
+        .select(F.col("vehicle_a").alias("doc_a"), F.col("vehicle_b").alias("doc_b"))
+    )
+    labeled = dedup_clusters(pings, edges=edges)
+    return labeled.select(
+        F.col("cluster_id").alias("convoy_id"),
+        F.col("doc_id").alias("vehicleId"),
+        F.col("cluster_size").alias("convoy_size"),
+    )
+
+
+def convoy_clusters_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        WITH RECURSIVE pairs AS ({encounter_pairs_oracle(cfg)}),
+        conv AS (
+            SELECT vehicle_a AS doc_a, vehicle_b AS doc_b FROM pairs
+            WHERE n_encounters >= {CONVOY_MIN_ENC}
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM conv
+            UNION SELECT doc_b, doc_a FROM conv
+        ),
+        nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        walk (doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT w.doc_id, e.doc_b FROM walk w JOIN edges e ON w.r = e.doc_a
+        ),
+        labeled AS (SELECT doc_id, min(r) AS convoy_id FROM walk GROUP BY doc_id)
+        SELECT convoy_id, doc_id AS vehicleId,
+               count(*) OVER (PARTITION BY convoy_id) AS convoy_size
+        FROM labeled
+    """
+
+
+def q_convoy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return convoy_clusters(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Tile gap fill (calendar-spine densification)
+# --------------------------------------------------------------------------
+
+# gap-fill grain and how many busiest cells get a filled series (the
+# spine is bounded by GAPFILL_TOP_CELLS x the cell's active hour range)
+GAPFILL_BUCKET_S = 3600
+GAPFILL_TOP_CELLS = 20
+
+
+def tile_gap_fill(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Zero-filled hourly series for the busiest cells — the calendar-
+    spine densification every dashboard/forecasting consumer needs (a
+    chart of observed-only buckets silently interpolates over outages;
+    a forecast trained on them learns the wrong seasonality).
+
+    Spine = ``sequence(min_hour, max_hour, 3600)`` per top cell, exploded
+    and LEFT-joined back to the observed counts; missing buckets emit
+    ping_count 0 with ``observed`` false. Output is bounded by
+    TOP_CELLS × the time range — never corpus rows — and the top-cell
+    pick is a deterministic bounded sort (total desc, cell_id asc).
+    """
+    snapped = snap_pings(pings, cfg)
+    counts = snapped.groupBy(
+        "cell_id",
+        F.expr(
+            f"(unix_timestamp(eventTs) div {GAPFILL_BUCKET_S}) * {GAPFILL_BUCKET_S}"
+        ).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        counts.groupBy("cell_id")
+        .agg(F.sum("n").alias("tot"), F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .orderBy(F.desc("tot"), F.asc("cell_id"))
+        .limit(GAPFILL_TOP_CELLS)
+    )
+    spine = top.select(
+        "cell_id",
+        F.explode(F.expr(f"sequence(mn, mx, {GAPFILL_BUCKET_S})")).alias("h"),
+    )
+    return spine.join(counts, ["cell_id", "h"], "left").select(
+        "cell_id",
+        F.col("h").alias("hour_epoch"),
+        F.coalesce("n", F.lit(0)).alias("ping_count"),
+        F.col("n").isNotNull().alias("observed"),
+    )
+
+
+def tile_gap_fill_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        counts AS (
+            SELECT cell_id,
+                   (CAST(floor(epoch(eventTs)) AS BIGINT) // {GAPFILL_BUCKET_S})
+                       * {GAPFILL_BUCKET_S} AS h,
+                   count(*) AS n
+            FROM snapped GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT cell_id, min(h) AS mn, max(h) AS mx
+            FROM counts GROUP BY cell_id
+            ORDER BY sum(n) DESC, cell_id ASC LIMIT {GAPFILL_TOP_CELLS}
+        ),
+        spine AS (
+            SELECT cell_id,
+                   unnest(generate_series(mn, mx, {GAPFILL_BUCKET_S})) AS h
+            FROM top
+        )
+        SELECT s.cell_id, s.h AS hour_epoch,
+               coalesce(c.n, 0) AS ping_count,
+               c.n IS NOT NULL AS observed
+        FROM spine s LEFT JOIN counts c ON c.cell_id = s.cell_id AND c.h = s.h
+    """
+
+
+def q_tile_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_gap_fill(pings_from_events(spark, sf_dir))

@@ -320,3 +320,44 @@ def test_flows_total_on_empty_fixtures(spark, tmp_path):
         df = qs[name](spark, str(tmp_path))
         assert df.collect() == []
         assert df.schema.fieldNames()
+
+
+# ---- convoy_clusters -------------------------------------------------------
+
+
+def test_convoy_transitive_closure(spark):
+    from real_time_mobility_heatmap_spark.operators.flows import convoy_clusters
+
+    # v1-v2 pair twice; v2-v3 pair twice (different windows); v4 only once
+    # with v1 -> convoy {v1,v2,v3}; v4 excluded (below CONVOY_MIN_ENC)
+    def enc(v, w_h, w_m, eid):
+        return _ping(vid=v, ts=f"2024-01-01T{w_h:02d}:{w_m:02d}:00", eid=eid)
+
+    rows = [
+        enc("v1", 10, 1, 1), enc("v2", 10, 2, 2),
+        enc("v1", 11, 1, 3), enc("v2", 11, 2, 4),
+        enc("v2", 12, 1, 5), enc("v3", 12, 2, 6),
+        enc("v2", 13, 1, 7), enc("v3", 13, 2, 8),
+        enc("v1", 14, 1, 9), enc("v4", 14, 2, 10),
+    ]
+    out = convoy_clusters(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert {r["vehicleId"] for r in out} == {"v1", "v2", "v3"}
+    assert {r["convoy_id"] for r in out} == {"v1"}
+    assert all(r["convoy_size"] == 3 for r in out)
+
+
+# ---- tile_gap_fill ---------------------------------------------------------
+
+
+def test_tile_gap_fill_zero_fills_missing_hours(spark):
+    from real_time_mobility_heatmap_spark.operators.flows import tile_gap_fill
+
+    # pings at 10:00 and 13:00 -> hours 11 and 12 must appear zero-filled
+    rows = [_ping(ts="2024-01-01T10:05:00", eid=1), _ping(ts="2024-01-01T13:05:00", eid=2)]
+    out = sorted(
+        tile_gap_fill(spark.createDataFrame(rows, PING_SCHEMA)).collect(),
+        key=lambda r: r["hour_epoch"],
+    )
+    assert len(out) == 4
+    assert [r["ping_count"] for r in out] == [1, 0, 0, 1]
+    assert [r["observed"] for r in out] == [True, False, False, True]
