@@ -526,6 +526,7 @@ def q_cell_speed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join is equi on (cell, bucket), and the exact overlap predicate trims)
 CODWELL_MIN_S = 300
 CODWELL_BUCKET_S = 6 * 3600
+CODWELL_CAP = 50  # max stays per (cell, bucket) slice; above = depot, dropped
 
 
 def co_dwell_pairs(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -557,6 +558,14 @@ def co_dwell_pairs(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
             )
         ).alias("tb"),
     )
+    # depot guard, same rationale as ENC_CAP: a (cell, 6h) slice holding
+    # more stays than this is a terminal — its true co-dwell pairs are
+    # quadratic IN THE OUTPUT, so the slice is dropped before the self
+    # join rather than letting one hot slice emit C(n, 2) rows (the same
+    # count + anti-join pre-filter _capped_sorted_buckets uses)
+    sized = buckets.groupBy("cell_id", "tb").agg(F.count(F.lit(1)).alias("_n"))
+    hot = sized.filter(F.col("_n") > CODWELL_CAP).select("cell_id", "tb")
+    buckets = buckets.join(hot, ["cell_id", "tb"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -593,12 +602,17 @@ def co_dwell_pairs_oracle(cfg: EngineConfig = DEFAULT) -> str:
     stays = stay_points_oracle(cfg)
     return f"""
         WITH stays AS ({stays}),
-        buckets AS (
+        buckets_all AS (
             SELECT vehicleId, cell_id, stay_start_es, stay_end_es,
                    unnest(generate_series(stay_start_es // {CODWELL_BUCKET_S},
                                           stay_end_es // {CODWELL_BUCKET_S})) AS tb
             FROM stays
         ),
+        sized AS (
+            SELECT *, count(*) OVER (PARTITION BY cell_id, tb) AS _n
+            FROM buckets_all
+        ),
+        buckets AS (SELECT * FROM sized WHERE _n <= {CODWELL_CAP}),
         cand AS (
             SELECT DISTINCT
                    a.vehicleId AS vehicle_a, b.vehicleId AS vehicle_b,

@@ -361,3 +361,18 @@ def test_tile_gap_fill_zero_fills_missing_hours(spark):
     assert len(out) == 4
     assert [r["ping_count"] for r in out] == [1, 0, 0, 1]
     assert [r["observed"] for r in out] == [True, False, False, True]
+
+
+def test_co_dwell_depot_slice_dropped(spark):
+    from real_time_mobility_heatmap_spark.operators.flows import CODWELL_CAP
+
+    # CODWELL_CAP+1 vehicles all staying together in one (cell, 6h) slice
+    # -> the slice is a depot, dropped entirely; a normal pair elsewhere
+    # (different cell) survives
+    rows = []
+    for i in range(CODWELL_CAP + 1):
+        rows += _stay(f"d{i:03d}", "2024-01-01T01:00:00", "2024-01-01T02:00:00", 10 * i)
+    rows += _stay("x1", "2024-01-02T01:00:00", "2024-01-02T02:00:00", 2000, lat=42.90)
+    rows += _stay("x2", "2024-01-02T01:00:00", "2024-01-02T02:00:00", 2010, lat=42.90)
+    out = co_dwell_pairs(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert [(r["vehicle_a"], r["vehicle_b"]) for r in out] == [("x1", "x2")]

@@ -52,6 +52,24 @@ QUERIES = [
     "streaming_neardup",
 ]
 
+# movement-flow family (r10): the events replication adds FRESH vehicle
+# cohorts on the SAME cells/timestamps, so per-(cell, window) density
+# grows with the factor — the honest N-times-fleet experiment. Linear
+# expected for the per-vehicle window ops (od/stay/gap: keys xN, same
+# per-key work); encounter/co-dwell pair volume grows ~N^2 in-bucket
+# UNTIL their caps bite (that saturation is the measurement).
+FLOW_QUERIES = [
+    "od_matrix",
+    "stay_points",
+    "ping_gap_report",
+    "encounter_pairs",
+    "co_dwell_pairs",
+    "convoy_clusters",
+    "tile_anomaly_report",
+    "tile_gap_fill",
+    "kring_smooth",
+]
+
 
 def build_scaled_corpus(base_sf_dir: str, out_dir: str, factor: int) -> None:
     """Write factor-N documents.parquet + embeddings.parquet into out_dir."""
@@ -129,6 +147,10 @@ def main() -> None:
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    family = sys.argv[3] if len(sys.argv) > 3 else "dedup"
+    run_queries = {"dedup": QUERIES, "flow": FLOW_QUERIES, "all": QUERIES + FLOW_QUERIES}[
+        family
+    ]
 
     import tempfile
 
@@ -149,7 +171,7 @@ def main() -> None:
         )
 
     results: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in run_queries:
         results[name] = {}
         for sf_dir, tag in ((base, "1x"), (scratch, f"{factor}x")):
             t0 = time.perf_counter()
