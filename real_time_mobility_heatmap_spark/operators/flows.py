@@ -864,3 +864,99 @@ def tile_gap_fill_oracle(cfg: EngineConfig = DEFAULT) -> str:
 
 def q_tile_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_gap_fill(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Forward-filled (LOCF) speed series
+# --------------------------------------------------------------------------
+
+
+def tile_speed_locf(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Hourly average speed per top cell with gaps forward-filled
+    (last-observation-carried-forward) — the other half of the
+    densification story: ``tile_gap_fill`` zero-fills COUNTS (absence of
+    events IS zero), while a state variable like speed must CARRY the
+    last observation across unobserved hours. The fill is the
+    ``last(..., ignore nulls)`` running window — the IGNORE NULLS
+    surface none of the other window queries exercise. Hours before a
+    cell's first observation stay NULL (nothing to carry).
+
+    Per-bucket averages use the int64 micro-unit sum (zone_counts'
+    exactness pattern) so identical doubles enter the fill on both
+    engines; everything after the one corpus shuffle is bounded by
+    top-N cells × the hour range.
+    """
+    snapped = snap_pings(pings, cfg)
+    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    counts = snapped.groupBy(
+        "cell_id",
+        F.expr(
+            f"(unix_timestamp(eventTs) div {GAPFILL_BUCKET_S}) * {GAPFILL_BUCKET_S}"
+        ).alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(micro) / F.lit(1e6) / F.count("speedKmh"), 6).alias("avg_speed"),
+    )
+    top = (
+        counts.groupBy("cell_id")
+        .agg(F.sum("n").alias("tot"), F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .orderBy(F.desc("tot"), F.asc("cell_id"))
+        .limit(GAPFILL_TOP_CELLS)
+    )
+    spine = top.select(
+        "cell_id",
+        F.explode(F.expr(f"sequence(mn, mx, {GAPFILL_BUCKET_S})")).alias("h"),
+    )
+    joined = spine.join(counts, ["cell_id", "h"], "left")
+    w = (
+        Window.partitionBy("cell_id")
+        .orderBy(F.asc("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "cell_id",
+        F.col("h").alias("hour_epoch"),
+        "avg_speed",
+        F.last("avg_speed", ignorenulls=True).over(w).alias("filled_speed"),
+        F.col("n").isNotNull().alias("observed"),
+    )
+
+
+def tile_speed_locf_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        counts AS (
+            SELECT cell_id,
+                   (CAST(floor(epoch(eventTs)) AS BIGINT) // {GAPFILL_BUCKET_S})
+                       * {GAPFILL_BUCKET_S} AS h,
+                   count(*) AS n,
+                   round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6
+                         / count(speedKmh), 6) AS avg_speed
+            FROM snapped GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT cell_id, min(h) AS mn, max(h) AS mx
+            FROM counts GROUP BY cell_id
+            ORDER BY sum(n) DESC, cell_id ASC LIMIT {GAPFILL_TOP_CELLS}
+        ),
+        spine AS (
+            SELECT cell_id,
+                   unnest(generate_series(mn, mx, {GAPFILL_BUCKET_S})) AS h
+            FROM top
+        ),
+        joined AS (
+            SELECT s.cell_id, s.h, c.n, c.avg_speed
+            FROM spine s LEFT JOIN counts c ON c.cell_id = s.cell_id AND c.h = s.h
+        )
+        SELECT cell_id, h AS hour_epoch, avg_speed,
+               last_value(avg_speed IGNORE NULLS) OVER (
+                   PARTITION BY cell_id ORDER BY h ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_speed,
+               n IS NOT NULL AS observed
+        FROM joined
+    """
+
+
+def q_tile_speed_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_speed_locf(pings_from_events(spark, sf_dir))

@@ -376,3 +376,19 @@ def test_co_dwell_depot_slice_dropped(spark):
     rows += _stay("x2", "2024-01-02T01:00:00", "2024-01-02T02:00:00", 2010, lat=42.90)
     out = co_dwell_pairs(spark.createDataFrame(rows, PING_SCHEMA)).collect()
     assert [(r["vehicle_a"], r["vehicle_b"]) for r in out] == [("x1", "x2")]
+
+
+def test_tile_speed_locf_carries_last_observation(spark):
+    from real_time_mobility_heatmap_spark.operators.flows import tile_speed_locf
+
+    # speeds 20 at 10:00 and 40 at 13:00; 11:00/12:00 unobserved -> carry 20
+    rows = [_ping(ts="2024-01-01T10:05:00", eid=1), _ping(ts="2024-01-01T13:05:00", eid=2)]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, PING_SCHEMA).withColumn(
+        "speedKmh", F.when(F.col("event_id") == 1, 20.0).otherwise(40.0)
+    )
+    out = sorted(tile_speed_locf(df).collect(), key=lambda r: r["hour_epoch"])
+    assert [r["filled_speed"] for r in out] == [20.0, 20.0, 20.0, 40.0]
+    assert [r["avg_speed"] for r in out] == [20.0, None, None, 40.0]
+    assert [r["observed"] for r in out] == [True, False, False, True]

@@ -399,6 +399,48 @@ def test_per_source_cap_pushes_group_limit_below_shuffle(spark):
     assert "WindowGroupLimit" in below_exchange, "no map-side partial group limit"
 
 
+def test_stay_points_and_ping_gap_single_exchange(spark):
+    """Both flow-family window pipelines claim ONE corpus shuffle: the
+    vehicleId window partitioning is reused by every later aggregate
+    (stay_points' run aggregate keys on (vehicleId, run_id) — a superset
+    clustered distribution hashpartitioning(vehicleId) satisfies)."""
+    for name in ("stay_points", "ping_gap_report"):
+        tree = _plan(spark, name).split("\n(1)")[0]
+        assert tree.count(" Exchange (") == 1, name
+
+
+def test_od_matrix_windows_and_endpoint_agg_share_one_exchange(spark):
+    """od_matrix's two row_number windows and the endpoint SortAggregate
+    all run inside ONE (vehicleId, trip_hour) partitioning: no Exchange
+    may appear between the first Window node and the aggregate above it
+    (only the final flow aggregate and the count-distinct expansion
+    shuffle afterwards, on trip-level rows)."""
+    tree = _plan(spark, "od_matrix").split("\n(1)")[0]
+    first_window = tree.index("Window")
+    scan_section = tree[first_window:]
+    assert " Exchange (" in tree[:first_window]  # flow agg shuffles above
+    # below (after, in root-first text) the first Window: only the sort
+    # for the second window and the scan — the shared input exchange
+    assert scan_section.count(" Exchange (") == 1
+
+
+def test_kring_smooth_cell_relation_broadcast_no_smj(spark):
+    """The scatter/regroup side is cells-bounded: the join back to the
+    raw counts must be a broadcast hash join (planner-chosen, unhinted),
+    never a sort-merge join over two shuffles."""
+    tree = _plan(spark, "kring_smooth").split("\n(1)")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_tile_gap_fill_top_cells_bounded_limit(spark):
+    """The spine source must be a bounded top-N (TakeOrdered), never a
+    global sort of the cell relation."""
+    tree = _plan(spark, "tile_gap_fill").split("\n(1)")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "GlobalLimit" not in tree or "TakeOrderedAndProject" in tree
+
+
 def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):
     """Anti-pattern sweep over EVERY registered query's plan:
 
