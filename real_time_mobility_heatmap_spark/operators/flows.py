@@ -960,3 +960,82 @@ def tile_speed_locf_oracle(cfg: EngineConfig = DEFAULT) -> str:
 
 def q_tile_speed_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_speed_locf(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Trip distance report (position-derived odometry)
+# --------------------------------------------------------------------------
+
+# flat-earth meters per degree at the fixture's latitude band (~42.5N):
+# pure multiplications keep the math engine-exact where haversine's
+# sin/cos would cross two different libm implementations (the
+# weighted_sample lesson). Honest approximation for city-scale extents;
+# a production geodesic would be a vectorized pandas_udf.
+M_PER_DEG_LAT = 111320.0
+M_PER_DEG_LON = 82110.0
+
+
+def trip_distance_report(pings: DataFrame) -> DataFrame:
+    """Per (vehicle, hour) odometry from consecutive positions: step
+    count, total distance, and max single step — the speed-from-position
+    cross-check against the reported speedKmh channel (a stuck GPS shows
+    zero distance with nonzero reported speed; a teleporting sensor
+    shows an absurd max step).
+
+    Each step's length is sqrt of an exact-input sum of squares (IEEE
+    sqrt is exactly rounded, so the step doubles match cross-engine),
+    then fixed-pointed to integer MILLIMETERS before the per-group sum —
+    int64 addition is order-free, so the aggregate never depends on
+    Spark's partial-aggregation order. One (vehicleId) shuffle; the lag
+    window and the (vehicle, hour) aggregate share it.
+    """
+    w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
+    dy = (F.col("lat") - F.lag("lat").over(w)) * F.lit(M_PER_DEG_LAT)
+    dx = (F.col("lon") - F.lag("lon").over(w)) * F.lit(M_PER_DEG_LON)
+    steps = (
+        validate_pings(pings)
+        .select(
+            "vehicleId",
+            F.date_trunc("hour", F.col("eventTs")).alias("trip_hour"),
+            F.round(F.sqrt(dy * dy + dx * dx) * 1000).cast("long").alias("step_mm"),
+        )
+        .filter(F.col("step_mm").isNotNull())
+    )
+    return steps.groupBy("vehicleId", "trip_hour").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.round(F.sum("step_mm") / 1000.0, 3).alias("dist_m"),
+        F.round(F.max("step_mm") / 1000.0, 3).alias("max_step_m"),
+    )
+
+
+def trip_distance_report_oracle() -> str:
+    return f"""
+        WITH pings AS ({PINGS_ORACLE_SQL}),
+        valid AS (SELECT * FROM pings WHERE {VALID_SQL}),
+        deltas AS (
+            -- squares spelled as multiplication: DuckDB's pow() is a
+            -- libm call and need not equal x*x bit-for-bit
+            SELECT vehicleId,
+                   date_trunc('hour', eventTs) AS trip_hour,
+                   (lat - lag(lat) OVER w) * {M_PER_DEG_LAT} AS dy,
+                   (lon - lag(lon) OVER w) * {M_PER_DEG_LON} AS dx
+            FROM valid
+            WINDOW w AS (PARTITION BY vehicleId
+                         ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        ),
+        steps AS (
+            SELECT vehicleId, trip_hour,
+                   CAST(round(sqrt(dy * dy + dx * dx) * 1000) AS BIGINT) AS step_mm
+            FROM deltas
+        )
+        SELECT vehicleId, trip_hour,
+               count(*) AS n_steps,
+               round(CAST(sum(step_mm) AS BIGINT) / 1000.0, 3) AS dist_m,
+               round(max(step_mm) / 1000.0, 3) AS max_step_m
+        FROM steps WHERE step_mm IS NOT NULL
+        GROUP BY vehicleId, trip_hour
+    """
+
+
+def q_trip_distance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trip_distance_report(pings_from_events(spark, sf_dir))

@@ -392,3 +392,30 @@ def test_tile_speed_locf_carries_last_observation(spark):
     assert [r["filled_speed"] for r in out] == [20.0, 20.0, 20.0, 40.0]
     assert [r["avg_speed"] for r in out] == [20.0, None, None, 40.0]
     assert [r["observed"] for r in out] == [True, False, False, True]
+
+
+def test_trip_distance_exact_millimeter_steps(spark):
+    from real_time_mobility_heatmap_spark.operators.flows import (
+        M_PER_DEG_LAT,
+        trip_distance_report,
+    )
+
+    # one vehicle, one hour: 0.01 deg north then 0.01 deg north again
+    rows = [
+        _ping(ts="2024-01-01T10:00:00", lat=42.35, eid=1),
+        _ping(ts="2024-01-01T10:10:00", lat=42.36, eid=2),
+        _ping(ts="2024-01-01T10:20:00", lat=42.37, eid=3),
+    ]
+    (r,) = trip_distance_report(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    step_m = round(0.01 * M_PER_DEG_LAT, 3)
+    assert r["n_steps"] == 2
+    assert abs(r["dist_m"] - 2 * step_m) < 0.005  # two mm-exact steps
+    assert abs(r["max_step_m"] - step_m) < 0.005
+
+
+def test_trip_distance_stationary_vehicle_zero(spark):
+    from real_time_mobility_heatmap_spark.operators.flows import trip_distance_report
+
+    rows = [_ping(ts=f"2024-01-01T10:0{i}:00", eid=i) for i in range(3)]
+    (r,) = trip_distance_report(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert r["dist_m"] == 0.0 and r["n_steps"] == 2
