@@ -419,3 +419,32 @@ def test_trip_distance_stationary_vehicle_zero(spark):
     rows = [_ping(ts=f"2024-01-01T10:0{i}:00", eid=i) for i in range(3)]
     (r,) = trip_distance_report(spark.createDataFrame(rows, PING_SCHEMA)).collect()
     assert r["dist_m"] == 0.0 and r["n_steps"] == 2
+
+
+def test_degenerate_all_colocated_fleet_is_capped_not_quadratic(spark):
+    """The flow-family analog of the dedup family's all-identical-corpus
+    sweep: an entire fleet parked in ONE (cell, window) is a depot by
+    definition — the co-location ops must emit NOTHING (cap drop), while
+    the per-vehicle ops stay well-defined."""
+    from real_time_mobility_heatmap_spark.operators.flows import (
+        ENC_CAP,
+        co_dwell_pairs,
+        kring_smooth,
+        od_matrix,
+        stay_points,
+    )
+
+    n = ENC_CAP + 10
+    rows = [
+        _ping(vid=f"v{i:03d}", ts="2024-01-01T10:01:00", eid=2 * i) for i in range(n)
+    ] + [
+        _ping(vid=f"v{i:03d}", ts="2024-01-01T10:31:00", eid=2 * i + 1)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, PING_SCHEMA)
+    assert encounter_pairs(df).collect() == []  # both windows over cap
+    assert co_dwell_pairs(df).collect() == []  # the one stay slice over cap
+    assert stay_points(df).count() == n  # one 30-min stay per vehicle
+    assert od_matrix(df).count() == 1  # everyone: same origin == dest
+    (k,) = kring_smooth(df).collect()
+    assert k["ping_count"] == 2 * n and k["share_ppm"] == 1_000_000
