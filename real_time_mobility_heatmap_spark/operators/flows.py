@@ -10,17 +10,23 @@ the contact-tracing / convoy-detection primitive), and *what does the
 density look like with sensor noise smoothed out* (`kring_smooth`, the
 grid analog of H3's k-ring neighborhood average).
 
-Scale shapes, per operator:
+Scale shapes, per operator (measured 10x/30x curves: SCALE.md
+"Movement-flow family scale curve"):
 - ``od_matrix``: ONE corpus shuffle on (vehicleId, hour); both endpoint
   windows and the endpoint aggregate reuse that partitioning, and the
   final flow aggregate is keyed by cell pairs (geography²-bounded).
-- ``encounter_pairs``: the dedup family's capped-bucket pattern applied
-  to (cell, window) buckets — over-cap buckets (a depot where hundreds
-  of vehicles park) are dropped BEFORE their arrays materialize, so
+- ``encounter_pairs`` / ``co_dwell_pairs``: the dedup family's
+  capped-bucket pattern applied to (cell, time) buckets — over-cap
+  depot buckets are dropped BEFORE any array/join materializes, so
   per-bucket fanout is bounded by C(cap, 2), never corpus².
-- ``kring_smooth``: the convolution runs on the CELL relation (one
-  map-side-combined aggregate away from the rows), so the 9× scatter
-  explode and the re-aggregate touch geography-bounded data only.
+- ``kring_smooth`` / ``tile_anomaly_report`` / ``tile_gap_fill`` /
+  ``tile_speed_locf``: one corpus scan+shuffle into a cell-bounded (or
+  top-N-bounded) relation; everything after runs on that aggregate.
+- ``stay_points`` / ``ping_gap_report`` / ``trip_distance_report``:
+  per-vehicle lag/run windows and their aggregates share a single
+  (vehicleId) exchange (plan-tested), exactly linear in keys.
+- ``convoy_clusters``: reuses dedup_clusters' pointer-jumping CC on the
+  injected encounter edge set — O(log diameter) bounded rounds.
 """
 
 from __future__ import annotations
