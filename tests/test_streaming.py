@@ -882,3 +882,124 @@ def test_crash_between_external_commit_and_checkpoint_commit(spark, dirs, tmp_pa
 
     got = sorted(map(tuple, crash_store.read(spark).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming encounters (streaming/encounters.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, iso_ts, user_id) -> an events.parquet fixture dir."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (eid, dt.datetime.fromisoformat(ts), uid, "bus", 20.0, None)
+            for eid, ts, uid in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = str(tmp_path / "events")
+    os.makedirs(out, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def test_streaming_encounters_recurring_triple_is_not_repaired(spark, tmp_path):
+    """Exactly-once across batches: v1 pings the SAME (cell, window) in
+    batch 0 and AGAIN in batch 2, after v2 co-located in batch 1. The
+    recurring triple must anti-join away — without it, v1's re-ping
+    would re-pair against the indexed v2 and inflate n_encounters."""
+    from real_time_mobility_heatmap_spark.streaming.encounters import (
+        run_streaming_encounters,
+    )
+
+    # full range 10:00:00-10:07:00 -> 3 time-split batches of ~141 s;
+    # the [10:00, 10:05) window spans all three
+    sf_dir = _write_events(
+        spark,
+        tmp_path,
+        [
+            (100, "2024-01-01T10:00:30", 1),  # batch 0: v1 first
+            (100, "2024-01-01T10:03:00", 2),  # batch 1: v2 -> pair emitted
+            (100, "2024-01-01T10:04:30", 1),  # batch 2: v1 AGAIN, same window
+            (100, "2024-01-01T10:07:00", 3),  # far vehicle, later window
+        ],
+    )
+    out = run_streaming_encounters(spark, sf_dir)
+    rows = {(r["vehicle_a"], r["vehicle_b"]): r for r in out.collect()}
+    assert set(rows) == {("1", "2")}
+    assert rows[("1", "2")]["n_encounters"] == 1
+
+
+def test_streaming_encounters_matches_uncapped_batch_twin(spark, tmp_path):
+    """The streamed report over the sf0.001 fixture must equal the
+    UNCAPPED batch formulation computed directly in Spark."""
+    from real_time_mobility_heatmap_spark.operators.flows import ENC_WINDOW_MIN
+    from real_time_mobility_heatmap_spark.operators.tiles import snap_pings
+    from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+    from real_time_mobility_heatmap_spark.streaming.encounters import (
+        run_streaming_encounters,
+    )
+
+    streamed = {
+        (r["vehicle_a"], r["vehicle_b"]): (r["n_encounters"], r["n_cells"], r["first_seen"])
+        for r in run_streaming_encounters(spark, "/root/testdata/sf0.001").collect()
+    }
+    tri = (
+        snap_pings(pings_from_events(spark, "/root/testdata/sf0.001"))
+        .select(
+            "cell_id",
+            F.window("eventTs", f"{ENC_WINDOW_MIN} minutes").start.alias("w_start"),
+            "vehicleId",
+        )
+        .distinct()
+    )
+    a = tri.select("cell_id", "w_start", F.col("vehicleId").alias("v1"))
+    b = tri.select("cell_id", "w_start", F.col("vehicleId").alias("v2"))
+    batch = {
+        (r["vehicle_a"], r["vehicle_b"]): (r["n_encounters"], r["n_cells"], r["first_seen"])
+        for r in (
+            a.join(b, ["cell_id", "w_start"])
+            .filter(F.col("v1") < F.col("v2"))
+            .select(
+                F.col("v1").alias("vehicle_a"),
+                F.col("v2").alias("vehicle_b"),
+                "cell_id",
+                "w_start",
+            )
+            .groupBy("vehicle_a", "vehicle_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_encounters"),
+                F.count_distinct("cell_id").alias("n_cells"),
+                F.min("w_start").alias("first_seen"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch
+
+
+def test_streaming_encounters_eviction_preserves_result(spark, tmp_path):
+    """With retention far smaller than the event span, old index DAY
+    partitions are evicted between batches — but 5-minute co-location
+    windows never span days, so the report is unchanged."""
+    from real_time_mobility_heatmap_spark.streaming.encounters import (
+        run_streaming_encounters,
+    )
+
+    sf_dir = _write_events(
+        spark,
+        tmp_path,
+        [
+            (100, "2024-01-01T10:00:00", 1),
+            (100, "2024-01-01T10:02:00", 2),  # day-1 pair
+            (100, "2024-01-10T10:00:00", 3),
+            (100, "2024-01-10T10:02:00", 4),  # day-10 pair, after eviction
+        ],
+    )
+    out = run_streaming_encounters(spark, sf_dir, retention_days=1)
+    pairs = {(r["vehicle_a"], r["vehicle_b"]) for r in out.collect()}
+    assert pairs == {("1", "2"), ("3", "4")}
