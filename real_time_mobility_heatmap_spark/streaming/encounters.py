@@ -76,6 +76,83 @@ def _triples(pings: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def ingest_encounter_batch(
+    pings: DataFrame,
+    idx_dir: str,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    retention_days: int = RETENTION_DAYS,
+    crash_before_index_append: bool = False,
+) -> None:
+    """One micro-batch of the co-location loop, exposed at module level
+    so tests can drive batches (and simulate a crash BETWEEN the pairs
+    append and the index append — ``crash_before_index_append``; on
+    restart the batch replays in full and the final read's ``distinct``
+    absorbs the duplicated pair rows)."""
+    ss = pings.sparkSession
+    b_tri = _triples(pings, cfg)
+
+    have_index = os.path.isdir(idx_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(idx_dir)
+    )
+    if have_index:
+        index = ss.read.parquet(idx_dir)
+        # watermark: drop batch triples older than retention behind the
+        # newest window already indexed — the matching partitions may
+        # already be evicted, and re-adding one would break the
+        # exactly-once argument
+        horizon = index.agg(F.max("w_start").alias("mx")).first()["mx"]
+        if horizon is not None:
+            b_tri = b_tri.filter(
+                F.col("w_start")
+                >= F.lit(horizon) - F.expr(f"INTERVAL {retention_days} DAYS")
+            )
+        # only triples never seen before co-locate anew
+        new_tri = b_tri.join(index, ["cell_id", "w_start", "vehicleId"], "left_anti")
+    else:
+        index, new_tri = None, b_tri
+    new_tri = cut_lineage(new_tri, eager=True)  # read 3x below
+
+    # pair the new triples against (index slice + new triples);
+    # canonical a < b; left side is new-only, so a pair is emitted
+    # exactly in the batch where its second member first co-locates
+    nt = new_tri.select("cell_id", "w_start", F.col("vehicleId").alias("v1"), "day")
+    if index is not None:
+        # bounded metadata collect: distinct DAYS of one micro-batch
+        # (a time span, never row data) — drives partition pruning
+        days = [r["day"] for r in new_tri.select("day").distinct().collect()]
+        idx_slice = index.filter(F.col("day").isin(days)) if days else index
+        others = idx_slice.unionByName(new_tri)
+    else:
+        others = new_tri
+    ot = others.select("cell_id", "w_start", F.col("vehicleId").alias("v2"))
+    pairs = (
+        nt.join(ot, ["cell_id", "w_start"])
+        .filter(F.col("v1") != F.col("v2"))
+        .select(
+            "cell_id",
+            "w_start",
+            F.least("v1", "v2").alias("vehicle_a"),
+            F.greatest("v1", "v2").alias("vehicle_b"),
+        )
+        .distinct()
+    )
+    pairs.write.mode("append").parquet(out_dir)
+    if crash_before_index_append:
+        raise RuntimeError("injected crash between pairs append and index append")
+    new_tri.write.mode("append").partitionBy("day").parquet(idx_dir)
+
+    # retention: evict whole index DAY partitions beyond the horizon
+    latest = new_tri.agg(F.max("w_start").alias("mx")).first()["mx"]
+    if latest is not None:
+        import datetime as dt
+
+        cutoff = (latest - dt.timedelta(days=retention_days)).date()
+        for d in os.listdir(idx_dir):
+            if d.startswith("day=") and d[4:] < cutoff.isoformat():
+                shutil.rmtree(os.path.join(idx_dir, d))
+
+
 def run_streaming_encounters(
     spark: SparkSession,
     sf_dir: str,
@@ -148,70 +225,9 @@ def run_streaming_encounters(
         )
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        ss = batch.sparkSession
-        b_tri = _triples(_pings_of(batch), cfg)
-
-        have_index = os.path.isdir(idx_dir) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(idx_dir)
+        ingest_encounter_batch(
+            _pings_of(batch), idx_dir, out_dir, cfg, retention_days
         )
-        if have_index:
-            index = ss.read.parquet(idx_dir)
-            # watermark: drop batch triples older than retention behind
-            # the newest window already indexed — the matching partitions
-            # may already be evicted, and re-adding one would break the
-            # exactly-once argument
-            horizon = index.agg(F.max("w_start").alias("mx")).first()["mx"]
-            if horizon is not None:
-                b_tri = b_tri.filter(
-                    F.col("w_start")
-                    >= F.lit(horizon) - F.expr(f"INTERVAL {retention_days} DAYS")
-                )
-            # only triples never seen before co-locate anew
-            new_tri = b_tri.join(
-                index, ["cell_id", "w_start", "vehicleId"], "left_anti"
-            )
-        else:
-            index, new_tri = None, b_tri
-        new_tri = cut_lineage(new_tri, eager=True)  # read 3x below
-
-        # pair the new triples against (index slice + new triples);
-        # canonical a < b; left side is new-only, so a pair is emitted
-        # exactly in the batch where its second member first co-locates
-        nt = new_tri.select(
-            "cell_id", "w_start", F.col("vehicleId").alias("v1"), "day"
-        )
-        if index is not None:
-            # bounded metadata collect: distinct DAYS of one micro-batch
-            # (a time span, never row data) — drives partition pruning
-            days = [r["day"] for r in new_tri.select("day").distinct().collect()]
-            idx_slice = index.filter(F.col("day").isin(days)) if days else index
-            others = idx_slice.unionByName(new_tri)
-        else:
-            others = new_tri
-        ot = others.select("cell_id", "w_start", F.col("vehicleId").alias("v2"))
-        pairs = (
-            nt.join(ot, ["cell_id", "w_start"])
-            .filter(F.col("v1") != F.col("v2"))
-            .select(
-                "cell_id",
-                "w_start",
-                F.least("v1", "v2").alias("vehicle_a"),
-                F.greatest("v1", "v2").alias("vehicle_b"),
-            )
-            .distinct()
-        )
-        pairs.write.mode("append").parquet(out_dir)
-        new_tri.write.mode("append").partitionBy("day").parquet(idx_dir)
-
-        # retention: evict whole index DAY partitions beyond the horizon
-        latest = new_tri.agg(F.max("w_start").alias("mx")).first()["mx"]
-        if latest is not None:
-            import datetime as dt
-
-            cutoff = (latest - dt.timedelta(days=retention_days)).date()
-            for d in os.listdir(idx_dir):
-                if d.startswith("day=") and d[4:] < cutoff.isoformat():
-                    shutil.rmtree(os.path.join(idx_dir, d))
 
     q = (
         spark.readStream.schema(schema)

@@ -1003,3 +1003,49 @@ def test_streaming_encounters_eviction_preserves_result(spark, tmp_path):
     out = run_streaming_encounters(spark, sf_dir, retention_days=1)
     pairs = {(r["vehicle_a"], r["vehicle_b"]) for r in out.collect()}
     assert pairs == {("1", "2"), ("3", "4")}
+
+
+def test_streaming_encounters_crash_between_appends_replay_is_absorbed(spark, tmp_path):
+    """Crash injected BETWEEN the pairs append and the index append,
+    then the batch replays in full (what the checkpoint would do): the
+    duplicated pair rows must be absorbed by the final distinct, and
+    the replayed index append must not double-pair anything later."""
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    from real_time_mobility_heatmap_spark.operators.flows import ENC_WINDOW_MIN
+    from real_time_mobility_heatmap_spark.schema import PING_SCHEMA
+    from real_time_mobility_heatmap_spark.streaming.encounters import (
+        ingest_encounter_batch,
+    )
+
+    def ping(vid, ts, eid):
+        from pyspark.sql import Row
+
+        return Row(
+            provider="bus", vehicleId=vid, eventTs=dt.datetime.fromisoformat(ts),
+            lat=42.35, lon=-71.06, speedKmh=20.0, event_id=eid, props=None,
+        )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [ping("v1", "2024-01-01T10:00:00", 1), ping("v2", "2024-01-01T10:02:00", 2)],
+        PING_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [ping("v3", "2024-01-01T10:03:00", 3)], PING_SCHEMA
+    )
+    ingest_encounter_batch(b1, idx, out)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_encounter_batch(b2, idx, out, crash_before_index_append=True)
+    ingest_encounter_batch(b2, idx, out)  # checkpoint replay after restart
+    report = (
+        spark.read.parquet(out)
+        .distinct()
+        .groupBy("vehicle_a", "vehicle_b")
+        .agg(SF.count(SF.lit(1)).alias("n_encounters"))
+    )
+    got = {(r["vehicle_a"], r["vehicle_b"]): r["n_encounters"] for r in report.collect()}
+    assert got == {("v1", "v2"): 1, ("v1", "v3"): 1, ("v2", "v3"): 1}
