@@ -441,3 +441,96 @@ def test_percentile_disc_exact_equals_builtin_on_random_groups(spark, groups, ps
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# movement-flow invariants (operators/flows.py)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from pyspark.sql import Row as _Row
+
+from real_time_mobility_heatmap_spark.schema import PING_SCHEMA as _PING_SCHEMA
+
+_VIDS = st.sampled_from(["v1", "v2", "v3"])
+# minutes 0..119 within one fixed 2-hour span, lat snapped to 3 cells
+_PINGS = st.lists(
+    st.tuples(_VIDS, st.integers(0, 119), st.sampled_from([42.35, 42.40, 42.90])),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ping_df(spark, rows):
+    base = _dt.datetime(2024, 1, 1, 10, 0, 0)
+    return spark.createDataFrame(
+        [
+            _Row(
+                provider="p",
+                vehicleId=vid,
+                eventTs=base + _dt.timedelta(minutes=m),
+                lat=lat,
+                lon=-71.06,
+                speedKmh=20.0,
+                event_id=i,
+                props=None,
+            )
+            for i, (vid, m, lat) in enumerate(rows)
+        ],
+        _PING_SCHEMA,
+    )
+
+
+@given(rows=_PINGS)
+@_SETTINGS
+def test_od_matrix_trip_count_equals_vehicle_hours(spark, rows):
+    """Every observed (vehicle, hour) contributes exactly one trip —
+    no matter how pings distribute over cells and times."""
+    from real_time_mobility_heatmap_spark.operators.flows import od_matrix
+
+    df = _ping_df(spark, rows)
+    total_trips = sum(r["n_trips"] for r in od_matrix(df).collect())
+    vehicle_hours = len({(vid, m // 60) for vid, m, _ in rows})
+    assert total_trips == vehicle_hours
+
+
+@given(rows=_PINGS)
+@_SETTINGS
+def test_stay_points_are_disjoint_and_within_observation(spark, rows):
+    """Per vehicle: stay intervals never overlap, and every stay's ping
+    count is bounded by the vehicle's total pings."""
+    from collections import defaultdict
+
+    from real_time_mobility_heatmap_spark.operators.flows import stay_points
+
+    df = _ping_df(spark, rows)
+    by_vid = defaultdict(list)
+    for r in stay_points(df).collect():
+        by_vid[r["vehicleId"]].append(r)
+    totals = defaultdict(int)
+    for vid, m, _ in rows:
+        totals[vid] += 1
+    for vid, stays in by_vid.items():
+        stays.sort(key=lambda r: r["stay_start_es"])
+        assert sum(r["n_pings"] for r in stays) <= totals[vid]
+        for a, b in zip(stays, stays[1:]):
+            assert a["stay_end_es"] < b["stay_start_es"]
+
+
+@given(rows=_PINGS)
+@_SETTINGS
+def test_encounter_counts_bounded_by_shared_windows(spark, rows):
+    """A pair's n_encounters can never exceed the number of 5-minute
+    windows in which BOTH vehicles pinged at all (any cell)."""
+    from collections import defaultdict
+
+    from real_time_mobility_heatmap_spark.operators.flows import encounter_pairs
+
+    df = _ping_df(spark, rows)
+    windows = defaultdict(set)
+    for vid, m, _ in rows:
+        windows[vid].add(m // 5)
+    for r in encounter_pairs(df).collect():
+        shared = windows[r["vehicle_a"]] & windows[r["vehicle_b"]]
+        assert 1 <= r["n_encounters"] <= len(shared)
