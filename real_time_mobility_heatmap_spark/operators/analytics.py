@@ -335,3 +335,177 @@ EWMA_SPEED_ORACLE = """
 
 def q_ewma_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_speed(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """Classic recency/frequency/monetary segmentation over the orders
+    fact: per customer, days since last order (vs the corpus max date),
+    order count, and lifetime spend, each scored into ``RFM_BUCKETS``
+    quintiles — the standard CRM slicing a warehouse user expects from
+    any analytics engine.
+
+    Exactness: spend is summed in integer CENTS (o_totalprice is a
+    double; a float sum's accumulation order differs between engines),
+    and every ntile ordering carries o_custkey as the total tie-break.
+    Plan: one map-side-combined aggregate on o_custkey (|customers|
+    output), a 1-row max-date broadcast, then three ntile windows over
+    the aggregate. The global ntile windows are single-task over
+    |customers| rows — the documented percentile caveat applies; a
+    corpus-scale deployment buckets by histogram thresholds
+    (quality_decile_report's pattern) instead.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("corpus_max"))
+    scored = per_cust.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.datediff("corpus_max", "last_order")
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("monetary_cents") / 100.0, 2).alias("monetary"),
+        F.ntile(RFM_BUCKETS).over(r_w).alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(f_w).alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(m_w).alias("m_score"),
+    )
+
+
+RFM_SEGMENTS_ORACLE = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(o_orderdate) AS corpus_max FROM orders)
+    SELECT o_custkey,
+           date_diff('day', last_order, corpus_max) AS recency_days,
+           frequency,
+           round(monetary_cents / 100.0, 2) AS monetary,
+           ntile({RFM_BUCKETS}) OVER (
+               ORDER BY date_diff('day', last_order, corpus_max) ASC, o_custkey ASC
+           ) AS r_score,
+           ntile({RFM_BUCKETS}) OVER (
+               ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+           ntile({RFM_BUCKETS}) OVER (
+               ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+    FROM per_cust CROSS JOIN mx
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase affinity (association rules)
+# ---------------------------------------------------------------------------
+
+AFFINITY_MIN_SUPPORT = 2  # pair must co-occur in at least this many orders
+BASKET_CAP = 50  # defensive: a basket beyond this is a data bug, dropped
+
+
+def copurchase_affinity(lineitem: DataFrame) -> DataFrame:
+    """Association-rule mining over order baskets: for every part pair
+    co-purchased in >= ``AFFINITY_MIN_SUPPORT`` orders, the support and
+    lift in exact integer ppm — the "customers also bought" primitive.
+
+    Baskets are DISTINCT parts per order grouped with the dedup
+    family's capped sorted-bucket builder (a basket is naturally tiny —
+    TPC-H maxes at 7 lines — the cap only guards corrupted data), pairs
+    stream via the two-level explode, and lift's division is
+    sign-free integer work: lift_ppb = support_pairs * n_orders * 1e9
+    div (cnt_a * cnt_b), exact in int64/int128-free range because every
+    factor is bounded by order counts.
+    """
+    from .dedup import _capped_sorted_buckets, _explode_pairs_ids
+
+    baskets_src = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders_df = baskets_src.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_counts = baskets_src.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("part_orders")
+    )
+    buckets = _capped_sorted_buckets(
+        baskets_src, ["l_orderkey"], "l_partkey", BASKET_CAP
+    )
+    pairs = (
+        _explode_pairs_ids(buckets)
+        .groupBy(F.col("doc_a").alias("part_a"), F.col("doc_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support_orders"))
+        .filter(F.col("support_orders") >= AFFINITY_MIN_SUPPORT)
+    )
+    ca = part_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("part_orders").alias("orders_a")
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("part_orders").alias("orders_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "part_a",
+            "part_b",
+            "support_orders",
+            F.expr("support_orders * 1000000 div n_orders").alias("support_ppm"),
+            F.expr(
+                "((support_orders * 1000000 div orders_a) * n_orders)"
+                " div orders_b"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+COPURCHASE_AFFINITY_ORACLE = f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders_t AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS _n FROM baskets
+    ),
+    kept AS (SELECT * FROM sized WHERE _n <= {BASKET_CAP}),
+    part_counts AS (
+        SELECT l_partkey, count(*) AS part_orders FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support_orders
+        FROM kept a JOIN kept b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {AFFINITY_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, support_orders,
+           CAST(support_orders * 1000000 // n_orders AS BIGINT) AS support_ppm,
+           CAST(((support_orders * 1000000 // ca.part_orders) * n_orders)
+                // cb.part_orders AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN part_counts ca ON ca.l_partkey = part_a
+    JOIN part_counts cb ON cb.l_partkey = part_b
+    CROSS JOIN n_orders_t
+"""
+
+
+def q_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return copurchase_affinity(load_table(spark, sf_dir, "lineitem"))

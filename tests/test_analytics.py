@@ -566,3 +566,58 @@ def test_percentile_disc_exact_null_groups_and_p0(spark):
         .collect()
     }
     assert got == want == {"a": (1.0, 1.0), "b": (None, None), "c": (7.0, 7.0)}
+
+
+def test_rfm_segments_scores_and_exact_cents(spark):
+    import datetime as dt
+
+    from real_time_mobility_heatmap_spark.operators.analytics import rfm_segments
+
+    rows = [
+        # cust 1: 3 orders, most recent, biggest spend
+        (1, 1, "O", 100.10, dt.date(2024, 3, 1), "1-URGENT"),
+        (2, 1, "O", 200.20, dt.date(2024, 2, 1), "1-URGENT"),
+        (3, 1, "O", 0.03, dt.date(2024, 1, 1), "1-URGENT"),
+        # cust 2: 1 old cheap order
+        (4, 2, "O", 10.00, dt.date(2023, 1, 1), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    out = {r["o_custkey"]: r for r in rfm_segments(df).collect()}
+    assert out[1]["recency_days"] == 0 and out[2]["recency_days"] == 425
+    assert out[1]["frequency"] == 3
+    assert out[1]["monetary"] == 300.33  # exact cents, no float drift
+    assert out[1]["r_score"] < out[2]["r_score"]  # cust1 more recent
+    assert out[1]["m_score"] < out[2]["m_score"]  # cust1 higher spend
+
+
+def test_copurchase_affinity_support_and_lift(spark):
+    from real_time_mobility_heatmap_spark.operators.analytics import (
+        copurchase_affinity,
+    )
+
+    # parts 10+20 co-occur in 2 of 4 orders; 10+30 only once (below
+    # min support); duplicate line rows must not inflate support
+    rows = [
+        (1, 10), (1, 10), (1, 20),
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+        (4, 40),
+    ]
+    df = spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    )
+    out = copurchase_affinity(df).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["part_a"], r["part_b"]) == (10, 20)
+    assert r["support_orders"] == 2
+    assert r["support_ppm"] == 500_000  # 2 of 4 orders
+    # lift two-step: (2*1e6 div 3) * 4 div 2 = 666666*4 div 2 = 1333332
+    assert r["lift_ppm"] == 1_333_332
