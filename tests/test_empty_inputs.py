@@ -155,3 +155,24 @@ def test_media_family_skips_null_payloads(spark, null_text_sf_dir):
         rows = df.collect()  # must not raise
         if name != "media_frame_sample":  # 1 row per doc elsewhere
             assert len(rows) == n_docs - n_null, (name, len(rows))
+
+
+def test_degenerate_corpus_curation_family_well_defined(spark, degenerate_sf_dir):
+    """r10 curation family on the all-identical corpus: the per-source
+    cap still keeps exactly CAP rows per source (a uniform sample of
+    identical docs is still a sample), padding collapses to ONE bucket
+    with identical waste, and fertility is one row per (lang, source)
+    with identical ratios — no crashes, no division surprises."""
+    from real_time_mobility_heatmap_spark.operators.curation import CAP_PER_SOURCE
+
+    qs = entry_mod.queries()
+    capped = qs["per_source_cap"](spark, degenerate_sf_dir).collect()
+    per_src = {}
+    for r in capped:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert set(per_src.values()) == {CAP_PER_SOURCE}
+    pad = qs["padding_waste_report"](spark, degenerate_sf_dir).collect()
+    assert len(pad) == 1  # identical docs -> one length bucket
+    fert = qs["tokenizer_fertility_report"](spark, degenerate_sf_dir).collect()
+    assert len(fert) == 3  # en x src0/1/2
+    assert len({r["fertility_ppm"] for r in fert}) == 1  # identical ratios
