@@ -76,6 +76,29 @@ def _triples(pings: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+_HORIZON_FILE = "_horizon.txt"  # "_"-prefixed: invisible to parquet reads
+
+
+def _read_horizon(idx_dir: str):
+    """Max indexed window start, from the driver-side metadata file the
+    ingest loop maintains (crash-safe: written AFTER the index append,
+    so a stale horizon only means a slightly laxer late filter on the
+    replayed batch — the anti-join still dedups its triples)."""
+    import datetime as dt
+
+    path = os.path.join(idx_dir, _HORIZON_FILE)
+    if not os.path.isfile(path):
+        return None
+    return dt.datetime.fromisoformat(open(path).read().strip())
+
+
+def _write_horizon(idx_dir: str, ts) -> None:
+    tmp = os.path.join(idx_dir, _HORIZON_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(ts.isoformat())
+    os.replace(tmp, os.path.join(idx_dir, _HORIZON_FILE))
+
+
 def ingest_encounter_batch(
     pings: DataFrame,
     idx_dir: str,
@@ -100,8 +123,10 @@ def ingest_encounter_batch(
         # watermark: drop batch triples older than retention behind the
         # newest window already indexed — the matching partitions may
         # already be evicted, and re-adding one would break the
-        # exactly-once argument
-        horizon = index.agg(F.max("w_start").alias("mx")).first()["mx"]
+        # exactly-once argument. The horizon comes from a driver-side
+        # metadata file maintained per batch — a full index scan for one
+        # max would read the whole retained state every micro-batch.
+        horizon = _read_horizon(idx_dir)
         if horizon is not None:
             b_tri = b_tri.filter(
                 F.col("w_start")
@@ -147,7 +172,10 @@ def ingest_encounter_batch(
     if latest is not None:
         import datetime as dt
 
-        cutoff = (latest - dt.timedelta(days=retention_days)).date()
+        prev = _read_horizon(idx_dir)
+        horizon_now = latest if prev is None else max(prev, latest)
+        _write_horizon(idx_dir, horizon_now)
+        cutoff = (horizon_now - dt.timedelta(days=retention_days)).date()
         for d in os.listdir(idx_dir):
             if d.startswith("day=") and d[4:] < cutoff.isoformat():
                 shutil.rmtree(os.path.join(idx_dir, d))
