@@ -400,12 +400,15 @@ RFM_SEGMENTS_ORACLE = f"""
            frequency,
            round(monetary_cents / 100.0, 2) AS monetary,
            ntile({RFM_BUCKETS}) OVER (
-               ORDER BY date_diff('day', last_order, corpus_max) ASC, o_custkey ASC
+               ORDER BY date_diff('day', last_order, corpus_max)
+                            ASC NULLS FIRST,
+                        o_custkey ASC
            ) AS r_score,
            ntile({RFM_BUCKETS}) OVER (
-               ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+               ORDER BY frequency DESC NULLS LAST, o_custkey ASC) AS f_score,
            ntile({RFM_BUCKETS}) OVER (
-               ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+               ORDER BY monetary_cents DESC NULLS LAST, o_custkey ASC
+           ) AS m_score
     FROM per_cust CROSS JOIN mx
 """
 
@@ -430,10 +433,15 @@ def copurchase_affinity(lineitem: DataFrame) -> DataFrame:
     Baskets are DISTINCT parts per order grouped with the dedup
     family's capped sorted-bucket builder (a basket is naturally tiny —
     TPC-H maxes at 7 lines — the cap only guards corrupted data), pairs
-    stream via the two-level explode, and lift's division is
-    sign-free integer work: lift_ppb = support_pairs * n_orders * 1e9
-    div (cnt_a * cnt_b), exact in int64/int128-free range because every
-    factor is bounded by order counts.
+    stream via the two-level explode. Lift is the overflow-safe
+    two-step integer division
+    (((support * 1e9 div orders_a) * n_orders) div orders_b) div 1e3 —
+    the naive support * n_orders * 1e6 numerator overflows int64 at
+    billions of orders, while each step here is bounded by
+    1e9 * n_orders. The inner quotient carries ppb precision, so the
+    two-step truncation error is under 1 ppm of the exact ratio; the
+    identical formula runs in the oracle (the rounding is part of the
+    metric's definition).
     """
     from .dedup import _capped_sorted_buckets, _explode_pairs_ids
 
@@ -469,8 +477,8 @@ def copurchase_affinity(lineitem: DataFrame) -> DataFrame:
             "support_orders",
             F.expr("support_orders * 1000000 div n_orders").alias("support_ppm"),
             F.expr(
-                "((support_orders * 1000000 div orders_a) * n_orders)"
-                " div orders_b"
+                "(((support_orders * 1000000000 div orders_a) * n_orders)"
+                " div orders_b) div 1000"
             ).alias("lift_ppm"),
         )
     )
@@ -498,8 +506,8 @@ COPURCHASE_AFFINITY_ORACLE = f"""
     )
     SELECT part_a, part_b, support_orders,
            CAST(support_orders * 1000000 // n_orders AS BIGINT) AS support_ppm,
-           CAST(((support_orders * 1000000 // ca.part_orders) * n_orders)
-                // cb.part_orders AS BIGINT) AS lift_ppm
+           CAST((((support_orders * 1000000000 // ca.part_orders) * n_orders)
+                // cb.part_orders) // 1000 AS BIGINT) AS lift_ppm
     FROM pairs
     JOIN part_counts ca ON ca.l_partkey = part_a
     JOIN part_counts cb ON cb.l_partkey = part_b

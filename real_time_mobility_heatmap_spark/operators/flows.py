@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..functions.grid import cell_id
 from ..functions.percentiles import percentile_disc_exact
 from ..operators.dedup import _capped_sorted_buckets
 from ..operators.tiles import snap_pings, snapped_oracle_cte
@@ -66,8 +65,8 @@ def od_matrix(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     vehicle's FIRST ping in the hour, destination the cell of its LAST,
     with (eventTs, event_id) as the engine-total order (eventTs alone
     can tie within a vehicle-hour). Emits one row per observed
-    (origin_cell, dest_cell) with trip and vehicle counts plus the share
-    of trips that actually moved cells.
+    (origin_cell, dest_cell) with trip and vehicle counts (a stationary
+    vehicle-hour appears on the diagonal, origin == dest).
 
     Both row_number windows and the endpoint aggregate share the
     (vehicleId, hour) hash partitioning — Catalyst plans ONE exchange
@@ -804,6 +803,47 @@ GAPFILL_BUCKET_S = 3600
 GAPFILL_TOP_CELLS = 20
 
 
+def _hour_bucket() -> F.Column:
+    return F.expr(
+        f"(unix_timestamp(eventTs) div {GAPFILL_BUCKET_S}) * {GAPFILL_BUCKET_S}"
+    ).alias("h")
+
+
+def _top_cell_spine(counts: DataFrame) -> DataFrame:
+    """Top-N busiest cells (deterministic: total desc, cell_id asc) ->
+    one row per (cell, hour) over each cell's active range. Shared by
+    tile_gap_fill and tile_speed_locf so the tie-break and the bucket
+    math live in exactly one place (mirrored once in the oracle CTE
+    builder below)."""
+    top = (
+        counts.groupBy("cell_id")
+        .agg(F.sum("n").alias("tot"), F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .orderBy(F.desc("tot"), F.asc("cell_id"))
+        .limit(GAPFILL_TOP_CELLS)
+    )
+    return top.select(
+        "cell_id",
+        F.explode(F.expr(f"sequence(mn, mx, {GAPFILL_BUCKET_S})")).alias("h"),
+    )
+
+
+def _spine_oracle_ctes(counts_body: str) -> str:
+    """counts/top/spine CTE chain over a caller-supplied counts SELECT
+    body (which must emit cell_id, h, n, ...)."""
+    return f"""
+        counts AS ({counts_body}),
+        top AS (
+            SELECT cell_id, min(h) AS mn, max(h) AS mx
+            FROM counts GROUP BY cell_id
+            ORDER BY sum(n) DESC, cell_id ASC LIMIT {GAPFILL_TOP_CELLS}
+        ),
+        spine AS (
+            SELECT cell_id,
+                   unnest(generate_series(mn, mx, {GAPFILL_BUCKET_S})) AS h
+            FROM top
+        )"""
+
+
 def tile_gap_fill(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """Zero-filled hourly series for the busiest cells — the calendar-
     spine densification every dashboard/forecasting consumer needs (a
@@ -817,22 +857,10 @@ def tile_gap_fill(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     pick is a deterministic bounded sort (total desc, cell_id asc).
     """
     snapped = snap_pings(pings, cfg)
-    counts = snapped.groupBy(
-        "cell_id",
-        F.expr(
-            f"(unix_timestamp(eventTs) div {GAPFILL_BUCKET_S}) * {GAPFILL_BUCKET_S}"
-        ).alias("h"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    top = (
-        counts.groupBy("cell_id")
-        .agg(F.sum("n").alias("tot"), F.min("h").alias("mn"), F.max("h").alias("mx"))
-        .orderBy(F.desc("tot"), F.asc("cell_id"))
-        .limit(GAPFILL_TOP_CELLS)
+    counts = snapped.groupBy("cell_id", _hour_bucket()).agg(
+        F.count(F.lit(1)).alias("n")
     )
-    spine = top.select(
-        "cell_id",
-        F.explode(F.expr(f"sequence(mn, mx, {GAPFILL_BUCKET_S})")).alias("h"),
-    )
+    spine = _top_cell_spine(counts)
     return spine.join(counts, ["cell_id", "h"], "left").select(
         "cell_id",
         F.col("h").alias("hour_epoch"),
@@ -842,25 +870,15 @@ def tile_gap_fill(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
 
 
 def tile_gap_fill_oracle(cfg: EngineConfig = DEFAULT) -> str:
-    return f"""
-        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
-        counts AS (
+    counts_body = f"""
             SELECT cell_id,
                    (CAST(floor(epoch(eventTs)) AS BIGINT) // {GAPFILL_BUCKET_S})
                        * {GAPFILL_BUCKET_S} AS h,
                    count(*) AS n
-            FROM snapped GROUP BY 1, 2
-        ),
-        top AS (
-            SELECT cell_id, min(h) AS mn, max(h) AS mx
-            FROM counts GROUP BY cell_id
-            ORDER BY sum(n) DESC, cell_id ASC LIMIT {GAPFILL_TOP_CELLS}
-        ),
-        spine AS (
-            SELECT cell_id,
-                   unnest(generate_series(mn, mx, {GAPFILL_BUCKET_S})) AS h
-            FROM top
-        )
+            FROM snapped GROUP BY 1, 2"""
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        {_spine_oracle_ctes(counts_body)}
         SELECT s.cell_id, s.h AS hour_epoch,
                coalesce(c.n, 0) AS ping_count,
                c.n IS NOT NULL AS observed
@@ -894,26 +912,11 @@ def tile_speed_locf(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """
     snapped = snap_pings(pings, cfg)
     micro = F.round(F.col("speedKmh") * 1e6).cast("long")
-    counts = snapped.groupBy(
-        "cell_id",
-        F.expr(
-            f"(unix_timestamp(eventTs) div {GAPFILL_BUCKET_S}) * {GAPFILL_BUCKET_S}"
-        ).alias("h"),
-    ).agg(
+    counts = snapped.groupBy("cell_id", _hour_bucket()).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(micro) / F.lit(1e6) / F.count("speedKmh"), 6).alias("avg_speed"),
     )
-    top = (
-        counts.groupBy("cell_id")
-        .agg(F.sum("n").alias("tot"), F.min("h").alias("mn"), F.max("h").alias("mx"))
-        .orderBy(F.desc("tot"), F.asc("cell_id"))
-        .limit(GAPFILL_TOP_CELLS)
-    )
-    spine = top.select(
-        "cell_id",
-        F.explode(F.expr(f"sequence(mn, mx, {GAPFILL_BUCKET_S})")).alias("h"),
-    )
-    joined = spine.join(counts, ["cell_id", "h"], "left")
+    joined = _top_cell_spine(counts).join(counts, ["cell_id", "h"], "left")
     w = (
         Window.partitionBy("cell_id")
         .orderBy(F.asc("h"))
@@ -929,27 +932,17 @@ def tile_speed_locf(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
 
 
 def tile_speed_locf_oracle(cfg: EngineConfig = DEFAULT) -> str:
-    return f"""
-        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
-        counts AS (
+    counts_body = f"""
             SELECT cell_id,
                    (CAST(floor(epoch(eventTs)) AS BIGINT) // {GAPFILL_BUCKET_S})
                        * {GAPFILL_BUCKET_S} AS h,
                    count(*) AS n,
                    round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6
                          / count(speedKmh), 6) AS avg_speed
-            FROM snapped GROUP BY 1, 2
-        ),
-        top AS (
-            SELECT cell_id, min(h) AS mn, max(h) AS mx
-            FROM counts GROUP BY cell_id
-            ORDER BY sum(n) DESC, cell_id ASC LIMIT {GAPFILL_TOP_CELLS}
-        ),
-        spine AS (
-            SELECT cell_id,
-                   unnest(generate_series(mn, mx, {GAPFILL_BUCKET_S})) AS h
-            FROM top
-        ),
+            FROM snapped GROUP BY 1, 2"""
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        {_spine_oracle_ctes(counts_body)},
         joined AS (
             SELECT s.cell_id, s.h, c.n, c.avg_speed
             FROM spine s LEFT JOIN counts c ON c.cell_id = s.cell_id AND c.h = s.h

@@ -1417,8 +1417,16 @@ def embedding_drift_report(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
     corpus centroid is ONE broadcast row; sources×dim bounds everything
     after the single corpus-scale scan.
     """
-    tagged = spread(embeddings).join(
-        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    tagged = (
+        spread(embeddings)
+        # NULL-embedding rows carry no signal for a centroid and would
+        # diverge cross-engine (posexplode emits nothing for NULL, the
+        # oracle's generate_series join keeps the row) — excluded on
+        # BOTH sides; n_docs therefore counts embedded docs. Arrays are
+        # DIM-wide by the module-wide contract (same generate_series
+        # indexing as every other oracle here).
+        .filter(F.col("embedding").isNotNull())
+        .join(docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id")
     )
     cells = tagged.select(
         "source", F.posexplode(_as_double("embedding")).alias("pos", "v")
@@ -1461,6 +1469,7 @@ def embedding_drift_report_oracle() -> str:
         WITH tagged AS (
             SELECT d.source, e.vec_id, e.embedding
             FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            WHERE e.embedding IS NOT NULL
         ),
         cells AS (
             SELECT source, p.pos, embedding[p.pos + 1]::DOUBLE AS v

@@ -53,7 +53,7 @@ from ..config import DEFAULT, EngineConfig
 from ..lineage import cut_lineage
 from ..operators.flows import ENC_WINDOW_MIN
 from ..operators.tiles import snap_pings, snapped_oracle_cte
-from ..sources.tables import LAT_SQL, LON_SQL, PINGS_ORACLE_SQL
+from ..sources.tables import LAT_SQL, LON_SQL, PINGS_ORACLE_SQL, load_table
 
 N_MICRO_BATCHES = 3
 # index retention in days of EVENT time behind the max window seen so
@@ -197,7 +197,14 @@ def run_streaming_encounters(
     out_dir = os.path.join(tmp, "pairs")
     os.makedirs(in_dir)
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # load_table, not a raw read: events.ts is parquet TIMESTAMP(NANOS)
+    # and needs the cross-version normalization every other consumer
+    # applies (on Spark <= 4.0 a raw read either fails or delivers a
+    # LongType whose unix_timestamp is NULL — a silently empty report).
+    # The staged micro-batch files below are REWRITTEN by Spark from the
+    # normalized frame, so the stream reads ordinary microsecond
+    # timestamps regardless of Spark generation.
+    events = load_table(spark, sf_dir, "events")
     schema = events.schema
     bounds = events.agg(
         F.min(F.unix_timestamp("ts")).alias("lo"),

@@ -619,5 +619,6 @@ def test_copurchase_affinity_support_and_lift(spark):
     assert (r["part_a"], r["part_b"]) == (10, 20)
     assert r["support_orders"] == 2
     assert r["support_ppm"] == 500_000  # 2 of 4 orders
-    # lift two-step: (2*1e6 div 3) * 4 div 2 = 666666*4 div 2 = 1333332
-    assert r["lift_ppm"] == 1_333_332
+    # lift two-step at ppb inner scale: ((2e9 div 3) * 4 div 2) div 1000
+    # = 1_333_333 (exact 4/3 ppm-rounded; truncation < 1 ppm)
+    assert r["lift_ppm"] == 1_333_333

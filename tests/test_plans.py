@@ -438,7 +438,7 @@ def test_tile_gap_fill_top_cells_bounded_limit(spark):
     global sort of the cell relation."""
     tree = _plan(spark, "tile_gap_fill").split("\n(1)")[0]
     assert "TakeOrderedAndProject" in tree
-    assert "GlobalLimit" not in tree or "TakeOrderedAndProject" in tree
+    assert "GlobalLimit" not in tree  # no separate sort+limit pair
 
 
 def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):

@@ -17,7 +17,7 @@ Builds a factor-N corpus in a SCRATCH dir (never touching the read-only
 
 Usage::
 
-    python tools/scale_curve.py [base_sf_dir] [factor]
+    python tools/scale_curve.py [base_sf_dir] [factor] [dedup|flow|all]
 
 Runs each dedup-family query at 1x and Nx (noop sink, full computation),
 prints per-query wall times plus the LSH candidate-pair stats
@@ -148,9 +148,15 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     family = sys.argv[3] if len(sys.argv) > 3 else "dedup"
-    run_queries = {"dedup": QUERIES, "flow": FLOW_QUERIES, "all": QUERIES + FLOW_QUERIES}[
-        family
-    ]
+    families = {
+        "dedup": QUERIES,
+        "flow": FLOW_QUERIES,
+        "flows": FLOW_QUERIES,  # common alias
+        "all": QUERIES + FLOW_QUERIES,
+    }
+    if family not in families:
+        sys.exit(f"unknown family {family!r}; choose from {sorted(families)}")
+    run_queries = families[family]
 
     import tempfile
 
