@@ -1502,3 +1502,151 @@ def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift_report(
         load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered vector search (metadata-constrained top-k)
+# --------------------------------------------------------------------------
+
+FILTER_LANG = "en"  # the metadata predicate for the filtered-search family
+
+
+def topk_cosine_filtered(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Metadata-constrained exact top-k: each query's nearest neighbors
+    among only the candidates whose document passes the filter
+    (lang = FILTER_LANG) — PRE-filtering, the correct formulation of
+    filtered vector search (retrieval systems that filter AFTER a
+    global top-k silently return fewer/wrong results when the predicate
+    is selective; ``filtered_topk_recall_report`` quantifies exactly
+    that loss).
+
+    Plan: the filter is a keyed semi-join applied to the candidate side
+    BEFORE scoring, so the cosine work is |queries| × |filtered|, never
+    |queries| × corpus; queries themselves are not required to pass the
+    filter. Same scoring/rank/tie-break as ``topk_cosine``.
+    """
+    keep = docs.filter(F.col("lang") == FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
+    c = _with_norm(spread(embeddings).join(keep, "vec_id", "left_semi"), "cand")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("query_emb"), F.col("cand_emb"))
+                / (F.col("query_norm") * F.col("cand_norm")),
+                ROUND_COS,
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)
+
+
+TOPK_COSINE_FILTERED_ORACLE = f"""
+    WITH keep AS (SELECT doc_id AS vec_id FROM documents WHERE lang = '{FILTER_LANG}'),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        JOIN keep k ON k.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_topk_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_cosine_filtered(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def filtered_topk_recall_report(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Pre-filter vs post-filter comparison, per query: how much of the
+    TRUE filtered top-k does "take the global top-k, then filter" keep?
+    ``post_survivors`` (global winners passing the filter, <= k) and
+    ``overlap_ppm`` (their intersection with the true filtered top-k) —
+    the measurement that justifies pushing predicates INTO the index
+    scan instead of filtering results (selective predicate =>
+    post-filtering returns almost nothing).
+
+    Both rankings reuse the exact scorers above; the comparison is two
+    bounded per-query sets joined on (query, cand), all-integer output.
+    """
+    true_k = topk_cosine_filtered(docs, embeddings).select(
+        "query_id", "cand_id"
+    )
+    keep = docs.filter(F.col("lang") == FILTER_LANG).select(
+        F.col("doc_id").alias("cand_id")
+    )
+    post_k = topk_cosine(embeddings).join(keep, "cand_id", "left_semi").select(
+        "query_id", "cand_id"
+    )
+    hits = true_k.join(post_k, ["query_id", "cand_id"], "left_semi")
+    per_q = (
+        true_k.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(
+            post_k.groupBy("query_id").agg(F.count(F.lit(1)).alias("post_survivors")),
+            "query_id",
+            "left",
+        )
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_true",
+        F.coalesce("post_survivors", F.lit(0)).alias("post_survivors"),
+        F.expr("coalesce(n_hit, 0) * 1000000 div n_true").alias("overlap_ppm"),
+    )
+
+
+def filtered_topk_recall_report_oracle() -> str:
+    return f"""
+        WITH true_k AS (
+            SELECT query_id, cand_id FROM ({TOPK_COSINE_FILTERED_ORACLE})
+        ),
+        global_k AS (
+            SELECT query_id, cand_id FROM ({TOPK_COSINE_ORACLE})
+        ),
+        keep AS (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}'),
+        post_k AS (
+            SELECT g.query_id, g.cand_id FROM global_k g
+            JOIN keep k ON k.doc_id = g.cand_id
+        ),
+        per_q AS (
+            SELECT t.query_id,
+                   count(*) AS n_true,
+                   (SELECT count(*) FROM post_k p WHERE p.query_id = t.query_id)
+                       AS post_survivors,
+                   sum(CASE WHEN EXISTS (
+                       SELECT 1 FROM post_k p
+                       WHERE p.query_id = t.query_id AND p.cand_id = t.cand_id
+                   ) THEN 1 ELSE 0 END) AS n_hit
+            FROM true_k t GROUP BY t.query_id
+        )
+        SELECT query_id, n_true,
+               CAST(post_survivors AS BIGINT) AS post_survivors,
+               CAST(n_hit * 1000000 // n_true AS BIGINT) AS overlap_ppm
+        FROM per_q
+    """
+
+
+def q_filtered_topk_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtered_topk_recall_report(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    )

@@ -912,3 +912,38 @@ def test_embedding_drift_identical_source_has_cosine_one(spark):
     assert out["aligned"]["centroid_cosine"] == 1.0
     assert out["contrarian"]["centroid_cosine"] == -1.0
     assert out["aligned"]["n_docs"] == 8
+
+
+def test_filtered_topk_prefilter_vs_postfilter(spark):
+    """Pre-filtering searches among passing candidates (always k results
+    when enough exist); post-filtering a global top-k can lose
+    everything when the neighborhood fails the predicate."""
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        DIM,
+        TOP_K,
+        filtered_topk_recall_report,
+        topk_cosine_filtered,
+    )
+
+    def vec(axis):
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        return v
+
+    # query 0 points along axis 0; its true global neighbors (axis 0)
+    # are all lang=zh, while lang=en docs point along axis 1
+    docs = spark.createDataFrame(
+        [(i, "zh" if i < 10 else "en") for i in range(1, 20)],
+        "doc_id long, lang string",
+    )
+    embs = spark.createDataFrame(
+        [(0, vec(0), 0)]
+        + [(i, vec(0) if i < 10 else vec(1), 0) for i in range(1, 20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pre = [r for r in topk_cosine_filtered(docs, embs).collect() if r["query_id"] == 0]
+    assert len(pre) == TOP_K  # en candidates found despite cosine 0
+    assert all(r["cand_id"] >= 10 for r in pre)
+    rep = {r["query_id"]: r for r in filtered_topk_recall_report(docs, embs).collect()}
+    assert rep[0]["post_survivors"] == 0  # query 0's global top-k was all zh
+    assert rep[0]["overlap_ppm"] == 0
