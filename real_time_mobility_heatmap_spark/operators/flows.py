@@ -1038,3 +1038,64 @@ def trip_distance_report_oracle() -> str:
 
 def q_trip_distance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip_distance_report(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# One-row mobility-pipeline dashboard
+# --------------------------------------------------------------------------
+
+
+def mobility_pipeline_report(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """End-to-end movement-analytics summary — the one-row ops dashboard
+    a fleet team reads after a day's sweep (``dedup_pipeline_report``'s
+    composition pattern applied to the mobility family): valid-ping and
+    vehicle volume, occupied-cell count, stay/encounter/OD-flow volumes,
+    and how many tile buckets spiked.
+
+    Each registered stage reduces to a 1-row aggregate; the report is a
+    chain of 1-row cross joins — nothing wider than one row moves after
+    the stage aggregates, and every number is an exact integer count.
+    """
+    snapped = snap_pings(pings, cfg)
+    vol = snapped.agg(
+        F.count(F.lit(1)).alias("n_valid_pings"),
+        F.count_distinct("vehicleId").alias("n_vehicles"),
+        F.count_distinct("cell_id").alias("n_cells"),
+    )
+    stays = stay_points(pings, cfg).agg(F.count(F.lit(1)).alias("n_stays"))
+    enc = encounter_pairs(pings, cfg).agg(
+        F.count(F.lit(1)).alias("n_encounter_pairs")
+    )
+    od = od_matrix(pings, cfg).agg(F.count(F.lit(1)).alias("n_od_flows"))
+    spikes = tile_anomaly_report(pings, cfg).agg(
+        F.sum(F.when(F.col("is_spike"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spike_buckets")
+    )
+    return vol.crossJoin(stays).crossJoin(enc).crossJoin(od).crossJoin(spikes)
+
+
+def mobility_pipeline_report_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        WITH stays_t AS ({stay_points_oracle(cfg)}),
+        enc_t AS ({encounter_pairs_oracle(cfg)}),
+        od_t AS ({od_matrix_oracle(cfg)}),
+        spikes_t AS ({tile_anomaly_report_oracle(cfg)}),
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg).lstrip().removeprefix("WITH ")},
+        vol AS (
+            SELECT count(*) AS n_valid_pings,
+                   count(DISTINCT vehicleId) AS n_vehicles,
+                   count(DISTINCT cell_id) AS n_cells
+            FROM snapped
+        ),
+        a AS (SELECT count(*) AS n_stays FROM stays_t),
+        b AS (SELECT count(*) AS n_encounter_pairs FROM enc_t),
+        c AS (SELECT count(*) AS n_od_flows FROM od_t),
+        d AS (SELECT CAST(sum(CASE WHEN is_spike THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_spike_buckets FROM spikes_t)
+        SELECT * FROM vol CROSS JOIN a CROSS JOIN b CROSS JOIN c CROSS JOIN d
+    """
+
+
+def q_mobility_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mobility_pipeline_report(pings_from_events(spark, sf_dir))
