@@ -517,3 +517,115 @@ COPURCHASE_AFFINITY_ORACLE = f"""
 
 def q_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_affinity(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Hourly-series autocorrelation
+# --------------------------------------------------------------------------
+
+# ACF horizon: lag-1..6 hours — the short-range structure a capacity
+# forecaster (ewma_speed / forecast_revenue_change) needs to pick its
+# smoothing window
+ACF_MAX_LAG = 6
+
+
+def autocorrelation_report(events: DataFrame) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..{ACF_MAX_LAG}) of the hourly
+    event-count series — the seasonality diagnostic behind window-size
+    choices for the EWMA/forecast operators.
+
+    The series is the hour-bucketed count aggregate (time-range-bounded:
+    one row per clock hour, never corpus-scale), so the corpus crosses
+    the wire exactly once. Lag pairs come from a 6-row lag dimension
+    broadcast against the series and an equi-join on the shifted
+    hour_id — a keyed join, never a range/cross product. Pearson r per
+    lag is computed from six integer-exact sums (counts and their
+    products, all < 2^53); the only floating-point ops are the final
+    per-lag expression, written with the identical association in both
+    engines — every input is integer-exact, so +,-,*,/ and IEEE-exact
+    sqrt round identically and the emitted double is bit-reproducible.
+    A lag with zero variance on either side (or no overlapping hours)
+    emits NULL acf rather than a division by zero.
+    """
+    hourly = (
+        events.groupBy(F.expr("unix_timestamp(ts) div 3600").alias("hour_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lags = (
+        events.sparkSession.range(1, ACF_MAX_LAG + 1)
+        .select(F.col("id").cast("int").alias("lag"))
+    )
+    shifted = hourly.crossJoin(F.broadcast(lags)).select(
+        (F.col("hour_id") + F.col("lag")).alias("hour_id"),
+        "lag",
+        F.col("n").alias("n_prev"),
+    )
+    stats = (
+        shifted.join(hourly, "hour_id")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_prev").alias("sx"),
+            F.sum("n").alias("sy"),
+            F.sum(F.col("n_prev") * F.col("n_prev")).alias("sxx"),
+            F.sum(F.col("n") * F.col("n")).alias("syy"),
+            F.sum(F.col("n_prev") * F.col("n")).alias("sxy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731 — local shorthand
+    num = d("n_pairs") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n_pairs") * d("sxx") - d("sx") * d("sx"))
+        * (d("n_pairs") * d("syy") - d("sy") * d("sy"))
+    )
+    return stats.select(
+        "lag",
+        "n_pairs",
+        F.when(den > 0, num / den).alias("acf"),
+    )
+
+
+AUTOCORRELATION_REPORT_ORACLE = f"""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_id,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    lags AS (
+        SELECT CAST(r AS INTEGER) AS lag FROM range(1, {ACF_MAX_LAG + 1}) t(r)
+    ),
+    stats AS (
+        SELECT l.lag,
+               count(*) AS n_pairs,
+               CAST(sum(a.n) AS BIGINT) AS sx,
+               CAST(sum(b.n) AS BIGINT) AS sy,
+               CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+               CAST(sum(b.n * b.n) AS BIGINT) AS syy,
+               CAST(sum(a.n * b.n) AS BIGINT) AS sxy
+        FROM hourly a
+        CROSS JOIN lags l
+        JOIN hourly b ON b.hour_id = a.hour_id + l.lag
+        GROUP BY l.lag
+    )
+    SELECT lag, n_pairs,
+           CASE WHEN sqrt(
+                    (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                ) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt(
+                    (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                )
+           END AS acf
+    FROM stats
+"""
+
+
+def q_autocorrelation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return autocorrelation_report(load_table(spark, sf_dir, "events"))

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.percentiles import percentile_disc_exact
+from ..lineage import cut_lineage
 from ..operators.dedup import _capped_sorted_buckets
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..operators.validate import VALID_SQL, validate_pings
@@ -1099,3 +1100,347 @@ def mobility_pipeline_report_oracle(cfg: EngineConfig = DEFAULT) -> str:
 
 def q_mobility_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mobility_pipeline_report(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# K-hop reachability over the cell-transition graph (recursive queries)
+# --------------------------------------------------------------------------
+
+# BFS horizon: how many transition hops out from the hub the service-area
+# query walks. Bounded by design — an unbounded closure over a transit
+# graph is dedup_clusters' pointer-jumping CC, already implemented.
+REACH_HOPS = 4
+
+
+def cell_transition_edges(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Directed cell-adjacency edges observed in the fleet: one edge per
+    DISTINCT (from_cell, to_cell) pair of consecutive pings of the same
+    vehicle that changed cell, under the engine-total (eventTs, event_id)
+    order.
+
+    The corpus crosses the wire ONCE (the per-vehicle lag window); the
+    emitted edge relation is bounded by geography² — cells × observed
+    out-degree — not by ping volume.
+    """
+    w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
+    moves = snap_pings(pings, cfg).select(
+        "cell_id", F.lag("cell_id").over(w).alias("prev_cell")
+    )
+    return (
+        moves.filter(
+            F.col("prev_cell").isNotNull() & (F.col("prev_cell") != F.col("cell_id"))
+        )
+        .select(
+            F.col("prev_cell").alias("from_cell"), F.col("cell_id").alias("to_cell")
+        )
+        .distinct()
+    )
+
+
+def cell_reachability(
+    pings: DataFrame, cfg: EngineConfig = DEFAULT, max_hops: int = REACH_HOPS
+) -> DataFrame:
+    """Minimum-hop reachability from the busiest cell: which cells can a
+    vehicle reach within ``max_hops`` observed transitions, and in how
+    few — the service-area / isochrone primitive, and the engine's
+    recursive-CTE capability (Spark has no WITH RECURSIVE; the oracle IS
+    one, DuckDB's, proving the iterative dataflow computes the same
+    fixpoint).
+
+    Frontier BFS as a driver loop over DataFrame steps: ``visited``
+    accumulates (cell, first-seen hop) — BFS discovery order makes the
+    first hop the MINIMUM hop, so no re-relaxation round is ever needed
+    (hop weights are uniform). Each round is one keyed join of the
+    cells-bounded frontier against the geography²-bounded edge relation
+    plus an anti-join against visited; lineage is cut per round so the
+    plan stays constant-size. The only driver-side value is the
+    frontier's emptiness (a LIMIT-1 count) for early exit — never row
+    data. At 100 TB the corpus is touched once (edge build); all K
+    rounds run on cell-cardinality relations.
+
+    Seed = highest-ping-count cell, cell_id ascending as the engine-total
+    tie-break (TakeOrderedAndProject, no global sort).
+    """
+    snapped = snap_pings(pings, cfg)
+    edges = cut_lineage(cell_transition_edges(pings, cfg), eager=True)
+    seed = (
+        snapped.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("cell_id"))
+        .limit(1)
+        .select("cell_id")
+    )
+    visited = cut_lineage(
+        seed.withColumn("hops", F.lit(0).cast("int")), eager=True
+    )
+    frontier = visited.select("cell_id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.cell_id == edges.from_cell)
+            .select(F.col("to_cell").alias("cell_id"))
+            .distinct()
+        )
+        new = cut_lineage(
+            nxt.join(visited.select("cell_id"), "cell_id", "left_anti").withColumn(
+                "hops", F.lit(h).cast("int")
+            ),
+            eager=True,
+        )
+        if new.limit(1).count() == 0:
+            break
+        visited = cut_lineage(visited.unionByName(new), eager=True)
+        frontier = new.select("cell_id")
+    return visited
+
+
+def cell_reachability_oracle(
+    cfg: EngineConfig = DEFAULT, max_hops: int = REACH_HOPS
+) -> str:
+    base = snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)
+    return f"""
+        {base.replace("WITH pings", "WITH RECURSIVE pings", 1)},
+        moves AS (
+            SELECT cell_id,
+                   lag(cell_id) OVER (
+                       PARTITION BY vehicleId
+                       ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST
+                   ) AS prev_cell
+            FROM snapped
+        ),
+        edges AS (
+            SELECT DISTINCT prev_cell AS from_cell, cell_id AS to_cell
+            FROM moves
+            WHERE prev_cell IS NOT NULL AND prev_cell <> cell_id
+        ),
+        seed AS (
+            SELECT cell_id FROM snapped
+            GROUP BY cell_id
+            ORDER BY count(*) DESC, cell_id ASC
+            LIMIT 1
+        ),
+        reach(cell_id, hops) AS (
+            SELECT cell_id, CAST(0 AS INTEGER) AS hops FROM seed
+            UNION
+            SELECT e.to_cell, CAST(r.hops + 1 AS INTEGER) AS hops
+            FROM reach r JOIN edges e ON e.from_cell = r.cell_id
+            WHERE r.hops < {max_hops}
+        )
+        SELECT cell_id, CAST(min(hops) AS INTEGER) AS hops
+        FROM reach GROUP BY cell_id
+    """
+
+
+def q_cell_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cell_reachability(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Home / work location inference
+# --------------------------------------------------------------------------
+
+# local-clock hour buckets: night = [22, 06), day = [09, 17)
+NIGHT_START, NIGHT_END = 22, 6
+DAY_START, DAY_END = 9, 17
+
+
+def home_work_locations(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-vehicle depot ("home") and duty ("work") cell inference: the
+    modal grid cell during night hours [22,06) vs day hours [09,17) —
+    the fleet-ops primitive behind depot assignment audits and commute
+    OD seeding (the user-mobility literature's home/work detection
+    applied to vehicles).
+
+    One corpus shuffle into (vehicleId, cell_id) conditional counts;
+    both modal picks are row_number windows over the SAME vehicleId
+    partitioning (one exchange, two sorts), ties broken by cell_id
+    ascending; a vehicle appears iff it has pings in BOTH buckets. The
+    final join is keyed on vehicleId over count-bounded relations.
+    """
+    hr = F.hour("eventTs")
+    night = (hr >= NIGHT_START) | (hr < NIGHT_END)
+    day = (hr >= DAY_START) & (hr < DAY_END)
+    counts = (
+        snap_pings(pings, cfg)
+        .groupBy("vehicleId", "cell_id")
+        .agg(
+            F.sum(F.when(night, 1).otherwise(0)).cast("long").alias("night_n"),
+            F.sum(F.when(day, 1).otherwise(0)).cast("long").alias("day_n"),
+        )
+    )
+    wn = Window.partitionBy("vehicleId").orderBy(F.desc("night_n"), F.asc("cell_id"))
+    wd = Window.partitionBy("vehicleId").orderBy(F.desc("day_n"), F.asc("cell_id"))
+    ranked = counts.select(
+        "vehicleId",
+        "cell_id",
+        "night_n",
+        "day_n",
+        F.row_number().over(wn).alias("rn_night"),
+        F.row_number().over(wd).alias("rn_day"),
+    )
+    home = ranked.filter((F.col("rn_night") == 1) & (F.col("night_n") > 0)).select(
+        "vehicleId",
+        F.col("cell_id").alias("home_cell"),
+        F.col("night_n").alias("home_pings"),
+    )
+    work = ranked.filter((F.col("rn_day") == 1) & (F.col("day_n") > 0)).select(
+        "vehicleId",
+        F.col("cell_id").alias("work_cell"),
+        F.col("day_n").alias("work_pings"),
+    )
+    return home.join(work, "vehicleId")
+
+
+def home_work_locations_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    night = f"(hour(eventTs) >= {NIGHT_START} OR hour(eventTs) < {NIGHT_END})"
+    day = f"(hour(eventTs) >= {DAY_START} AND hour(eventTs) < {DAY_END})"
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        counts AS (
+            SELECT vehicleId, cell_id,
+                   CAST(sum(CASE WHEN {night} THEN 1 ELSE 0 END) AS BIGINT) AS night_n,
+                   CAST(sum(CASE WHEN {day} THEN 1 ELSE 0 END) AS BIGINT) AS day_n
+            FROM snapped
+            GROUP BY vehicleId, cell_id
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY vehicleId ORDER BY night_n DESC, cell_id ASC
+                   ) AS rn_night,
+                   row_number() OVER (
+                       PARTITION BY vehicleId ORDER BY day_n DESC, cell_id ASC
+                   ) AS rn_day
+            FROM counts
+        )
+        SELECT h.vehicleId,
+               h.cell_id AS home_cell, h.night_n AS home_pings,
+               w.cell_id AS work_cell, w.day_n AS work_pings
+        FROM (SELECT * FROM ranked WHERE rn_night = 1 AND night_n > 0) h
+        JOIN (SELECT * FROM ranked WHERE rn_day = 1 AND day_n > 0) w
+          USING (vehicleId)
+    """
+
+
+def q_home_work_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return home_work_locations(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Per-cell speed trend (grouped OLS regression)
+# --------------------------------------------------------------------------
+
+
+def cell_speed_trend(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-cell least-squares trend of speed over time — the congestion
+    drift detector ("is this block getting slower week over week?"), and
+    the engine's grouped-regression capability: the cross-engine-exact
+    twin of SQL's ``regr_slope``/``regr_r2`` (whose double accumulators
+    are partition-order-dependent and therefore not hash-reproducible).
+
+    Two-stage so the regression inputs are INTEGER-exact:
+    1. per (cell, clock-hour): ping count + exact micro-km/h speed sum
+       (the zone_counts int64 convention) — the corpus' one shuffle;
+    2. per cell over its hourly means: x = hour index relative to the
+       cell's first hour (a window over the SAME cell partitioning —
+       no second corpus exchange), y = floor milli-km/h hourly mean
+       (integer `div`, engine-identical for non-negative speeds). The
+       six OLS sums are int64 aggregates of bounded terms (x ≤ corpus
+       hours ≤ ~1e5/decade, y ≤ 2e5 for 200 km/h ⇒ every sum ≪ 2^63 at
+       any corpus size, since stage 2 is hours-bounded per cell); slope
+       and r² are then a fixed double expression over exact integers —
+       deterministic in any IEEE engine. A cell with < 2 distinct hours
+       (or zero x-variance) emits NULL slope/r².
+    """
+    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    hourly = (
+        snap_pings(pings, cfg)
+        .groupBy(
+            "cell_id", F.expr("unix_timestamp(eventTs) div 3600").alias("hour_id")
+        )
+        .agg(F.sum(micro).alias("sum_micro"), F.count("speedKmh").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    w = Window.partitionBy("cell_id")
+    rel = hourly.select(
+        "cell_id",
+        (F.col("hour_id") - F.min("hour_id").over(w)).alias("x"),
+        F.expr("(sum_micro div n) div 1000").alias("y"),
+        "n",
+    )
+    stats = rel.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("n_pings"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731 — local shorthand
+    num = d("n_hours") * d("sxy") - d("sx") * d("sy")
+    den_x = d("n_hours") * d("sxx") - d("sx") * d("sx")
+    den_y = d("n_hours") * d("syy") - d("sy") * d("sy")
+    return stats.select(
+        "cell_id",
+        "n_hours",
+        "n_pings",
+        F.when(den_x > 0, num / den_x).alias("slope_milli_kmh_per_hour"),
+        F.when((den_x > 0) & (den_y > 0), (num * num) / (den_x * den_y)).alias("r2"),
+    )
+
+
+def cell_speed_trend_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    num = (
+        "CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    den_x = (
+        "CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    den_y = (
+        "CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        hourly AS (
+            SELECT cell_id,
+                   CAST(floor(epoch(eventTs)) AS BIGINT) // 3600 AS hour_id,
+                   CAST(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sum_micro,
+                   count(speedKmh) AS n
+            FROM snapped
+            GROUP BY 1, 2
+            HAVING count(speedKmh) > 0
+        ),
+        rel AS (
+            SELECT cell_id,
+                   hour_id - min(hour_id) OVER (PARTITION BY cell_id) AS x,
+                   (sum_micro // n) // 1000 AS y,
+                   n
+            FROM hourly
+        ),
+        stats AS (
+            SELECT cell_id,
+                   count(*) AS n_hours,
+                   CAST(sum(n) AS BIGINT) AS n_pings,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM rel GROUP BY cell_id
+        )
+        SELECT cell_id, n_hours, n_pings,
+               CASE WHEN {den_x} > 0 THEN ({num}) / ({den_x}) END
+                   AS slope_milli_kmh_per_hour,
+               CASE WHEN {den_x} > 0 AND {den_y} > 0
+                    THEN (({num}) * ({num})) / (({den_x}) * ({den_y})) END
+                   AS r2
+        FROM stats
+    """
+
+
+def q_cell_speed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cell_speed_trend(pings_from_events(spark, sf_dir))

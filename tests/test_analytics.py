@@ -622,3 +622,66 @@ def test_copurchase_affinity_support_and_lift(spark):
     # lift two-step at ppb inner scale: ((2e9 div 3) * 4 div 2) div 1000
     # = 1_333_333 (exact 4/3 ppm-rounded; truncation < 1 ppm)
     assert r["lift_ppm"] == 1_333_333
+
+
+def test_autocorrelation_perfect_alternation_and_null_guard(spark):
+    """An exactly alternating 1/3 hourly series: every lag-1 pair obeys
+    y = 4 - x (acf == -1.0 bit-exactly: the sums are small ints and the
+    denominator is a perfect square), every lag-2 pair y = x (+1.0);
+    a constant series has zero variance -> NULL acf, and the relation
+    is total (empty) on an empty event set."""
+    import datetime as dt
+    from pyspark.sql import Row
+
+    def hour_rows(counts):
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for h, c in enumerate(counts):
+            for j in range(c):
+                rows.append(Row(ts=base + dt.timedelta(hours=h, minutes=j)))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    out = {
+        r["lag"]: r
+        for r in analytics.autocorrelation_report(
+            hour_rows([1, 3, 1, 3, 1, 3, 1, 3])
+        ).collect()
+    }
+    assert out[1]["n_pairs"] == 7 and out[1]["acf"] == -1.0
+    assert out[2]["n_pairs"] == 6 and out[2]["acf"] == 1.0
+    assert out[6]["n_pairs"] == 2 and out[6]["acf"] == 1.0
+
+    const = {
+        r["lag"]: r["acf"]
+        for r in analytics.autocorrelation_report(hour_rows([2] * 8)).collect()
+    }
+    assert set(const) == {1, 2, 3, 4, 5, 6} and all(v is None for v in const.values())
+
+    empty = analytics.autocorrelation_report(
+        spark.createDataFrame([], "ts timestamp")
+    )
+    assert empty.columns == ["lag", "n_pairs", "acf"] and empty.count() == 0
+
+
+def test_autocorrelation_gap_hours_pair_only_existing(spark):
+    """A missing hour drops exactly the pairs that would touch it: the
+    series join is on hour_id, so gaps never fabricate zero-count rows
+    (tile_gap_fill is the operator that DOES build a spine)."""
+    import datetime as dt
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in (0, 1, 3, 4):  # hour 2 missing
+        for j in range(2 + (h % 2)):
+            rows.append(Row(ts=base + dt.timedelta(hours=h, minutes=j)))
+    out = {
+        r["lag"]: r["n_pairs"]
+        for r in analytics.autocorrelation_report(
+            spark.createDataFrame(rows, "ts timestamp")
+        ).collect()
+    }
+    # present hours {0,1,3,4}: lag-1 pairs (0,1),(3,4); lag-2 only (1,3);
+    # lag-3 (0,3),(1,4); lag-4 (0,4); lags 5-6 have no pairs at all
+    assert out[1] == 2 and out[2] == 1 and out[3] == 2 and out[4] == 1
+    assert 5 not in out and 6 not in out

@@ -448,3 +448,124 @@ def test_degenerate_all_colocated_fleet_is_capped_not_quadratic(spark):
     assert od_matrix(df).count() == 1  # everyone: same origin == dest
     (k,) = kring_smooth(df).collect()
     assert k["ping_count"] == 2 * n and k["share_ppm"] == 1_000_000
+
+
+# ---- cell_reachability ---------------------------------------------------
+
+
+def test_reachability_bfs_min_hops_and_horizon(spark):
+    """Chain c0->..->c6 plus a shortcut c0->c2: BFS keeps MIN hops and
+    the default 4-hop horizon excludes the 5-hop tail."""
+    from real_time_mobility_heatmap_spark.operators.flows import cell_reachability
+
+    # cell row 846 + i at scale 20; +0.01 keeps the value 0.2 cell away
+    # from the floor boundary so float rounding can't flip the cell
+    lat = lambda i: 42.31 + 0.05 * i
+    rows = []
+    # v1 walks the chain c0..c6 (edges c_i -> c_{i+1})
+    for i in range(7):
+        rows.append(_ping(vid="v1", ts=f"2024-01-01T10:0{i}:00", lat=lat(i), eid=i + 1))
+    # v2 jumps c0 -> c2: the shortcut that makes c2 hop-1, not hop-2
+    rows.append(_ping(vid="v2", ts="2024-01-01T10:00:00", lat=lat(0), eid=100))
+    rows.append(_ping(vid="v2", ts="2024-01-01T10:01:00", lat=lat(2), eid=101))
+    # extra stationary pings make c0 the busiest cell (the seed)
+    for j in range(5):
+        rows.append(_ping(vid="v3", ts=f"2024-01-01T11:0{j}:00", lat=lat(0), eid=200 + j))
+    out = {
+        r["cell_id"]: r["hops"]
+        for r in cell_reachability(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    }
+    cell = lambda i: f"{846 + i}:-1422"
+    assert out[cell(0)] == 0
+    assert out[cell(1)] == 1
+    assert out[cell(2)] == 1  # shortcut wins over the 2-hop chain
+    assert out[cell(3)] == 2
+    assert out[cell(4)] == 3
+    assert out[cell(5)] == 4
+    assert cell(6) not in out  # 5 hops > horizon
+    assert len(out) == 6
+
+
+def test_reachability_empty_and_isolated_seed(spark):
+    """No transitions at all: the seed cell alone comes back at hop 0;
+    a zero-row input yields a typed empty relation."""
+    from real_time_mobility_heatmap_spark.operators.flows import cell_reachability
+
+    rows = [_ping(ts="2024-01-01T10:00:00", eid=1), _ping(ts="2024-01-01T10:05:00", eid=2)]
+    out = cell_reachability(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert [(r["cell_id"], r["hops"]) for r in out] == [("847:-1422", 0)]
+
+    empty = cell_reachability(spark.createDataFrame([], PING_SCHEMA))
+    assert empty.columns == ["cell_id", "hops"]
+    assert empty.count() == 0
+
+
+# ---- home_work_locations -------------------------------------------------
+
+
+def test_home_work_modal_cells_and_tie_break(spark):
+    from real_time_mobility_heatmap_spark.operators.flows import home_work_locations
+
+    rows = [
+        # v1 nights: 2 pings in 847, 1 in 846 -> home = 847
+        _ping(vid="v1", ts="2024-01-01T23:00:00", lat=42.35, eid=1),
+        _ping(vid="v1", ts="2024-01-02T02:00:00", lat=42.35, eid=2),
+        _ping(vid="v1", ts="2024-01-02T05:00:00", lat=42.30, eid=3),
+        # v1 days: 846 and 848 tie at one ping each -> min cell_id wins
+        _ping(vid="v1", ts="2024-01-01T10:00:00", lat=42.30, eid=4),
+        _ping(vid="v1", ts="2024-01-01T15:00:00", lat=42.40, eid=5),
+        # 08:30 is neither bucket: must not count anywhere
+        _ping(vid="v1", ts="2024-01-01T08:30:00", lat=42.45, eid=6),
+        # v2 has only night pings -> excluded (no work cell)
+        _ping(vid="v2", ts="2024-01-01T23:30:00", lat=42.35, eid=7),
+    ]
+    out = home_work_locations(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["vehicleId"] == "v1"
+    assert (r["home_cell"], r["home_pings"]) == ("847:-1422", 2)
+    assert (r["work_cell"], r["work_pings"]) == ("846:-1422", 1)
+
+
+# ---- cell_speed_trend ----------------------------------------------------
+
+
+def _sping(ts, speed, vid="v1", lat=42.35, eid=1):
+    return Row(
+        provider="mbta",
+        vehicleId=vid,
+        eventTs=dt.datetime.fromisoformat(ts),
+        lat=lat,
+        lon=-71.06,
+        speedKmh=speed,
+        event_id=eid,
+        props=None,
+    )
+
+
+def test_cell_speed_trend_exact_line_and_hourly_mean(spark):
+    """Hourly means on an exact line: slope comes out bit-exact (all six
+    OLS sums are small integers), r2 == 1.0; the within-hour mean is the
+    regression input (two pings averaging 15 -> the line 15,25,35)."""
+    from real_time_mobility_heatmap_spark.operators.flows import cell_speed_trend
+
+    rows = [
+        # hour 0: pings at 10 and 20 km/h -> hourly mean 15
+        _sping("2024-01-01T10:05:00", 10.0, eid=1),
+        _sping("2024-01-01T10:40:00", 20.0, eid=2),
+        # hour 1: 25; hour 2: 35 -> y = 15000, 25000, 35000 milli
+        _sping("2024-01-01T11:05:00", 25.0, eid=3),
+        _sping("2024-01-01T12:05:00", 35.0, eid=4),
+        # a second cell with a single hour -> NULL slope/r2
+        _sping("2024-01-01T10:05:00", 50.0, lat=42.45, eid=5),
+    ]
+    out = {
+        r["cell_id"]: r
+        for r in cell_speed_trend(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    }
+    line = out["847:-1422"]
+    assert line["n_hours"] == 3 and line["n_pings"] == 4
+    assert line["slope_milli_kmh_per_hour"] == 10000.0  # +10 km/h per hour
+    assert line["r2"] == 1.0
+    single = out["849:-1422"]
+    assert single["slope_milli_kmh_per_hour"] is None and single["r2"] is None
