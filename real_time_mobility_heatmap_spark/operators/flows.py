@@ -1444,3 +1444,102 @@ def cell_speed_trend_oracle(cfg: EngineConfig = DEFAULT) -> str:
 
 def q_cell_speed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_speed_trend(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Frequent route segments (sequential pattern mining)
+# --------------------------------------------------------------------------
+
+ROUTE_TOP_N = 100  # report the N most-traveled 3-cell corridors
+
+
+def route_trigrams(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """The ``ROUTE_TOP_N`` most-traveled 3-cell corridors: consecutive
+    (cell_a -> cell_b -> cell_c) transition trigrams mined from every
+    vehicle's compressed cell sequence — sequential pattern mining at
+    n=3, the corridor-discovery input for transit planning (which road
+    segments carry the fleet).
+
+    The per-vehicle cell sequence is first COMPRESSED to its transition
+    points (rows whose cell differs from the previous ping's — dwell
+    pings repeat no corridor), then two lag windows over the compressed
+    sequence emit the trigrams. Both windows and the compression filter
+    share one (vehicleId) exchange and one sort — the filter preserves
+    the partitioning/ordering, so Catalyst plans a single Exchange.
+    The trigram aggregate is keyed by cell triples (geography-bounded ×
+    observed fanout), and the top-N is TakeOrderedAndProject with the
+    (count desc, cells asc) engine-total order — never a global sort.
+    """
+    w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
+    compressed = (
+        snap_pings(pings, cfg)
+        .select(
+            "vehicleId",
+            "eventTs",
+            "event_id",
+            "cell_id",
+            F.lag("cell_id").over(w).alias("prev_cell"),
+        )
+        .filter(F.col("prev_cell").isNull() | (F.col("prev_cell") != F.col("cell_id")))
+    )
+    tri = compressed.select(
+        "vehicleId",
+        F.lag("cell_id", 2).over(w).alias("cell_a"),
+        F.lag("cell_id", 1).over(w).alias("cell_b"),
+        F.col("cell_id").alias("cell_c"),
+    ).filter(F.col("cell_a").isNotNull())
+    return (
+        tri.groupBy("cell_a", "cell_b", "cell_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.count_distinct("vehicleId").alias("n_vehicles"),
+        )
+        .orderBy(
+            F.desc("n_trips"), F.asc("cell_a"), F.asc("cell_b"), F.asc("cell_c")
+        )
+        .limit(ROUTE_TOP_N)
+    )
+
+
+def route_trigrams_oracle(cfg: EngineConfig = DEFAULT) -> str:
+    return f"""
+        {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
+        marked AS (
+            SELECT vehicleId, eventTs, event_id, cell_id,
+                   lag(cell_id) OVER (
+                       PARTITION BY vehicleId
+                       ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST
+                   ) AS prev_cell
+            FROM snapped
+        ),
+        compressed AS (
+            SELECT vehicleId, eventTs, event_id, cell_id
+            FROM marked
+            WHERE prev_cell IS NULL OR prev_cell <> cell_id
+        ),
+        tri AS (
+            SELECT vehicleId,
+                   lag(cell_id, 2) OVER (
+                       PARTITION BY vehicleId
+                       ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST
+                   ) AS cell_a,
+                   lag(cell_id, 1) OVER (
+                       PARTITION BY vehicleId
+                       ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST
+                   ) AS cell_b,
+                   cell_id AS cell_c
+            FROM compressed
+        )
+        SELECT cell_a, cell_b, cell_c,
+               count(*) AS n_trips,
+               count(DISTINCT vehicleId) AS n_vehicles
+        FROM tri
+        WHERE cell_a IS NOT NULL
+        GROUP BY cell_a, cell_b, cell_c
+        ORDER BY n_trips DESC, cell_a ASC, cell_b ASC, cell_c ASC
+        LIMIT {ROUTE_TOP_N}
+    """
+
+
+def q_route_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return route_trigrams(pings_from_events(spark, sf_dir))

@@ -1713,6 +1713,81 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(load_table(spark, sf_dir, "customer"))
 
 
+L_DIVERSITY = 3  # a quasi-id group needs >= L distinct sensitive values
+LDIV_BUCKET_CENTS = 100_000  # sensitive attr: balance in 1000-unit buckets
+
+
+def l_diversity_report(customer: DataFrame) -> DataFrame:
+    """Privacy audit, the l-diversity companion of ``k_anonymity_report``:
+    a quasi-identifier group can be large (k-anonymous) yet still leak —
+    if everyone in it shares the same sensitive value, membership alone
+    reveals it. Per (nation, market segment) group this reports the
+    number of DISTINCT sensitive values (account balance in 1000-unit
+    buckets, exact integer arithmetic on cents) and flags groups below
+    the diversity floor, plus the corpus-wide share of rows in
+    underdiverse groups.
+
+    Same shape as the k-report: one hash aggregate on the quasi-id
+    (count + exact NDV of the bucketed attribute, both map-side
+    combined), then a 1-row corpus aggregate broadcast back. The
+    sensitive-attribute NDV per group is bounded by the bucket range,
+    never corpus-scale.
+    """
+    # +1000.00 shifts TPC-H's [-999.99, ...] balance range non-negative so
+    # Spark's truncating `div` and DuckDB's flooring `//` agree (they
+    # diverge on negative numerators); a constant shift can't change NDV
+    bucket = F.expr(
+        f"CAST((c_acctbal + 1000.00) * 100 AS BIGINT) div {LDIV_BUCKET_CENTS}"
+    )
+    groups = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(bucket).alias("l_distinct"),
+    )
+    tot = groups.agg(
+        F.sum("group_size").alias("n_total"),
+        F.sum(
+            F.when(F.col("l_distinct") < L_DIVERSITY, F.col("group_size"))
+            .otherwise(F.lit(0))
+        ).alias("n_underdiverse"),
+    )
+    return groups.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "l_distinct",
+        (F.col("l_distinct") < L_DIVERSITY).alias("below_l"),
+        F.expr("n_underdiverse * 1000000 div n_total").alias(
+            "corpus_underdiverse_ppm"
+        ),
+    )
+
+
+L_DIVERSITY_REPORT_ORACLE = f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS group_size,
+               count(DISTINCT CAST((c_acctbal + 1000.00) * 100 AS BIGINT)
+                     // {LDIV_BUCKET_CENTS}) AS l_distinct
+        FROM customer GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(sum(group_size) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN l_distinct < {L_DIVERSITY}
+                        THEN group_size ELSE 0 END) AS BIGINT)
+                   AS n_underdiverse
+        FROM groups
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, l_distinct,
+           l_distinct < {L_DIVERSITY} AS below_l,
+           (n_underdiverse * 1000000) // n_total AS corpus_underdiverse_ppm
+    FROM groups CROSS JOIN tot
+"""
+
+
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return l_diversity_report(load_table(spark, sf_dir, "customer"))
+
+
 JSE_BUCKET = 64  # statistics granularity: orderkey ranges as histogram buckets
 
 

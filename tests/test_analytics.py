@@ -685,3 +685,42 @@ def test_autocorrelation_gap_hours_pair_only_existing(spark):
     # lag-3 (0,3),(1,4); lag-4 (0,4); lags 5-6 have no pairs at all
     assert out[1] == 2 and out[2] == 1 and out[3] == 2 and out[4] == 1
     assert 5 not in out and 6 not in out
+
+
+def test_l_diversity_report_accounting(spark, sf_dir):
+    """Row accounting mirrors the k-report; l_distinct is bounded by the
+    group size, below_l tracks the floor exactly, and a constructed
+    single-balance group is flagged while a 3-bucket group is not."""
+    from decimal import Decimal
+
+    from real_time_mobility_heatmap_spark.operators import relational
+
+    cust = load_table(spark, sf_dir, "customer")
+    rows = relational.l_diversity_report(cust).collect()
+    assert sum(r.group_size for r in rows) == cust.count()
+    under = sum(r.group_size for r in rows if r.below_l)
+    total = sum(r.group_size for r in rows)
+    assert {r.corpus_underdiverse_ppm for r in rows} == {under * 1_000_000 // total}
+    for r in rows:
+        assert 1 <= r.l_distinct <= r.group_size
+        assert r.below_l == (r.l_distinct < relational.L_DIVERSITY)
+
+    tiny = spark.createDataFrame(
+        # group (1, A): five rows, one balance bucket -> k-anonymous yet
+        # underdiverse; group (2, B): three distinct thousand-buckets -> ok;
+        # the -999.99 row pins the negative-balance bucket floor/trunc parity
+        [(1, "A", Decimal("500.00"))] * 5
+        + [
+            (2, "B", Decimal("-999.99")),
+            (2, "B", Decimal("1500.00")),
+            (2, "B", Decimal("2500.00")),
+        ],
+        "c_nationkey long, c_mktsegment string, c_acctbal decimal(15,2)",
+    )
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in relational.l_diversity_report(tiny).collect()
+    }
+    assert got[(1, "A")].l_distinct == 1 and got[(1, "A")].below_l
+    assert got[(2, "B")].l_distinct == 3 and not got[(2, "B")].below_l
+    assert got[(1, "A")].corpus_underdiverse_ppm == 5 * 1_000_000 // 8

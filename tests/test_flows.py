@@ -569,3 +569,55 @@ def test_cell_speed_trend_exact_line_and_hourly_mean(spark):
     assert line["r2"] == 1.0
     single = out["849:-1422"]
     assert single["slope_milli_kmh_per_hour"] is None and single["r2"] is None
+
+
+# ---- route_trigrams ------------------------------------------------------
+
+
+def test_route_trigrams_compression_and_counts(spark):
+    """Dwell pings collapse before mining: A,A,B,C,B,A yields exactly the
+    trigrams (A,B,C),(B,C,B),(C,B,A); a second vehicle on the same first
+    corridor bumps n_trips and n_vehicles."""
+    from real_time_mobility_heatmap_spark.operators.flows import route_trigrams
+
+    A, B, C = 42.35, 42.40, 42.51  # cells 847, 848, 850
+    rows = [
+        _ping(ts="2024-01-01T10:00:00", lat=A, eid=1),
+        _ping(ts="2024-01-01T10:01:00", lat=A, eid=2),  # dwell, compressed out
+        _ping(ts="2024-01-01T10:02:00", lat=B, eid=3),
+        _ping(ts="2024-01-01T10:03:00", lat=C, eid=4),
+        _ping(ts="2024-01-01T10:04:00", lat=B, eid=5),
+        _ping(ts="2024-01-01T10:05:00", lat=A, eid=6),
+        # v2 rides the A->B->C corridor once
+        _ping(vid="v2", ts="2024-01-01T11:00:00", lat=A, eid=7),
+        _ping(vid="v2", ts="2024-01-01T11:01:00", lat=B, eid=8),
+        _ping(vid="v2", ts="2024-01-01T11:02:00", lat=C, eid=9),
+    ]
+    out = {
+        (r["cell_a"], r["cell_b"], r["cell_c"]): r
+        for r in route_trigrams(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    }
+    a, b, c = "847:-1422", "848:-1422", "850:-1422"
+    assert out[(a, b, c)]["n_trips"] == 2 and out[(a, b, c)]["n_vehicles"] == 2
+    assert out[(b, c, b)]["n_trips"] == 1
+    assert out[(c, b, a)]["n_trips"] == 1
+    assert len(out) == 3
+
+
+def test_route_trigrams_single_corpus_exchange(spark):
+    """The compression filter and both lag windows must share ONE corpus
+    exchange (vehicleId partitioning is preserved through the filter);
+    the only other exchange keys the trigram aggregate, and the top-N
+    plans as TakeOrderedAndProject, never a global sort."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as em
+
+    df = em.queries()["route_trigrams"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n(1)")[0]
+    assert tree.count(" Exchange (") == 2
+    assert "TakeOrderedAndProject" in tree
