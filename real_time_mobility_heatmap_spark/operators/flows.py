@@ -1543,3 +1543,101 @@ def route_trigrams_oracle(cfg: EngineConfig = DEFAULT) -> str:
 
 def q_route_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_trigrams(pings_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# GPS jump / teleport QA
+# --------------------------------------------------------------------------
+
+# a leg whose position-implied speed exceeds this is a sensor glitch,
+# not a vehicle (the fleet is urban transit)
+JUMP_KMH = 150
+
+
+def gps_jump_report(pings: DataFrame) -> DataFrame:
+    """Per-vehicle teleport audit — the spatial half of the sensor-QA
+    pair (``ping_gap_report`` covers silence in TIME; this covers
+    impossible motion in SPACE): legs whose position-implied speed
+    exceeds ``JUMP_KMH`` are GPS glitches (multipath, cold-start fixes,
+    ID reuse). Reports per vehicle the leg count, jump count, jump share
+    (integer ppm) and the worst implied speed.
+
+    The violation test is the division-free integer cross-multiplication
+    ``step_mm * 36 > JUMP_KMH * 1e4 * gap_s`` (exact at any magnitude;
+    a zero-gap leg with nonzero displacement — two fixes at the same
+    instant in different places — is flagged by the same inequality).
+    The worst speed is emitted in integer milli-km/h via truncating
+    division, gap>0 legs only. Same step math as
+    ``trip_distance_report`` (exact-input IEEE sqrt, millimeter
+    fixed-point); the lag window and the vehicle aggregate share one
+    (vehicleId) exchange.
+    """
+    w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
+    dy = (F.col("lat") - F.lag("lat").over(w)) * F.lit(M_PER_DEG_LAT)
+    dx = (F.col("lon") - F.lag("lon").over(w)) * F.lit(M_PER_DEG_LON)
+    es = F.expr("CAST(unix_timestamp(eventTs) AS BIGINT)")
+    legs = (
+        validate_pings(pings)
+        .select(
+            "vehicleId",
+            F.round(F.sqrt(dy * dy + dx * dx) * 1000).cast("long").alias("step_mm"),
+            (es - F.lag(es).over(w)).alias("gap_s"),
+        )
+        .filter(F.col("step_mm").isNotNull())
+    )
+    is_jump = F.col("step_mm") * 36 > F.lit(JUMP_KMH) * 10_000 * F.col("gap_s")
+    return legs.groupBy("vehicleId").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum(F.when(is_jump, 1).otherwise(0)).cast("long").alias("n_jumps"),
+        F.expr(
+            f"sum(CASE WHEN step_mm * 36 > {JUMP_KMH} * 10000 * gap_s "
+            "THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        ).alias("jump_ppm"),
+        F.max(
+            F.when(
+                F.col("gap_s") > 0,
+                F.expr("(step_mm * 18) div (gap_s * 5)"),
+            )
+        ).alias("max_implied_milli_kmh"),
+    )
+
+
+def gps_jump_report_oracle() -> str:
+    return f"""
+        WITH pings AS ({PINGS_ORACLE_SQL}),
+        valid AS (SELECT * FROM pings WHERE {VALID_SQL}),
+        deltas AS (
+            -- squares spelled as multiplication: DuckDB's pow() is a
+            -- libm call and need not equal x*x bit-for-bit
+            SELECT vehicleId,
+                   (lat - lag(lat) OVER w) * {M_PER_DEG_LAT} AS dy,
+                   (lon - lag(lon) OVER w) * {M_PER_DEG_LON} AS dx,
+                   CAST(floor(epoch(eventTs)) AS BIGINT)
+                   - lag(CAST(floor(epoch(eventTs)) AS BIGINT)) OVER w AS gap_s
+            FROM valid
+            WINDOW w AS (PARTITION BY vehicleId
+                         ORDER BY eventTs ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        ),
+        legs AS (
+            SELECT vehicleId,
+                   CAST(round(sqrt(dy * dy + dx * dx) * 1000) AS BIGINT) AS step_mm,
+                   gap_s
+            FROM deltas
+        )
+        SELECT vehicleId,
+               count(*) AS n_legs,
+               CAST(sum(CASE WHEN step_mm * 36 > {JUMP_KMH} * 10000 * gap_s
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_jumps,
+               (CAST(sum(CASE WHEN step_mm * 36 > {JUMP_KMH} * 10000 * gap_s
+                         THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+                   AS jump_ppm,
+               max(CASE WHEN gap_s > 0
+                        THEN (step_mm * 18) // (gap_s * 5) END)
+                   AS max_implied_milli_kmh
+        FROM legs WHERE step_mm IS NOT NULL
+        GROUP BY vehicleId
+    """
+
+
+def q_gps_jump_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gps_jump_report(pings_from_events(spark, sf_dir))

@@ -623,3 +623,81 @@ SCD2_USER_SEGMENTS_ORACLE = """
 
 def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_user_segments(load_table(spark, sf_dir, "events"))
+
+
+SCD2_CUTOFF = "2024-01-24"  # history/delta split inside the fixture range
+
+
+def _scd2_changes(rows: DataFrame) -> DataFrame:
+    """Change-detect a (user_id, segment, ts, event_id) stream: keep the
+    rows where the segment differs from the user's previous row. Input
+    may be raw events OR an already-compressed change set unioned with
+    new raw rows — compression is idempotent, so re-detection over a
+    merged stream reproduces exactly the full-history change set."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        rows.withColumn("prev_segment", F.lag("segment").over(w))
+        .filter(
+            F.col("prev_segment").isNull()
+            | (F.col("prev_segment") != F.col("segment"))
+        )
+        .select("user_id", "segment", "ts", "event_id")
+    )
+
+
+def _scd2_finalize(changes: DataFrame) -> DataFrame:
+    """Version + effective-date a change set (the scd2_user_segments
+    output shape)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("version", F.row_number().over(w))
+        .withColumn("effective_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "segment",
+            F.col("ts").alias("effective_from"),
+            "effective_to",
+            "version",
+            F.col("effective_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_merge_apply(events: DataFrame) -> DataFrame:
+    """Incremental Type-2 dimension maintenance — the MERGE that absorbs
+    a new event batch into a stored SCD2 dimension WITHOUT rescanning
+    history events (``rollup_delta_merge``'s pattern applied to
+    effective-dated dimensions, the nightly-dim job at 100 TB).
+
+    The stored snapshot is the compressed change set (one row per
+    segment change — it carries ``event_id`` so the engine-total
+    tie-break survives storage; recomputed here from the pre-cutoff
+    events only for self-containment). The merge touches ONLY users
+    present in the delta: their snapshot rows union the delta's raw
+    rows and flow through the same change detection — compression is
+    idempotent and every delta row sorts after the user's history, so
+    the first delta event is compared against the user's last stored
+    segment, exactly as a full rebuild would. Untouched users'
+    rows pass through (re-finalized here; stored as-is in production).
+
+    Cost: the delta aggregate is batch-sized; the rebuild shuffle is
+    keyed on TOUCHED users' change rows + delta rows, never history
+    events. The oracle is the FULL REBUILD over all events
+    (``SCD2_USER_SEGMENTS_ORACLE``) — hash-equality proves the
+    incremental path exact.
+    """
+    shaped = events.select(
+        "user_id", F.col("event_type").alias("segment"), "ts", "event_id"
+    )
+    cutoff = F.lit(SCD2_CUTOFF).cast("timestamp")
+    snapshot = _scd2_changes(shaped.filter(F.col("ts") < cutoff))
+    delta = shaped.filter(F.col("ts") >= cutoff)
+    touched = delta.select("user_id").distinct()
+    keep = _scd2_finalize(snapshot.join(touched, "user_id", "left_anti"))
+    merged = snapshot.join(touched, "user_id", "left_semi").unionByName(delta)
+    rebuilt = _scd2_finalize(_scd2_changes(merged))
+    return keep.unionByName(rebuilt)
+
+
+def q_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_merge_apply(load_table(spark, sf_dir, "events"))

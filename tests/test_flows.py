@@ -621,3 +621,29 @@ def test_route_trigrams_single_corpus_exchange(spark):
     tree = buf.getvalue().split("\n(1)")[0]
     assert tree.count(" Exchange (") == 2
     assert "TakeOrderedAndProject" in tree
+
+
+# ---- gps_jump_report -----------------------------------------------------
+
+
+def test_gps_jump_flags_teleports_and_zero_gap(spark):
+    """A ~3.6 km/h crawl leg is clean; a 5 km step in 10 s (~1800 km/h)
+    and a displaced zero-gap pair are both jumps; ppm uses truncating
+    division and the worst implied speed is integer milli-km/h."""
+    from real_time_mobility_heatmap_spark.operators.flows import gps_jump_report
+
+    rows = [
+        # leg 1: 10 m north in 10 s -> 3.6 km/h, clean
+        _ping(ts="2024-01-01T10:00:00", lat=42.35, eid=1),
+        _ping(ts="2024-01-01T10:00:10", lat=42.35 + 10 / 111320.0, eid=2),
+        # leg 2: ~5 km in 10 s -> ~1800 km/h, jump
+        _ping(ts="2024-01-01T10:00:20", lat=42.35 + 5010 / 111320.0, eid=3),
+        # leg 3: zero gap, 1 km displacement -> jump
+        _ping(ts="2024-01-01T10:00:20", lat=42.35 + 6010 / 111320.0, eid=4),
+    ]
+    (r,) = gps_jump_report(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert r["n_legs"] == 3
+    assert r["n_jumps"] == 2
+    assert r["jump_ppm"] == 2 * 1_000_000 // 3
+    # worst finite implied speed is leg 2: 5000 m / 10 s = 1800 km/h
+    assert abs(r["max_implied_milli_kmh"] - 1_800_000) < 2_000

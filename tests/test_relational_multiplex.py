@@ -137,3 +137,48 @@ def test_attribution_models_agree_on_totals(spark, sf_dir):
     tot_last = round(sum(r["last_touch_value"] for r in rows), 1)
     tot_linear = round(sum(r["linear_value"] for r in rows), 1)
     assert tot_first == tot_last == tot_linear > 0
+
+
+def test_scd2_merge_apply_equals_full_rebuild(spark):
+    """The incremental MERGE must reproduce the full rebuild exactly on a
+    set that exercises every boundary: a segment change ACROSS the
+    cutoff, an unchanged-segment delta (no new version), a delta-only
+    new user, and an untouched history-only user."""
+    from real_time_mobility_heatmap_spark.operators.windows import (
+        SCD2_CUTOFF,
+        scd2_merge_apply,
+        scd2_user_segments,
+    )
+
+    cut = dt.datetime.fromisoformat(SCD2_CUTOFF)
+    day = dt.timedelta(days=1)
+    rows = [
+        # u1: history A,B then delta C (cross-cutoff change) and C again
+        (1, "A", cut - 3 * day, 1),
+        (1, "B", cut - 2 * day, 2),
+        (1, "C", cut + 1 * day, 3),
+        (1, "C", cut + 2 * day, 4),  # same segment: no new version
+        # u2: history-only, must pass through untouched
+        (2, "A", cut - 5 * day, 5),
+        (2, "B", cut - 4 * day, 6),
+        # u3: delta-only new user
+        (3, "Z", cut + 1 * day, 7),
+        # u4: delta equals last history segment -> NO new row at all
+        (4, "A", cut - 1 * day, 8),
+        (4, "A", cut + 1 * day, 9),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    key = lambda r: (r["user_id"], r["version"])
+    full = {key(r): r for r in scd2_user_segments(events).collect()}
+    merged = {key(r): r for r in scd2_merge_apply(events).collect()}
+    assert set(full) == set(merged)
+    for k in full:
+        assert full[k].asDict() == merged[k].asDict(), k
+    # the crafted semantics themselves
+    assert merged[(1, 3)]["segment"] == "C" and merged[(1, 3)]["is_current"]
+    assert (1, 4) not in merged  # repeat-C delta added no version
+    assert (4, 2) not in merged  # boundary same-segment delta added none
+    assert merged[(3, 1)]["segment"] == "Z"
+    assert merged[(2, 2)]["segment"] == "B" and merged[(2, 2)]["is_current"]
