@@ -1252,9 +1252,11 @@ def home_work_locations(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFr
 
     One corpus shuffle into (vehicleId, cell_id) conditional counts;
     both modal picks are row_number windows over the SAME vehicleId
-    partitioning (one exchange, two sorts), ties broken by cell_id
-    ascending; a vehicle appears iff it has pings in BOTH buckets. The
-    final join is keyed on vehicleId over count-bounded relations.
+    partitioning (one exchange over the count-bounded relation, two
+    sorts), ties broken by cell_id ascending; a vehicle appears iff it
+    has pings in BOTH buckets. The winner columns fold out via ONE
+    conditional aggregate on the same vehicleId key — no self-join, so
+    the corpus subtree is never planned twice.
     """
     hr = F.hour("eventTs")
     night = (hr >= NIGHT_START) | (hr < NIGHT_END)
@@ -1277,17 +1279,18 @@ def home_work_locations(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFr
         F.row_number().over(wn).alias("rn_night"),
         F.row_number().over(wd).alias("rn_day"),
     )
-    home = ranked.filter((F.col("rn_night") == 1) & (F.col("night_n") > 0)).select(
-        "vehicleId",
-        F.col("cell_id").alias("home_cell"),
-        F.col("night_n").alias("home_pings"),
+    is_home = (F.col("rn_night") == 1) & (F.col("night_n") > 0)
+    is_work = (F.col("rn_day") == 1) & (F.col("day_n") > 0)
+    return (
+        ranked.groupBy("vehicleId")
+        .agg(
+            F.max(F.when(is_home, F.col("cell_id"))).alias("home_cell"),
+            F.max(F.when(is_home, F.col("night_n"))).alias("home_pings"),
+            F.max(F.when(is_work, F.col("cell_id"))).alias("work_cell"),
+            F.max(F.when(is_work, F.col("day_n"))).alias("work_pings"),
+        )
+        .filter(F.col("home_cell").isNotNull() & F.col("work_cell").isNotNull())
     )
-    work = ranked.filter((F.col("rn_day") == 1) & (F.col("day_n") > 0)).select(
-        "vehicleId",
-        F.col("cell_id").alias("work_cell"),
-        F.col("day_n").alias("work_pings"),
-    )
-    return home.join(work, "vehicleId")
 
 
 def home_work_locations_oracle(cfg: EngineConfig = DEFAULT) -> str:
@@ -1312,12 +1315,18 @@ def home_work_locations_oracle(cfg: EngineConfig = DEFAULT) -> str:
                    ) AS rn_day
             FROM counts
         )
-        SELECT h.vehicleId,
-               h.cell_id AS home_cell, h.night_n AS home_pings,
-               w.cell_id AS work_cell, w.day_n AS work_pings
-        FROM (SELECT * FROM ranked WHERE rn_night = 1 AND night_n > 0) h
-        JOIN (SELECT * FROM ranked WHERE rn_day = 1 AND day_n > 0) w
-          USING (vehicleId)
+        SELECT vehicleId,
+               max(CASE WHEN rn_night = 1 AND night_n > 0
+                        THEN cell_id END) AS home_cell,
+               max(CASE WHEN rn_night = 1 AND night_n > 0
+                        THEN night_n END) AS home_pings,
+               max(CASE WHEN rn_day = 1 AND day_n > 0
+                        THEN cell_id END) AS work_cell,
+               max(CASE WHEN rn_day = 1 AND day_n > 0
+                        THEN day_n END) AS work_pings
+        FROM ranked
+        GROUP BY vehicleId
+        HAVING home_cell IS NOT NULL AND work_cell IS NOT NULL
     """
 
 

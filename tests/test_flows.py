@@ -647,3 +647,22 @@ def test_gps_jump_flags_teleports_and_zero_gap(spark):
     assert r["jump_ppm"] == 2 * 1_000_000 // 3
     # worst finite implied speed is leg 2: 5000 m / 10 s = 1800 km/h
     assert abs(r["max_implied_milli_kmh"] - 1_800_000) < 2_000
+
+
+def test_home_work_two_exchanges_no_join(spark):
+    """The modal-pick pipeline must plan with NO join (the winner fold
+    is a conditional aggregate) and exactly two exchanges: corpus ->
+    (vehicleId, cell) counts, then counts -> vehicleId for the shared
+    window + final aggregate."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as em
+
+    df = em.queries()["home_work_locations"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n(1)")[0]
+    assert "Join" not in tree
+    assert tree.count(" Exchange (") == 2
