@@ -189,21 +189,32 @@ def location_entropy(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
     top-cell concentration in integer ppm.
 
     H = ln(n) - (sum_i c_i ln c_i) / n over the per-cell visit counts
-    c_i — ln() runs on exact integer counts only (identical inputs in
-    both engines), and the result is fixed-pointed at 1e-6 nats.
+    c_i. Float discipline (r10 advice #3, the ``lm_score`` pattern):
+    each per-cell contribution c*ln(c) is fixed-pointed to an integer
+    micro-nat BEFORE the per-vehicle sum, so the aggregate accumulates
+    exact BIGINTs and cross-engine summation order / libm-ln ulp drift
+    cannot move the result; the single remaining ln(n) term runs on one
+    exact integer per group. The final division is integer (truncating
+    in both engines — operands are non-negative).
     """
     cells = (
         snap_pings(pings, cfg)
         .groupBy("vehicleId", "cell_id")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "u",
+            F.expr(
+                "CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ),
+        )
     )
     return cells.groupBy("vehicleId").agg(
         F.sum("c").alias("n_pings"),
         F.count(F.lit(1)).alias("n_cells"),
         F.expr(
-            "CAST(round((ln(CAST(sum(c) AS DOUBLE))"
-            " - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))"
-            " / CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)"
+            "CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - (sum(u) div sum(c))"
         ).alias("entropy_unats"),
         F.expr("max(c) * 1000000 div sum(c)").alias("top_share_ppm"),
     )
@@ -213,16 +224,17 @@ def location_entropy_oracle(cfg: EngineConfig = DEFAULT) -> str:
     return f"""
         {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
         cells AS (
-            SELECT vehicleId, cell_id, count(*) AS c
+            SELECT vehicleId, cell_id, count(*) AS c,
+                   CAST(round(count(*) * ln(CAST(count(*) AS DOUBLE))
+                        * 1000000) AS BIGINT) AS u
             FROM snapped
             GROUP BY vehicleId, cell_id
         )
         SELECT vehicleId,
                CAST(sum(c) AS BIGINT) AS n_pings,
                count(*) AS n_cells,
-               CAST(round((ln(CAST(sum(c) AS DOUBLE))
-                   - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
-                   / CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)
+               CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)
+                   - (CAST(sum(u) AS BIGINT) // CAST(sum(c) AS BIGINT))
                    AS entropy_unats,
                (max(c) * 1000000) // CAST(sum(c) AS BIGINT) AS top_share_ppm
         FROM cells
@@ -369,11 +381,32 @@ def cusum_anomaly_report(pings: DataFrame) -> DataFrame:
     A day's ``spike_flag`` fires when the accumulated excess exceeds one
     full average day of volume (h = ref), the "one extra day's worth of
     traffic" alarm; ``drop_flag`` is the mirror-image outage alarm.
+
+    Calendar densification (r10 advice #2): a fully-silent day produces
+    no aggregate row at all, so without densification a TOTAL outage
+    would be invisible to ``drop_flag`` (and would inflate ``ref``) —
+    each provider's daily series is therefore completed to its full
+    [min(day), max(day)] calendar with zero-count rows BEFORE the
+    reference mean and the CUSUM windows. The calendar explode runs on
+    the post-aggregate relation (providers x day-span rows, tiny at any
+    corpus scale) and the back-join is provider+day keyed on the same
+    already-small relation — no corpus-sized exchange is added.
     """
-    daily = (
+    observed = (
         validate_pings(pings)
         .groupBy("provider", F.date_trunc("day", F.col("eventTs")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n_pings"))
+    )
+    calendar = (
+        observed.groupBy("provider")
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .select(
+            "provider",
+            F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    daily = calendar.join(observed, ["provider", "day"], "left").select(
+        "provider", "day", F.coalesce("n_pings", F.lit(0)).alias("n_pings")
     )
     wp = Window.partitionBy("provider")
     wcum = (
@@ -429,12 +462,27 @@ def cusum_anomaly_report_oracle() -> str:
     return f"""
         WITH pings AS ({PINGS_ORACLE_SQL}),
         valid AS (SELECT * FROM pings WHERE {VALID_SQL}),
-        daily AS (
+        observed AS (
             SELECT provider,
                    CAST(CAST(eventTs AS DATE) AS TIMESTAMP) AS day,
                    count(*) AS n_pings
             FROM valid
             GROUP BY 1, 2
+        ),
+        calendar AS (
+            SELECT provider,
+                   unnest(generate_series(min(day), max(day),
+                                          INTERVAL 1 DAY)) AS day
+            FROM observed
+            GROUP BY provider
+        ),
+        daily AS (
+            SELECT calendar.provider, calendar.day,
+                   coalesce(observed.n_pings, 0) AS n_pings
+            FROM calendar
+            LEFT JOIN observed
+              ON calendar.provider = observed.provider
+             AND calendar.day = observed.day
         ),
         refd AS (
             SELECT provider, day, n_pings,

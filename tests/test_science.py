@@ -127,8 +127,10 @@ def test_jump_bins_and_shares(spark):
 def test_cusum_matches_textbook_recursion(spark):
     """The prefix-sum/running-extreme closed form must equal Page's
     recursion S_t = max(0, S_{t-1} + x_t - ref - k) computed in Python
-    over the same daily series (burst on day 5, outage on day 8)."""
-    counts = [4, 4, 4, 4, 12, 4, 4, 0, 4, 4]
+    over the same daily series (burst on day 5, total outage on days
+    8-9 — the silent days must appear as zero-count calendar rows and
+    accumulate enough cusum_down to fire drop_flag)."""
+    counts = [4, 4, 4, 4, 12, 4, 4, 0, 0, 4]
     rows, eid = [], 0
     for day, n in enumerate(counts, start=1):
         for j in range(n):
@@ -138,23 +140,26 @@ def test_cusum_matches_textbook_recursion(spark):
         cusum_anomaly_report(spark.createDataFrame(rows, PING_SCHEMA)).collect(),
         key=lambda r: r["day"],
     )
-    # day 8 has zero pings -> no row; the detector sees 9 observed days
-    observed = [c for c in counts if c > 0]
-    ref = sum(observed) // len(observed)
+    # day 8 has zero pings but the densified calendar still emits its
+    # row (r10 advice #2) — the detector sees all 10 calendar days and
+    # the silent day feeds cusum_down instead of vanishing
+    ref = sum(counts) // len(counts)
     k = ref // CUSUM_SLACK_DIV
     s_up = s_dn = 0
     expect_up, expect_dn = [], []
-    for x in observed:
+    for x in counts:
         s_up = max(0, s_up + x - ref - k)
         s_dn = max(0, s_dn + ref - k - x)
         expect_up.append(s_up)
         expect_dn.append(s_dn)
-    assert [r["n_pings"] for r in out] == observed
+    assert [r["n_pings"] for r in out] == counts
     assert all(r["ref_pings"] == ref for r in out)
     assert [r["cusum_up"] for r in out] == expect_up
     assert [r["cusum_down"] for r in out] == expect_dn
     assert [r["spike_flag"] for r in out] == [s > ref for s in expect_up]
     assert [r["drop_flag"] for r in out] == [s > ref for s in expect_dn]
+    # the total outage must actually fire the alarm, not just appear
+    assert any(r["drop_flag"] for r in out)
 
 
 # ---- totality -------------------------------------------------------------
