@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.validate import require_event_time
 from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events, spread
 
 RESAMPLE_MINUTES = 360  # 6-hour grid: fixture pings are ~13/vehicle/month
@@ -105,7 +106,7 @@ def _resample_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def _ping_projection(pings: DataFrame) -> DataFrame:
-    return spread(pings).select(
+    return spread(require_event_time(pings)).select(
         "provider",
         "vehicleId",
         "event_id",

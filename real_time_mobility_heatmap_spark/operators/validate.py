@@ -29,3 +29,46 @@ def validate_pings(pings: DataFrame) -> DataFrame:
         & F.col("lat").between(-90, 90)
         & F.col("lon").between(-180, 180)
     )
+
+
+def require_event_time(df: DataFrame, *cols: str) -> DataFrame:
+    """Loud-failure contract guard for event-time operators (the NULL
+    event-time axis contract, SCALE.md / r10 verdict item #7).
+
+    Operators that ORDER on an event-time column are defined only for
+    non-null timestamps: the two engines disagree on NULL placement in
+    ascending windows (Spark NULLS FIRST, DuckDB NULLS LAST), so a NULL
+    slipping past the ingestion boundary (``validate_pings`` / the
+    streaming watermark) would hash-diverge SILENTLY. This guard turns
+    that into a task-time error instead.
+
+    The raise lives inside the COLUMN VALUE, not a filter predicate: a
+    guard filter can be shadowed — Spark's time-window operators inject
+    their own ``isnotnull(eventTs)`` conjunct, and predicate reordering
+    can evaluate that first, silently dropping the row the guard was
+    supposed to flag (observed with ``session_window``). Rewriting the
+    column as ``CASE WHEN isnull THEN raise ELSE value`` means ANY
+    downstream read of the event-time column — including an injected
+    null filter — trips the raise first. Effectively free on conforming
+    data (one codegen null check per row).
+
+    Use it at the top of any operator that windows/lags/sessions on raw
+    (un-validated) event time; operators downstream of ``validate_pings``
+    or ``snap_pings`` don't need it.
+    """
+    out = df
+    for c in cols or ("eventTs",):
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"event-time contract violated: NULL {c} reached an "
+                        "event-time operator; drop or repair it at the "
+                        "ingestion boundary (validate_pings / watermark)"
+                    )
+                ).cast(df.schema[c].dataType),
+            ).otherwise(F.col(c)),
+        )
+    return out

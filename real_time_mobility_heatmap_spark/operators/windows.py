@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..operators.tiles import snap_pings, snapped_oracle_cte
+from ..operators.validate import require_event_time
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 
 SLIDE_MIN = 5
@@ -81,7 +82,7 @@ def vehicle_sessions(pings: DataFrame) -> DataFrame:
     semantics; Spark merges windows in state)."""
     s = F.session_window("eventTs", f"{SESSION_GAP_MIN} minutes")
     return (
-        pings.groupBy("provider", "vehicleId", s.alias("s"))
+        require_event_time(pings).groupBy("provider", "vehicleId", s.alias("s"))
         .agg(
             F.count(F.lit(1)).alias("n_pings"),
             F.round(F.avg("speedKmh"), 6).alias("avg_speed_kmh"),
@@ -136,7 +137,7 @@ def vehicle_trips(pings: DataFrame) -> DataFrame:
     new_trip = F.when(
         gap.isNull() | (gap > SESSION_GAP_MIN * 60), F.lit(1)
     ).otherwise(F.lit(0))
-    numbered = pings.select(
+    numbered = require_event_time(pings).select(
         "provider", "vehicleId", "eventTs", "event_id",
         F.sum(new_trip).over(w).alias("trip_no"),
     )
@@ -504,7 +505,7 @@ def vehicle_travel_stats(pings: DataFrame) -> DataFrame:
         F.abs(F.col("lat") - F.lag("lat").over(w))
         + F.abs(F.col("lon") - F.lag("lon").over(w))
     )
-    with_leg = pings.select("provider", "vehicleId", leg.alias("leg"))
+    with_leg = require_event_time(pings).select("provider", "vehicleId", leg.alias("leg"))
     # total displacement accumulates as exact integer micro-degrees:
     # int64 sums are associative, so partition/engine summation order can
     # never flip the 6-decimal rounding (the recent_tiles_merged lesson);

@@ -1049,3 +1049,63 @@ def test_streaming_encounters_crash_between_appends_replay_is_absorbed(spark, tm
     )
     got = {(r["vehicle_a"], r["vehicle_b"]): r["n_encounters"] for r in report.collect()}
     assert got == {("v1", "v2"): 1, ("v1", "v3"): 1, ("v2", "v3"): 1}
+
+
+def test_streaming_encounters_crash_at_deletion_boundary(spark, tmp_path):
+    """Crash at the retention-DELETION boundary (r10 verdict item #4):
+    a batch commits fully — pairs append, index append, horizon write,
+    and the retention partition DELETE — but the process dies before
+    the streaming checkpoint records the batch, so on restart the SAME
+    batch replays against the post-deletion index. Exactly-once must
+    survive: the replayed triples are already indexed (anti-join
+    empties, so the RAW pair log — no distinct — stays single-copy),
+    and a later too-late ping inside the evicted window is dropped by
+    the horizon filter instead of re-creating the deleted partition.
+    Reference sink contract ST6 (heatmap_stream.py:219-228)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as SF
+
+    from real_time_mobility_heatmap_spark.schema import PING_SCHEMA
+    from real_time_mobility_heatmap_spark.streaming.encounters import (
+        ingest_encounter_batch,
+    )
+
+    def ping(vid, ts, eid):
+        return Row(
+            provider="bus", vehicleId=vid, eventTs=dt.datetime.fromisoformat(ts),
+            lat=42.35, lon=-71.06, speedKmh=20.0, event_id=eid, props=None,
+        )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [ping("v1", "2024-01-01T10:00:00", 1), ping("v2", "2024-01-01T10:02:00", 2)],
+        PING_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [ping("v3", "2024-01-10T10:00:00", 3), ping("v4", "2024-01-10T10:02:00", 4)],
+        PING_SCHEMA,
+    )
+    ingest_encounter_batch(b1, idx, out, retention_days=1)
+    # b2 commits IN FULL: its ingest advances the horizon to day 10 and
+    # evicts b1's day-01 partition (retention 1 day)...
+    ingest_encounter_batch(b2, idx, out, retention_days=1)
+    assert not (tmp_path / "idx" / "day=2024-01-01").exists()
+    # ...then the checkpoint is lost and the batch replays verbatim
+    ingest_encounter_batch(b2, idx, out, retention_days=1)
+    # a straggler inside the evicted window arrives after the restart
+    late = spark.createDataFrame(
+        [ping("v9", "2024-01-01T10:01:00", 5)], PING_SCHEMA
+    )
+    ingest_encounter_batch(late, idx, out, retention_days=1)
+    assert not (tmp_path / "idx" / "day=2024-01-01").exists()
+
+    raw = (
+        spark.read.parquet(out)  # no distinct: the log itself must be 1-copy
+        .groupBy("vehicle_a", "vehicle_b")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+    )
+    got = {(r["vehicle_a"], r["vehicle_b"]): r["n"] for r in raw.collect()}
+    assert got == {("v1", "v2"): 1, ("v3", "v4"): 1}

@@ -42,6 +42,44 @@ def test_validate_drops_bad_rows(spark):
     assert snapped.first()["cell_id"] == "847:-1422"  # floor(42.35*20)=847, floor(-71.06*20)=-1422
 
 
+def test_require_event_time_fails_loudly_on_null_ts(spark):
+    """The NULL event-time axis contract, promoted into code (r10
+    verdict item #7): an event-time operator fed a NULL timestamp must
+    raise at task time — Spark and DuckDB disagree on NULL ordering in
+    ascending windows, so letting the row through would hash-diverge
+    silently. Conforming data passes through bit-unchanged, and the
+    guard must survive Catalyst (a raise inside a filter predicate is
+    never pruned)."""
+    from pyspark.sql import Row
+
+    from real_time_mobility_heatmap_spark.operators.validate import (
+        require_event_time,
+    )
+    from real_time_mobility_heatmap_spark.operators.trajectory import (
+        resample_trajectories,
+    )
+    from real_time_mobility_heatmap_spark.operators.windows import (
+        vehicle_sessions,
+        vehicle_trips,
+    )
+
+    clean = spark.createDataFrame(
+        [_ping(), _ping(ts="2024-01-01T11:00:00")], PING_SCHEMA
+    )
+    assert require_event_time(clean).collect() == clean.collect()
+    assert vehicle_sessions(clean).count() == 2  # >30 min gap -> 2 sessions
+
+    bad_row = Row(
+        provider="mbta", vehicleId="v1", eventTs=None, lat=42.35,
+        lon=-71.06, speedKmh=20.0, event_id=9, props=None,
+    )
+    dirty = spark.createDataFrame([_ping(), bad_row], PING_SCHEMA)
+    ops = (require_event_time, vehicle_sessions, vehicle_trips, resample_trajectories)
+    for op in ops:
+        with pytest.raises(Exception, match="event-time contract violated"):
+            op(dirty).collect()
+
+
 def test_tile_aggregate_small(spark):
     cfg = EngineConfig()
     rows = [
