@@ -94,6 +94,47 @@ def test_vband_geometry_bounds_on_scaled_corpus(spark, sf_dir, tmp_path):
     assert big[WIDE_VBANDS]["n_candidates"] < big[N_VBANDS]["n_candidates"] / 4, big
 
 
+def test_mlprep_shuffle_volume_scales_right(spark, sf_dir, tmp_path):
+    """Scale pins for the r10 mlprep family (r10 verdict item #5).
+
+    feature_hashing's (doc_id, slot) aggregate is the one corpus-sized
+    exchange added in r10: on a FACTOR-times corpus of independent
+    document copies its output relation must grow ~FACTOR (per-doc slot
+    fill is scale-invariant), never superlinearly, and stay inside the
+    structural n_docs * FH_DIM bound. target_encoding is the opposite
+    pin: its shuffled relation is |priority| x TE_FOLDS, so the output
+    must be IDENTICAL in shape at any corpus size — row growth there
+    would mean the map-side combine stopped bounding the exchange."""
+    from real_time_mobility_heatmap_spark.operators.mlprep import (
+        FH_DIM,
+        TE_FOLDS,
+        feature_hashing,
+        target_encoding,
+    )
+
+    scaled = str(tmp_path / "scaled")
+    build_scaled_corpus(sf_dir, scaled, FACTOR)
+
+    docs1 = load_table(spark, sf_dir, "documents")
+    docsN = load_table(spark, scaled, "documents")
+    fh1, fhN = feature_hashing(docs1).count(), feature_hashing(docsN).count()
+    assert fh1 > 0
+    assert 0.5 * FACTOR * fh1 <= fhN <= 1.5 * FACTOR * fh1, (fh1, fhN)
+    assert fhN <= docsN.count() * FH_DIM  # structural slot-width bound
+
+    te1 = target_encoding(load_table(spark, sf_dir, "orders"))
+    teN = target_encoding(load_table(spark, scaled, "orders"))
+    n_pri = te1.select("priority").distinct().count()
+    assert te1.count() == n_pri * TE_FOLDS
+    # output shape is corpus-size-invariant: same categories, same folds
+    assert teN.count() == te1.count()
+    assert sorted(
+        (r["priority"], r["fold"]) for r in teN.select("priority", "fold").collect()
+    ) == sorted(
+        (r["priority"], r["fold"]) for r in te1.select("priority", "fold").collect()
+    )
+
+
 def test_rotate_window_write_roundtrip(tmp_path):
     """--write on a scratch copy must preserve every entry verbatim, emit
     a compilable file, and be idempotent (parse(write(x)) == parse(x)) —

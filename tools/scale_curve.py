@@ -70,6 +70,20 @@ FLOW_QUERIES = [
     "kring_smooth",
 ]
 
+# science/mlprep family (r10 verdict item #5): rg/entropy ride the
+# events replication (vehicle keys xN, per-key work unchanged — linear
+# expected); feature_hashing rides documents (its (doc_id, slot)
+# shuffle is the one corpus-sized exchange added in r10 and must pin
+# linear); target_encoding rides orders (rows xN but the shuffled
+# relation is |priority| x |folds| — map-side combine should hold wall
+# time near-flat).
+SCIENCE_QUERIES = [
+    "radius_of_gyration",
+    "location_entropy",
+    "feature_hashing",
+    "target_encoding",
+]
+
 
 def build_scaled_corpus(base_sf_dir: str, out_dir: str, factor: int) -> None:
     """Write factor-N documents.parquet + embeddings.parquet into out_dir."""
@@ -120,6 +134,26 @@ def build_scaled_corpus(base_sf_dir: str, out_dir: str, factor: int) -> None:
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "events.parquet"))
 
+    orders = pq.read_table(os.path.join(base_sf_dir, "orders.parquet"))
+    parts = []
+    for k in range(factor):
+        if k == 0:
+            t = orders
+        else:
+            # copy k = a fresh order book with the same category/price
+            # distribution: keys shifted so hash folds re-randomize,
+            # category cardinality unchanged
+            cols = {}
+            for name in orders.column_names:
+                col = orders.column(name)
+                if name in ("o_orderkey", "o_custkey"):
+                    cols[name] = pa.compute.add(col, k * OFFSET)
+                else:
+                    cols[name] = col
+            t = pa.table(cols)
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "orders.parquet"))
+
     emb = pq.read_table(os.path.join(base_sf_dir, "embeddings.parquet"))
     vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
     parts = []
@@ -152,7 +186,8 @@ def main() -> None:
         "dedup": QUERIES,
         "flow": FLOW_QUERIES,
         "flows": FLOW_QUERIES,  # common alias
-        "all": QUERIES + FLOW_QUERIES,
+        "science": SCIENCE_QUERIES,
+        "all": QUERIES + FLOW_QUERIES + SCIENCE_QUERIES,
     }
     if family not in families:
         sys.exit(f"unknown family {family!r}; choose from {sorted(families)}")
