@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.ols import OLS_SUMS_SQL, grouped_ols, ols_select_sql
 from ..functions.percentiles import percentile_disc_exact
 from ..lineage import cut_lineage
 from ..operators.dedup import _capped_sorted_buckets
@@ -1359,6 +1360,10 @@ def cell_speed_trend(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
        and r² are then a fixed double expression over exact integers —
        deterministic in any IEEE engine. A cell with < 2 distinct hours
        (or zero x-variance) emits NULL slope/r².
+
+    The six-sum core lives in ``functions.ols.grouped_ols`` (r10
+    verdict item #8) so provider-/corridor-level trend queries reuse
+    the float discipline instead of re-deriving it.
     """
     micro = F.round(F.col("speedKmh") * 1e6).cast("long")
     hourly = (
@@ -1376,41 +1381,21 @@ def cell_speed_trend(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
         F.expr("(sum_micro div n) div 1000").alias("y"),
         "n",
     )
-    stats = rel.groupBy("cell_id").agg(
-        F.count(F.lit(1)).alias("n_hours"),
-        F.sum("n").alias("n_pings"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731 — local shorthand
-    num = d("n_hours") * d("sxy") - d("sx") * d("sy")
-    den_x = d("n_hours") * d("sxx") - d("sx") * d("sx")
-    den_y = d("n_hours") * d("syy") - d("sy") * d("sy")
-    return stats.select(
+    return grouped_ols(
+        rel,
+        ["cell_id"],
+        slope_alias="slope_milli_kmh_per_hour",
+        extra_aggs=[F.sum("n").alias("n_pings")],
+    ).select(
         "cell_id",
-        "n_hours",
+        F.col("n_points").alias("n_hours"),
         "n_pings",
-        F.when(den_x > 0, num / den_x).alias("slope_milli_kmh_per_hour"),
-        F.when((den_x > 0) & (den_y > 0), (num * num) / (den_x * den_y)).alias("r2"),
+        "slope_milli_kmh_per_hour",
+        "r2",
     )
 
 
 def cell_speed_trend_oracle(cfg: EngineConfig = DEFAULT) -> str:
-    num = (
-        "CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
-    )
-    den_x = (
-        "CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
-    )
-    den_y = (
-        "CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)"
-        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
-    )
     return f"""
         {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
         hourly AS (
@@ -1432,21 +1417,12 @@ def cell_speed_trend_oracle(cfg: EngineConfig = DEFAULT) -> str:
         ),
         stats AS (
             SELECT cell_id,
-                   count(*) AS n_hours,
-                   CAST(sum(n) AS BIGINT) AS n_pings,
-                   CAST(sum(x) AS BIGINT) AS sx,
-                   CAST(sum(y) AS BIGINT) AS sy,
-                   CAST(sum(x * x) AS BIGINT) AS sxx,
-                   CAST(sum(y * y) AS BIGINT) AS syy,
-                   CAST(sum(x * y) AS BIGINT) AS sxy
+                   {OLS_SUMS_SQL},
+                   CAST(sum(n) AS BIGINT) AS n_pings
             FROM rel GROUP BY cell_id
         )
-        SELECT cell_id, n_hours, n_pings,
-               CASE WHEN {den_x} > 0 THEN ({num}) / ({den_x}) END
-                   AS slope_milli_kmh_per_hour,
-               CASE WHEN {den_x} > 0 AND {den_y} > 0
-                    THEN (({num}) * ({num})) / (({den_x}) * ({den_y})) END
-                   AS r2
+        SELECT cell_id, n_points AS n_hours, n_pings,
+               {ols_select_sql(slope_alias="slope_milli_kmh_per_hour")}
         FROM stats
     """
 

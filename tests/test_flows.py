@@ -530,6 +530,27 @@ def test_home_work_modal_cells_and_tie_break(spark):
 # ---- cell_speed_trend ----------------------------------------------------
 
 
+def test_grouped_ols_core(spark):
+    """The factored six-sum OLS core (functions/ols.py): an exact line
+    recovers its slope with r2 = 1.0; a zero-x-variance group emits
+    NULL slope/r2; extra aggregates ride the same pass."""
+    import pyspark.sql.functions as SF
+
+    from real_time_mobility_heatmap_spark.functions.ols import grouped_ols
+
+    rows = [("a", x, 3 * x + 1, 10) for x in range(5)] + [("b", 2, 7, 10)] * 3
+    rel = spark.createDataFrame(rows, "k string, x long, y long, n long")
+    out = {
+        r["k"]: r
+        for r in grouped_ols(
+            rel, ["k"], extra_aggs=[SF.sum("n").alias("n_total")]
+        ).collect()
+    }
+    assert out["a"]["slope"] == 3.0 and out["a"]["r2"] == 1.0
+    assert out["a"]["n_points"] == 5 and out["a"]["n_total"] == 50
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None
+
+
 def _sping(ts, speed, vid="v1", lat=42.35, eid=1):
     return Row(
         provider="mbta",
