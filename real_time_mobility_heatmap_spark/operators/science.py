@@ -387,26 +387,42 @@ def cusum_anomaly_report(pings: DataFrame) -> DataFrame:
     would be invisible to ``drop_flag`` (and would inflate ``ref``) —
     each provider's daily series is therefore completed to its full
     [min(day), max(day)] calendar with zero-count rows BEFORE the
-    reference mean and the CUSUM windows. The calendar explode runs on
-    the post-aggregate relation (providers x day-span rows, tiny at any
-    corpus scale) and the back-join is provider+day keyed on the same
-    already-small relation — no corpus-sized exchange is added.
+    reference mean and the CUSUM windows. Single-pass shape: the
+    natural calendar-LEFT-JOIN-observed formulation plans the corpus
+    aggregate into BOTH branches (two full scans at 100 TB), so instead
+    ONE per-provider aggregate folds the observed days into a
+    day->count map (bounded: days-per-provider is the corpus time span,
+    ~4k entries/decade) and the exploded calendar looks counts up with
+    ``element_at`` — no join, one corpus exchange, and the resulting
+    (provider) partitioning feeds the CUSUM windows without a further
+    shuffle. The DuckDB oracle keeps the equivalent join formulation.
     """
     observed = (
         validate_pings(pings)
         .groupBy("provider", F.date_trunc("day", F.col("eventTs")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n_pings"))
     )
-    calendar = (
+    daily = (
         observed.groupBy("provider")
-        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .agg(
+            F.min("day").alias("_d0"),
+            F.max("day").alias("_d1"),
+            F.map_from_entries(
+                F.collect_list(F.struct("day", "n_pings"))
+            ).alias("_counts"),
+        )
         .select(
             "provider",
             F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias("day"),
+            "_counts",
         )
-    )
-    daily = calendar.join(observed, ["provider", "day"], "left").select(
-        "provider", "day", F.coalesce("n_pings", F.lit(0)).alias("n_pings")
+        .select(
+            "provider",
+            "day",
+            F.coalesce(F.element_at("_counts", F.col("day")), F.lit(0)).alias(
+                "n_pings"
+            ),
+        )
     )
     wp = Window.partitionBy("provider")
     wcum = (
