@@ -35,6 +35,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
 from ..sources.tables import load_table, spread
 
 N_QUERIES = 5      # vec_id < 5 are the query vectors
@@ -463,8 +464,17 @@ def topk_cosine_ivf(embeddings: DataFrame) -> DataFrame:
     IVF read path — ``topk_cosine_blocked`` with the fixture label
     replaced by ``ivf_assign``'s nearest-centroid cell. Scores
     ~1/nlist of the corpus per query; recall-vs-cost is tuned by
-    probing more cells, never by scanning everything."""
-    assign = ivf_assign(embeddings).select("vec_id", "centroid_id")
+    probing more cells, never by scanning everything.
+
+    The assignment is lineage-cut (lazy): both the query and candidate
+    branches consume it, and without the cut Catalyst plans the whole
+    corpus-sized assign subtree (scan + broadcast-centroid join + rank
+    window) into EACH branch — the r11 duplicate-corpus-scan audit's
+    finding. One materialization of the narrow (vec_id, centroid_id)
+    relation serves both readers."""
+    assign = cut_lineage(
+        ivf_assign(embeddings).select("vec_id", "centroid_id"), eager=False
+    )
     with_cell = embeddings.join(assign, "vec_id")
     # carry the computed cell through _with_norm's "{prefix}_label" column
     q = _with_norm(
