@@ -534,3 +534,43 @@ def test_encounter_counts_bounded_by_shared_windows(spark, rows):
     for r in encounter_pairs(df).collect():
         shared = windows[r["vehicle_a"]] & windows[r["vehicle_b"]]
         assert 1 <= r["n_encounters"] <= len(shared)
+
+
+_OLS_GROUP = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(-100000, 100000)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(pts=_OLS_GROUP)
+@_SETTINGS
+def test_grouped_ols_matches_numpy_least_squares(spark, pts):
+    """functions/ols.grouped_ols against an independent reference: on
+    any integer (x, y) set, slope equals numpy's lstsq fit and r2 equals
+    the squared Pearson correlation — and the degenerate cases (single
+    point, zero x-variance, zero y-variance) emit NULLs per the
+    documented contract instead of dividing by zero."""
+    import numpy as np
+
+    from real_time_mobility_heatmap_spark.functions.ols import grouped_ols
+
+    rel = spark.createDataFrame([("g", x, y) for x, y in pts], "k string, x long, y long")
+    row = grouped_ols(rel, ["k"]).collect()[0]
+
+    xs = np.array([x for x, _ in pts], dtype=float)
+    ys = np.array([y for _, y in pts], dtype=float)
+    n = len(pts)
+    den_x = n * (xs * xs).sum() - xs.sum() ** 2
+    den_y = n * (ys * ys).sum() - ys.sum() ** 2
+    assert row["n_points"] == n
+    if den_x <= 0:
+        assert row["slope"] is None and row["r2"] is None
+        return
+    coef = np.linalg.lstsq(np.stack([xs, np.ones(n)], axis=1), ys, rcond=None)[0][0]
+    assert row["slope"] == __import__("pytest").approx(coef, rel=1e-9, abs=1e-9)
+    if den_y <= 0:
+        assert row["r2"] is None
+    else:
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert row["r2"] == __import__("pytest").approx(r * r, rel=1e-9, abs=1e-9)
