@@ -82,6 +82,10 @@ SCIENCE_QUERIES = [
     "location_entropy",
     "feature_hashing",
     "target_encoding",
+    # r11-restructured shapes: densified CUSUM (per-provider day->count
+    # map) and the factored grouped-OLS trend
+    "cusum_anomaly_report",
+    "cell_speed_trend",
 ]
 
 
