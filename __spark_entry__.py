@@ -112,7 +112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     REGISTRY POLICY (r10 verdict item #1 — dwell bound): at 223 entries
     a 50-row driver window cycles in ceil(223/50) = 5 rounds, so the
     DRIVER-side dwell bound is 5 rounds and growth is capped at ~10 new
-    entries per round to keep it there (r11 added 0). The ≤3-round
+    entries per round to keep it there (r11 added 0). r11's window is
+    25 changed + 25 oldest-r6: the perturbed-corpus sweep exposed the
+    money-rounding class (functions/money.py) and the 17 repaired
+    queries claim changed-first slots per the invariant, displacing 21
+    r6 anchors to r12 — a correctness fix outranks re-verification of
+    unchanged code, and the displaced entries are still covered by this
+    round's TWO full local gates plus the perturbed-corpus sweeps at
+    seeds 0/1. The ≤3-round
     assurance bound is met by the LOCAL gate instead: every round ends
     with a FULL-registry ``tools/check_oracles.py`` run (all entries,
     sf0.01 — recorded in SCALE.md), so no query's most recent
@@ -134,10 +141,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_trajectories": trajectory.q_resample_trajectories,
         "cell_speed_trend": flows.q_cell_speed_trend,
         "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
+        "product_type_profit": tpch.q_product_type_profit,
+        "pricing_summary": relational.q_pricing_summary,
+        "sql_pricing_summary": wire.q_sql_pricing_summary,
+        "shipping_priority": relational.q_shipping_priority,
+        "local_supplier_volume": relational.q_local_supplier_volume,
+        "nation_trade_volume": tpch.q_nation_trade_volume,
+        "market_share": tpch.q_market_share,
+        "promo_revenue_share": tpch.q_promo_revenue_share,
+        "top_suppliers": tpch.q_top_suppliers,
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,
+        "returned_item_reporting": tpch.q_returned_item_reporting,
+        "important_parts": tpch.q_important_parts,
+        "bucketed_join_stats": relational.bucketed_join_stats,
+        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
+        "token_commonness": textops.q_token_commonness,
+        "ping_gap_report": flows.q_ping_gap_report,
         # (2) oldest-green-first rotation:
         "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,  # r6
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r6
-        "bucketed_join_stats": relational.bucketed_join_stats,  # r6
         "decontaminate": dedup.q_decontaminate,  # r6
         "dedup_clusters": dedup.q_dedup_clusters,  # r6
         "incremental_dedup": dedup.q_incremental_dedup,  # r6
@@ -161,13 +184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_segments": windows.q_scd2_user_segments,  # r6
         "sliding_cell_counts": windows.q_sliding_cell_counts,  # r6
         "source_roundtrip": source_roundtrip,  # r6
-        "sql_pricing_summary": wire.q_sql_pricing_summary,  # r6
+        # ------------- end of driver window (50 entries) -------------
         "stratified_sample": textops.q_stratified_sample,  # r6
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r6
         "streaming_tiles": run_streaming_tiles,  # r6
         "table_profile": windows.q_table_profile,  # r6
         "tile_colors": wire.q_tile_colors,  # r6
-        "token_commonness": textops.q_token_commonness,  # r6
         "topk_cosine": similarity.q_topk_cosine,  # r6
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r6
         "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,  # r6
@@ -177,9 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_match_pairs": dedup.q_winnow_match_pairs,  # r6
         "wire_encode": wire.q_wire_encode,  # r6
         "zone_counts": spatial.q_zone_counts,  # r6
-        # ------------- end of driver window (50 entries) -------------
         "attribution_report": relational.q_attribution_report,  # r7
-        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,  # r7
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r7
         "chunk_documents": textops.q_chunk_documents,  # r7
         "cohort_retention": analytics.q_cohort_retention,  # r7
@@ -187,8 +207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r7
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r7
         "dedup_keep_best": dedup.q_dedup_keep_best,  # r7
-        "disjunctive_revenue": tpch.q_disjunctive_revenue,  # r7
-        "forecast_revenue_change": tpch.q_forecast_revenue_change,  # r7
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r7
         "hierarchical_rollups": _q_hierarchical_rollups,  # r7
         "idle_customer_balance": tpch.q_idle_customer_balance,  # r7
@@ -230,21 +248,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix_report": textops.q_lang_mix_report,  # r8
         "late_shipment_suppliers": tpch.q_late_shipment_suppliers,  # r8
         "leakage_safe_split": dedup.q_leakage_safe_split,  # r8
-        "local_supplier_volume": relational.q_local_supplier_volume,  # r8
         "media_phash": multimodal.q_media_phash,  # r8
         "modality_agreement_report": similarity.q_modality_agreement_report,  # r8
-        "nation_trade_volume": tpch.q_nation_trade_volume,  # r8
         "ngram_novelty_report": textops.q_ngram_novelty_report,  # r8
         "order_rank_report": relational.q_order_rank_report,  # r8
         "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r8
-        "promo_revenue_share": tpch.q_promo_revenue_share,  # r8
         "props_key_stats": decode.q_props_key_stats,  # r8
         "range_frame_speed": relational.q_range_frame_speed,  # r8
         "repeated_span_report": dedup.q_repeated_span_report,  # r8
-        "returned_item_reporting": tpch.q_returned_item_reporting,  # r8
         "rollup_delta_merge": _q_rollup_delta_merge,  # r8
         "rp_project": similarity.q_rp_project,  # r8
-        "shipping_priority": relational.q_shipping_priority,  # r8
         "similar_speed_profiles": trajectory.q_similar_speed_profiles,  # r8
         "snapshot_diff_report": relational.q_snapshot_diff_report,  # r8
         "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r8
@@ -268,7 +281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,  # r9
         "fingerprint": textops.q_fingerprint,  # r9
         "fresh_tiles": geojson.q_fresh_tiles,  # r9
-        "important_parts": tpch.q_important_parts,  # r9
         "json_decode": decode.q_json_decode,  # r9
         "lang_id": textops.q_lang_id,  # r9
         "large_volume_customers": tpch.q_large_volume_customers,  # r9
@@ -277,7 +289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_rownum": latest.q_latest_rownum,  # r9
         "latest_window_snapshot": latest.q_latest_window_snapshot,  # r9
         "mad_outliers": analytics.q_mad_outliers,  # r9
-        "market_share": tpch.q_market_share,  # r9
         "min_cost_supplier": tpch.q_min_cost_supplier,  # r9
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # r9
         "minhash_signatures": dedup.q_minhash_signatures,  # r9
@@ -288,8 +299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": textops.q_pack_sequences,  # r9
         "part_supplier_counts": tpch.q_part_supplier_counts,  # r9
         "position_features": geojson.q_position_features,  # r9
-        "pricing_summary": relational.q_pricing_summary,  # r9
-        "product_type_profit": tpch.q_product_type_profit,  # r9
         "quality_score": textops.q_quality_score,  # r9
         "range_partition_plan": relational.q_range_partition_plan,  # r9
         "rolling_fingerprint": textops.q_rolling_fingerprint,  # r9
@@ -300,7 +309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_feature_collection": geojson.q_tile_feature_collection,  # r9
         "tile_features_flat": geojson.q_tile_features_flat,  # r9
         "token_count": textops.q_token_count,  # r9
-        "top_suppliers": tpch.q_top_suppliers,  # r9
         "top_window": latest.q_top_window,  # r9
         "watermark_latedrop": latest.q_watermark_latedrop,  # r9
         "wire_roundtrip": decode.q_wire_roundtrip,  # r9
@@ -332,7 +340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": flows.q_od_matrix,  # r10
         "padding_waste_report": curation.q_padding_waste_report,  # r10
         "per_source_cap": curation.q_per_source_cap,  # r10
-        "ping_gap_report": flows.q_ping_gap_report,  # r10
         "radius_of_gyration": science.q_radius_of_gyration,  # r10
         "rfm_segments": analytics.q_rfm_segments,  # r10
         "route_trigrams": flows.q_route_trigrams,  # r10

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, EngineConfig
 from ..functions.ols import OLS_SUMS_SQL, grouped_ols, ols_select_sql
 from ..functions.percentiles import percentile_disc_exact
+from ..functions.rounding import round_half_up_sql
 from ..lineage import cut_lineage
 from ..operators.dedup import _capped_sorted_buckets
 from ..operators.tiles import snap_pings, snapped_oracle_cte
@@ -444,7 +445,13 @@ def ping_gap_report(pings: DataFrame) -> DataFrame:
     agged = gaps.groupBy("vehicleId").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.max("gap_s").alias("max_gap_sec"),
-        F.round(F.sum("gap_s") / F.count(F.lit(1)), 6).alias("avg_gap_sec"),
+        # half-up float-domain rounding: the quotient of two exact ints is
+        # the identical double in both engines, but an exactly-on-boundary
+        # rational could still split the engines' native round()
+        # implementations (r11, the min_cost class)
+        F.expr(
+            round_half_up_sql("CAST(sum(gap_s) AS DOUBLE) / count(1)", 6)
+        ).alias("avg_gap_sec"),
         F.sum(F.when(F.col("gap_s") > GAP_OUTAGE_S, 1).otherwise(0)).alias("_n_out"),
     )
     # integer `div`, not float-divide-then-cast: Spark's double->long cast
@@ -475,7 +482,8 @@ def ping_gap_report_oracle() -> str:
         SELECT vehicleId,
                count(*) AS n_gaps,
                max(gap_s) AS max_gap_sec,
-               round(sum(gap_s) / CAST(count(*) AS DOUBLE), 6) AS avg_gap_sec,
+               {round_half_up_sql('CAST(sum(gap_s) AS DOUBLE) / count(1)', 6)}
+                   AS avg_gap_sec,
                CAST(sum(CASE WHEN gap_s > {GAP_OUTAGE_S} THEN 1 ELSE 0 END)
                     * 1000000 // count(*) AS BIGINT) AS outage_ppm
         FROM gaps WHERE gap_s IS NOT NULL

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.money import money_sum, money_sum_sql
 from ..functions.percentiles import percentile_disc_exact
 from ..functions.rounding import round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
@@ -32,25 +33,65 @@ from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 CUTOFF = "1998-09-02"  # fixture l_shipdate spans 1995..2001
 
 
+# Q1's money/avg expressions, shared verbatim by the DataFrame build, the
+# DuckDB oracle, and the raw-SQL twin (wire.SQL_PRICING_SUMMARY) — one
+# source, three consumers, zero drift. sum_qty / sum_base_price keep the
+# plain float sum: their true totals have 0 / 2 decimals, so a .xx5
+# rounding boundary is unreachable and the ulp drift is absorbed; the
+# 4- and 6-decimal products and the averages are the exposed class
+# (r11 perturbed-corpus sweep — see functions/money.py).
+Q1_EXACT_EXPRS = [
+    (money_sum_sql("l_extendedprice * (1 - l_discount)", 4), "sum_disc_price"),
+    (
+        money_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6),
+        "sum_charge",
+    ),
+    (
+        round_half_up_sql(
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(1)", 6
+        ),
+        "avg_qty",
+    ),
+    (
+        round_half_up_sql(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)"
+            " / count(1)",
+            6,
+        ),
+        "avg_price",
+    ),
+    (
+        round_half_up_sql(
+            "CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE)"
+            " / count(1)",
+            6,
+        ),
+        "avg_disc",
+    ),
+]
+
+Q1_EXACT_COLUMNS = ",\n        ".join(
+    f"{sql} AS {alias}" for sql, alias in Q1_EXACT_EXPRS
+)
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 shape: wide hash aggregate with arithmetic expressions.
 
     One shuffle on (l_returnflag, l_linestatus) — 6 groups — after map-side
-    partial agg; the scan only reads the 7 referenced columns.
+    partial agg; the scan only reads the 7 referenced columns. Money sums
+    accumulate as exact DECIMAL and the averages divide exact sums once
+    (``Q1_EXACT_EXPRS``) so cross-engine summation order can never flip
+    a rounding (r11 sweep class, functions/money.py).
     """
+    exact = [F.expr(sql).alias(alias) for sql, alias in Q1_EXACT_EXPRS]
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            *exact,
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -61,11 +102,7 @@ PRICING_SUMMARY_ORACLE = f"""
         l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
         round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        round(avg(l_quantity), 6) AS avg_qty,
-        round(avg(l_extendedprice), 6) AS avg_price,
-        round(avg(l_discount), 6) AS avg_disc,
+        {Q1_EXACT_COLUMNS},
         count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
@@ -89,14 +126,14 @@ def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFram
     l = lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     joined = l.join(o, l.l_orderkey == o.o_orderkey).join(c, o.o_custkey == c.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
 
 
-SHIPPING_PRIORITY_ORACLE = """
+SHIPPING_PRIORITY_ORACLE = f"""
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -146,13 +183,13 @@ def local_supplier_volume(
         )
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
-LOCAL_SUPPLIER_VOLUME_ORACLE = """
+LOCAL_SUPPLIER_VOLUME_ORACLE = f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1042,17 +1079,17 @@ def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
     )
 
 
-BUCKETED_JOIN_STATS_ORACLE = """
+BUCKETED_JOIN_STATS_ORACLE = f"""
     SELECT o_orderpriority,
            count(*) AS n_items,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
 """
@@ -1443,8 +1480,8 @@ def bloom_semijoin_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return joined.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 6
         ).alias("revenue"),
     )
 
@@ -1453,7 +1490,7 @@ BLOOM_SEMIJOIN_STATS_ORACLE = f"""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_items,
            round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           {money_sum_sql('l_extendedprice * (1 - l_discount)', 4, 6)} AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderpriority = '{BSJ_PRIORITY}'

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_half_up_sql
 from ..functions.textfns import (
     STOPWORDS,
     TOKENS_DUCK,
@@ -544,13 +545,23 @@ def token_commonness(docs: DataFrame) -> DataFrame:
     tok = spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
     vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("tf"))
     joined = tok.join(vocab, "tk")
+    # the two ratios divide exact int64 sums (identical doubles in both
+    # engines); the ROUNDING is the half-up float-domain form so an
+    # exactly-on-boundary rational (k/n landing on x.xxxxxx5) cannot split
+    # the engines' native round() implementations (r11, the min_cost class)
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("tf").alias("sum_tf"),
-        F.round(F.sum("tf") / F.count(F.lit(1)), 6).alias("commonness"),
+        F.expr(
+            round_half_up_sql("CAST(sum(tf) AS DOUBLE) / count(1)", 6)
+        ).alias("commonness"),
         F.sum((F.col("tf") <= RARE_TF).cast("long")).alias("n_rare"),
-        F.round(
-            F.sum((F.col("tf") <= RARE_TF).cast("long")) / F.count(F.lit(1)), 6
+        F.expr(
+            round_half_up_sql(
+                f"CAST(sum(CASE WHEN tf <= {RARE_TF} THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / count(1)",
+                6,
+            )
         ).alias("rare_ratio"),
     )
 
@@ -563,9 +574,10 @@ TOKEN_COMMONNESS_ORACLE = f"""
     SELECT doc_id,
            count(*) AS n_tokens,
            CAST(sum(tf) AS BIGINT) AS sum_tf,
-           round(sum(tf) / CAST(count(*) AS DOUBLE), 6) AS commonness,
+           {round_half_up_sql('CAST(sum(tf) AS DOUBLE) / count(1)', 6)}
+               AS commonness,
            CAST(sum(CASE WHEN tf <= {RARE_TF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-           round(sum(CASE WHEN tf <= {RARE_TF} THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+           {round_half_up_sql(f'CAST(sum(CASE WHEN tf <= {RARE_TF} THEN 1 ELSE 0 END) AS DOUBLE) / count(1)', 6)}
                AS rare_ratio
     FROM tok JOIN vocab USING (tk)
     GROUP BY doc_id

@@ -35,8 +35,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import money_sum, money_sum_sql
 from ..functions.rounding import round_half_up_sql
 from ..sources.tables import load_table
+
+# per-line revenue in SQL form — the money expression every revenue
+# aggregate fix-points through money_sum_sql (exactly 4-decimal: cents
+# times an integer-percent complement)
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
 
 __all__ = [
     "min_cost_supplier",
@@ -232,15 +238,15 @@ def nation_trade_volume(
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
     )
 
 
-NATION_TRADE_VOLUME_ORACLE = """
+NATION_TRADE_VOLUME_ORACLE = f"""
     SELECT sn.n_name AS supp_nation,
            cn.n_name AS cust_nation,
            CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {money_sum_sql(_REV_SQL)} AS revenue
     FROM lineitem
     JOIN orders    ON l_orderkey = o_orderkey
     JOIN supplier  ON l_suppkey = s_suppkey
@@ -299,36 +305,51 @@ def market_share(
         .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    rev = _rev()
+    # both CASE arms accumulate as exact DECIMAL (functions/money.py), so
+    # numerator and denominator are IDENTICAL exact values in both engines
+    # and the share is one deterministic double division + half-up round
+    dec_rev = _rev().cast("decimal(30,4)")
+    zero = F.lit(0).cast("decimal(30,4)")
     return (
         joined.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", dec_rev).otherwise(zero)
+            ).alias("_num"),
+            F.sum(dec_rev).alias("_den"),
+        )
+        .select(
+            "order_year",
+            F.expr(
+                round_half_up_sql("CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)", 6)
             ).alias("mkt_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.col("_den"), 2).cast("double").alias("total_revenue"),
         )
     )
 
 
-MARKET_SHARE_ORACLE = """
-    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           round(sum(CASE WHEN n2.n_name = 'NATION_3'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-    FROM lineitem
-    JOIN orders    ON l_orderkey = o_orderkey
-    JOIN part      ON l_partkey = p_partkey AND p_type = 'ECONOMY'
-    JOIN customer  ON o_custkey = c_custkey
-    JOIN nation n1 ON c_nationkey = n1.n_nationkey
-    JOIN region    ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
-    JOIN supplier  ON l_suppkey = s_suppkey
-    JOIN nation n2 ON s_nationkey = n2.n_nationkey
-    GROUP BY ALL
+MARKET_SHARE_ORACLE = f"""
+    WITH g AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               sum(CASE WHEN n2.n_name = 'NATION_3'
+                        THEN CAST({_REV_SQL} AS DECIMAL(30,4))
+                        ELSE CAST(0 AS DECIMAL(30,4)) END) AS _num,
+               sum(CAST({_REV_SQL} AS DECIMAL(30,4))) AS _den
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN part      ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY ALL
+    )
+    SELECT order_year,
+           {round_half_up_sql('CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)', 6)}
+               AS mkt_share,
+           CAST(round(_den, 2) AS DOUBLE) AS total_revenue
+    FROM g
 """
 
 
@@ -354,6 +375,18 @@ def product_type_profit(
     keeps several percent of an SF-scaled table) nor the nation-tagged
     supplier side carries a hint; both joins are AQE-chosen from runtime
     stats (r7 verdict item #3, r8 item #1).
+
+    Float discipline (r11 perturbed-corpus sweep finding): per-line
+    profit is EXACTLY 4-decimal (prices are cents, discount an integer
+    percent, quantity integral), yet ``round(sum(double), 2)`` let the
+    engines' different summation orders land within an ulp of a cents
+    boundary and flip the rounding (observed live: 1433933.21 vs .22 on
+    a jittered corpus — the attribution_report class). Each term is
+    fix-pointed to exact int64 1e-4 units per row (the per-row doubles
+    are within an ulp of their integral true value, so half-up recovers
+    the exact integer identically in both engines), the sum is exact,
+    and the final cents rounding is pure INTEGER arithmetic — no float
+    ever crosses an engine boundary.
     """
     widgets = part.filter(F.col("p_name").like("%widget%")).select(
         "p_partkey", "p_retailprice"
@@ -361,7 +394,10 @@ def product_type_profit(
     supp_n = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", "n_name")
-    profit = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    profit_e4 = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 5e-1) AS BIGINT)"
+        " - CAST(floor(0.6 * p_retailprice * l_quantity * 1e4 + 5e-1) AS BIGINT)"
+    )
     return (
         lineitem.join(widgets, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -370,21 +406,40 @@ def product_type_profit(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.sum(profit_e4).alias("_e4"))
+        .select(
+            "nation",
+            "order_year",
+            # half-away-from-zero e4 -> cents in integer math, then one
+            # exact small-integer/100 division (both engines bit-equal)
+            F.expr(
+                "CAST(CASE WHEN _e4 >= 0 THEN (_e4 + 50) div 100"
+                " ELSE -((-_e4 + 50) div 100) END AS DOUBLE) / 100.0"
+            ).alias("sum_profit"),
+        )
     )
 
 
 PRODUCT_TYPE_PROFIT_ORACLE = """
-    SELECT n_name AS nation,
-           CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
-    FROM lineitem
-    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    GROUP BY ALL
+    WITH g AS (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 5e-1)
+                        AS BIGINT)
+                   - CAST(floor(0.6 * p_retailprice * l_quantity * 1e4 + 5e-1)
+                          AS BIGINT)) AS _e4
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY ALL
+    )
+    SELECT nation, order_year,
+           CAST(CASE WHEN _e4 >= 0 THEN (_e4 + 50) // 100
+                ELSE -((-_e4 + 50) // 100) END AS DOUBLE) / 100.0
+               AS sum_profit
+    FROM g
 """
 
 
@@ -441,30 +496,44 @@ def promo_revenue_share(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
     )
-    rev = _rev()
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    # exact-DECIMAL arms (functions/money.py): identical sums in both
+    # engines, then one deterministic double division + half-up round
+    dec_rev = _rev().cast("decimal(30,4)")
+    promo = F.when(F.col("p_type") == "PROMO", dec_rev).otherwise(
+        F.lit(0).cast("decimal(30,4)")
+    )
     # the (p_partkey, p_type) projection is still SF-scaled — no hint
     return (
         l.join(
             part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+        .agg(F.sum(promo).alias("_num"), F.sum(dec_rev).alias("_den"))
+        .select(
+            F.expr(
+                round_half_up_sql(
+                    "100.0 * CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)", 6
+                )
+            ).alias("promo_pct"),
+            F.round(F.col("_den"), 2).cast("double").alias("total_revenue"),
         )
     )
 
 
-PROMO_REVENUE_SHARE_ORACLE = """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+PROMO_REVENUE_SHARE_ORACLE = f"""
+    WITH g AS (
+        SELECT sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST({_REV_SQL} AS DECIMAL(30,4))
+                        ELSE CAST(0 AS DECIMAL(30,4)) END) AS _num,
+               sum(CAST({_REV_SQL} AS DECIMAL(30,4))) AS _den
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    )
+    SELECT {round_half_up_sql('100.0 * CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)', 6)}
+               AS promo_pct,
+           CAST(round(_den, 2) AS DOUBLE) AS total_revenue
+    FROM g
 """
 
 
@@ -478,9 +547,10 @@ def top_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     The scalar MAX subquery is a 1-row aggregate broadcast-cross-joined back —
     the Spark-native replacement for Q15's view + HAVING = (SELECT max(...)).
 
-    Float-safety: per-supplier revenue is rounded to cents BEFORE the max /
-    equality compare, so a sub-ulp sum-order difference between engines
-    cannot flip the winner.
+    Float-safety: per-supplier revenue accumulates as exact DECIMAL and is
+    rounded to cents BEFORE the max / equality compare (r11: the float sum
+    it previously rounded could itself land on a half-cent and flip — the
+    functions/money.py class), so engines can never disagree on the winner.
 
     Scale: the only broadcast hint sits on the one PROVABLY bounded side —
     the 1-row MAX. The winner set (revenue ties at the max) is tiny in
@@ -493,7 +563,7 @@ def top_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    revs = q.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    revs = q.groupBy("l_suppkey").agg(money_sum(_rev()).alias("total_revenue"))
     top = revs.agg(F.max("total_revenue").alias("max_revenue"))
     winners = revs.crossJoin(F.broadcast(top)).filter(
         F.col("total_revenue") == F.col("max_revenue")
@@ -504,10 +574,10 @@ def top_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
-TOP_SUPPLIERS_ORACLE = """
+TOP_SUPPLIERS_ORACLE = f"""
     WITH revenue AS (
         SELECT l_suppkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               {money_sum_sql(_REV_SQL)} AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -658,14 +728,14 @@ def disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .filter(b1 | b2 | b3)
         .agg(
-            F.round(F.sum(_rev()), 2).alias("revenue"),
+            money_sum(_rev()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
-DISJUNCTIVE_REVENUE_ORACLE = """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+DISJUNCTIVE_REVENUE_ORACLE = f"""
+    SELECT {money_sum_sql(_REV_SQL)} AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
@@ -1020,7 +1090,7 @@ def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
                 "revenue_delta"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -1028,8 +1098,8 @@ def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
     )
 
 
-FORECAST_REVENUE_CHANGE_ORACLE = """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+FORECAST_REVENUE_CHANGE_ORACLE = f"""
+    SELECT {money_sum_sql('l_extendedprice * l_discount')} AS revenue_delta,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1062,7 +1132,7 @@ def returned_item_reporting(
         .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
     )
     return (
         per_cust.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -1070,9 +1140,9 @@ def returned_item_reporting(
     )
 
 
-RETURNED_ITEM_REPORTING_ORACLE = """
+RETURNED_ITEM_REPORTING_ORACLE = f"""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {money_sum_sql(_REV_SQL)} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1118,8 +1188,15 @@ def important_parts(
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
     )
+    # threshold's true value has 5 decimals (cents x 0.001): exact-DECIMAL
+    # sum so the half-cent rounding can't flip cross-engine (r11 sweep
+    # class, functions/money.py); part_value itself is 2-decimal-true and
+    # needs no fix-point
     total = per_part.agg(
-        F.round(F.sum("part_value") * 0.001, 2).alias("threshold")
+        F.expr(
+            "CAST(round(sum(CAST(part_value AS DECIMAL(30,2)))"
+            " * CAST(0.001 AS DECIMAL(4,3)), 2) AS DOUBLE)"
+        ).alias("threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -1138,7 +1215,10 @@ IMPORTANT_PARTS_ORACLE = """
     )
     SELECT l_partkey, part_value
     FROM per_part
-    WHERE part_value > (SELECT round(sum(part_value) * 0.001, 2) FROM per_part)
+    WHERE part_value > (SELECT CAST(round(sum(CAST(part_value AS DECIMAL(30,2)))
+                                          * CAST(0.001 AS DECIMAL(4,3)), 2)
+                                    AS DOUBLE)
+                        FROM per_part)
 """
 
 

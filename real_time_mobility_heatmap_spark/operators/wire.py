@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.keys import iso_ts, iso_ts_sql
+from ..operators.relational import Q1_EXACT_COLUMNS
 from ..operators.tiles import tile_aggregate, tiles_oracle_sql
 from ..operators.validate import validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, TABLES, load_table, pings_from_events
@@ -97,16 +98,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-SQL_PRICING_SUMMARY = """
+# the money/avg columns come verbatim from relational.Q1_EXACT_COLUMNS —
+# the exact-DECIMAL discipline (functions/money.py) in raw-SQL form; the
+# fragment is valid in both Spark SQL and DuckDB, so the DataFrame build,
+# this twin, and the oracle can never drift apart.
+SQL_PRICING_SUMMARY = f"""
     SELECT
         l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
         round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        round(avg(l_quantity), 6) AS avg_qty,
-        round(avg(l_extendedprice), 6) AS avg_price,
-        round(avg(l_discount), 6) AS avg_disc,
+        {Q1_EXACT_COLUMNS},
         count(1) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
