@@ -52,18 +52,21 @@ Q1_EXACT_EXPRS = [
         ),
         "avg_qty",
     ),
+    # prices/discounts sum as exact int64 CENTS (primitive codegen path;
+    # cents stay < 2^63 to ~9e11 rows/group, ample at 100 TB), then ONE
+    # identical double division + half-up round in both engines
     (
         round_half_up_sql(
-            "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)"
-            " / count(1)",
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 5e-1) AS BIGINT))"
+            " AS DOUBLE) / 100 / count(1)",
             6,
         ),
         "avg_price",
     ),
     (
         round_half_up_sql(
-            "CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE)"
-            " / count(1)",
+            "CAST(sum(CAST(floor(l_discount * 100 + 5e-1) AS BIGINT))"
+            " AS DOUBLE) / 100 / count(1)",
             6,
         ),
         "avg_disc",
@@ -126,7 +129,7 @@ def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFram
     l = lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     joined = l.join(o, l.l_orderkey == o.o_orderkey).join(c, o.o_custkey == c.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        money_sum('l_extendedprice * (1 - l_discount)').alias("revenue")
     )
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
 
@@ -183,7 +186,7 @@ def local_supplier_volume(
         )
     )
     return joined.groupBy("n_name").agg(
-        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        money_sum('l_extendedprice * (1 - l_discount)').alias("revenue")
     )
 
 
@@ -1079,9 +1082,7 @@ def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        ),
+        money_sum('l_extendedprice * (1 - l_discount)').alias("revenue"),
     )
 
 
@@ -1480,9 +1481,7 @@ def bloom_semijoin_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return joined.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        money_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 6
-        ).alias("revenue"),
+        money_sum('l_extendedprice * (1 - l_discount)', 4, 6).alias("revenue"),
     )
 
 

@@ -238,7 +238,7 @@ def nation_trade_volume(
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
-        .agg(money_sum(_rev()).alias("revenue"))
+        .agg(money_sum(_REV_SQL).alias("revenue"))
     )
 
 
@@ -563,7 +563,7 @@ def top_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    revs = q.groupBy("l_suppkey").agg(money_sum(_rev()).alias("total_revenue"))
+    revs = q.groupBy("l_suppkey").agg(money_sum(_REV_SQL).alias("total_revenue"))
     top = revs.agg(F.max("total_revenue").alias("max_revenue"))
     winners = revs.crossJoin(F.broadcast(top)).filter(
         F.col("total_revenue") == F.col("max_revenue")
@@ -728,7 +728,7 @@ def disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .filter(b1 | b2 | b3)
         .agg(
-            money_sum(_rev()).alias("revenue"),
+            money_sum(_REV_SQL).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1090,9 +1090,7 @@ def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
-                "revenue_delta"
-            ),
+            money_sum('l_extendedprice * l_discount').alias("revenue_delta"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1132,7 +1130,7 @@ def returned_item_reporting(
         .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(money_sum(_rev()).alias("revenue"))
+        .agg(money_sum(_REV_SQL).alias("revenue"))
     )
     return (
         per_cust.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())

@@ -62,24 +62,25 @@ def test_money_sum_exact_on_half_cent_boundary(spark):
     The decimal path must round it half-up to 0.25 in BOTH engines; the
     old float path is hostage to whether the accumulated double lands
     above or below the boundary."""
-    from pyspark.sql import functions as F
-
     df = spark.createDataFrame(
         [(0.35, 0.35), (0.35, 0.35)], "price double, disc_compl double"
     )
-    got = df.agg(
-        money_sum(F.col("price") * F.col("disc_compl")).alias("s")
-    ).collect()[0]["s"]
+    got = df.agg(money_sum("price * disc_compl").alias("s")).collect()[0]["s"]
     oracle = duckdb.sql(
         f"SELECT {money_sum_sql('a * b')} AS s"
         " FROM (VALUES (0.35, 0.35), (0.35, 0.35)) t(a, b)"
     ).fetchone()[0]
     assert got == oracle == 0.25
     # and the no-op-rounding variant (out_dec >= in_dec) stays exact
-    got6 = df.agg(
-        money_sum(F.col("price") * F.col("disc_compl"), 4, 6).alias("s")
-    ).collect()[0]["s"]
+    got6 = df.agg(money_sum("price * disc_compl", 4, 6).alias("s")).collect()[
+        0
+    ]["s"]
     assert got6 == 0.245
+    # hi/lo split reconstruction: units large enough that the lo half
+    # wraps 1e6 repeatedly (9999.99 -> 99999900 units/row)
+    big = spark.createDataFrame([(9999.99,)] * 7, "v double")
+    got_big = big.agg(money_sum("v * 1.0").alias("s")).collect()[0]["s"]
+    assert got_big == round(9999.99 * 7, 2) == 69999.93
 
 
 @pytest.fixture(scope="module")
