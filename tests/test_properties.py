@@ -574,3 +574,49 @@ def test_grouped_ols_matches_numpy_least_squares(spark, pts):
     else:
         r = np.corrcoef(xs, ys)[0, 1]
         assert row["r2"] == __import__("pytest").approx(r * r, rel=1e-9, abs=1e-9)
+
+
+_MONEY_ROWS = st.lists(
+    st.tuples(
+        st.integers(1, 10_000_000),  # price in cents (<= $100k/row)
+        st.integers(0, 10),          # discount percent
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_MONEY_ROWS)
+@_SETTINGS
+def test_money_sum_matches_decimal_reference(spark, rows):
+    """functions/money.money_sum against an independent exact reference:
+    on ANY set of (cents, discount%) rows, the split-sum formulation must
+    equal Python Decimal arithmetic with ROUND_HALF_UP — including totals
+    that land exactly on a half-cent, the case the r11 perturbed-corpus
+    sweep caught the float formulation flipping cross-engine."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from real_time_mobility_heatmap_spark.functions.money import (
+        money_sum,
+        money_sum_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(c / 100.0, (100 - d) / 100.0) for c, d in rows],
+        "price double, mult double",
+    )
+    got = df.agg(money_sum("price * mult").alias("s")).collect()[0]["s"]
+
+    exact = sum(
+        (Decimal(c) / 100) * (Decimal(100 - d) / 100) for c, d in rows
+    )
+    want = float(exact.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+    assert got == want, (rows, got, want, exact)
+
+    values = ", ".join(f"({c / 100.0!r}, {(100 - d) / 100.0!r})" for c, d in rows)
+    oracle = duckdb.sql(
+        f"SELECT {money_sum_sql('a * b')} FROM (VALUES {values}) t(a, b)"
+    ).fetchone()[0]
+    assert oracle == want

@@ -30,11 +30,18 @@ Invariants preserved (the operators' documented contracts):
 
 Usage::
 
-    python tools/perturb_corpus.py [base_sf_dir] [out_dir] [seed]
+    python tools/perturb_corpus.py [base_sf_dir] [out_dir] [seed] [--nulls]
     python tools/check_oracles.py <out_dir>
 
 Each ``seed`` yields an independent corpus — sweeping several seeds
 multiplies the fresh value combinations the gate has observed.
+
+``--nulls`` additionally NULLs a deterministic slice of the nullable
+payload columns (documents.text/lang, events.value/props — NOT the
+event-time axis, which is a non-null contract past the ingestion
+boundary): the r10 null-regime sweep ran on the base fixtures only, so
+this composes the two regimes — null handling exercised against fresh
+value combinations instead of the shipped ones.
 """
 
 from __future__ import annotations
@@ -183,7 +190,35 @@ def _perturb_embeddings(base: Path, out: Path, seed: int = 0) -> None:
     pq.write_table(out_t, out / "embeddings.parquet")
 
 
-def build(base_dir: str, out_dir: str, seed: int = 0) -> None:
+# --nulls: NULL a deterministic ~1/9 slice of each nullable payload
+# column (hash-keyed so seeds move the slice); event-time / keys stay
+# intact per the non-null ingestion contract
+_NULL_RULES = {
+    "documents": {
+        "text": "hash(doc_id + @SEED@) % 9 = 0",
+        "lang": "hash(doc_id + @SEED@ + 1) % 9 = 1",
+    },
+    "events": {
+        "value": "hash(event_id + @SEED@ + 2) % 9 = 2",
+        "props": "hash(event_id + @SEED@ + 3) % 9 = 3",
+    },
+}
+
+
+def _apply_nulls(sql: str, tname: str, columns: list[str]) -> str:
+    rules = _NULL_RULES.get(tname)
+    if not rules:
+        return sql
+    sel = ",\n               ".join(
+        f"CASE WHEN {rules[c]} THEN NULL ELSE {c} END AS {c}"
+        if c in rules
+        else c
+        for c in columns  # original order — the schema cast needs it
+    )
+    return f"SELECT {sel} FROM ({sql})"
+
+
+def build(base_dir: str, out_dir: str, seed: int = 0, nulls: bool = False) -> None:
     base, out = Path(base_dir), Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -193,6 +228,8 @@ def build(base_dir: str, out_dir: str, seed: int = 0) -> None:
         )
     for tname, sql in TABLE_SQL.items():
         want = pq.read_schema(base / f"{tname}.parquet")
+        if nulls:
+            sql = _apply_nulls(sql, tname, [f.name for f in want])
         got = con.sql(sql.replace("@SEED@", str(seed))).arrow()
         if isinstance(got, pa.RecordBatchReader):  # duckdb >= 1.3
             got = got.read_all()
@@ -201,14 +238,16 @@ def build(base_dir: str, out_dir: str, seed: int = 0) -> None:
         if got.num_rows != pq.read_metadata(base / f"{tname}.parquet").num_rows:
             raise SystemExit(f"{tname}: row count changed")
     _perturb_embeddings(base, out, seed)
-    print(f"perturbed corpus at {out} (seed {seed})")
+    print(f"perturbed corpus at {out} (seed {seed}, nulls={nulls})")
 
 
 if __name__ == "__main__":
-    base = sys.argv[1] if len(sys.argv) > 1 else BASE
-    out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else tempfile.mkdtemp(prefix="perturbed-corpus-")
+    args = [a for a in sys.argv[1:] if a != "--nulls"]
+    base = args[0] if len(args) > 0 else BASE
+    out = args[1] if len(args) > 1 else tempfile.mkdtemp(prefix="perturbed-corpus-")
+    build(
+        base,
+        out,
+        int(args[2]) if len(args) > 2 else 0,
+        nulls="--nulls" in sys.argv,
     )
-    build(base, out, int(sys.argv[3]) if len(sys.argv) > 3 else 0)
