@@ -113,13 +113,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a 50-row driver window cycles in ceil(223/50) = 5 rounds, so the
     DRIVER-side dwell bound is 5 rounds and growth is capped at ~10 new
     entries per round to keep it there (r11 added 0). r11's window is
-    25 changed + 25 oldest-r6: the perturbed-corpus sweep exposed the
-    money-rounding class (functions/money.py) and the 17 repaired
-    queries claim changed-first slots per the invariant, displacing 21
+    29 changed + 21 oldest-r6: the perturbed-corpus sweeps exposed the
+    money-rounding class (functions/money.py, 17 queries) and the
+    null-regime sweep exposed two null-semantics divergences (asof
+    struct-carry, latest_maxby oracle arg_max wrap), and repaired
+    queries claim changed-first slots per the invariant, displacing 25
     r6 anchors to r12 — a correctness fix outranks re-verification of
     unchanged code, and the displaced entries are still covered by this
-    round's TWO full local gates plus the perturbed-corpus sweeps at
-    seeds 0/1. The ≤3-round
+    round's THREE full local gates plus the full-registry
+    perturbed-corpus sweeps at seeds 0/1/2 and the null-bearing seed-3
+    regime. The ≤3-round
     assurance bound is met by the LOCAL gate instead: every round ends
     with a FULL-registry ``tools/check_oracles.py`` run (all entries,
     sf0.01 — recorded in SCALE.md), so no query's most recent
@@ -158,16 +161,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
         "token_commonness": textops.q_token_commonness,
         "ping_gap_report": flows.q_ping_gap_report,
+        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
+        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
+        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
+        "latest_maxby": latest.q_latest_maxby,
         # (2) oldest-green-first rotation:
-        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,  # r6
-        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r6
         "decontaminate": dedup.q_decontaminate,  # r6
         "dedup_clusters": dedup.q_dedup_clusters,  # r6
         "incremental_dedup": dedup.q_incremental_dedup,  # r6
         "ivf_assign": similarity.q_ivf_assign,  # r6
         "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r6
         "kmeans_update": similarity.q_kmeans_update,  # r6
-        "latest_maxby": latest.q_latest_maxby,  # r6
         "lsh_buckets": similarity.q_lsh_buckets,  # r6
         "media_features": multimodal.q_media_features,  # r6
         "media_frame_sample": multimodal.q_media_frame_sample,  # r6
@@ -183,8 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_stats": relational.q_salted_join_stats,  # r6
         "scd2_user_segments": windows.q_scd2_user_segments,  # r6
         "sliding_cell_counts": windows.q_sliding_cell_counts,  # r6
-        "source_roundtrip": source_roundtrip,  # r6
         # ------------- end of driver window (50 entries) -------------
+        "source_roundtrip": source_roundtrip,  # r6
         "stratified_sample": textops.q_stratified_sample,  # r6
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r6
         "streaming_tiles": run_streaming_tiles,  # r6
@@ -314,7 +318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_roundtrip": decode.q_wire_roundtrip,  # r9
         "active_cells_flags": relational.q_active_cells_flags,  # r10
         "active_cells_setops": relational.q_active_cells_setops,  # r10
-        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r10
         "autocorrelation_report": analytics.q_autocorrelation_report,  # r10
         "cell_reachability": flows.q_cell_reachability,  # r10
         "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10

@@ -40,23 +40,36 @@ def asof_join(
     merge-union plan; only the sort order flips. Matches are inclusive
     at equal timestamps (right ordered before left), matching DuckDB's
     ASOF semantics in both directions.
+
+    The carried columns travel as ONE STRUCT, not per-column fills: the
+    struct is never null on a right row even when its fields are, so the
+    ``last(ignorenulls)`` skips only left rows — every ``asof_*`` output
+    column comes from the SAME matched row, nulls included. Independent
+    per-column fills (the original formulation) silently back-filled a
+    null field from an OLDER right row — different columns could even
+    mix rows — which the r11 null-bearing perturbed sweep caught
+    diverging from ASOF row semantics (purchase_value 200.01 from a
+    stale purchase vs the true match's NULL).
     """
     l_tagged = left.withColumn("__side", F.lit(1))
     r_tagged = right.select(
         key, ts, *right_cols
     ).withColumn("__side", F.lit(0))
 
-    # align schemas: left gets null right-cols; right gets null left-extras
-    carried = [f"__r_{c}" for c in right_cols]
-    l_aligned = l_tagged.select(
-        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carried)]
+    # align schemas: left gets a null right-struct; right gets null
+    # left-extras and packs its carried columns into the struct
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_cols
+        ) + ">"
     )
+    l_aligned = l_tagged.select("*", null_struct.alias("__r"))
     r_aligned = r_tagged.select(
         key,
         ts,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (key, ts)],
         F.col("__side"),
-        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+        F.struct(*right_cols).alias("__r"),
     )
     unioned = l_aligned.unionByName(r_aligned)
 
@@ -67,14 +80,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(rc, ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c, rc in zip(right_cols, carried)
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_cols
+        F.col(f"__m.{c}").alias(f"asof_{c}") for c in right_cols
     ]
     return filled.filter(F.col("__side") == 1).select(*out_cols)
 

@@ -189,13 +189,19 @@ def watermark_latedrop(pings: DataFrame, watermark: str = "10 minutes") -> DataF
 
 _VALID_PINGS = f"WITH pings AS ({PINGS_ORACLE_SQL}), valid AS (SELECT * FROM pings WHERE {VALID_SQL})"
 
+# speedKmh is struct-wrapped: it is the one nullable field post-validate,
+# and DuckDB's arg_max SKIPS null args (returning the newest NON-null
+# speed) while Spark's max_by keeps row semantics (the latest row's
+# speed, null included — what the latest_join/latest_rownum twins
+# return). The never-null struct carries the nullable field through
+# arg_max intact. Caught by the r11 null-bearing perturbed sweep.
 LATEST_MAXBY_ORACLE = f"""
     {_VALID_PINGS}
     SELECT provider, vehicleId,
            max(eventTs) AS event_ts,
            arg_max(lat, eventTs) AS lat,
            arg_max(lon, eventTs) AS lon,
-           arg_max(speedKmh, eventTs) AS speed_kmh
+           (arg_max(struct_pack(v := speedKmh), eventTs)).v AS speed_kmh
     FROM valid GROUP BY provider, vehicleId
 """
 
