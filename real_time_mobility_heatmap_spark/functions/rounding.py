@@ -26,3 +26,15 @@ from __future__ import annotations
 def round_half_up_sql(expr: str, decimals: int) -> str:
     scale = f"1e{decimals}"
     return f"(floor(({expr}) * {scale} + 5e-1) / {scale})"
+
+
+def round_half_up(col, decimals: int):
+    """Column form of :func:`round_half_up_sql` — identical op sequence
+    (multiply, add 0.5, floor, divide), so a Column-built aggregate and
+    an SQL oracle produce the same bits. Spark's floor(DOUBLE) returns
+    BIGINT where DuckDB keeps DOUBLE; the quotient re-converges to the
+    same double because the floored value is integral in both."""
+    from pyspark.sql import functions as F
+
+    scale = float(f"1e{decimals}")
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)

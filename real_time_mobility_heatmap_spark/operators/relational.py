@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, EngineConfig
 from ..functions.money import money_sum, money_sum_sql
 from ..functions.percentiles import percentile_disc_exact
-from ..functions.rounding import round_half_up_sql
+from ..functions.rounding import round_half_up, round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 
@@ -913,7 +913,10 @@ def salted_join_stats(events: DataFrame, salt: int = SALT_BUCKETS) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.first("type_weight").alias("type_weight"),
-        F.round(F.sum(micro) / F.lit(1e8), 4).alias("weighted_value"),
+        # half-up float-domain rounding: the int64-exact quotient is an
+        # identical double in both engines, but its true value can land
+        # exactly on a 5e-5 boundary where native round() splits (r11)
+        round_half_up(F.sum(micro) / F.lit(1e8), 4).alias("weighted_value"),
     )
 
 
@@ -929,7 +932,7 @@ def salted_join_stats_oracle() -> str:
         SELECT e.event_type,
                count(*) AS n_events,
                any_value(d.type_weight) AS type_weight,
-               round(sum(CAST(round(e.value * d.type_weight * 1e8) AS BIGINT)) / 1e8, 4)
+               {round_half_up_sql('sum(CAST(round(e.value * d.type_weight * 1e8) AS BIGINT)) / 1e8', 4)}
                    AS weighted_value
         FROM events e JOIN dim d USING (event_type)
         GROUP BY e.event_type

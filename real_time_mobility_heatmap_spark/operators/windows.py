@@ -22,9 +22,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.rounding import round_half_up, round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..operators.validate import require_event_time
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
+
+# engine-exact per-group mean speed (r11): speeds are 2-decimal by wire
+# contract, so the sum accumulates exact int64 CENTS (order-free,
+# associative) and both engines divide the identical exact values once —
+# a plain round(avg(DOUBLE), 6) sums ulp-drifting doubles in
+# engine-specific order AND natively rounds a boundary-capable rational.
+# One fragment, valid in both Spark SQL and DuckDB.
+AVG_SPEED_EXACT = round_half_up_sql(
+    "CAST(sum(CAST(floor(speedKmh * 100 + 5e-1) AS BIGINT)) AS DOUBLE)"
+    " / 100 / count(speedKmh)",
+    6,
+)
 
 SLIDE_MIN = 5
 WIDTH_MIN = 10
@@ -42,7 +55,7 @@ def sliding_cell_counts(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFr
         )
         .agg(
             F.count(F.lit(1)).alias("ping_count"),
-            F.round(F.avg("speedKmh"), 6).alias("avg_speed_kmh"),
+            F.expr(AVG_SPEED_EXACT).alias("avg_speed_kmh"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -70,7 +83,7 @@ def sliding_cell_counts_oracle(cfg: EngineConfig = DEFAULT) -> str:
                window_start + INTERVAL '{WIDTH_MIN} minutes' AS window_end,
                cell_id,
                count(*) AS ping_count,
-               round(avg(speedKmh), 6) AS avg_speed_kmh
+               {AVG_SPEED_EXACT} AS avg_speed_kmh
         FROM assigned
         GROUP BY window_start, cell_id
     """
@@ -85,7 +98,7 @@ def vehicle_sessions(pings: DataFrame) -> DataFrame:
         require_event_time(pings).groupBy("provider", "vehicleId", s.alias("s"))
         .agg(
             F.count(F.lit(1)).alias("n_pings"),
-            F.round(F.avg("speedKmh"), 6).alias("avg_speed_kmh"),
+            F.expr(AVG_SPEED_EXACT).alias("avg_speed_kmh"),
         )
         .select(
             "provider",
@@ -115,7 +128,7 @@ def vehicle_sessions_oracle() -> str:
         SELECT provider, vehicleId,
                min(eventTs) AS session_start,
                count(*) AS n_pings,
-               round(avg(speedKmh), 6) AS avg_speed_kmh
+               {AVG_SPEED_EXACT} AS avg_speed_kmh
         FROM numbered
         GROUP BY provider, vehicleId, session_no
     """
@@ -516,8 +529,13 @@ def vehicle_travel_stats(pings: DataFrame) -> DataFrame:
         .groupBy("provider", "vehicleId")
         .agg(
             F.count(F.lit(1)).alias("n_legs"),
+            # identity rounding: sum(micro)/1e6 has exactly 6 decimals,
+            # so this native round can never sit on a boundary
             F.round(F.sum(micro) / F.lit(1e6), 6).alias("total_disp_deg"),
-            F.round(F.max("leg"), 6).alias("max_leg_deg"),
+            # max(leg) is an identical arbitrary double in both engines;
+            # half-up float-domain rounding so an exactly-on-boundary
+            # value can't split the engines' native round() (r11)
+            round_half_up(F.max("leg"), 6).alias("max_leg_deg"),
         )
     )
 
@@ -533,7 +551,7 @@ VEHICLE_TRAVEL_STATS_ORACLE = f"""
     SELECT provider, vehicleId,
            count(*) AS n_legs,
            round(sum(CAST(round(leg * 1e6) AS BIGINT)) / 1e6, 6) AS total_disp_deg,
-           round(max(leg), 6) AS max_leg_deg
+           {round_half_up_sql('max(leg)', 6)} AS max_leg_deg
     FROM legs WHERE leg IS NOT NULL
     GROUP BY provider, vehicleId
 """
