@@ -28,6 +28,48 @@ def round_half_up_sql(expr: str, decimals: int) -> str:
     return f"(floor(({expr}) * {scale} + 5e-1) / {scale})"
 
 
+def avg_2dec_exact_sql(col: str, decimals: int = 6) -> str:
+    """Engine-exact mean of a DOUBLE column whose values carry a
+    2-decimal wire contract (speedKmh, lon/lat grid offsets, money
+    totals, event values): accumulate exact int64 CENTS (order-free,
+    associative — ``floor(x*100 + 0.5)`` recovers the true cents from
+    the nearest-double representation in both engines), divide the
+    identical exact values once, and round with the shared float-domain
+    half-up form. A plain ``round(avg(DOUBLE), d)`` instead sums
+    ulp-drifting doubles in engine/partition-specific order AND
+    natively rounds a boundary-capable rational — both halves of the
+    r11 perturbed-corpus divergence class. NULL semantics match
+    ``avg``: sum/count skip NULLs; an all-NULL group yields NULL.
+    Exact while |sum of cents| < 2^53 (~9e13-row groups at 3-digit
+    magnitudes — documented headroom at 100 TB). One fragment, valid in
+    both Spark SQL and DuckDB."""
+    return round_half_up_sql(
+        f"CAST(sum(CAST(floor({col} * 100 + 5e-1) AS BIGINT)) AS DOUBLE)"
+        f" / 100 / count({col})",
+        decimals,
+    )
+
+
+def avg_6dec_exact_sql(col: str, decimals: int = 6) -> str:
+    """``avg_2dec_exact_sql`` for a 6-decimal-contract DOUBLE column
+    (scores/ratios already rounded to 6dp upstream): exact int64 MICRO
+    units instead of cents."""
+    return round_half_up_sql(
+        f"CAST(sum(CAST(floor({col} * 1e6 + 5e-1) AS BIGINT)) AS DOUBLE)"
+        f" / 1e6 / count({col})",
+        decimals,
+    )
+
+
+def avg_exact_int_sql(col: str, decimals: int = 6) -> str:
+    """Engine-exact mean of an INTEGER column: the int64 sum is already
+    order-free, so only the native-round boundary remains — divide once
+    and round with the shared half-up form."""
+    return round_half_up_sql(
+        f"CAST(sum({col}) AS DOUBLE) / count({col})", decimals
+    )
+
+
 def round_half_up(col, decimals: int):
     """Column form of :func:`round_half_up_sql` — identical op sequence
     (multiply, add 0.5, floor, divide), so a Column-built aggregate and

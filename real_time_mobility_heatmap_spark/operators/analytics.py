@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.percentiles import percentile_disc_exact
+from ..functions.rounding import round_half_up, round_half_up_sql
 from ..sources.tables import load_table
 
 WEEK_S = 7 * 24 * 3600  # cohort bucket width, epoch seconds
@@ -149,20 +150,38 @@ def zscore_outliers(events: DataFrame) -> DataFrame:
     map-side. z is rounded to 6 dp BEFORE thresholding so the outlier
     flag is a deterministic function of the rounded score in both engines.
     """
+    # r12: value is 2-decimal by wire contract — moments accumulate
+    # exact int64 CENTS (s1) and CENTS^2 (s2; bounded ~1e13 per type,
+    # well under 2^63), so mean/std are identical doubles in both
+    # engines regardless of partition sum order, and z rounds via the
+    # shared half-up form (the double-sum moments were the stronger
+    # order-dependent class)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     stats = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("value").alias("_s1"),
-        F.sum(F.col("value") * F.col("value")).alias("_s2"),
+        F.sum(cents).alias("_s1c"),
+        F.sum(cents * cents).alias("_s2c"),
     )
     stats = stats.select(
         "event_type",
-        (F.col("_s1") / F.col("_n")).alias("_mean"),
-        F.sqrt((F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (F.col("_n") - 1)).alias("_std"),
+        (F.col("_s1c").cast("double") / 100 / F.col("_n")).alias("_mean"),
+        F.sqrt(
+            (
+                F.col("_s2c").cast("double") / 10000
+                - (F.col("_s1c").cast("double") / 100)
+                * (F.col("_s1c").cast("double") / 100)
+                / F.col("_n")
+            )
+            / (F.col("_n") - 1)
+        ).alias("_std"),
     )
     flagged = (
         events.select("event_id", "event_type", "value")
         .join(F.broadcast(stats), "event_type")
-        .withColumn("zscore", F.round((F.col("value") - F.col("_mean")) / F.col("_std"), 6))
+        .withColumn(
+            "zscore",
+            round_half_up((F.col("value") - F.col("_mean")) / F.col("_std"), 6),
+        )
     )
     return flagged.select(
         "event_id",
@@ -173,20 +192,25 @@ def zscore_outliers(events: DataFrame) -> DataFrame:
     )
 
 
-ZSCORE_OUTLIERS_ORACLE = """
+ZSCORE_OUTLIERS_ORACLE = f"""
     WITH s AS (
         SELECT event_type,
-               count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+               count(*) AS n,
+               sum(CAST(floor(value * 100 + 5e-1) AS BIGINT)) AS s1c,
+               sum(CAST(floor(value * 100 + 5e-1) AS BIGINT)
+                   * CAST(floor(value * 100 + 5e-1) AS BIGINT)) AS s2c
         FROM events GROUP BY 1
     ),
     m AS (
-        SELECT event_type, s1 / n AS mean_v,
-               sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v
+        SELECT event_type, CAST(s1c AS DOUBLE) / 100 / n AS mean_v,
+               sqrt((CAST(s2c AS DOUBLE) / 10000
+                     - (CAST(s1c AS DOUBLE) / 100)
+                       * (CAST(s1c AS DOUBLE) / 100) / n) / (n - 1)) AS std_v
         FROM s
     )
     SELECT e.event_id, e.event_type, e.value,
-           round((e.value - m.mean_v) / m.std_v, 6) AS zscore,
-           abs(round((e.value - m.mean_v) / m.std_v, 6)) > 2.0 AS is_outlier
+           {round_half_up_sql('(e.value - m.mean_v) / m.std_v', 6)} AS zscore,
+           abs({round_half_up_sql('(e.value - m.mean_v) / m.std_v', 6)}) > 2.0 AS is_outlier
     FROM events e JOIN m USING (event_type)
 """
 

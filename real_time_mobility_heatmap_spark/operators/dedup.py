@@ -48,6 +48,7 @@ from ..functions.textfns import (
     tokens,
 )
 from ..sources.tables import load_table, spread
+from ..functions.rounding import round_half_up, round_half_up_sql
 from ..lineage import cut_lineage
 from .textops import (
     QUALITY_SCORE_ORACLE,
@@ -365,7 +366,11 @@ def _exploded_hashed(docs: DataFrame) -> DataFrame:
 
 def _jaccard(inter: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_inter, n_a, n_b) -> thresholded rounded Jaccard."""
-    j = F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+    # exact-int ratio: shared half-up so an on-boundary rational cannot
+    # split the engines' native round (r12 conversion)
+    j = round_half_up(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
     return (
         inter.select("doc_a", "doc_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -528,11 +533,15 @@ _EX_DUCK = (
     f" unnest(list_transform(sh, x -> {hash60_duck_sql('x')})) AS s_h FROM shingled"
 )
 
+JACCARD_RATIO_DUCK = round_half_up_sql(
+    "n_inter / CAST(n_a + n_b - n_inter AS DOUBLE)", 6
+)
+
 _JACCARD_TAIL_DUCK = f"""
     SELECT doc_a, doc_b,
-           round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+           {JACCARD_RATIO_DUCK} AS jaccard
     FROM inter
-    WHERE round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+    WHERE {JACCARD_RATIO_DUCK} >= {JACCARD_THRESHOLD}
 """
 
 

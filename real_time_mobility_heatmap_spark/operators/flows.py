@@ -1065,7 +1065,15 @@ def mobility_pipeline_report(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> D
     Each registered stage reduces to a 1-row aggregate; the report is a
     chain of 1-row cross joins — nothing wider than one row moves after
     the stage aggregates, and every number is an exact integer count.
+
+    The decoded ping corpus is lineage-cut once at entry: all five
+    stages start from the same decode/normalize frontier, and without
+    the cut each branch re-plans the events scan + JSON decode (6 scans
+    of one file in the r11 audit; pinned in tests/test_plans.py). The
+    per-stage snap/window work above the cut still runs per branch —
+    that part is genuinely different per stage.
     """
+    pings = cut_lineage(pings, eager=False)
     snapped = snap_pings(pings, cfg)
     vol = snapped.agg(
         F.count(F.lit(1)).alias("n_valid_pings"),

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.money import money_sum, money_sum_sql
+from ..lineage import cut_lineage
 from ..functions.percentiles import percentile_disc_exact
-from ..functions.rounding import round_half_up, round_half_up_sql
+from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 
@@ -387,8 +388,10 @@ def above_avg_orders(orders: DataFrame) -> DataFrame:
     aggregate + equi-join) — exactly what Catalyst rewrites a correlated
     scalar subquery into; the oracle keeps the correlated formulation to
     prove the equivalence."""
+    # o_totalprice is 2-decimal money: cents-exact order-free mean +
+    # shared half-up rounding (r12 conversion of the exact-ratio class)
     cust_avg = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.round(F.avg("o_totalprice"), 6).alias("cust_avg")
+        F.expr(avg_2dec_exact_sql("o_totalprice", 6)).alias("cust_avg")
     )
     return (
         orders.join(cust_avg, orders.o_custkey == F.col("ck"))
@@ -397,12 +400,12 @@ def above_avg_orders(orders: DataFrame) -> DataFrame:
     )
 
 
-ABOVE_AVG_ORDERS_ORACLE = """
+ABOVE_AVG_ORDERS_ORACLE = f"""
     SELECT o_orderkey, o_custkey, o_totalprice,
-           (SELECT round(avg(o2.o_totalprice), 6) FROM orders o2
+           (SELECT {avg_2dec_exact_sql('o2.o_totalprice', 6)} FROM orders o2
             WHERE o2.o_custkey = o1.o_custkey) AS cust_avg
     FROM orders o1
-    WHERE o_totalprice > 1.5 * (SELECT round(avg(o2.o_totalprice), 6) FROM orders o2
+    WHERE o_totalprice > 1.5 * (SELECT {avg_2dec_exact_sql('o2.o_totalprice', 6)} FROM orders o2
                                 WHERE o2.o_custkey = o1.o_custkey)
 """
 
@@ -464,32 +467,54 @@ def moving_avg_speed(pings: DataFrame) -> DataFrame:
         "provider",
         "vehicleId",
         "event_id",
-        F.round(F.avg("speedKmh").over(w), 6).alias("speed_ma3"),
+        round_half_up(
+            F.sum(F.floor(F.col("speedKmh") * 100 + F.lit(0.5)).cast("long")).over(w)
+            .cast("double")
+            / 100
+            / F.count("speedKmh").over(w),
+            6,
+        ).alias("speed_ma3"),
     )
 
 
 MOVING_AVG_SPEED_ORACLE = f"""
     WITH pings AS ({PINGS_ORACLE_SQL})
     SELECT provider, vehicleId, event_id,
-           round(avg(speedKmh) OVER (
-               PARTITION BY provider, vehicleId
-               ORDER BY eventTs, event_id
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS speed_ma3
+           {round_half_up_sql(
+               "CAST(sum(CAST(floor(speedKmh * 100 + 5e-1) AS BIGINT)) OVER w AS DOUBLE)"
+               " / 100 / count(speedKmh) OVER w", 6)} AS speed_ma3
     FROM pings
+    WINDOW w AS (PARTITION BY provider, vehicleId
+                 ORDER BY eventTs, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
 def active_cells_setops(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """INTERSECT / EXCEPT over the active-cell sets of two halves of the
     month — the set operators the reference's surface lacks (§2.7), each
-    planned as a shuffle on the full row (here: one string column)."""
+    planned as a shuffle on the full row (here: one string column).
+
+    The two distinct cell sets are lineage-cut: each of the three set
+    operations reads both sides, and without the cuts every reader
+    re-plans the corpus scan + distinct shuffle (6 scans of one file in
+    the r11 audit; pinned in tests/test_plans.py). The cut relations
+    are cell-cardinality — materializing the SMALL sets, not the
+    corpus, is the right 100 TB shape (``active_cells_flags`` remains
+    the registered one-shuffle rewrite)."""
     snapped = snap_pings(pings, cfg)
-    first = snapped.filter(
-        F.col("eventTs") < F.lit(SPLIT_TS).cast("timestamp")
-    ).select("cell_id").distinct()
-    second = snapped.filter(
-        F.col("eventTs") >= F.lit(SPLIT_TS).cast("timestamp")
-    ).select("cell_id").distinct()
+    first = cut_lineage(
+        snapped.filter(
+            F.col("eventTs") < F.lit(SPLIT_TS).cast("timestamp")
+        ).select("cell_id").distinct(),
+        eager=False,
+    )
+    second = cut_lineage(
+        snapped.filter(
+            F.col("eventTs") >= F.lit(SPLIT_TS).cast("timestamp")
+        ).select("cell_id").distinct(),
+        eager=False,
+    )
     both = first.intersect(second).select("cell_id", F.lit("both").alias("activity"))
     only_first = first.subtract(second).select("cell_id", F.lit("only_first").alias("activity"))
     only_second = second.subtract(first).select("cell_id", F.lit("only_second").alias("activity"))
@@ -1646,14 +1671,25 @@ def range_frame_speed(events: DataFrame) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        F.round(F.avg("value").over(w), 6).alias("avg_value_10m"),
+        # value is 2-decimal by wire contract: in-window cents-exact
+        # mean + shared half-up (r12 exact-ratio conversion; engines'
+        # windowed double-sum algorithms differ in accumulation order)
+        round_half_up(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).over(w)
+            .cast("double")
+            / 100
+            / F.count("value").over(w),
+            6,
+        ).alias("avg_value_10m"),
         F.count(F.lit(1)).over(w).alias("n_events_10m"),
     )
 
 
 RANGE_FRAME_SPEED_ORACLE = f"""
     SELECT event_id, user_id, value,
-           round(avg(value) OVER w, 6) AS avg_value_10m,
+           {round_half_up_sql(
+               "CAST(sum(CAST(floor(value * 100 + 5e-1) AS BIGINT)) OVER w AS DOUBLE)"
+               " / 100 / count(value) OVER w", 6)} AS avg_value_10m,
            count(*) OVER w AS n_events_10m
     FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY es
@@ -1675,16 +1711,18 @@ def order_rank_report(orders: DataFrame) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        # exact-int ratios ((rank-1)/(n-1), peers/n): shared half-up so
+        # an on-boundary rational cannot split the engines' native round
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume_dist"),
         F.ntile(4).over(w).alias("quartile"),
     )
 
 
-ORDER_RANK_REPORT_ORACLE = """
+ORDER_RANK_REPORT_ORACLE = f"""
     SELECT o_orderkey, o_orderpriority, o_totalprice,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume_dist,
+           {round_half_up_sql('percent_rank() OVER w', 6)} AS pct_rank,
+           {round_half_up_sql('cume_dist() OVER w', 6)} AS cume_dist,
            CAST(ntile(4) OVER w AS INTEGER) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)

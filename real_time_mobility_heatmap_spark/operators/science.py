@@ -203,9 +203,12 @@ def location_entropy(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn(
             "u",
+            # half-up via floor(x + 0.5) — the shared engine-exact form
+            # (r12: native integer round() is repr-based in Spark vs
+            # float-domain in DuckDB; the term is non-negative)
             F.expr(
-                "CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))"
-                " * 1000000) AS BIGINT)"
+                "CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))"
+                " * 1000000 + 5e-1) AS BIGINT)"
             ),
         )
     )
@@ -213,7 +216,7 @@ def location_entropy(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
         F.sum("c").alias("n_pings"),
         F.count(F.lit(1)).alias("n_cells"),
         F.expr(
-            "CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)"
+            "CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000 + 5e-1) AS BIGINT)"
             " - (sum(u) div sum(c))"
         ).alias("entropy_unats"),
         F.expr("max(c) * 1000000 div sum(c)").alias("top_share_ppm"),
@@ -225,15 +228,15 @@ def location_entropy_oracle(cfg: EngineConfig = DEFAULT) -> str:
         {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)},
         cells AS (
             SELECT vehicleId, cell_id, count(*) AS c,
-                   CAST(round(count(*) * ln(CAST(count(*) AS DOUBLE))
-                        * 1000000) AS BIGINT) AS u
+                   CAST(floor(count(*) * ln(CAST(count(*) AS DOUBLE))
+                        * 1000000 + 5e-1) AS BIGINT) AS u
             FROM snapped
             GROUP BY vehicleId, cell_id
         )
         SELECT vehicleId,
                CAST(sum(c) AS BIGINT) AS n_pings,
                count(*) AS n_cells,
-               CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)
+               CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000 + 5e-1) AS BIGINT)
                    - (CAST(sum(u) AS BIGINT) // CAST(sum(c) AS BIGINT))
                    AS entropy_unats,
                (max(c) * 1000000) // CAST(sum(c) AS BIGINT) AS top_share_ppm

@@ -63,6 +63,47 @@ def _with_norm(df: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+def _norm_base(embeddings: DataFrame) -> DataFrame:
+    """Unprefixed normalized corpus frontier ``(vec_id, label, emb,
+    nrm)`` — the relation every cosine branch re-derives from the raw
+    table. Report/dial queries that fan several branches off one corpus
+    ``cut_lineage`` THIS relation once (lazily) and pass it down via the
+    operators' ``base=`` parameter, so Catalyst's per-branch re-plan
+    cannot recompute the scan + norm fold per branch (the r11
+    duplicate-corpus-scan audit's fix pattern, generalized from
+    ``topk_cosine_ivf``'s assign cut). Single-branch callers keep the
+    default ``base=None`` path — there, re-deriving from the columnar
+    scan IS the right call at scale."""
+    emb = _as_double("embedding")
+    return spread(embeddings).select(
+        "vec_id",
+        "label",
+        emb.alias("emb"),
+        F.sqrt(_dot(emb, emb)).alias("nrm"),
+    )
+
+
+def _prefixed(base: DataFrame, prefix: str) -> DataFrame:
+    """``_with_norm``-shaped view over a ``_norm_base`` relation."""
+    return base.select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        F.col("label").alias(f"{prefix}_label"),
+        F.col("emb").alias(f"{prefix}_emb"),
+        F.col("nrm").alias(f"{prefix}_norm"),
+    )
+
+
+def _prefixed_cell(with_cell: DataFrame, prefix: str) -> DataFrame:
+    """``_prefixed`` with the IVF cell as the label — the view the IVF
+    read path blocks on (``with_cell`` = ``_norm_base`` ⋈ assignment)."""
+    return with_cell.select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        F.col("centroid_id").alias(f"{prefix}_label"),
+        F.col("emb").alias(f"{prefix}_emb"),
+        F.col("nrm").alias(f"{prefix}_norm"),
+    )
+
+
 def _rank_topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -72,10 +113,16 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def topk_cosine(embeddings: DataFrame) -> DataFrame:
-    """Exact brute-force top-k cosine per query vector."""
-    q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
-    c = _with_norm(spread(embeddings), "cand")
+def topk_cosine(embeddings: DataFrame, base: DataFrame | None = None) -> DataFrame:
+    """Exact brute-force top-k cosine per query vector. ``base``: a
+    (usually lineage-cut) ``_norm_base`` relation to derive both sides
+    from instead of re-planning the scan per branch."""
+    if base is not None:
+        q = _prefixed(base.filter(F.col("vec_id") < N_QUERIES), "query")
+        c = _prefixed(base, "cand")
+    else:
+        q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
+        c = _with_norm(spread(embeddings), "cand")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -228,10 +275,13 @@ def _band_bits(
     return bval
 
 
-def _vband_buckets(embeddings: DataFrame, n_bands: int) -> DataFrame:
+def _vband_buckets(
+    embeddings: DataFrame, n_bands: int, base: DataFrame | None = None
+) -> DataFrame:
     """Capped sign-LSH bucket relation (band, bval, ds, cap) for the given
     band geometry — shared by ``embedding_neardup`` and the geometry
-    report."""
+    report. ``base``: a lineage-cut ``_norm_base`` relation to band from
+    instead of re-planning the corpus scan."""
     planes = _planes()
     bits = N_PLANES // n_bands
     bands = F.array(
@@ -240,13 +290,17 @@ def _vband_buckets(embeddings: DataFrame, n_bands: int) -> DataFrame:
             for b in range(n_bands)
         ]
     )
+    src = (
+        base.select("vec_id", F.col("emb").alias("e"))
+        if base is not None
+        else spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
+    )
     exploded = (
-        spread(embeddings)
-        .select("vec_id", _as_double("embedding").alias("e"))
+        src
         .select("vec_id", F.explode(bands).alias("bb"))
         .select("vec_id", "bb.band", "bb.bval")
     )
-    cap = embeddings.agg(
+    cap = (base if base is not None else embeddings).agg(
         F.greatest(
             F.least(
                 F.floor(F.count(F.lit(1)) * F.lit(BUCKET_CAP_FRAC)).cast("bigint"),
@@ -279,11 +333,17 @@ def embedding_neardup(embeddings: DataFrame, n_bands: int = N_VBANDS) -> DataFra
     return _verified_pairs(embeddings, _vband_buckets(embeddings, n_bands))
 
 
-def _verified_pairs(embeddings: DataFrame, buckets: DataFrame) -> DataFrame:
+def _verified_pairs(
+    embeddings: DataFrame, buckets: DataFrame, base: DataFrame | None = None
+) -> DataFrame:
     """Bucket relation -> exploded i<j candidates -> exact-cosine verify."""
     candidates = _explode_vpairs(buckets).distinct()
-    a = _with_norm(embeddings, "qa")
-    b = _with_norm(embeddings, "qb")
+    if base is not None:
+        a = _prefixed(base, "qa")
+        b = _prefixed(base, "qb")
+    else:
+        a = _with_norm(embeddings, "qa")
+        b = _with_norm(embeddings, "qb")
     # NO broadcast hint on the verify joins: neither side is reliably
     # small — `a`/`b` are the full embeddings relation (corpus-sized at
     # 100 TB; force-broadcasting it is a driver/executor OOM), and the
@@ -406,7 +466,11 @@ def _centroids(embeddings: DataFrame, nlist: int = N_CENTROIDS) -> DataFrame:
     )
 
 
-def ivf_assign(embeddings: DataFrame, nlist: int = N_CENTROIDS) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame,
+    nlist: int = N_CENTROIDS,
+    base: DataFrame | None = None,
+) -> DataFrame:
     """IVF coarse assignment: nearest centroid per vector by squared L2.
 
     Plan shape: broadcast the tiny centroid table against every vector,
@@ -415,8 +479,15 @@ def ivf_assign(embeddings: DataFrame, nlist: int = N_CENTROIDS) -> DataFrame:
     noise cannot flip an order; centroid id breaks ties). At 100 TB
     this is one scan + a broadcast join with nlist rows — the shape a
     real coarse quantizer runs in."""
-    e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
-    scored = e.crossJoin(F.broadcast(_centroids(embeddings, nlist))).select(
+    if base is not None:
+        e = base.select("vec_id", F.col("emb").alias("e"))
+        cents = base.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+        )
+    else:
+        e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
+        cents = _centroids(embeddings, nlist)
+    scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
         F.round(
@@ -459,7 +530,9 @@ _ASSIGN_DUCK = _assign_duck()
 IVF_ASSIGN_ORACLE = _ASSIGN_DUCK
 
 
-def topk_cosine_ivf(embeddings: DataFrame) -> DataFrame:
+def topk_cosine_ivf(
+    embeddings: DataFrame, base: DataFrame | None = None
+) -> DataFrame:
     """Blocked top-k over the COMPUTED coarse cells (nprobe=1): the real
     IVF read path — ``topk_cosine_blocked`` with the fixture label
     replaced by ``ivf_assign``'s nearest-centroid cell. Scores
@@ -473,22 +546,28 @@ def topk_cosine_ivf(embeddings: DataFrame) -> DataFrame:
     finding. One materialization of the narrow (vec_id, centroid_id)
     relation serves both readers."""
     assign = cut_lineage(
-        ivf_assign(embeddings).select("vec_id", "centroid_id"), eager=False
+        ivf_assign(embeddings, base=base).select("vec_id", "centroid_id"),
+        eager=False,
     )
-    with_cell = embeddings.join(assign, "vec_id")
-    # carry the computed cell through _with_norm's "{prefix}_label" column
-    q = _with_norm(
-        with_cell.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
-            "label", "orig_label"
-        ).withColumnRenamed("centroid_id", "label"),
-        "query",
-    )
-    c = _with_norm(
-        spread(with_cell).withColumnRenamed("label", "orig_label").withColumnRenamed(
-            "centroid_id", "label"
-        ),
-        "cand",
-    )
+    if base is not None:
+        with_cell = base.join(assign, "vec_id")
+        q = _prefixed_cell(with_cell.filter(F.col("vec_id") < N_QUERIES), "query")
+        c = _prefixed_cell(with_cell, "cand")
+    else:
+        with_cell = embeddings.join(assign, "vec_id")
+        # carry the computed cell through _with_norm's "{prefix}_label" column
+        q = _with_norm(
+            with_cell.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+                "label", "orig_label"
+            ).withColumnRenamed("centroid_id", "label"),
+            "query",
+        )
+        c = _with_norm(
+            spread(with_cell).withColumnRenamed("label", "orig_label").withColumnRenamed(
+                "centroid_id", "label"
+            ),
+            "cand",
+        )
     scored = (
         c.join(F.broadcast(q), F.col("cand_label") == F.col("query_label"))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -526,14 +605,27 @@ TOPK_COSINE_IVF_ORACLE = f"""
 N_PROBE = 2  # cells probed per query in the multi-probe variant
 
 
-def ivf_probe_cells(embeddings: DataFrame, nprobe: int = N_PROBE) -> DataFrame:
+def ivf_probe_cells(
+    embeddings: DataFrame,
+    nprobe: int = N_PROBE,
+    base: DataFrame | None = None,
+) -> DataFrame:
     """Per-QUERY probe list: the ``nprobe`` nearest centroids (recall
     knob of IVF — candidates stay in their single home cell; only the
     query fans out)."""
-    e = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
-        "vec_id", _as_double("embedding").alias("e")
-    )
-    scored = e.crossJoin(F.broadcast(_centroids(embeddings))).select(
+    if base is not None:
+        e = base.filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", F.col("emb").alias("e")
+        )
+        cents = base.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+        )
+    else:
+        e = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", _as_double("embedding").alias("e")
+        )
+        cents = _centroids(embeddings)
+    scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
         F.round(
@@ -555,18 +647,19 @@ def topk_cosine_ivf_probe2(embeddings: DataFrame) -> DataFrame:
     """IVF top-k with nprobe=2: each query scores candidates in its TWO
     nearest cells. Strictly higher recall than nprobe=1 at 2/nlist of
     the scan cost — the production recall/cost dial, expressed as one
-    extra broadcast-joined probe row per query."""
-    assign = ivf_assign(embeddings).select("vec_id", "centroid_id")
-    probes = ivf_probe_cells(embeddings)
-    c = _with_norm(
-        spread(embeddings.join(assign, "vec_id"))
-        .withColumnRenamed("label", "orig_label")
-        .withColumnRenamed("centroid_id", "label"),
-        "cand",
+    extra broadcast-joined probe row per query.
+
+    Like the nprobe=1 read path, the corpus frontier is shared: one
+    lineage-cut ``_norm_base`` relation feeds the assignment, the probe
+    list, and both scoring sides, so the plan scans the corpus once
+    (r12 frontier-cut pass; scan count pinned in tests/test_plans.py)."""
+    b = cut_lineage(_norm_base(embeddings), eager=False)
+    assign = ivf_assign(embeddings, base=b).select("vec_id", "centroid_id")
+    probes = ivf_probe_cells(embeddings, base=b)
+    c = _prefixed_cell(b.join(assign, "vec_id"), "cand")
+    q = _prefixed(b.filter(F.col("vec_id") < N_QUERIES), "query").join(
+        F.broadcast(probes), "query_id"
     )
-    q = _with_norm(
-        embeddings.filter(F.col("vec_id") < N_QUERIES), "query"
-    ).join(F.broadcast(probes), "query_id")
     scored = (
         c.join(F.broadcast(q), F.col("cand_label") == F.col("probe_cell"))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -670,14 +763,21 @@ def _trained_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign_trained(embeddings: DataFrame) -> DataFrame:
+def ivf_assign_trained(
+    embeddings: DataFrame, cents: DataFrame | None = None
+) -> DataFrame:
     """IVF assignment against the TRAINED (round-1 Lloyd) centroids —
     the read side of the training loop: same broadcast + dist2 + window
     shape as ``ivf_assign``, against k mean vectors instead of the k
     seeds. Rounded coords enter identically in both engines, and both
-    fold the dot products sequentially, so dist2 hashes match."""
+    fold the dot products sequentially, so dist2 hashes match.
+    ``cents``: a pre-built (usually lineage-cut) ``_trained_centroids``
+    relation, so a caller that ALSO reads the centroid table does not
+    re-plan the whole Lloyd-round frontier per branch."""
+    if cents is None:
+        cents = _trained_centroids(embeddings)
     e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
-    scored = e.crossJoin(F.broadcast(_trained_centroids(embeddings))).select(
+    scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
         F.round(
@@ -722,9 +822,16 @@ def ivf_recall_report(embeddings: DataFrame) -> DataFrame:
     production ANN deployment runs continuously to tune nlist/nprobe.
     Exact integer ppm (hits * 1e6 div k), so the report itself is
     hash-oracle-checked. Both inputs are the registered operators; the
-    join ships only (query_id, cand_id) pairs — k rows per query."""
-    brute = topk_cosine(embeddings).select("query_id", "cand_id")
-    approx = topk_cosine_ivf(embeddings).select(
+    join ships only (query_id, cand_id) pairs — k rows per query.
+
+    Both rankings derive from ONE lineage-cut ``_norm_base`` frontier:
+    without it, the brute and IVF branches each re-plan the corpus scan
+    + norm fold (4 scans of one file — the r11 duplicate-scan audit's
+    `weak` class); with it, one materialization serves all four
+    scoring sides (scan count pinned in tests/test_plans.py)."""
+    b = cut_lineage(_norm_base(embeddings), eager=False)
+    brute = topk_cosine(embeddings, base=b).select("query_id", "cand_id")
+    approx = topk_cosine_ivf(embeddings, base=b).select(
         "query_id", "cand_id", F.lit(1).alias("hit")
     )
     return (
@@ -935,13 +1042,22 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
     some lower-id cluster-mate sits above the cosine threshold (the
     deterministic stand-in for SemDeDup's keep-one-per-group); kept
     rows carry their max lower-mate cosine (-1 when the vector has no
-    lower cluster-mate) so the decision is auditable."""
-    assign = ivf_assign(embeddings, SEM_NLIST).select("vec_id", "centroid_id")
-    m = (
-        spread(embeddings)
-        .join(assign, "vec_id")
-        .select("vec_id", "centroid_id", _as_double("embedding").alias("e"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    lower cluster-mate) so the decision is auditable.
+
+    The member relation ``m`` feeds THREE readers (both pair sides and
+    the final keep projection), so it is lineage-cut — as is the
+    ``_norm_base`` frontier under it — turning the r11 audit's 9
+    corpus scans into one materialization (pinned in
+    tests/test_plans.py)."""
+    b = cut_lineage(_norm_base(embeddings), eager=False)
+    assign = ivf_assign(embeddings, SEM_NLIST, base=b).select(
+        "vec_id", "centroid_id"
+    )
+    m = cut_lineage(
+        b.join(assign, "vec_id").select(
+            "vec_id", "centroid_id", F.col("emb").alias("e"), "nrm"
+        ),
+        eager=False,
     )
     lo = m.select(
         F.col("centroid_id").alias("g"),
@@ -1037,13 +1153,19 @@ def cluster_quality_report(embeddings: DataFrame) -> DataFrame:
     drift — the hierarchical_rollups trick). The centroid-pair
     separation scan is k² rows with k = nlist (config-bounded), behind
     a broadcast nested-loop on a k-row side.
+
+    The trained-centroid table is read by BOTH the re-assignment and
+    the separation branch; lineage-cutting it materializes the whole
+    Lloyd-round frontier (assign → posexplode → mean → re-assemble)
+    once instead of planning it into each branch (r11 audit: 10 corpus
+    scans; pinned in tests/test_plans.py).
     """
-    assign = ivf_assign_trained(embeddings)
+    cents = cut_lineage(_trained_centroids(embeddings), eager=False)
+    assign = ivf_assign_trained(embeddings, cents=cents)
     per = assign.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.round(F.col("dist2") * 1000000).cast("long")).alias("inertia_micro"),
     )
-    cents = _trained_centroids(embeddings)
     other = cents.select(
         F.col("c_id").alias("o_id"), F.col("c_emb").alias("o_emb")
     )
@@ -1155,12 +1277,19 @@ def vband_geometry_report(embeddings: DataFrame) -> DataFrame:
     the way the IVF probe reports pin theirs — including the honest
     recall cost (the wide geometry finds fewer of the fixture's
     weak-cosine pairs)."""
+    b = cut_lineage(_norm_base(embeddings), eager=False)
     rows = []
     for g in (N_VBANDS, WIDE_VBANDS):
         # ONE bucket relation per geometry feeds both the stats aggregate
         # and the verified-pair count (building it twice doubles the
-        # banding dot-products — measured ~2s of the report's cost)
-        buckets = _vband_buckets(embeddings, g)
+        # banding dot-products — measured ~2s of the report's cost).
+        # The bucket relation is ALSO lineage-cut: without the cut its
+        # subtree (scan + banding fold + cap window) re-plans into each
+        # of its two readers, and the shared corpus frontier re-plans
+        # into every geometry branch — 16 scans of one file in the r11
+        # audit; post-cut the corpus materializes once (pinned in
+        # tests/test_plans.py).
+        buckets = cut_lineage(_vband_buckets(embeddings, g, base=b), eager=False)
         stats = buckets.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.coalesce(
@@ -1168,7 +1297,7 @@ def vband_geometry_report(embeddings: DataFrame) -> DataFrame:
             ).alias("n_candidates"),
             F.coalesce(F.max(F.size("ds")), F.lit(0)).alias("max_bucket"),
         )
-        pairs = _verified_pairs(embeddings, buckets).agg(
+        pairs = _verified_pairs(embeddings, buckets, base=b).agg(
             F.count(F.lit(1)).alias("n_pairs")
         )
         rows.append(
@@ -1521,7 +1650,12 @@ def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_LANG = "en"  # the metadata predicate for the filtered-search family
 
 
-def topk_cosine_filtered(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+def topk_cosine_filtered(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    base: DataFrame | None = None,
+    keep: DataFrame | None = None,
+) -> DataFrame:
     """Metadata-constrained exact top-k: each query's nearest neighbors
     among only the candidates whose document passes the filter
     (lang = FILTER_LANG) — PRE-filtering, the correct formulation of
@@ -1534,12 +1668,21 @@ def topk_cosine_filtered(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
     BEFORE scoring, so the cosine work is |queries| × |filtered|, never
     |queries| × corpus; queries themselves are not required to pass the
     filter. Same scoring/rank/tie-break as ``topk_cosine``.
+
+    ``base``/``keep``: pre-built (usually lineage-cut) ``_norm_base``
+    and filter-id relations, for callers that fan several rankings off
+    the same corpus (``filtered_topk_recall_report``).
     """
-    keep = docs.filter(F.col("lang") == FILTER_LANG).select(
-        F.col("doc_id").alias("vec_id")
-    )
-    q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
-    c = _with_norm(spread(embeddings).join(keep, "vec_id", "left_semi"), "cand")
+    if keep is None:
+        keep = docs.filter(F.col("lang") == FILTER_LANG).select(
+            F.col("doc_id").alias("vec_id")
+        )
+    if base is not None:
+        q = _prefixed(base.filter(F.col("vec_id") < N_QUERIES), "query")
+        c = _prefixed(base.join(keep, "vec_id", "left_semi"), "cand")
+    else:
+        q = _with_norm(embeddings.filter(F.col("vec_id") < N_QUERIES), "query")
+        c = _with_norm(spread(embeddings).join(keep, "vec_id", "left_semi"), "cand")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -1592,16 +1735,27 @@ def filtered_topk_recall_report(docs: DataFrame, embeddings: DataFrame) -> DataF
 
     Both rankings reuse the exact scorers above; the comparison is two
     bounded per-query sets joined on (query, cand), all-integer output.
+
+    One lineage-cut ``_norm_base`` frontier feeds both rankings and one
+    lineage-cut filter-id set feeds both the pre- and post-filter —
+    without the cuts each branch re-plans the corpus scan + norm fold
+    (8 embedding + 4 document scans in the r11 audit; pinned in
+    tests/test_plans.py).
     """
-    true_k = topk_cosine_filtered(docs, embeddings).select(
-        "query_id", "cand_id"
+    b = cut_lineage(_norm_base(embeddings), eager=False)
+    keep_ids = cut_lineage(
+        docs.filter(F.col("lang") == FILTER_LANG).select("doc_id"), eager=False
     )
-    keep = docs.filter(F.col("lang") == FILTER_LANG).select(
-        F.col("doc_id").alias("cand_id")
-    )
-    post_k = topk_cosine(embeddings).join(keep, "cand_id", "left_semi").select(
-        "query_id", "cand_id"
-    )
+    true_k = topk_cosine_filtered(
+        docs,
+        embeddings,
+        base=b,
+        keep=keep_ids.select(F.col("doc_id").alias("vec_id")),
+    ).select("query_id", "cand_id")
+    keep = keep_ids.select(F.col("doc_id").alias("cand_id"))
+    post_k = topk_cosine(embeddings, base=b).join(
+        keep, "cand_id", "left_semi"
+    ).select("query_id", "cand_id")
     hits = true_k.join(post_k, ["query_id", "cand_id"], "left_semi")
     per_q = (
         true_k.groupBy("query_id")

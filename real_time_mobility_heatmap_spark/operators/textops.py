@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_half_up_sql
+from ..functions.rounding import (
+    avg_6dec_exact_sql,
+    avg_exact_int_sql,
+    round_half_up,
+    round_half_up_sql,
+)
 from ..functions.textfns import (
     STOPWORDS,
     TOKENS_DUCK,
@@ -64,13 +69,15 @@ def quality_score(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_text_chars"),
         n_toks.alias("n_tokens"),
-        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
-        F.round(n_stop / n_toks, 6).alias("stopword_ratio"),
-        F.round((F.length("text") - n_toks + 1) / n_toks, 6).alias("mean_word_len"),
+        # exact-int ratios: shared half-up so an on-boundary rational
+        # cannot split the engines' native round (r12 conversion)
+        round_half_up(punct / F.length("text"), 6).alias("punct_ratio"),
+        round_half_up(n_stop / n_toks, 6).alias("stopword_ratio"),
+        round_half_up((F.length("text") - n_toks + 1) / n_toks, 6).alias("mean_word_len"),
     )
     return d.withColumn(
         "quality_score",
-        F.round(
+        round_half_up(
             F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
             + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.25
             + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.25,
@@ -79,20 +86,40 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+_PUNCT_RATIO_DUCK = round_half_up_sql(
+    "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    " / CAST(length(text) AS DOUBLE)",
+    6,
+)
+_STOPWORD_RATIO_DUCK = round_half_up_sql(
+    f"len(list_filter({TOKENS_DUCK}, t -> t IN ({_STOP_IN})))"
+    f" / CAST(len({TOKENS_DUCK}) AS DOUBLE)",
+    6,
+)
+_MEAN_WORD_LEN_DUCK = round_half_up_sql(
+    f"(CAST(length(text) AS DOUBLE) - len({TOKENS_DUCK}) + 1)"
+    f" / len({TOKENS_DUCK})",
+    6,
+)
+_QSCORE_DUCK = round_half_up_sql(
+    "least(n_tokens / CAST(50.0 AS DOUBLE), 1.0) * 0.5"
+    " + (1 - least(punct_ratio * 5, CAST(1.0 AS DOUBLE))) * 0.25"
+    " + least(stopword_ratio * 4, CAST(1.0 AS DOUBLE)) * 0.25",
+    6,
+)
+
 QUALITY_SCORE_ORACLE = f"""
     WITH feats AS (
         SELECT doc_id,
                CAST(length(text) AS INTEGER) AS n_text_chars,
                len({TOKENS_DUCK}) AS n_tokens,
-               round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-               round(len(list_filter({TOKENS_DUCK}, t -> t IN ({_STOP_IN}))) / CAST(len({TOKENS_DUCK}) AS DOUBLE), 6) AS stopword_ratio,
-               round((CAST(length(text) AS DOUBLE) - len({TOKENS_DUCK}) + 1) / len({TOKENS_DUCK}), 6) AS mean_word_len
+               {_PUNCT_RATIO_DUCK} AS punct_ratio,
+               {_STOPWORD_RATIO_DUCK} AS stopword_ratio,
+               {_MEAN_WORD_LEN_DUCK} AS mean_word_len
         FROM documents
     )
     SELECT *,
-           round(least(n_tokens / CAST(50.0 AS DOUBLE), 1.0) * 0.5
-                 + (1 - least(punct_ratio * 5, CAST(1.0 AS DOUBLE))) * 0.25
-                 + least(stopword_ratio * 4, CAST(1.0 AS DOUBLE)) * 0.25, 6) AS quality_score
+           {_QSCORE_DUCK} AS quality_score
     FROM feats
 """
 
@@ -105,12 +132,17 @@ def lang_id(docs: DataFrame) -> DataFrame:
     prediction against the fixture's ``lang`` column.
     """
     toks = tokens(F.col("text"))
-    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
+    # exact-int ratio, shared half-up (r12); the threshold compares the
+    # ROUNDED score in both engines so the decision is a deterministic
+    # function of the oracle-identical value
+    ratio = round_half_up(
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks), 6
+    )
     pred = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
     return docs.select(
         "doc_id",
         "lang",
-        F.round(ratio, 6).alias("en_stopword_ratio"),
+        ratio.alias("en_stopword_ratio"),
         pred.alias("pred_lang"),
         (pred == F.col("lang")).alias("pred_matches"),
     )
@@ -119,7 +151,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
 LANG_ID_ORACLE = f"""
     WITH s AS (
         SELECT doc_id, lang,
-               round(len(list_filter({TOKENS_DUCK}, t -> t IN ({_STOP_IN}))) / CAST(len({TOKENS_DUCK}) AS DOUBLE), 6) AS en_stopword_ratio
+               {_STOPWORD_RATIO_DUCK} AS en_stopword_ratio
         FROM documents
     )
     SELECT doc_id, lang, en_stopword_ratio,
@@ -197,14 +229,14 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     """Corpus composition: per (lang, source) doc counts and length stats."""
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.expr(avg_exact_int_sql("n_chars", 6)).alias("avg_chars"),
         F.max("n_chars").alias("max_chars"),
     )
 
 
-CORPUS_STATS_ORACLE = """
+CORPUS_STATS_ORACLE = f"""
     SELECT lang, source, count(*) AS n_docs,
-           round(avg(n_chars), 6) AS avg_chars, max(n_chars) AS max_chars
+           {avg_exact_int_sql('n_chars', 6)} AS avg_chars, max(n_chars) AS max_chars
     FROM documents GROUP BY lang, source
 """
 
@@ -1297,7 +1329,8 @@ def lm_score(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            F.round(
+            # exact int64-micro ratio: shared half-up (r12 conversion)
+            round_half_up(
                 (F.sum("micro_nats") / F.count(F.lit(1))) / F.lit(TRI_MICRO).cast("double"),
                 6,
             ).alias("avg_logp"),
@@ -1322,8 +1355,7 @@ LM_SCORE_ORACLE = f"""
     )
     SELECT doc_id,
            count(*) AS n_trigrams,
-           round((CAST(sum(micro_nats) AS DOUBLE) / count(*))
-                 / CAST({TRI_MICRO} AS DOUBLE), 6) AS avg_logp
+           {round_half_up_sql(f"(CAST(sum(micro_nats) AS DOUBLE) / count(*)) / CAST({TRI_MICRO} AS DOUBLE)", 6)} AS avg_logp
     FROM trows JOIN micro USING (tri)
     GROUP BY doc_id
 """
@@ -1640,8 +1672,10 @@ def quality_decile_report(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("qs"), 6).alias("min_score"),
         F.round(F.max("qs"), 6).alias("max_score"),
-        F.round(F.avg("qs"), 6).alias("avg_score"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        # qs is 6-decimal by construction: exact int64 micro sum; tokens
+        # are ints — both avgs engine-exact + shared half-up (r12)
+        F.expr(avg_6dec_exact_sql("qs", 6)).alias("avg_score"),
+        F.expr(avg_exact_int_sql("n_tokens", 6)).alias("avg_tokens"),
     )
 
 
@@ -1649,15 +1683,13 @@ QUALITY_DECILE_REPORT_ORACLE = f"""
     WITH feats AS (
         SELECT doc_id,
                len({TOKENS_DUCK}) AS n_tokens,
-               round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-               round(len(list_filter({TOKENS_DUCK}, t -> t IN ({_STOP_IN}))) / CAST(len({TOKENS_DUCK}) AS DOUBLE), 6) AS stopword_ratio
+               {_PUNCT_RATIO_DUCK} AS punct_ratio,
+               {_STOPWORD_RATIO_DUCK} AS stopword_ratio
         FROM documents
     ),
     s AS (
         SELECT doc_id, n_tokens,
-               round(least(n_tokens / CAST(50.0 AS DOUBLE), 1.0) * 0.5
-                     + (1 - least(punct_ratio * 5, CAST(1.0 AS DOUBLE))) * 0.25
-                     + least(stopword_ratio * 4, CAST(1.0 AS DOUBLE)) * 0.25, 6) AS qs
+               {_QSCORE_DUCK} AS qs
         FROM feats
     ),
     vc AS (SELECT qs, count(*) AS cnt FROM s GROUP BY qs),
@@ -1681,8 +1713,8 @@ QUALITY_DECILE_REPORT_ORACLE = f"""
            count(*) AS n_docs,
            round(min(qs), 6) AS min_score,
            round(max(qs), 6) AS max_score,
-           round(avg(qs), 6) AS avg_score,
-           round(avg(n_tokens), 6) AS avg_tokens
+           {avg_6dec_exact_sql('qs', 6)} AS avg_score,
+           {avg_exact_int_sql('n_tokens', 6)} AS avg_tokens
     FROM assigned
     GROUP BY 1
 """

@@ -27,9 +27,20 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, EngineConfig
 from ..functions.grid import cell_id, cell_id_sql
 from ..functions.keys import tile_id, tile_id_sql
+from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
 from .validate import VALID_SQL, validate_pings
 
 ROUND_AVG = 6  # decimal places for avg() aggregates in oracle-checked output
+
+# Engine-exact tile means (r12): speedKmh is 2-decimal by wire contract
+# and lat/lon are exact 2-decimal grid offsets by fixture construction,
+# so all three averages accumulate exact int64 cents (order-free) and
+# round via the shared float-domain half-up form — the same treatment
+# vehicle_sessions/sliding_cell_counts got in r11. One fragment each,
+# shared verbatim by the DataFrame build (F.expr) and the oracle SQL.
+AVG_SPEED_EXACT = avg_2dec_exact_sql("speedKmh", ROUND_AVG)
+AVG_LON_EXACT = avg_2dec_exact_sql("lon", ROUND_AVG)
+AVG_LAT_EXACT = avg_2dec_exact_sql("lat", ROUND_AVG)
 
 
 def snap_pings(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -48,9 +59,9 @@ def tile_aggregate(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
         F.window("eventTs", cfg.window_duration).alias("w"), F.col("cell_id")
     ).agg(
         F.count(F.lit(1)).alias("ping_count"),
-        F.round(F.avg("speedKmh"), ROUND_AVG).alias("avg_speed_kmh"),
-        F.round(F.avg("lon"), ROUND_AVG).alias("centroid_lon"),
-        F.round(F.avg("lat"), ROUND_AVG).alias("centroid_lat"),
+        F.expr(AVG_SPEED_EXACT).alias("avg_speed_kmh"),
+        F.expr(AVG_LON_EXACT).alias("centroid_lon"),
+        F.expr(AVG_LAT_EXACT).alias("centroid_lat"),
     )
     return agg.select(
         tile_id(cfg.city, cfg.grid_name, F.col("cell_id"), F.col("w.start")).alias("tile_id"),
@@ -95,9 +106,9 @@ def tiles_oracle_sql(pings_sql: str, cfg: EngineConfig = DEFAULT) -> str:
                 {w} + INTERVAL '{cfg.tile_minutes} minutes' AS window_end,
                 cell_id,
                 count(*) AS ping_count,
-                round(avg(speedKmh), {ROUND_AVG}) AS avg_speed_kmh,
-                round(avg(lon), {ROUND_AVG}) AS centroid_lon,
-                round(avg(lat), {ROUND_AVG}) AS centroid_lat
+                {AVG_SPEED_EXACT} AS avg_speed_kmh,
+                {AVG_LON_EXACT} AS centroid_lon,
+                {AVG_LAT_EXACT} AS centroid_lat
             FROM snapped
             GROUP BY 1, 2, 3
         )
@@ -178,9 +189,9 @@ def hierarchical_rollups(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataF
         "bucket_epoch",
         "n_pings",
         "sum_speed_micro",
-        F.round(F.col("sum_speed_micro") / 1e6 / F.col("n_pings"), ROUND_AVG).alias(
-            "avg_speed_kmh"
-        ),
+        round_half_up(
+            F.col("sum_speed_micro") / 1e6 / F.col("n_pings"), ROUND_AVG
+        ).alias("avg_speed_kmh"),
     )
 
 
@@ -222,7 +233,7 @@ def hierarchical_rollups_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> 
         {snapped_oracle_cte(pings_sql, cfg)},
         {", ".join(levels)}
         SELECT grain, cell_id, bucket_epoch, n_pings, sum_speed_micro,
-               round(sum_speed_micro / 1e6 / n_pings, {ROUND_AVG}) AS avg_speed_kmh
+               {round_half_up_sql('sum_speed_micro / 1e6 / n_pings', ROUND_AVG)} AS avg_speed_kmh
         FROM ({union})
     """
 
@@ -292,9 +303,9 @@ def rollup_delta_merge(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFra
         "n_pings",
         "n_delta_pings",
         "sum_speed_micro",
-        F.round(F.col("sum_speed_micro") / 1e6 / F.col("n_pings"), ROUND_AVG).alias(
-            "avg_speed_kmh"
-        ),
+        round_half_up(
+            F.col("sum_speed_micro") / 1e6 / F.col("n_pings"), ROUND_AVG
+        ).alias("avg_speed_kmh"),
     )
 
 
@@ -311,8 +322,7 @@ def rollup_delta_merge_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> st
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_pings,
                CAST(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
                    AS sum_speed_micro,
-               round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(*),
-                     {ROUND_AVG}) AS avg_speed_kmh
+               {round_half_up_sql('sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(*)', ROUND_AVG)} AS avg_speed_kmh
         FROM snapped
         GROUP BY 1, 2
     """

@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
+from ..lineage import cut_lineage
 from ..operators.validate import require_event_time
 from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events, spread
 
@@ -248,22 +250,32 @@ def similar_speed_profiles(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # `per` feeds three readers (span, users, the grid join) and `grid`
+    # two (probes, d2) — without lineage cuts each reader re-plans the
+    # events scan + bucket aggregate (6 scans of one file in the r11
+    # audit; pinned in tests/test_plans.py). Both relations are
+    # (user, bucket)-sized — calendar x users, far below the corpus —
+    # so one materialization each is the right 100 TB shape.
     b = F.expr(f"(unix_timestamp(ts) div {TS_BUCKET_S}) * {TS_BUCKET_S}")
-    per = events.select("user_id", b.alias("bucket"), "value").groupBy(
-        "user_id", "bucket"
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    per = cut_lineage(
+        events.select("user_id", b.alias("bucket"), "value").groupBy(
+            "user_id", "bucket"
+        ).agg(F.expr(avg_2dec_exact_sql("value", 6)).alias("v")),
+        eager=False,
+    )
     span = per.agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
     users = per.select("user_id").distinct()
-    grid = (
+    grid = cut_lineage(
         users.crossJoin(F.broadcast(span))
         .select(
             "user_id",
             F.explode(F.expr(f"sequence(lo, hi, {TS_BUCKET_S})")).alias("bucket"),
         )
         .join(per, ["user_id", "bucket"], "left")
-        .select("user_id", "bucket", F.coalesce("v", F.lit(0.0)).alias("v"))
+        .select("user_id", "bucket", F.coalesce("v", F.lit(0.0)).alias("v")),
+        eager=False,
     )
     probes = grid.filter(F.col("user_id") < TS_N_QUERIES).select(
         F.col("user_id").alias("query_user"),
@@ -275,8 +287,25 @@ def similar_speed_profiles(events: DataFrame) -> DataFrame:
         .filter(F.col("user_id") != F.col("query_user"))
         .groupBy("query_user", F.col("user_id").alias("cand_user"))
         .agg(
-            F.round(
-                F.sqrt(F.sum((F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v")))),
+            # v/qv are 6-decimal by construction: difference, square and
+            # sum in exact int64 MICROS (order-free; |sum| well under
+            # 2^63), sqrt/scale the identical exact value in both
+            # engines, then shared half-up (r12 conversion — the double
+            # sum here was order-dependent, the stronger r11 class)
+            round_half_up(
+                F.sqrt(
+                    F.sum(
+                        (
+                            F.floor(F.col("qv") * 1e6 + F.lit(0.5)).cast("long")
+                            - F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long")
+                        )
+                        * (
+                            F.floor(F.col("qv") * 1e6 + F.lit(0.5)).cast("long")
+                            - F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long")
+                        )
+                    ).cast("double")
+                )
+                / F.lit(1e6),
                 6,
             ).alias("dist")
         )
@@ -294,7 +323,7 @@ SIMILAR_SPEED_PROFILES_ORACLE = f"""
         SELECT user_id,
                (CAST(floor(epoch(ts)) AS BIGINT) // {TS_BUCKET_S}) * {TS_BUCKET_S}
                    AS bucket,
-               round(avg(value), 6) AS v
+               {avg_2dec_exact_sql('value', 6)} AS v
         FROM events GROUP BY 1, 2
     ),
     span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM per),
@@ -311,7 +340,13 @@ SIMILAR_SPEED_PROFILES_ORACLE = f"""
     ),
     d2 AS (
         SELECT p.query_user, g.user_id AS cand_user,
-               round(sqrt(sum((p.qv - g.v) * (p.qv - g.v))), 6) AS dist
+               {round_half_up_sql(
+                   "sqrt(CAST(sum("
+                   "(CAST(floor(p.qv * 1e6 + 5e-1) AS BIGINT)"
+                   " - CAST(floor(g.v * 1e6 + 5e-1) AS BIGINT))"
+                   " * (CAST(floor(p.qv * 1e6 + 5e-1) AS BIGINT)"
+                   " - CAST(floor(g.v * 1e6 + 5e-1) AS BIGINT))"
+                   ") AS DOUBLE)) / 1e6", 6)} AS dist
         FROM grid g JOIN probes p ON p.bucket = g.bucket
         WHERE g.user_id != p.query_user
         GROUP BY 1, 2

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..functions.rounding import round_half_up, round_half_up_sql
+from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..operators.validate import require_event_time
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
@@ -33,11 +33,7 @@ from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 # a plain round(avg(DOUBLE), 6) sums ulp-drifting doubles in
 # engine-specific order AND natively rounds a boundary-capable rational.
 # One fragment, valid in both Spark SQL and DuckDB.
-AVG_SPEED_EXACT = round_half_up_sql(
-    "CAST(sum(CAST(floor(speedKmh * 100 + 5e-1) AS BIGINT)) AS DOUBLE)"
-    " / 100 / count(speedKmh)",
-    6,
-)
+AVG_SPEED_EXACT = avg_2dec_exact_sql("speedKmh", 6)
 
 SLIDE_MIN = 5
 WIDTH_MIN = 10
@@ -375,7 +371,7 @@ def table_profile(events: DataFrame) -> DataFrame:
     cheap_aggs, exact_aggs = [], []
     for c in cols:
         cheap_aggs += [
-            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
+            round_half_up(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
@@ -405,7 +401,7 @@ def table_profile_approx(events: DataFrame) -> DataFrame:
     aggs = []
     for c in cols:
         aggs += [
-            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
+            round_half_up(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
             F.approx_count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
@@ -443,7 +439,7 @@ def table_profile_accuracy(events: DataFrame) -> DataFrame:
     cheap_aggs, exact_aggs = [], []
     for c in cols:
         cheap_aggs += [
-            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
+            round_half_up(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__null_rate"),
             F.approx_count_distinct(F.col(c)).alias(f"{c}__est"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
@@ -465,7 +461,7 @@ def table_profile_accuracy_oracle() -> str:
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     selects = [
         f"""SELECT '{c}' AS column_name,
-                   round(avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+                   {round_half_up_sql(f'avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END)', 6)} AS null_rate,
                    count(DISTINCT {c}) AS n_distinct,
                    CAST(min({c}) AS VARCHAR) AS min_str,
                    CAST(max({c}) AS VARCHAR) AS max_str,
@@ -488,7 +484,7 @@ def table_profile_oracle() -> str:
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     selects = [
         f"""SELECT '{c}' AS column_name,
-                   round(avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+                   {round_half_up_sql(f'avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END)', 6)} AS null_rate,
                    count(DISTINCT {c}) AS n_distinct,
                    CAST(min({c}) AS VARCHAR) AS min_str,
                    CAST(max({c}) AS VARCHAR) AS max_str

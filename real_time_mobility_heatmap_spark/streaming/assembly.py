@@ -25,8 +25,21 @@ from pyspark.sql.streaming import StreamingQuery
 from ..config import DEFAULT, EngineConfig
 from ..functions.grid import cell_id
 from ..functions.keys import position_id, tile_id
+from ..functions.rounding import round_half_up
 from ..operators.validate import validate_pings
 from .sinks import KeyedParquetStore
+
+# Cents-exact streaming means (r12, matching the batch twins): the
+# streaming state then accumulates ORDER-FREE int64 cents across
+# micro-batches instead of ulp-drifting doubles, so the snapshot value
+# is the identical exact rational the batch/oracle formulation
+# computes, regardless of batch arrival order.
+def _cents(col: str):
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def _cents_avg(sum_col: str, cnt_col: str):
+    return F.col(sum_col).cast("double") / 100 / F.col(cnt_col)
 
 
 def windowed_tiles_stream(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -45,9 +58,18 @@ def windowed_tiles_stream(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> Data
         F.window("eventTs", cfg.window_duration).alias("w"), F.col("cell_id")
     ).agg(
         F.count(F.lit(1)).alias("ping_count"),
-        F.avg("speedKmh").alias("avg_speed_kmh"),
-        F.avg("lon").alias("centroid_lon"),
-        F.avg("lat").alias("centroid_lat"),
+        F.sum(_cents("speedKmh")).alias("_sum_speed_cents"),
+        F.count("speedKmh").alias("_n_speed"),
+        F.sum(_cents("lon")).alias("_sum_lon_cents"),
+        F.count("lon").alias("_n_lon"),
+        F.sum(_cents("lat")).alias("_sum_lat_cents"),
+        F.count("lat").alias("_n_lat"),
+    ).withColumns(
+        {
+            "avg_speed_kmh": _cents_avg("_sum_speed_cents", "_n_speed"),
+            "centroid_lon": _cents_avg("_sum_lon_cents", "_n_lon"),
+            "centroid_lat": _cents_avg("_sum_lat_cents", "_n_lat"),
+        }
     )
     return agg.select(
         tile_id(cfg.city, cfg.grid_name, F.col("cell_id"), F.col("w.start")).alias("tile_id"),
@@ -133,9 +155,11 @@ def run_streaming_tiles(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> Data
         q = start_tiles_query(stream, store, f"{tmp}/ckpt", cfg)
         q.awaitTermination()
     snap = _snap_or_empty(spark, store, windowed_tiles_stream(stream, cfg).schema)
-    return snap.withColumn("avg_speed_kmh", F.round("avg_speed_kmh", 6)).withColumn(
-        "centroid_lon", F.round("centroid_lon", 6)
-    ).withColumn("centroid_lat", F.round("centroid_lat", 6))
+    return snap.withColumn(
+        "avg_speed_kmh", round_half_up(F.col("avg_speed_kmh"), 6)
+    ).withColumn(
+        "centroid_lon", round_half_up(F.col("centroid_lon"), 6)
+    ).withColumn("centroid_lat", round_half_up(F.col("centroid_lat"), 6))
 
 
 def run_streaming_positions(spark, sf_dir: str) -> DataFrame:
@@ -284,7 +308,7 @@ def run_streaming_sessions(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> D
             "vehicleId",
             "session_start",
             "n_pings",
-            F.round("avg_speed_kmh", 6).alias("avg_speed_kmh"),
+            round_half_up(F.col("avg_speed_kmh"), 6).alias("avg_speed_kmh"),
         )
     )
 
@@ -539,7 +563,8 @@ def windowed_sessions_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("n_pings"),
-            F.avg("speedKmh").alias("avg_speed_kmh"),
+            F.sum(_cents("speedKmh")).alias("_sum_speed_cents"),
+            F.count("speedKmh").alias("_n_speed"),
         )
         .select(
             "provider",
@@ -547,7 +572,7 @@ def windowed_sessions_stream(
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
             "n_pings",
-            "avg_speed_kmh",
+            _cents_avg("_sum_speed_cents", "_n_speed").alias("avg_speed_kmh"),
         )
     )
 

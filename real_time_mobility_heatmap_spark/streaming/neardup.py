@@ -47,8 +47,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_half_up
 from ..lineage import cut_lineage
 from ..operators.dedup import (
+    JACCARD_RATIO_DUCK,
     JACCARD_THRESHOLD,
     MERSENNE_P,
     N_BANDS,
@@ -102,7 +104,9 @@ def _verified_pairs(
     )
     sa = sizes_all.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes_all.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    j = F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+    j = round_half_up(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -261,9 +265,9 @@ def streaming_neardup_oracle() -> str:
         ),
         pairs AS (
             SELECT doc_a, doc_b,
-                   round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+                   {JACCARD_RATIO_DUCK} AS jaccard
             FROM inter
-            WHERE round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6)
+            WHERE {JACCARD_RATIO_DUCK}
                   >= {JACCARD_THRESHOLD}
         )
         SELECT doc_b AS new_doc_id,

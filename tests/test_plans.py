@@ -575,3 +575,41 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Frontier-cut pins (r12): the r11 duplicate-corpus-scan audit found a tail
+# of report/dial queries whose branches differ only by a constant (band
+# geometry, probe count, k), so Catalyst canonicalizes them UNEQUAL and
+# re-plans the shared corpus frontier into every branch.  Each is now
+# lineage-cut (one materialization, N cheap readers); these pins hold the
+# formatted-plan parquet-scan count at the adjudicated value so a refactor
+# that silently drops a cut fails here, not at 100 TB.  A count of 0 means
+# every corpus read goes through the materialized checkpoint (the one real
+# scan runs inside the checkpoint's own computation, exactly once).
+
+FRONTIER_CUT_SCAN_PINS = {
+    # r11 audit count -> post-cut pin
+    "vband_geometry_report": 0,       # was 16
+    "cluster_quality_report": 1,      # was 10 (the re-assignment's own scan)
+    "semantic_dedup": 0,              # was 9
+    "filtered_topk_recall_report": 0, # was 8 embeddings + 4 documents
+    "ivf_recall_report": 0,           # was 8 (4 after the r11 assign cut)
+    "topk_cosine_ivf_probe2": 0,      # was 6
+    "mobility_pipeline_report": 0,    # was 6
+    "similar_speed_profiles": 0,      # was 6
+    "active_cells_setops": 0,         # was 6
+    "topk_cosine_ivf": 2,             # r11 assign cut; q/c branch scans remain
+}
+
+
+@pytest.mark.parametrize("name", sorted(FRONTIER_CUT_SCAN_PINS))
+def test_frontier_cut_scan_counts_pinned(spark, name):
+    plan = _plan(spark, name)
+    # count detail-section node headers "(k) Scan parquet" - the tree
+    # section repeats each node name, which would double-count
+    n = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n <= FRONTIER_CUT_SCAN_PINS[name], (
+        f"{name}: {n} parquet scans (pin {FRONTIER_CUT_SCAN_PINS[name]}) - "
+        "a shared-frontier lineage cut was dropped"
+    )
