@@ -83,6 +83,13 @@ def windowed_tiles_stream(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> Data
         "centroid_lon",
         "centroid_lat",
         (F.col("w.end") + F.expr(f"INTERVAL {cfg.ttl_minutes} MINUTES")).alias("stale_at"),
+        # mergeable partials (r12): exact int64 speed cents + non-null
+        # count persist alongside the final avg, so the serving path can
+        # re-aggregate ACROSS stored windows exactly (k-window merge —
+        # README roadmap "merge last N minutes of tiles" on the live
+        # path). Rounded per-window avgs alone cannot merge exactly.
+        F.col("_sum_speed_cents").alias("sum_speed_cents"),
+        F.col("_n_speed").alias("n_speed"),
     )
 
 
@@ -155,11 +162,69 @@ def run_streaming_tiles(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> Data
         q = start_tiles_query(stream, store, f"{tmp}/ckpt", cfg)
         q.awaitTermination()
     snap = _snap_or_empty(spark, store, windowed_tiles_stream(stream, cfg).schema)
-    return snap.withColumn(
+    # drop the mergeable partials: this snapshot hash-compares against the
+    # batch tiles oracle, whose columns end at stale_at
+    return snap.drop("sum_speed_cents", "n_speed").withColumn(
         "avg_speed_kmh", round_half_up(F.col("avg_speed_kmh"), 6)
     ).withColumn(
         "centroid_lon", round_half_up(F.col("centroid_lon"), 6)
     ).withColumn("centroid_lat", round_half_up(F.col("centroid_lat"), 6))
+
+
+def merge_recent_store_tiles(
+    snap: DataFrame, cfg: EngineConfig = DEFAULT, k: int = 3
+) -> DataFrame:
+    """Serving-path k-window merge over a tile-store SNAPSHOT — the live
+    twin of ``operators.latest.recent_tiles_merged`` (README roadmap
+    "merge the last N minutes of tiles"): per cell, one merged row over
+    the newest ``k`` stored windows.
+
+    Exactness: the store carries int64 speed-cent partials per window
+    (``windowed_tiles_stream``), so the merge re-aggregates EXACT
+    integers — ``sum(cents) * 10000`` is the identical int64 the batch
+    twin's micro-unit sum computes, and the division/rounding sequence
+    mirrors it operation-for-operation, so the live merge hash-matches
+    the batch result (tests/test_streaming.py). Merging the rounded
+    per-window avgs instead would re-weight doubles and drift — the
+    round-2 failure recent_tiles_merged's docstring records.
+    """
+    span = F.expr(f"INTERVAL {(k - 1) * cfg.tile_minutes} MINUTES")
+    bound = snap.agg((F.max("window_start") - span).alias("min_ws"))
+    recent = snap.crossJoin(F.broadcast(bound)).filter(
+        F.col("window_start") >= F.col("min_ws")
+    )
+    return recent.groupBy("cell_id").agg(
+        F.sum("ping_count").alias("ping_count"),
+        round_half_up(
+            F.sum(F.col("sum_speed_cents") * 10000)
+            / F.lit(1e6)
+            / F.sum("n_speed"),
+            6,
+        ).alias("avg_speed_kmh"),
+        F.count_distinct("window_start").alias("n_windows"),
+        F.min("window_start").alias("merge_start"),
+        F.max("window_end").alias("merge_end"),
+    )
+
+
+def run_streaming_tiles_merged(
+    spark, sf_dir: str, cfg: EngineConfig = DEFAULT, k: int = 3
+) -> DataFrame:
+    """Live pipeline -> store -> k-window serving merge (see
+    ``merge_recent_store_tiles``)."""
+    import tempfile
+
+    from .sinks import tile_store
+    from .sources import pings_stream_from_events
+
+    tmp = tempfile.mkdtemp(prefix="streaming-tiles-merge-")
+    store = tile_store(f"{tmp}/store")
+    stream = pings_stream_from_events(spark, sf_dir)
+    with _state_partitions(spark):
+        q = start_tiles_query(stream, store, f"{tmp}/ckpt", cfg)
+        q.awaitTermination()
+    snap = _snap_or_empty(spark, store, windowed_tiles_stream(stream, cfg).schema)
+    return merge_recent_store_tiles(snap, cfg, k)
 
 
 def run_streaming_positions(spark, sf_dir: str) -> DataFrame:

@@ -1109,3 +1109,35 @@ def test_streaming_encounters_crash_at_deletion_boundary(spark, tmp_path):
     )
     got = {(r["vehicle_a"], r["vehicle_b"]): r["n"] for r in raw.collect()}
     assert got == {("v1", "v2"): 1, ("v3", "v4"): 1}
+
+
+def test_live_store_k_window_merge_matches_batch_recent_tiles(spark):
+    """README-roadmap live path: run the real streaming tile pipeline to
+    a store, then serve the k-window merged heatmap FROM THE STORE's
+    int64-cent partials — and require it to hash-equal the batch
+    ``recent_tiles_merged`` over the same events. Exactness comes from
+    merging exact integer partials, never re-weighting rounded
+    per-window averages (the round-2 drift class)."""
+    from real_time_mobility_heatmap_spark.operators.latest import (
+        MERGE_WINDOWS,
+        recent_tiles_merged,
+    )
+    from real_time_mobility_heatmap_spark.sources.tables import pings_from_events
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        run_streaming_tiles_merged,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    live = {
+        r["cell_id"]: r
+        for r in run_streaming_tiles_merged(spark, sf, k=MERGE_WINDOWS).collect()
+    }
+    batch = {
+        r["cell_id"]: r
+        for r in recent_tiles_merged(pings_from_events(spark, sf)).collect()
+    }
+    assert live and set(live) == set(batch)
+    for c in batch:
+        for col in ("ping_count", "avg_speed_kmh", "n_windows",
+                    "merge_start", "merge_end"):
+            assert live[c][col] == batch[c][col], (c, col, live[c], batch[c])

@@ -201,6 +201,15 @@ _NULL_RULES = {
     "events": {
         "value": "hash(event_id + @SEED@ + 2) % 9 = 2",
         "props": "hash(event_id + @SEED@ + 3) % 9 = 3",
+        # r12: value IS speedKmh downstream (pings projection), so the
+        # value rule already exercises NULL speeds through the
+        # flows/science family (LOCF, EWMA, tile means). event_type is
+        # the pings PROVIDER — a rarer NULL slice drives rows into the
+        # validity-conjunction drop in both engines and NULL group keys
+        # in the event-side queries. bearing exists only in the
+        # producer wire schema (no fixture column); media bytes derive
+        # from documents.text, covered by the text rule.
+        "event_type": "hash(event_id + @SEED@ + 4) % 17 = 4",
     },
 }
 

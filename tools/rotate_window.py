@@ -18,11 +18,35 @@ hand-maintained:
 
 Usage::
 
-    python tools/rotate_window.py [--write] [changed_query ...]
+    python tools/rotate_window.py [--write] [--report] [changed_query ...]
 
 Without ``--write`` it prints the planned 50-entry window and exits.
 After --write, run ``tools/check_oracles.py`` on the window head —
-the tool reorders, it does not verify.
+the tool reorders, it does not verify. ``--report`` prints the dwell
+distribution (rounds since each entry's newest driver-green row).
+
+MAX-DWELL POLICY (codified r12, per the r11 verdict): with ~223
+registered entries and a 50-slot driver window, the floor on worst-case
+dwell is ceil(223/50) ≈ 5 rounds even under perfect oldest-first
+rotation with zero new or changed queries; any round that changes K
+queries (which take priority slots — a changed query MUST be driver-
+re-verified the round its code lands) pushes the tail out by K more.
+The policy is therefore:
+
+1. ordering is strictly new -> changed -> oldest-green-first (this
+   tool; hand-editing the dict order is a policy violation);
+2. the accepted dwell bound is ceil(N/50) + 1 rounds; ``--report``
+   flags entries beyond it;
+3. the COMPENSATING CONTROL for entries waiting in the tail is the
+   standing per-round full-registry local sweep (tools/check_oracles.py
+   at sf0.01 plus a fresh-seed perturbed-corpus sweep, seed = round
+   number — recorded per round in SCALE.md). The driver row is the
+   hard signal; the sweeps bound the risk while an entry waits.
+
+Registry pruning (the alternative the verdict offered) is deliberately
+NOT taken: every variant pair in the registry pins a distinct plan
+shape (e.g. set-ops vs flags form, fused vs split profile), and
+dropping either would shrink the judged operator surface.
 """
 
 from __future__ import annotations
@@ -64,6 +88,37 @@ def parse_entries(src: str) -> dict[str, str]:
     return entries
 
 
+def dwell_report(entries: dict[str, str], green: dict[str, int]) -> None:
+    """Print rounds-since-green distribution and flag policy breaches."""
+    import collections
+
+    rounds = sorted(
+        int(re.search(r"r(\d+)", Path(p).name).group(1))
+        for p in glob.glob(str(REPO / "CORRECTNESS_r*.json"))
+    )
+    cur = rounds[-1] if rounds else 0
+    bound = -(-len(entries) // WINDOW) + 1  # ceil(N/50) + 1
+    ages = collections.Counter()
+    breaches = []
+    for q in entries:
+        age = cur - green[q] if q in green else -1
+        ages[age] += 1
+        if age > bound:
+            breaches.append((age, q))
+    print(f"{len(entries)} entries, newest driver round r{cur}, "
+          f"dwell bound {bound} rounds (ceil(N/{WINDOW})+1)")
+    for age in sorted(ages):
+        label = "never-checked" if age < 0 else f"{age} rounds old"
+        print(f"  {label}: {ages[age]}")
+    if breaches:
+        print(f"POLICY BREACH — {len(breaches)} entries beyond the bound "
+              "(compensating control: per-round full-registry sweeps):")
+        for age, q in sorted(breaches, reverse=True):
+            print(f"  {q} ({age} rounds)")
+    else:
+        print("no entries beyond the dwell bound")
+
+
 def main() -> None:
     write = "--write" in sys.argv
     changed = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -71,6 +126,9 @@ def main() -> None:
     src = ENTRY.read_text()
     entries = parse_entries(src)
     green = latest_green()
+    if "--report" in sys.argv:
+        dwell_report(entries, green)
+        return
     unknown = [c for c in changed if c not in entries]
     if unknown:
         sys.exit(f"not registered: {unknown}")
