@@ -136,67 +136,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
         # (1) CHANGED this round (re-verify the round code lands):
-        "location_entropy": science.q_location_entropy,
-        "cusum_anomaly_report": science.q_cusum_anomaly_report,
-        "vehicle_sessions": windows.q_vehicle_sessions,
-        "vehicle_trips": windows.q_vehicle_trips,
-        "vehicle_travel_stats": windows.q_vehicle_travel_stats,
+        "lm_score": textops.q_lm_score,
         "resample_trajectories": trajectory.q_resample_trajectories,
-        "cell_speed_trend": flows.q_cell_speed_trend,
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
-        "product_type_profit": tpch.q_product_type_profit,
-        "pricing_summary": relational.q_pricing_summary,
-        "sql_pricing_summary": wire.q_sql_pricing_summary,
-        "shipping_priority": relational.q_shipping_priority,
-        "local_supplier_volume": relational.q_local_supplier_volume,
-        "nation_trade_volume": tpch.q_nation_trade_volume,
-        "market_share": tpch.q_market_share,
-        "promo_revenue_share": tpch.q_promo_revenue_share,
-        "top_suppliers": tpch.q_top_suppliers,
-        "disjunctive_revenue": tpch.q_disjunctive_revenue,
-        "forecast_revenue_change": tpch.q_forecast_revenue_change,
-        "returned_item_reporting": tpch.q_returned_item_reporting,
-        "important_parts": tpch.q_important_parts,
-        "bucketed_join_stats": relational.bucketed_join_stats,
-        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
-        "token_commonness": textops.q_token_commonness,
-        "ping_gap_report": flows.q_ping_gap_report,
-        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,
-        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,
-        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,
-        "latest_maxby": latest.q_latest_maxby,
+        "source_roundtrip": source_roundtrip,
+        "streaming_sessions": run_streaming_sessions,
+        "scd2_user_segments": windows.q_scd2_user_segments,
+        "scd2_merge_apply": windows.q_scd2_merge_apply,
+        "vehicle_sessions": windows.q_vehicle_sessions,
+        "vband_geometry_report": similarity.q_vband_geometry_report,
+        "cluster_quality_report": similarity.q_cluster_quality_report,
+        "semantic_dedup": similarity.q_semantic_dedup,
+        "ivf_recall_report": similarity.q_ivf_recall_report,
+        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "mobility_pipeline_report": flows.q_mobility_pipeline_report,
+        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
+        "active_cells_setops": relational.q_active_cells_setops,
+        "mobility_tiles": _q_mobility_tiles,
+        "hierarchical_rollups": _q_hierarchical_rollups,
+        "rollup_delta_merge": _q_rollup_delta_merge,
+        "table_profile": windows.q_table_profile,
+        "table_profile_accuracy": windows.q_table_profile_accuracy,
+        "above_avg_orders": relational.q_above_avg_orders,
+        "moving_avg_speed": relational.q_moving_avg_speed,
+        "range_frame_speed": relational.q_range_frame_speed,
+        "order_rank_report": relational.q_order_rank_report,
+        "corpus_stats": textops.q_corpus_stats,
+        "quality_score": textops.q_quality_score,
+        "lang_id": textops.q_lang_id,
+        "quality_filter": textops.q_quality_filter,
+        "quality_decile_report": textops.q_quality_decile_report,
+        "zscore_outliers": analytics.q_zscore_outliers,
+        "location_entropy": science.q_location_entropy,
+        "streaming_tiles": run_streaming_tiles,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "streaming_neardup": run_streaming_neardup,
         # (2) oldest-green-first rotation:
-        "decontaminate": dedup.q_decontaminate,  # r6
-        "dedup_clusters": dedup.q_dedup_clusters,  # r6
-        "incremental_dedup": dedup.q_incremental_dedup,  # r6
-        "ivf_assign": similarity.q_ivf_assign,  # r6
-        "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r6
-        "kmeans_update": similarity.q_kmeans_update,  # r6
-        "lsh_buckets": similarity.q_lsh_buckets,  # r6
-        "media_features": multimodal.q_media_features,  # r6
-        "media_frame_sample": multimodal.q_media_frame_sample,  # r6
-        "media_metadata": multimodal.q_media_metadata,  # r6
-        "media_resize": multimodal.q_media_resize,  # r6
-        "mixture_sample": textops.q_mixture_sample,  # r6
-        "normalize": decode.q_normalize,  # r6
-        "quality_filter": textops.q_quality_filter,  # r6
-        "recent_tiles_merged": latest.q_recent_tiles_merged,  # r6
-        "redact_pii": textops.q_redact_pii,  # r6
-        "repetition_stats": textops.q_repetition_stats,  # r6
-        "salted_cell_counts": windows.q_salted_cell_counts,  # r6
-        "salted_join_stats": relational.q_salted_join_stats,  # r6
-        "scd2_user_segments": windows.q_scd2_user_segments,  # r6
-        "sliding_cell_counts": windows.q_sliding_cell_counts,  # r6
-        # ------------- end of driver window (50 entries) -------------
-        "source_roundtrip": source_roundtrip,  # r6
         "stratified_sample": textops.q_stratified_sample,  # r6
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r6
-        "streaming_tiles": run_streaming_tiles,  # r6
-        "table_profile": windows.q_table_profile,  # r6
         "tile_colors": wire.q_tile_colors,  # r6
         "topk_cosine": similarity.q_topk_cosine,  # r6
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r6
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,  # r6
         "value_histogram": windows.q_value_histogram,  # r6
         "value_percentiles": windows.q_value_percentiles,  # r6
         "winnow_fingerprints": dedup.q_winnow_fingerprints,  # r6
@@ -206,40 +187,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_report": relational.q_attribution_report,  # r7
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r7
         "chunk_documents": textops.q_chunk_documents,  # r7
+        # ------------- end of driver window (50 entries) -------------
         "cohort_retention": analytics.q_cohort_retention,  # r7
         "containment_pairs": dedup.q_containment_pairs,  # r7
         "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r7
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r7
         "dedup_keep_best": dedup.q_dedup_keep_best,  # r7
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r7
-        "hierarchical_rollups": _q_hierarchical_rollups,  # r7
         "idle_customer_balance": tpch.q_idle_customer_balance,  # r7
-        "ivf_recall_report": similarity.q_ivf_recall_report,  # r7
         "key_skew_report": relational.q_key_skew_report,  # r7
         "late_order_priority": tpch.q_late_order_priority,  # r7
-        "lm_score": textops.q_lm_score,  # r7
         "markov_transitions": analytics.q_markov_transitions,  # r7
         "media_phash_pairs": multimodal.q_media_phash_pairs,  # r7
         "minhash_error_report": dedup.q_minhash_error_report,  # r7
         "pagerank_pairs": dedup.q_pagerank_pairs,  # r7
         "partition_pruned_stats": relational.q_partition_pruned_stats,  # r7
-        "quality_decile_report": textops.q_quality_decile_report,  # r7
         "quantize_embeddings": similarity.q_quantize_embeddings,  # r7
         "quantized_recall_report": similarity.q_quantized_recall_report,  # r7
         "rp_recall_report": similarity.q_rp_recall_report,  # r7
-        "semantic_dedup": similarity.q_semantic_dedup,  # r7
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r7
         "source_mixture_report": textops.q_source_mixture_report,  # r7
         "streaming_conversions": run_streaming_conversions,  # r7
-        "streaming_neardup": run_streaming_neardup,  # r7
         "streaming_positions": run_streaming_positions,  # r7
-        "streaming_sessions": run_streaming_sessions,  # r7
         "zorder_layout_report": spatial.q_zorder_layout_report,  # r7
-        "zscore_outliers": analytics.q_zscore_outliers,  # r7
         "bm25_top_terms": textops.q_bm25_top_terms,  # r8
         "bpe_merge_round": textops.q_bpe_merge_round,  # r8
         "brand_volume": relational.q_brand_volume,  # r8
-        "cluster_quality_report": similarity.q_cluster_quality_report,  # r8
         "cms_token_counts": textops.q_cms_token_counts,  # r8
         "compaction_plan": spatial.q_compaction_plan,  # r8
         "customer_order_distribution": tpch.q_customer_order_distribution,  # r8
@@ -255,24 +228,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": multimodal.q_media_phash,  # r8
         "modality_agreement_report": similarity.q_modality_agreement_report,  # r8
         "ngram_novelty_report": textops.q_ngram_novelty_report,  # r8
-        "order_rank_report": relational.q_order_rank_report,  # r8
         "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r8
         "props_key_stats": decode.q_props_key_stats,  # r8
-        "range_frame_speed": relational.q_range_frame_speed,  # r8
         "repeated_span_report": dedup.q_repeated_span_report,  # r8
-        "rollup_delta_merge": _q_rollup_delta_merge,  # r8
         "rp_project": similarity.q_rp_project,  # r8
-        "similar_speed_profiles": trajectory.q_similar_speed_profiles,  # r8
         "snapshot_diff_report": relational.q_snapshot_diff_report,  # r8
         "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r8
         "streaming_enriched": run_streaming_enriched,  # r8
-        "table_profile_accuracy": windows.q_table_profile_accuracy,  # r8
         "triangle_count": dedup.q_triangle_count,  # r8
         "unpivot_tile_metrics": _q_unpivot_tile_metrics,  # r8
         "vocab_coverage_report": textops.q_vocab_coverage_report,  # r8
         "weighted_sample": textops.q_weighted_sample,  # r8
         "winnow_match_spans": dedup.q_winnow_match_spans,  # r8
-        "above_avg_orders": relational.q_above_avg_orders,  # r9
         "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,  # r9
         "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,  # r9
         "conversion_window_counts": relational.q_conversion_window_counts,  # r9
@@ -286,7 +253,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textops.q_fingerprint,  # r9
         "fresh_tiles": geojson.q_fresh_tiles,  # r9
         "json_decode": decode.q_json_decode,  # r9
-        "lang_id": textops.q_lang_id,  # r9
         "large_volume_customers": tpch.q_large_volume_customers,  # r9
         "latest_join": latest.q_latest_join,  # r9
         "latest_positions": latest.q_latest_positions,  # r9
@@ -294,16 +260,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_window_snapshot": latest.q_latest_window_snapshot,  # r9
         "mad_outliers": analytics.q_mad_outliers,  # r9
         "min_cost_supplier": tpch.q_min_cost_supplier,  # r9
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # r9
         "minhash_signatures": dedup.q_minhash_signatures,  # r9
-        "mobility_tiles": _q_mobility_tiles,  # r9
         "multiplex_summary": multiplex.q_multiplex_summary,  # r9
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,  # r9
         "orders_with_big_items": relational.q_orders_with_big_items,  # r9
         "pack_sequences": textops.q_pack_sequences,  # r9
         "part_supplier_counts": tpch.q_part_supplier_counts,  # r9
         "position_features": geojson.q_position_features,  # r9
-        "quality_score": textops.q_quality_score,  # r9
         "range_partition_plan": relational.q_range_partition_plan,  # r9
         "rolling_fingerprint": textops.q_rolling_fingerprint,  # r9
         "sales_rollup": relational.q_sales_rollup,  # r9
@@ -317,20 +279,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_latedrop": latest.q_watermark_latedrop,  # r9
         "wire_roundtrip": decode.q_wire_roundtrip,  # r9
         "active_cells_flags": relational.q_active_cells_flags,  # r10
-        "active_cells_setops": relational.q_active_cells_setops,  # r10
         "autocorrelation_report": analytics.q_autocorrelation_report,  # r10
         "cell_reachability": flows.q_cell_reachability,  # r10
         "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10
         "co_dwell_pairs": flows.q_co_dwell_pairs,  # r10
         "convoy_clusters": flows.q_convoy_clusters,  # r10
         "copurchase_affinity": analytics.q_copurchase_affinity,  # r10
-        "corpus_stats": textops.q_corpus_stats,  # r10
         "dataset_split": textops.q_dataset_split,  # r10
         "embedding_drift_report": similarity.q_embedding_drift_report,  # r10
         "encounter_pairs": flows.q_encounter_pairs,  # r10
         "event_type_pivot": relational.q_event_type_pivot,  # r10
         "feature_hashing": mlprep.q_feature_hashing,  # r10
-        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,  # r10
         "funnel_conversions": relational.q_funnel_conversions,  # r10
         "gps_jump_report": flows.q_gps_jump_report,  # r10
         "home_work_locations": flows.q_home_work_locations,  # r10
@@ -338,15 +297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kring_smooth": flows.q_kring_smooth,  # r10
         "l_diversity_report": relational.q_l_diversity_report,  # r10
         "lsh_candidate_stats": dedup.q_lsh_candidate_stats,  # r10
-        "mobility_pipeline_report": flows.q_mobility_pipeline_report,  # r10
-        "moving_avg_speed": relational.q_moving_avg_speed,  # r10
         "od_matrix": flows.q_od_matrix,  # r10
         "padding_waste_report": curation.q_padding_waste_report,  # r10
         "per_source_cap": curation.q_per_source_cap,  # r10
         "radius_of_gyration": science.q_radius_of_gyration,  # r10
         "rfm_segments": analytics.q_rfm_segments,  # r10
         "route_trigrams": flows.q_route_trigrams,  # r10
-        "scd2_merge_apply": windows.q_scd2_merge_apply,  # r10
         "semantic_decontaminate": curation.q_semantic_decontaminate,  # r10
         "stay_points": flows.q_stay_points,  # r10
         "streaming_encounters": run_streaming_encounters,  # r10
@@ -360,7 +316,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_filtered": similarity.q_topk_cosine_filtered,  # r10
         "training_order": curation.q_training_order,  # r10
         "trip_distance_report": flows.q_trip_distance_report,  # r10
-        "vband_geometry_report": similarity.q_vband_geometry_report,  # r10
+        "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
+        "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,  # r11
+        "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r11
+        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,  # r11
+        "bucketed_join_stats": relational.bucketed_join_stats,  # r11
+        "cell_speed_trend": flows.q_cell_speed_trend,  # r11
+        "cusum_anomaly_report": science.q_cusum_anomaly_report,  # r11
+        "decontaminate": dedup.q_decontaminate,  # r11
+        "dedup_clusters": dedup.q_dedup_clusters,  # r11
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,  # r11
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,  # r11
+        "important_parts": tpch.q_important_parts,  # r11
+        "incremental_dedup": dedup.q_incremental_dedup,  # r11
+        "ivf_assign": similarity.q_ivf_assign,  # r11
+        "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r11
+        "kmeans_update": similarity.q_kmeans_update,  # r11
+        "latest_maxby": latest.q_latest_maxby,  # r11
+        "local_supplier_volume": relational.q_local_supplier_volume,  # r11
+        "lsh_buckets": similarity.q_lsh_buckets,  # r11
+        "market_share": tpch.q_market_share,  # r11
+        "media_features": multimodal.q_media_features,  # r11
+        "media_frame_sample": multimodal.q_media_frame_sample,  # r11
+        "media_metadata": multimodal.q_media_metadata,  # r11
+        "media_resize": multimodal.q_media_resize,  # r11
+        "mixture_sample": textops.q_mixture_sample,  # r11
+        "nation_trade_volume": tpch.q_nation_trade_volume,  # r11
+        "normalize": decode.q_normalize,  # r11
+        "ping_gap_report": flows.q_ping_gap_report,  # r11
+        "pricing_summary": relational.q_pricing_summary,  # r11
+        "product_type_profit": tpch.q_product_type_profit,  # r11
+        "promo_revenue_share": tpch.q_promo_revenue_share,  # r11
+        "recent_tiles_merged": latest.q_recent_tiles_merged,  # r11
+        "redact_pii": textops.q_redact_pii,  # r11
+        "repetition_stats": textops.q_repetition_stats,  # r11
+        "returned_item_reporting": tpch.q_returned_item_reporting,  # r11
+        "salted_cell_counts": windows.q_salted_cell_counts,  # r11
+        "salted_join_stats": relational.q_salted_join_stats,  # r11
+        "shipping_priority": relational.q_shipping_priority,  # r11
+        "sliding_cell_counts": windows.q_sliding_cell_counts,  # r11
+        "sql_pricing_summary": wire.q_sql_pricing_summary,  # r11
+        "token_commonness": textops.q_token_commonness,  # r11
+        "top_suppliers": tpch.q_top_suppliers,  # r11
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,  # r11
+        "vehicle_travel_stats": windows.q_vehicle_travel_stats,  # r11
+        "vehicle_trips": windows.q_vehicle_trips,  # r11
     }
 
 

@@ -108,7 +108,16 @@ def _resample_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def _ping_projection(pings: DataFrame) -> DataFrame:
-    return spread(require_event_time(pings)).select(
+    # NULL grouping keys are dropped EXPLICITLY on both sides (r12): the
+    # pandas group walk would treat NULL-provider rows as groups (SQL
+    # GROUP BY semantics) while the oracle's equi/asof joins on the key
+    # silently drop them — the validity conjunction makes NULL keys
+    # invalid upstream anyway, so the trajectory contract enforces it.
+    return spread(
+        require_event_time(pings).filter(
+            F.col("provider").isNotNull() & F.col("vehicleId").isNotNull()
+        )
+    ).select(
         "provider",
         "vehicleId",
         "event_id",
@@ -179,6 +188,7 @@ def resample_trajectories_oracle() -> str:
                     PARTITION BY provider, vehicleId, eventTs ORDER BY event_id
                 ) AS rn
                 FROM pings
+                WHERE provider IS NOT NULL AND vehicleId IS NOT NULL
             ) WHERE rn = 1
         ),
         bounds AS (

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, EngineConfig
 from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
-from ..operators.validate import require_event_time
+from ..operators.validate import VALID_SQL, require_event_time, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 
 # engine-exact per-group mean speed (r11): speeds are 2-decimal by wire
@@ -90,8 +90,14 @@ def vehicle_sessions(pings: DataFrame) -> DataFrame:
     >30-minute silence. Streaming twin: ``F.session_window`` (same gap
     semantics; Spark merges windows in state)."""
     s = F.session_window("eventTs", f"{SESSION_GAP_MIN} minutes")
+    # sessions run on VALIDATED pings (r12): the streaming twin always
+    # validated at ingestion, so a NULL-provider row reached its state
+    # store never but the batch aggregate always — the r12 NULL-provider
+    # perturbed sweep caught the 62-session split. Batch, stream, and
+    # oracle now share the validity conjunction.
     return (
-        require_event_time(pings).groupBy("provider", "vehicleId", s.alias("s"))
+        validate_pings(require_event_time(pings))
+        .groupBy("provider", "vehicleId", s.alias("s"))
         .agg(
             F.count(F.lit(1)).alias("n_pings"),
             F.expr(AVG_SPEED_EXACT).alias("avg_speed_kmh"),
@@ -115,6 +121,7 @@ def vehicle_sessions_oracle() -> str:
                              OR lag(eventTs) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM pings
+            WHERE {VALID_SQL}
             WINDOW w AS (PARTITION BY provider, vehicleId ORDER BY eventTs)
         ),
         numbered AS (
@@ -592,15 +599,24 @@ def scd2_user_segments(events: DataFrame) -> DataFrame:
     shape a point-in-time lookup (asof join, already registered) probes.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # change detection is NULL-DISTINCT (r12): "first row for the user"
+    # is detected via lag(event_id) (a non-null key), and segment change
+    # via null-safe inequality. A plain prev != seg is NULL for NULL
+    # segments, which both missed NULL-segment transitions AND broke the
+    # merge path's compression idempotence (a kept row whose lag
+    # happened to be a NULL segment re-compressed away) — the r12
+    # NULL-provider perturbed sweep caught the incremental/full split.
     changes = (
         events.select(
             "user_id", F.col("event_type").alias("segment"), "ts", "event_id"
         )
         .withColumn("prev_segment", F.lag("segment").over(w))
+        .withColumn("prev_event", F.lag("event_id").over(w))
         .filter(
-            F.col("prev_segment").isNull()
-            | (F.col("prev_segment") != F.col("segment"))
+            F.col("prev_event").isNull()
+            | ~F.col("prev_segment").eqNullSafe(F.col("segment"))
         )
+        .drop("prev_event")
     )
     return (
         changes.withColumn("version", F.row_number().over(w))
@@ -621,9 +637,11 @@ SCD2_USER_SEGMENTS_ORACLE = """
         SELECT user_id, segment, ts, event_id FROM (
             SELECT user_id, event_type AS segment, ts, event_id,
                    lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_segment
+                                         ORDER BY ts, event_id) AS prev_segment,
+                   lag(event_id) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_event
             FROM events
-        ) WHERE prev_segment IS NULL OR prev_segment != segment
+        ) WHERE prev_event IS NULL OR prev_segment IS DISTINCT FROM segment
     )
     SELECT user_id, segment, ts AS effective_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -650,11 +668,15 @@ def _scd2_changes(rows: DataFrame) -> DataFrame:
     new raw rows — compression is idempotent, so re-detection over a
     merged stream reproduces exactly the full-history change set."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL-DISTINCT change detection (see scd2_user_segments): only this
+    # form is idempotent over an already-compressed set with NULL
+    # segments, which the merge path's exactness proof relies on
     return (
         rows.withColumn("prev_segment", F.lag("segment").over(w))
+        .withColumn("prev_event", F.lag("event_id").over(w))
         .filter(
-            F.col("prev_segment").isNull()
-            | (F.col("prev_segment") != F.col("segment"))
+            F.col("prev_event").isNull()
+            | ~F.col("prev_segment").eqNullSafe(F.col("segment"))
         )
         .select("user_id", "segment", "ts", "event_id")
     )

@@ -116,10 +116,19 @@ ROUNDTRIP_FORMATS = ("csv", "json", "orc")
 _RT_HASH_MOD = 1_000_000_000
 
 
+# event_type enters the checksum through an explicit NULL sentinel:
+# Spark's concat() is NULL-poisoning (any NULL argument -> NULL row
+# hash, silently dropped from the sum) while DuckDB's concat() skips
+# NULLs — the r12 NULL-provider perturbed sweep caught the two engines
+# summing different row sets. coalesce to a sentinel no real enum value
+# contains keeps every row in the checksum in both engines.
+_ET = "coalesce(event_type, '<null>')"
+
+
 def _row_checksum_spark() -> str:
     return (
         "CAST(conv(substr(md5(concat(event_id, '|', unix_micros(ts), '|',"
-        " user_id, '|', event_type)), 1, 15), 16, 10) AS BIGINT)"
+        f" user_id, '|', {_ET})), 1, 15), 16, 10) AS BIGINT)"
         f" % {_RT_HASH_MOD}"
     )
 
@@ -127,7 +136,7 @@ def _row_checksum_spark() -> str:
 def _row_checksum_duck() -> str:
     return (
         "CAST('0x' || substr(md5(concat(event_id, '|', epoch_us(ts), '|',"
-        " user_id, '|', event_type)), 1, 15) AS BIGINT)"
+        f" user_id, '|', {_ET})), 1, 15) AS BIGINT)"
         f" % {_RT_HASH_MOD}"
     )
 

@@ -367,7 +367,10 @@ def run_streaming_sessions(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> D
         q.awaitTermination()
     return (
         spark.table(name)
-        .filter(F.col("provider") != FLUSH_PROVIDER)
+        # null-safe sentinel drop: a plain != is NULL for NULL providers
+        # and silently discarded their sessions, where the batch oracle
+        # keeps NULL-provider groups (r12 NULL-provider perturbed sweep)
+        .filter(~F.col("provider").eqNullSafe(FLUSH_PROVIDER))
         .select(
             "provider",
             "vehicleId",
@@ -452,7 +455,8 @@ def run_streaming_trips_tws(spark, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("provider", "vehicleId").orderBy("trip_start")
     return (
         spark.table(name)
-        .filter(F.col("provider") != FLUSH_PROVIDER)
+        # null-safe sentinel drop (see run_streaming_sessions)
+        .filter(~F.col("provider").eqNullSafe(FLUSH_PROVIDER))
         .withColumn("trip_no", F.row_number().over(w).cast("long"))
         .select("provider", "vehicleId", "trip_no", "trip_start", "trip_end", "n_pings")
     )
