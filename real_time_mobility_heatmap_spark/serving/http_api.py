@@ -13,6 +13,11 @@ in-memory snapshot — the same two endpoints as the reference:
                                 app.py:45-69)
   GET /api/positions/latest  -> FeatureCollection of vehicle Points
                                 (app.py:71-88)
+  GET /api/tiles/range       -> FeatureCollection of the last-k-windows
+                                MERGED heatmap (reference roadmap
+                                README.md:228, ?minutes honored at
+                                refresh time; exact int64-partial merge
+                                via recent_tiles_merged)
 
 Plus the reference's single-file Leaflet UI (app.py:92-189):
 
@@ -41,7 +46,8 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from .geojson import tile_feature_collection
-from ..operators.latest import latest_positions
+from ..functions.grid import cell_ring
+from ..operators.latest import MERGE_WINDOWS, latest_positions, recent_tiles_merged
 from ..operators.wire import COLOR_RAMP
 from ..functions.keys import iso_ts
 
@@ -174,6 +180,34 @@ def latest_window_features(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> Dat
     ).drop("ws")
 
 
+def merged_range_features(
+    pings: DataFrame, cfg: EngineConfig = DEFAULT, k: int = MERGE_WINDOWS
+) -> DataFrame:
+    """Nested GeoJSON features of the last-``k``-windows MERGED heatmap
+    (reference roadmap README.md:228 — ``/api/tiles/range?minutes=15``):
+    one Polygon per cell whose properties carry the exactly-merged
+    counts/means from ``recent_tiles_merged`` (int64-partial merge, not
+    re-weighted rounded averages). ``k`` = minutes / cfg.tile_minutes."""
+    m = recent_tiles_merged(pings, cfg, k)
+    ring = cell_ring(F.col("cell_id"), cfg.grid_scale)
+    return m.select(
+        F.lit("Feature").alias("type"),
+        F.col("cell_id").alias("id"),
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.array(ring).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(
+            F.col("cell_id"),
+            F.col("ping_count"),
+            F.col("avg_speed_kmh"),
+            F.col("n_windows"),
+            iso_ts(F.col("merge_start")).alias("mergeStart"),
+            iso_ts(F.col("merge_end")).alias("mergeEnd"),
+        ).alias("properties"),
+    )
+
+
 def position_point_features(pings: DataFrame) -> DataFrame:
     """Vehicle Point features (app.py:71-88) as nested structs."""
     p = latest_positions(pings)
@@ -237,13 +271,18 @@ class TileApiServer:
         self._payloads = {
             "/": (map_page(refresh_ms), "text/html; charset=utf-8"),
             "/api/tiles/latest": (empty, "application/geo+json"),
+            "/api/tiles/range": (empty, "application/geo+json"),
             "/api/positions/latest": (empty, "application/geo+json"),
         }
         payloads = self._payloads
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (stdlib API name)
-                entry = payloads.get(self.path)
+                # query strings (e.g. /api/tiles/range?minutes=15) select
+                # the precomputed snapshot; the minutes knob is honored at
+                # refresh time (requests never touch Spark — the shim's
+                # core contract)
+                entry = payloads.get(self.path.split("?", 1)[0])
                 if entry is None:
                     self.send_error(404)
                     return
@@ -272,11 +311,16 @@ class TileApiServer:
         tiles by ping density (the heatmap's salience), positions by
         recency — id tie-broken, so a capped snapshot is stable."""
         self.refresh_features(
-            latest_window_features(pings, cfg), position_point_features(pings)
+            latest_window_features(pings, cfg),
+            position_point_features(pings),
+            merged_range_features(pings, cfg),
         )
 
     def refresh_features(
-        self, tile_features: DataFrame, position_features: DataFrame
+        self,
+        tile_features: DataFrame,
+        position_features: DataFrame,
+        range_features: DataFrame | None = None,
     ) -> None:
         """Swap in payloads from PREBUILT Feature relations — the hook the
         store-backed pipeline uses (features shaped from the keyed store
@@ -297,6 +341,15 @@ class TileApiServer:
             ),
             "application/geo+json",
         )
+        if range_features is not None:
+            self._payloads["/api/tiles/range"] = (
+                _feature_collection_json(
+                    range_features,
+                    [F.desc("properties.ping_count"), F.asc("id")],
+                    self._feature_cap,
+                ),
+                "application/geo+json",
+            )
 
     def start(self) -> "TileApiServer":
         self._thread.start()

@@ -334,3 +334,52 @@ def test_pipeline_continuous_trigger_ingests_arriving_files(spark, tmp_path):
     finally:
         q_tiles.stop()
         q_pos.stop()
+
+
+def test_http_api_serves_merged_range_endpoint(spark):
+    """Reference roadmap README.md:228 (`/api/tiles/range?minutes=15`):
+    the shim serves the last-k-windows MERGED heatmap — per cell one
+    polygon whose properties carry the exactly-merged count/mean from
+    recent_tiles_merged — and a query string selects the same snapshot
+    (the minutes knob is honored at refresh time)."""
+    import json
+    import urllib.request
+
+    from real_time_mobility_heatmap_spark.operators.latest import (
+        recent_tiles_merged,
+    )
+    from real_time_mobility_heatmap_spark.serving.http_api import TileApiServer
+
+    pings = spark.createDataFrame(
+        [
+            ("mbta", "v1", dt.datetime(2024, 1, 1, 10, 2), 42.35, -71.06, 12.0, 1, None),
+            ("mbta", "v1", dt.datetime(2024, 1, 1, 10, 7), 42.35, -71.06, 20.0, 2, None),
+            ("mbta", "v2", dt.datetime(2024, 1, 1, 10, 6), 42.95, -71.50, 30.0, 3, None),
+        ],
+        PING_SCHEMA,
+    )
+    srv = TileApiServer().start()
+    try:
+        srv.refresh(pings)
+
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+                assert r.status == 200
+                return json.loads(r.read())
+
+        want = {
+            r["cell_id"]: r for r in recent_tiles_merged(pings).collect()
+        }
+        for path in ("/api/tiles/range", "/api/tiles/range?minutes=15"):
+            fc = get(path)
+            assert fc["type"] == "FeatureCollection"
+            got = {f["id"]: f["properties"] for f in fc["features"]}
+            assert set(got) == set(want)
+            for cid, props in got.items():
+                assert props["ping_count"] == want[cid]["ping_count"]
+                assert props["avg_speed_kmh"] == want[cid]["avg_speed_kmh"]
+                assert props["n_windows"] == want[cid]["n_windows"]
+            ring = fc["features"][0]["geometry"]["coordinates"][0]
+            assert len(ring) == 5 and ring[0] == ring[-1]
+    finally:
+        srv.stop()
