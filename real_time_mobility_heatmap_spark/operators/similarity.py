@@ -932,7 +932,12 @@ def quantized_recall_report(embeddings: DataFrame) -> DataFrame:
     exact float top-k — the measurement that justifies (or rejects) the
     4x compression for a given corpus. Same int-ppm report shape as
     ``ivf_recall_report``; dequantized component = min + code*scale."""
-    e = _as_double("embedding")
+    # one lineage-cut corpus frontier feeds the dequantization AND the
+    # brute ranking; the dequantized relation is cut too (its q/c
+    # branches would otherwise re-plan the per-component quantize/
+    # dequantize fold per side) — r12 audit stragglers
+    bq = cut_lineage(_norm_base(embeddings), eager=False)
+    e = F.col("emb")
     mn, scale = _quant_params(e)
     dq = F.transform(
         e,
@@ -943,7 +948,9 @@ def quantized_recall_report(embeddings: DataFrame) -> DataFrame:
         ).cast("double")
         * scale,
     )
-    deq = spread(embeddings).select("vec_id", "label", dq.alias("demb"))
+    deq = cut_lineage(
+        bq.select("vec_id", "label", dq.alias("demb")), eager=False
+    )
 
     def _norm(df, prefix):
         return df.select(
@@ -970,7 +977,7 @@ def quantized_recall_report(embeddings: DataFrame) -> DataFrame:
     approx = _rank_topk(scored).select(
         "query_id", "cand_id", F.lit(1).alias("hit")
     )
-    brute = topk_cosine(embeddings).select("query_id", "cand_id")
+    brute = topk_cosine(embeddings, base=bq).select("query_id", "cand_id")
     return (
         brute.join(approx, ["query_id", "cand_id"], "left")
         .groupBy("query_id")
@@ -1327,7 +1334,9 @@ def _rp_matrix() -> list[list[float]]:
     return [[float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(RP_DIM)]
 
 
-def rp_project(embeddings: DataFrame) -> DataFrame:
+def rp_project(
+    embeddings: DataFrame, base: DataFrame | None = None
+) -> DataFrame:
     """Johnson-Lindenstrauss random projection: 64-d -> 16-d with a ±1
     matrix scaled by 1/sqrt(RP_DIM) — the 4x distance-preserving
     compression used before expensive pairwise stages (clustering,
@@ -1339,8 +1348,12 @@ def rp_project(embeddings: DataFrame) -> DataFrame:
     factor float-exact; components round to 6 dp for the cross-engine
     hash.
     """
-    pre = spread(embeddings).select(
-        "vec_id", "label", _as_double("embedding").alias("e")
+    pre = (
+        base.select("vec_id", "label", F.col("emb").alias("e"))
+        if base is not None
+        else spread(embeddings).select(
+            "vec_id", "label", _as_double("embedding").alias("e")
+        )
     )
     cols = [
         F.round(
@@ -1382,9 +1395,17 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
     candidate order is a deterministic function of oracle-identical
     values in both engines.
     """
-    proj = rp_project(embeddings).select(
-        "vec_id",
-        F.array(*[F.col(f"rp_{k}") for k in range(RP_DIM)]).alias("r"),
+    # one lineage-cut corpus frontier feeds the projection AND the brute
+    # ranking; the projected relation is cut too (its q/c branches would
+    # otherwise re-plan the 16-fold projection per side) — r12 audit
+    # stragglers, same pattern as ivf_recall_report
+    b64 = cut_lineage(_norm_base(embeddings), eager=False)
+    proj = cut_lineage(
+        rp_project(embeddings, base=b64).select(
+            "vec_id",
+            F.array(*[F.col(f"rp_{k}") for k in range(RP_DIM)]).alias("r"),
+        ),
+        eager=False,
     )
     q = proj.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1411,7 +1432,7 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
     approx = _rank_topk(scored).select(
         "query_id", "cand_id", F.lit(1).alias("hit")
     )
-    brute = topk_cosine(embeddings).select("query_id", "cand_id")
+    brute = topk_cosine(embeddings, base=b64).select("query_id", "cand_id")
     return (
         brute.join(approx, ["query_id", "cand_id"], "left")
         .groupBy("query_id")
