@@ -172,7 +172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "streaming_neardup": run_streaming_neardup,
-        "rp_recall_report": similarity.q_rp_recall_report,
         "quantized_recall_report": similarity.q_quantized_recall_report,
         # (2) oldest-green-first rotation:
         "stratified_sample": textops.q_stratified_sample,  # r6
@@ -187,8 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_encode": wire.q_wire_encode,  # r6
         "zone_counts": spatial.q_zone_counts,  # r6
         "attribution_report": relational.q_attribution_report,  # r7
-        # ------------- end of driver window (50 entries) -------------
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r7
+        # ------------- end of driver window (50 entries) -------------
         "chunk_documents": textops.q_chunk_documents,  # r7
         "cohort_retention": analytics.q_cohort_retention,  # r7
         "containment_pairs": dedup.q_containment_pairs,  # r7
@@ -205,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_pairs": dedup.q_pagerank_pairs,  # r7
         "partition_pruned_stats": relational.q_partition_pruned_stats,  # r7
         "quantize_embeddings": similarity.q_quantize_embeddings,  # r7
+        "rp_recall_report": similarity.q_rp_recall_report,  # r7
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r7
         "source_mixture_report": textops.q_source_mixture_report,  # r7
         "streaming_conversions": run_streaming_conversions,  # r7

@@ -1395,17 +1395,15 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
     candidate order is a deterministic function of oracle-identical
     values in both engines.
     """
-    # one lineage-cut corpus frontier feeds the projection AND the brute
-    # ranking; the projected relation is cut too (its q/c branches would
-    # otherwise re-plan the 16-fold projection per side) — r12 audit
-    # stragglers, same pattern as ivf_recall_report
-    b64 = cut_lineage(_norm_base(embeddings), eager=False)
-    proj = cut_lineage(
-        rp_project(embeddings, base=b64).select(
-            "vec_id",
-            F.array(*[F.col(f"rp_{k}") for k in range(RP_DIM)]).alias("r"),
-        ),
-        eager=False,
+    # NO lineage cut here, deliberately (r12 re-audit adjudication): the
+    # raw scan count of 4 is NOT a duplicate frontier — the query-side
+    # branches push their vec_id filter BELOW the projection/norm folds
+    # (5-row work), so the only full-corpus projection already runs
+    # once, and a cut (measured both proj-only and full-base forms)
+    # only adds a materialization barrier: 1.97 s -> 2.9-3.4 s at sf0.1.
+    proj = rp_project(embeddings).select(
+        "vec_id",
+        F.array(*[F.col(f"rp_{k}") for k in range(RP_DIM)]).alias("r"),
     )
     q = proj.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1432,7 +1430,7 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
     approx = _rank_topk(scored).select(
         "query_id", "cand_id", F.lit(1).alias("hit")
     )
-    brute = topk_cosine(embeddings, base=b64).select("query_id", "cand_id")
+    brute = topk_cosine(embeddings).select("query_id", "cand_id")
     return (
         brute.join(approx, ["query_id", "cand_id"], "left")
         .groupBy("query_id")

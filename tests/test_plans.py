@@ -600,7 +600,7 @@ FRONTIER_CUT_SCAN_PINS = {
     "similar_speed_profiles": 0,      # was 6
     "active_cells_setops": 0,         # was 6
     "topk_cosine_ivf": 2,             # r11 assign cut; q/c branch scans remain
-    "rp_recall_report": 0,            # was 4 (r12 re-audit straggler)
+    "rp_recall_report": 4,            # adjudicated: filter-pushed q branches, no real dup
     "quantized_recall_report": 0,     # was 4 (r12 re-audit straggler)
 }
 
