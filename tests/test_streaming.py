@@ -1141,3 +1141,25 @@ def test_live_store_k_window_merge_matches_batch_recent_tiles(spark):
         for col in ("ping_count", "avg_speed_kmh", "n_windows",
                     "merge_start", "merge_end"):
             assert live[c][col] == batch[c][col], (c, col, live[c], batch[c])
+
+
+def test_store_k_window_merge_of_empty_snapshot_is_empty(spark):
+    """Totality: merging an EMPTY tile-store snapshot returns an empty
+    relation with the merge schema (no null-bound crash — the max() over
+    the empty snap is NULL and the >= filter drops everything)."""
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        merge_recent_store_tiles,
+        windowed_tiles_stream,
+    )
+    from real_time_mobility_heatmap_spark.streaming.sources import (
+        pings_stream_from_events,
+    )
+
+    schema = windowed_tiles_stream(
+        pings_stream_from_events(spark, "/root/testdata/sf0.001")
+    ).schema
+    empty = spark.createDataFrame([], schema)
+    out = merge_recent_store_tiles(empty)
+    assert out.count() == 0
+    assert {"cell_id", "ping_count", "avg_speed_kmh", "n_windows",
+            "merge_start", "merge_end"} <= set(out.columns)
