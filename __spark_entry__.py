@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "streaming_neardup": run_streaming_neardup,
         "quantized_recall_report": similarity.q_quantized_recall_report,
+        "media_phash_pairs": multimodal.q_media_phash_pairs,
+        "snapshot_diff_report": relational.q_snapshot_diff_report,
         # (2) oldest-green-first rotation:
         "stratified_sample": textops.q_stratified_sample,  # r6
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r6
@@ -185,9 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_match_pairs": dedup.q_winnow_match_pairs,  # r6
         "wire_encode": wire.q_wire_encode,  # r6
         "zone_counts": spatial.q_zone_counts,  # r6
+        # ------------- end of driver window (50 entries) -------------
         "attribution_report": relational.q_attribution_report,  # r7
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r7
-        # ------------- end of driver window (50 entries) -------------
         "chunk_documents": textops.q_chunk_documents,  # r7
         "cohort_retention": analytics.q_cohort_retention,  # r7
         "containment_pairs": dedup.q_containment_pairs,  # r7
@@ -199,7 +201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": relational.q_key_skew_report,  # r7
         "late_order_priority": tpch.q_late_order_priority,  # r7
         "markov_transitions": analytics.q_markov_transitions,  # r7
-        "media_phash_pairs": multimodal.q_media_phash_pairs,  # r7
         "minhash_error_report": dedup.q_minhash_error_report,  # r7
         "pagerank_pairs": dedup.q_pagerank_pairs,  # r7
         "partition_pruned_stats": relational.q_partition_pruned_stats,  # r7
@@ -232,7 +233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_key_stats": decode.q_props_key_stats,  # r8
         "repeated_span_report": dedup.q_repeated_span_report,  # r8
         "rp_project": similarity.q_rp_project,  # r8
-        "snapshot_diff_report": relational.q_snapshot_diff_report,  # r8
         "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r8
         "streaming_enriched": run_streaming_enriched,  # r8
         "triangle_count": dedup.q_triangle_count,  # r8

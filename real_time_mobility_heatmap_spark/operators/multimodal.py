@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..lineage import cut_lineage
 from ..sources.tables import load_table, spread
 
 FEATURE_SCHEMA = T.StructType(
@@ -427,7 +428,12 @@ def media_phash_pairs(docs: DataFrame) -> DataFrame:
     (distance <= 3 of 15 nibbles), so the report doubles as the
     collision/selectivity audit for sizing bands at corpus scale.
     """
-    ph = media_phash(docs)
+    # the phash relation is lineage-cut: it feeds the banding AND both
+    # verify sides, and without the cut the full media hash pass
+    # re-plans into each (3 scans in the r12 audit, none filter-pushed).
+    # (doc_id, phash) is one int64 per blob — materializing it once is
+    # the cheapest relation in the pipeline (r12 frontier-cut rule).
+    ph = cut_lineage(media_phash(docs), eager=False)
     banded = ph.select(
         "doc_id",
         F.explode(

@@ -2001,10 +2001,16 @@ def snapshot_diff_report(lineitem: DataFrame) -> DataFrame:
     hash comparison ships one int64 per row.
     """
     key_h = "CAST(conv(substr(md5(concat('mod|', l_orderkey, ':', l_linenumber)), 1, 15), 16, 10) AS BIGINT) % 100"
-    old = (
+    # the grain aggregate is lineage-cut: four branches (modified / kept /
+    # clones / the old side of the diff) filter on the POST-aggregate
+    # bucket column, so nothing pushes below the aggregate and the
+    # corpus shuffle re-planned into each branch (4 scans in the r12
+    # audit) — one materialization serves all four.
+    old = cut_lineage(
         lineitem.groupBy("l_orderkey", "l_linenumber")
         .agg(F.round(F.sum("l_quantity"), 2).alias("l_quantity"))
-        .withColumn("bucket", F.expr(key_h))
+        .withColumn("bucket", F.expr(key_h)),
+        eager=False,
     )
     modified = old.filter(F.col("bucket") < 2).withColumn(
         "l_quantity", F.col("l_quantity") + 1

@@ -602,6 +602,8 @@ FRONTIER_CUT_SCAN_PINS = {
     "topk_cosine_ivf": 2,             # r11 assign cut; q/c branch scans remain
     "rp_recall_report": 4,            # adjudicated: filter-pushed q branches, no real dup
     "quantized_recall_report": 0,     # was 4 (r12 re-audit straggler)
+    "media_phash_pairs": 0,           # was 4 (one media hash pass, not three)
+    "snapshot_diff_report": 0,        # was 4 (grain aggregate once, not per branch)
 }
 
 
