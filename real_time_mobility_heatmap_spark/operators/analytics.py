@@ -151,16 +151,28 @@ def zscore_outliers(events: DataFrame) -> DataFrame:
     flag is a deterministic function of the rounded score in both engines.
     """
     # r12: value is 2-decimal by wire contract — moments accumulate
-    # exact int64 CENTS (s1) and CENTS^2 (s2; bounded ~1e13 per type,
-    # well under 2^63), so mean/std are identical doubles in both
-    # engines regardless of partition sum order, and z rounds via the
-    # shared half-up form (the double-sum moments were the stronger
-    # order-dependent class)
+    # exact int64 CENTS (s1) and an exact DECIMAL(38,0) sum of CENTS^2
+    # (s2), so mean/std are identical doubles in both engines regardless
+    # of partition sum order, and z rounds via the shared half-up form
+    # (the double-sum moments were the stronger order-dependent class).
+    # s2 is decimal, not int64 (r12 advice): at the 100 TB design scale
+    # (~1e12 rows/type at cents~1e5, cents^2~1e10) an int64 sum exceeds
+    # 2^63 and Spark sum(long) WRAPS silently while DuckDB promotes
+    # BIGINT sums to HUGEINT — the exact silent-divergence class the
+    # cents form exists to kill. Per-row cents^2 stays exact in
+    # decimal(19,0)^2 -> (38,0), and sum(decimal(38,0)) is an exact
+    # order-free integer up to 1e38 (~1e26 rows/type of headroom); the
+    # single decimal->double conversion mirrors HUGEINT->DOUBLE
+    # (round-to-nearest on the same exact integer).
+    # n is the NON-NULL value count (r12 advice): s1/s2 skip NULLs, so
+    # dividing by count(*) under a NULL-carrying corpus biased every
+    # moment — standard avg/stddev semantics divide by count(value).
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents_dec = cents.cast("decimal(19,0)")
     stats = events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.count(F.col("value")).alias("_n"),
         F.sum(cents).alias("_s1c"),
-        F.sum(cents * cents).alias("_s2c"),
+        F.sum(cents_dec * cents_dec).alias("_s2c"),
     )
     stats = stats.select(
         "event_type",
@@ -195,7 +207,7 @@ def zscore_outliers(events: DataFrame) -> DataFrame:
 ZSCORE_OUTLIERS_ORACLE = f"""
     WITH s AS (
         SELECT event_type,
-               count(*) AS n,
+               count(value) AS n,
                sum(CAST(floor(value * 100 + 5e-1) AS BIGINT)) AS s1c,
                sum(CAST(floor(value * 100 + 5e-1) AS BIGINT)
                    * CAST(floor(value * 100 + 5e-1) AS BIGINT)) AS s2c

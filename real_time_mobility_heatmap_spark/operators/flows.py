@@ -557,9 +557,20 @@ def co_dwell_pairs(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     pair BEFORE the overlap math, and the exact predicate keeps true
     overlaps only. A depot cell with years of stays joins within 6h
     slices, not across its whole history.
+
+    The stay-point relation is lineage-cut once before the bucket
+    explode: the depot-size pre-filter and both sides of the self-join
+    otherwise re-plan the whole decode + stay-window frontier (4 scans
+    of one file in the r12 audit — each a full scan plus the vehicleId
+    window shuffle at 100 TB). Stays are tiny relative to pings (run
+    cardinality <= ping count, and only >=10-min dwells survive), so
+    the materialization barrier is cheap; pinned in tests/test_plans.py.
     """
-    stays = stay_points(pings, cfg).select(
-        "vehicleId", "cell_id", "stay_start_es", "stay_end_es"
+    stays = cut_lineage(
+        stay_points(pings, cfg).select(
+            "vehicleId", "cell_id", "stay_start_es", "stay_end_es"
+        ),
+        eager=False,
     )
     buckets = stays.select(
         "vehicleId",

@@ -297,22 +297,25 @@ def similar_speed_profiles(events: DataFrame) -> DataFrame:
         .filter(F.col("user_id") != F.col("query_user"))
         .groupBy("query_user", F.col("user_id").alias("cand_user"))
         .agg(
-            # v/qv are 6-decimal by construction: difference, square and
-            # sum in exact int64 MICROS (order-free; |sum| well under
-            # 2^63), sqrt/scale the identical exact value in both
-            # engines, then shared half-up (r12 conversion — the double
-            # sum here was order-dependent, the stronger r11 class)
+            # v/qv are 6-decimal by construction: difference in exact
+            # int64 MICROS, square/sum in exact DECIMAL(38,0) (r13, the
+            # zscore_outliers treatment: a long sum of squared micros
+            # wraps past 2^63 at ~1e6 buckets x 2e8-micro diffs — a
+            # decade of 5-min calendar — while DuckDB's BIGINT sum
+            # promotes to HUGEINT; decimal keeps both sides the same
+            # exact order-free integer), then sqrt/scale the identical
+            # value in both engines and shared half-up
             round_half_up(
                 F.sqrt(
                     F.sum(
                         (
                             F.floor(F.col("qv") * 1e6 + F.lit(0.5)).cast("long")
                             - F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long")
-                        )
+                        ).cast("decimal(19,0)")
                         * (
                             F.floor(F.col("qv") * 1e6 + F.lit(0.5)).cast("long")
                             - F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long")
-                        )
+                        ).cast("decimal(19,0)")
                     ).cast("double")
                 )
                 / F.lit(1e6),

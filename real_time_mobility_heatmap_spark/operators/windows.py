@@ -94,9 +94,14 @@ def vehicle_sessions(pings: DataFrame) -> DataFrame:
     # validated at ingestion, so a NULL-provider row reached its state
     # store never but the batch aggregate always — the r12 NULL-provider
     # perturbed sweep caught the 62-session split. Batch, stream, and
-    # oracle now share the validity conjunction.
+    # oracle now share the validity conjunction. No require_event_time
+    # wrapper here (r12 advice): validation IS the NULL-eventTs boundary
+    # (its isNotNull conjunct drops the row, matching the oracle's WHERE),
+    # and wrapping the guard INSIDE validate_pings would make the filter
+    # evaluate the raising CASE column — a NULL ts would error instead of
+    # being dropped, diverging from the oracle.
     return (
-        validate_pings(require_event_time(pings))
+        validate_pings(pings)
         .groupBy("provider", "vehicleId", s.alias("s"))
         .agg(
             F.count(F.lit(1)).alias("n_pings"),

@@ -37,10 +37,11 @@ from pyspark.sql import functions as F
 from .config import DEFAULT, EngineConfig
 from .functions.grid import cell_ring
 from .functions.keys import iso_ts
-from .serving.http_api import TileApiServer
+from .serving.http_api import TileApiServer, merged_tiles_to_features
 from .session import get_spark
 from .streaming.assembly import (
     _state_partitions,
+    merge_recent_store_tiles,
     start_positions_query,
     start_tiles_query,
 )
@@ -103,13 +104,21 @@ def refresh_server_from_stores(
     cfg: EngineConfig = DEFAULT,
 ) -> None:
     """One serving refresh off the current store snapshots (either store
-    may still be empty on a cold start)."""
+    may still be empty on a cold start).
+
+    All three endpoints refresh from the same tile snapshot: the range
+    payload merges the newest k windows' int64 speed-cent partials via
+    ``merge_recent_store_tiles`` (r12 advice — the store persists the
+    partials exactly so this path can serve the merged heatmap without
+    replaying the stream)."""
     t_snap = tiles.read(spark)
     p_snap = positions.read(spark)
     if t_snap is None or p_snap is None:
         return
     server.refresh_features(
-        tile_rows_to_features(t_snap, cfg), position_rows_to_features(p_snap)
+        tile_rows_to_features(t_snap, cfg),
+        position_rows_to_features(p_snap),
+        merged_tiles_to_features(merge_recent_store_tiles(t_snap, cfg), cfg),
     )
 
 

@@ -188,7 +188,14 @@ def merged_range_features(
     one Polygon per cell whose properties carry the exactly-merged
     counts/means from ``recent_tiles_merged`` (int64-partial merge, not
     re-weighted rounded averages). ``k`` = minutes / cfg.tile_minutes."""
-    m = recent_tiles_merged(pings, cfg, k)
+    return merged_tiles_to_features(recent_tiles_merged(pings, cfg, k), cfg)
+
+
+def merged_tiles_to_features(m: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Merged-tile rows (``recent_tiles_merged`` / the store-snapshot twin
+    ``streaming.assembly.merge_recent_store_tiles``) -> GeoJSON Polygon
+    Feature rows. Shared by the batch range endpoint and the store-backed
+    live pipeline so both serving paths emit the identical envelope."""
     ring = cell_ring(F.col("cell_id"), cfg.grid_scale)
     return m.select(
         F.lit("Feature").alias("type"),

@@ -367,9 +367,12 @@ def run_streaming_sessions(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> D
         q.awaitTermination()
     return (
         spark.table(name)
-        # null-safe sentinel drop: a plain != is NULL for NULL providers
-        # and silently discarded their sessions, where the batch oracle
-        # keeps NULL-provider groups (r12 NULL-provider perturbed sweep)
+        # null-safe sentinel drop, as DEFENSIVE STYLE (r12 advice): NULL
+        # providers never reach this filter — windowed_sessions_stream
+        # validates pings before the state store, and the batch oracle's
+        # WHERE drops them too — but a plain != would silently discard
+        # any NULL-keyed row a future upstream change let through, so the
+        # null-safe form keeps the filter total over its domain
         .filter(~F.col("provider").eqNullSafe(FLUSH_PROVIDER))
         .select(
             "provider",

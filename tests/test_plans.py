@@ -604,6 +604,7 @@ FRONTIER_CUT_SCAN_PINS = {
     "quantized_recall_report": 0,     # was 4 (r12 re-audit straggler)
     "media_phash_pairs": 0,           # was 4 (one media hash pass, not three)
     "snapshot_diff_report": 0,        # was 4 (grain aggregate once, not per branch)
+    "co_dwell_pairs": 0,              # was 4 (stay-point frontier cut, r13)
 }
 
 

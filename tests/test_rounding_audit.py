@@ -13,8 +13,14 @@ avg(...))`` or ``round(avg(...))`` site cannot land silently.
 The single allowed residue is the centroid-mean family
 (``kmeans_update`` / ``embedding_drift_report``): those average
 arbitrary float32-derived components, where a fix-point would change
-the trained values; they need a mantissa-exact treatment (named r12+
-deferral, SCALE.md). Adding a line here requires the same adjudication.
+the trained values and an ordered fold would collect per-group member
+arrays. Since r13 the residue is a documented CONTRACT, not a hope:
+``tools/centroid_margin.py`` proves per corpus (exact rational
+arithmetic) that every group mean sits orders of magnitude further
+from a rounding boundary than any summation order can move it — see
+the margin tests below; the standing sweep runs the same scan on each
+fresh-seed perturbed corpus. Adding a line here requires the same
+adjudication.
 """
 
 from __future__ import annotations
@@ -53,3 +59,52 @@ def test_no_new_native_round_of_avg_sites():
         "(see functions/rounding.py; adjudicate + allowlist or convert):\n"
         + "\n".join(offenders)
     )
+
+
+# ---------------------------------------------------------------------------
+# Boundary-margin proof for the allowlisted residue (r13, closing the r12
+# verdict's deferral): instead of waiting for a sweep seed to land a group
+# mean on a round() boundary, tools/centroid_margin.py computes — with exact
+# rational arithmetic — every centroid-mean group's distance to its nearest
+# rounding boundary and a worst-case ANY-ORDER double summation error bound.
+# distance >> bound means no accumulation order in either engine can flip
+# the rounded value on this corpus: the residue is proved safe per corpus
+# (the standing sweep runs the same scan on each fresh-seed perturbed
+# corpus; see SCALE.md).
+
+
+def test_centroid_mean_margins_dominate_order_error():
+    import sys
+
+    sys.path.insert(0, str(PKG.parent / "tools"))
+    from centroid_margin import SAFETY, scan_corpus
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rep = scan_corpus(sf_dir)
+        assert rep["groups"] > 0
+        assert not rep["violations"], (
+            f"{sf_dir}: centroid-mean group(s) within {SAFETY}x of a "
+            f"rounding boundary — the allowlisted native round(avg) can "
+            f"hash-flip here: {rep['violations'][:5]}"
+        )
+        # the fixtures sit ORDERS OF MAGNITUDE clear, not marginally so
+        assert rep["min_ratio"] > 1e3, rep
+
+
+def test_centroid_margin_detector_flags_boundary_straddler():
+    """The scanner is not vacuous: a group whose exact mean sits within
+    the double error bound of a rounding boundary must be flagged."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent / "tools"))
+    from centroid_margin import SAFETY, group_margin
+
+    # single member = the double nearest the 0.0000005 boundary: distance
+    # is the double representation gap (~1e-23), bound the division ulp
+    vals = [5e-07]
+    dist, bound = group_margin(vals)
+    assert bound > 0 and dist < SAFETY * bound
+
+    # and a clearly-safe group is not flagged
+    dist, bound = group_margin([0.25, 0.75, 0.125])
+    assert dist > SAFETY * bound

@@ -250,9 +250,32 @@ def test_pipeline_entrypoint_stream_store_serve(spark, tmp_path):
             f"http://127.0.0.1:{srv.port}/api/positions/latest"
         ) as r:
             pos = json.load(r)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/tiles/range"
+        ) as r:
+            rng = json.load(r)
     finally:
         srv.stop()
     assert tiles["features"], "tile endpoint must serve the newest window"
+    # r12 advice: the store-backed pipeline path must populate the range
+    # endpoint too (k-window merge of the persisted int64 partials), not
+    # leave the registered payload permanently empty
+    from real_time_mobility_heatmap_spark.streaming.assembly import (
+        merge_recent_store_tiles,
+    )
+
+    want_rng = {
+        r["cell_id"]: r for r in merge_recent_store_tiles(
+            result["tiles"].read(spark)
+        ).collect()
+    }
+    got_rng = {f["id"]: f["properties"] for f in rng["features"]}
+    assert got_rng, "range endpoint must serve the merged store snapshot"
+    assert set(got_rng) <= set(want_rng)
+    for cid, props in got_rng.items():
+        assert props["ping_count"] == want_rng[cid]["ping_count"]
+        assert props["avg_speed_kmh"] == want_rng[cid]["avg_speed_kmh"]
+        assert props["n_windows"] == want_rng[cid]["n_windows"]
     from pyspark.sql import functions as F
 
     snap = result["tiles"].read(spark)
@@ -319,7 +342,10 @@ def test_pipeline_continuous_trigger_ingests_arriving_files(spark, tmp_path):
     )
     q_tiles, q_pos = result["queries"]
     try:
-        deadline = _time.time() + 60
+        # generous: the loop exits the second the snapshot lands, but a
+        # contended host (full suite + concurrent benches) can starve two
+        # 1s-trigger queries well past 60s — the one r13 full-suite flake
+        deadline = _time.time() + 180
         while result["positions"].read(spark) is None and _time.time() < deadline:
             _time.sleep(1)
         write_batch("b2.json", "v2", "2024-01-01T10:03:00Z")

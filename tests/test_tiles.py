@@ -74,10 +74,16 @@ def test_require_event_time_fails_loudly_on_null_ts(spark):
         lon=-71.06, speedKmh=20.0, event_id=9, props=None,
     )
     dirty = spark.createDataFrame([_ping(), bad_row], PING_SCHEMA)
-    ops = (require_event_time, vehicle_sessions, vehicle_trips, resample_trajectories)
+    ops = (require_event_time, vehicle_trips, resample_trajectories)
     for op in ops:
         with pytest.raises(Exception, match="event-time contract violated"):
             op(dirty).collect()
+    # vehicle_sessions sits DOWNSTREAM of validate_pings (r12), so its
+    # NULL-eventTs boundary is the validity filter: the row is DROPPED,
+    # matching the oracle's WHERE — not raised (r12 advice: wrapping the
+    # guard inside validate_pings made the filter evaluate the raising
+    # CASE column, an engine/oracle divergence on NULL ts).
+    assert vehicle_sessions(dirty).count() == 1
 
 
 def test_tile_aggregate_small(spark):

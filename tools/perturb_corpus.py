@@ -163,15 +163,34 @@ TABLE_SQL = {
 }
 
 
-def _perturb_embeddings(base: Path, out: Path, seed: int = 0) -> None:
+# seed centroids (similarity.N_CENTROIDS, vec_id < 4) stay non-null under
+# --nulls: the centroid table models a curated OFFLINE-trained artifact
+# (similarity._centroids docstring), never a raw nullable payload
+_N_SEED_CENTROIDS = 4
+
+
+def _perturb_embeddings(
+    base: Path, out: Path, seed: int = 0, nulls: bool = False
+) -> None:
     t = pq.read_table(base / "embeddings.parquet")
     vec_ids = t.column("vec_id").to_numpy()
     emb = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     dim = emb.shape[1]
     # circular roll by a per-row amount + deterministic sign flip of a
     # per-row component stripe: norms preserved, band patterns fresh.
-    rows = []
+    # --nulls additionally NULLs a ~1/11 vector slice (r12 verdict item
+    # #6 — the one fixture family that never carried NULLs): the row
+    # stays, its embedding goes NULL, exercising every ANN assign /
+    # verify / mapInPandas path's NULL-vector contract.
+    rows: list[np.ndarray | None] = []
     for i, vid in enumerate(vec_ids):
+        if (
+            nulls
+            and int(vid) >= _N_SEED_CENTROIDS
+            and (int(vid) * 2654435761 + seed) % 11 == 5
+        ):
+            rows.append(None)
+            continue
         r = (int(vid) + seed) * 2654435761 % dim
         v = np.roll(emb[i], r)
         flip = ((int(vid) + seed) * 40503) % dim
@@ -181,7 +200,8 @@ def _perturb_embeddings(base: Path, out: Path, seed: int = 0) -> None:
         {
             "vec_id": t.column("vec_id"),
             "embedding": pa.array(
-                [r.tolist() for r in rows], type=pa.list_(pa.float32())
+                [None if r is None else r.tolist() for r in rows],
+                type=pa.list_(pa.float32()),
             ),
             "label": t.column("label"),
         }
@@ -214,6 +234,14 @@ _NULL_RULES = {
 }
 
 
+# --nulls also EMPTIES a disjoint ~1/13 documents.text slice (r12 verdict
+# item #6: zero-length media blobs — media bytes derive from text, so an
+# empty text is an empty blob through media_table and every mapInPandas
+# extractor). n_chars is recomputed to 0 so the metadata matches the
+# payload (the tool's documented invariant).
+_EMPTY_TEXT_RULE = "hash(doc_id + @SEED@ + 5) % 13 = 6"
+
+
 def _apply_nulls(sql: str, tname: str, columns: list[str]) -> str:
     rules = _NULL_RULES.get(tname)
     if not rules:
@@ -224,7 +252,16 @@ def _apply_nulls(sql: str, tname: str, columns: list[str]) -> str:
         else c
         for c in columns  # original order — the schema cast needs it
     )
-    return f"SELECT {sel} FROM ({sql})"
+    out = f"SELECT {sel} FROM ({sql})"
+    if tname == "documents":
+        empt = f"{_EMPTY_TEXT_RULE} AND text IS NOT NULL"
+        out = f"""
+        SELECT doc_id,
+               CASE WHEN {empt} THEN '' ELSE text END AS text,
+               lang, source,
+               CASE WHEN {empt} THEN 0 ELSE n_chars END AS n_chars
+        FROM ({out})"""
+    return out
 
 
 def build(base_dir: str, out_dir: str, seed: int = 0, nulls: bool = False) -> None:
@@ -246,7 +283,7 @@ def build(base_dir: str, out_dir: str, seed: int = 0, nulls: bool = False) -> No
         pq.write_table(got, out / f"{tname}.parquet")
         if got.num_rows != pq.read_metadata(base / f"{tname}.parquet").num_rows:
             raise SystemExit(f"{tname}: row count changed")
-    _perturb_embeddings(base, out, seed)
+    _perturb_embeddings(base, out, seed, nulls=nulls)
     print(f"perturbed corpus at {out} (seed {seed}, nulls={nulls})")
 
 
