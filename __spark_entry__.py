@@ -136,58 +136,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
         # (1) CHANGED this round (re-verify the round code lands):
-        "lm_score": textops.q_lm_score,
-        "resample_trajectories": trajectory.q_resample_trajectories,
-        "source_roundtrip": source_roundtrip,
-        "streaming_sessions": run_streaming_sessions,
-        "scd2_user_segments": windows.q_scd2_user_segments,
-        "scd2_merge_apply": windows.q_scd2_merge_apply,
+        "co_dwell_pairs": flows.q_co_dwell_pairs,
         "vehicle_sessions": windows.q_vehicle_sessions,
-        "vband_geometry_report": similarity.q_vband_geometry_report,
-        "cluster_quality_report": similarity.q_cluster_quality_report,
-        "semantic_dedup": similarity.q_semantic_dedup,
-        "ivf_recall_report": similarity.q_ivf_recall_report,
-        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
-        "mobility_pipeline_report": flows.q_mobility_pipeline_report,
+        "zscore_outliers": analytics.q_zscore_outliers,
         "similar_speed_profiles": trajectory.q_similar_speed_profiles,
-        "active_cells_setops": relational.q_active_cells_setops,
-        "mobility_tiles": _q_mobility_tiles,
-        "hierarchical_rollups": _q_hierarchical_rollups,
-        "rollup_delta_merge": _q_rollup_delta_merge,
-        "table_profile": windows.q_table_profile,
-        "table_profile_accuracy": windows.q_table_profile_accuracy,
-        "above_avg_orders": relational.q_above_avg_orders,
-        "moving_avg_speed": relational.q_moving_avg_speed,
-        "range_frame_speed": relational.q_range_frame_speed,
-        "order_rank_report": relational.q_order_rank_report,
-        "corpus_stats": textops.q_corpus_stats,
         "quality_score": textops.q_quality_score,
-        "lang_id": textops.q_lang_id,
         "quality_filter": textops.q_quality_filter,
         "quality_decile_report": textops.q_quality_decile_report,
-        "zscore_outliers": analytics.q_zscore_outliers,
-        "location_entropy": science.q_location_entropy,
-        "streaming_tiles": run_streaming_tiles,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        "streaming_neardup": run_streaming_neardup,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
+        "media_features": multimodal.q_media_features,
+        "media_resize": multimodal.q_media_resize,
+        "semantic_decontaminate": curation.q_semantic_decontaminate,
+        "cluster_quality_report": similarity.q_cluster_quality_report,
+        "embedding_drift_report": similarity.q_embedding_drift_report,
+        "embedding_neardup": similarity.q_embedding_neardup,
+        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,
+        "ivf_assign": similarity.q_ivf_assign,
+        "ivf_assign_trained": similarity.q_ivf_assign_trained,
+        "ivf_recall_report": similarity.q_ivf_recall_report,
+        "kmeans_update": similarity.q_kmeans_update,
+        "lsh_buckets": similarity.q_lsh_buckets,
+        "modality_agreement_report": similarity.q_modality_agreement_report,
+        "quantize_embeddings": similarity.q_quantize_embeddings,
         "quantized_recall_report": similarity.q_quantized_recall_report,
-        "media_phash_pairs": multimodal.q_media_phash_pairs,
-        "snapshot_diff_report": relational.q_snapshot_diff_report,
+        "rp_project": similarity.q_rp_project,
+        "rp_recall_report": similarity.q_rp_recall_report,
+        "semantic_dedup": similarity.q_semantic_dedup,
+        "topk_cosine": similarity.q_topk_cosine,
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
+        "topk_cosine_filtered": similarity.q_topk_cosine_filtered,
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "vband_geometry_report": similarity.q_vband_geometry_report,
         # (2) oldest-green-first rotation:
-        "stratified_sample": textops.q_stratified_sample,  # r6
-        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r6
-        "tile_colors": wire.q_tile_colors,  # r6
-        "topk_cosine": similarity.q_topk_cosine,  # r6
-        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r6
-        "value_histogram": windows.q_value_histogram,  # r6
-        "value_percentiles": windows.q_value_percentiles,  # r6
-        "winnow_fingerprints": dedup.q_winnow_fingerprints,  # r6
-        "winnow_match_pairs": dedup.q_winnow_match_pairs,  # r6
-        "wire_encode": wire.q_wire_encode,  # r6
-        "zone_counts": spatial.q_zone_counts,  # r6
-        # ------------- end of driver window (50 entries) -------------
         "attribution_report": relational.q_attribution_report,  # r7
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r7
         "chunk_documents": textops.q_chunk_documents,  # r7
@@ -195,7 +176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": dedup.q_containment_pairs,  # r7
         "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r7
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r7
-        "dedup_keep_best": dedup.q_dedup_keep_best,  # r7
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r7
         "idle_customer_balance": tpch.q_idle_customer_balance,  # r7
         "key_skew_report": relational.q_key_skew_report,  # r7
@@ -204,11 +184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_error_report": dedup.q_minhash_error_report,  # r7
         "pagerank_pairs": dedup.q_pagerank_pairs,  # r7
         "partition_pruned_stats": relational.q_partition_pruned_stats,  # r7
-        "quantize_embeddings": similarity.q_quantize_embeddings,  # r7
-        "rp_recall_report": similarity.q_rp_recall_report,  # r7
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r7
         "source_mixture_report": textops.q_source_mixture_report,  # r7
         "streaming_conversions": run_streaming_conversions,  # r7
+        # ------------- end of driver window (50 entries) -------------
         "streaming_positions": run_streaming_positions,  # r7
         "zorder_layout_report": spatial.q_zorder_layout_report,  # r7
         "bm25_top_terms": textops.q_bm25_top_terms,  # r8
@@ -227,12 +206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_suppliers": tpch.q_late_shipment_suppliers,  # r8
         "leakage_safe_split": dedup.q_leakage_safe_split,  # r8
         "media_phash": multimodal.q_media_phash,  # r8
-        "modality_agreement_report": similarity.q_modality_agreement_report,  # r8
         "ngram_novelty_report": textops.q_ngram_novelty_report,  # r8
         "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r8
         "props_key_stats": decode.q_props_key_stats,  # r8
         "repeated_span_report": dedup.q_repeated_span_report,  # r8
-        "rp_project": similarity.q_rp_project,  # r8
         "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r8
         "streaming_enriched": run_streaming_enriched,  # r8
         "triangle_count": dedup.q_triangle_count,  # r8
@@ -247,7 +224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": relational.q_customers_without_orders,  # r9
         "demux_tiles": multiplex.q_demux_tiles,  # r9
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,  # r9
-        "embedding_neardup": similarity.q_embedding_neardup,  # r9
         "exact_dedup": dedup.q_exact_dedup,  # r9
         "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,  # r9
         "fingerprint": textops.q_fingerprint,  # r9
@@ -282,11 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation_report": analytics.q_autocorrelation_report,  # r10
         "cell_reachability": flows.q_cell_reachability,  # r10
         "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10
-        "co_dwell_pairs": flows.q_co_dwell_pairs,  # r10
         "convoy_clusters": flows.q_convoy_clusters,  # r10
         "copurchase_affinity": analytics.q_copurchase_affinity,  # r10
         "dataset_split": textops.q_dataset_split,  # r10
-        "embedding_drift_report": similarity.q_embedding_drift_report,  # r10
         "encounter_pairs": flows.q_encounter_pairs,  # r10
         "event_type_pivot": relational.q_event_type_pivot,  # r10
         "feature_hashing": mlprep.q_feature_hashing,  # r10
@@ -303,7 +277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_of_gyration": science.q_radius_of_gyration,  # r10
         "rfm_segments": analytics.q_rfm_segments,  # r10
         "route_trigrams": flows.q_route_trigrams,  # r10
-        "semantic_decontaminate": curation.q_semantic_decontaminate,  # r10
         "stay_points": flows.q_stay_points,  # r10
         "streaming_encounters": run_streaming_encounters,  # r10
         "target_encoding": mlprep.q_target_encoding,  # r10
@@ -313,7 +286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_gap_fill": flows.q_tile_gap_fill,  # r10
         "tile_speed_locf": flows.q_tile_speed_locf,  # r10
         "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,  # r10
-        "topk_cosine_filtered": similarity.q_topk_cosine_filtered,  # r10
         "training_order": curation.q_training_order,  # r10
         "trip_distance_report": flows.q_trip_distance_report,  # r10
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
@@ -329,17 +301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": tpch.q_forecast_revenue_change,  # r11
         "important_parts": tpch.q_important_parts,  # r11
         "incremental_dedup": dedup.q_incremental_dedup,  # r11
-        "ivf_assign": similarity.q_ivf_assign,  # r11
-        "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r11
-        "kmeans_update": similarity.q_kmeans_update,  # r11
         "latest_maxby": latest.q_latest_maxby,  # r11
         "local_supplier_volume": relational.q_local_supplier_volume,  # r11
-        "lsh_buckets": similarity.q_lsh_buckets,  # r11
         "market_share": tpch.q_market_share,  # r11
-        "media_features": multimodal.q_media_features,  # r11
         "media_frame_sample": multimodal.q_media_frame_sample,  # r11
         "media_metadata": multimodal.q_media_metadata,  # r11
-        "media_resize": multimodal.q_media_resize,  # r11
         "mixture_sample": textops.q_mixture_sample,  # r11
         "nation_trade_volume": tpch.q_nation_trade_volume,  # r11
         "normalize": decode.q_normalize,  # r11
@@ -358,9 +324,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pricing_summary": wire.q_sql_pricing_summary,  # r11
         "token_commonness": textops.q_token_commonness,  # r11
         "top_suppliers": tpch.q_top_suppliers,  # r11
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,  # r11
         "vehicle_travel_stats": windows.q_vehicle_travel_stats,  # r11
         "vehicle_trips": windows.q_vehicle_trips,  # r11
+        "above_avg_orders": relational.q_above_avg_orders,  # r12
+        "active_cells_setops": relational.q_active_cells_setops,  # r12
+        "corpus_stats": textops.q_corpus_stats,  # r12
+        "hierarchical_rollups": _q_hierarchical_rollups,  # r12
+        "lang_id": textops.q_lang_id,  # r12
+        "lm_score": textops.q_lm_score,  # r12
+        "location_entropy": science.q_location_entropy,  # r12
+        "media_phash_pairs": multimodal.q_media_phash_pairs,  # r12
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # r12
+        "mobility_pipeline_report": flows.q_mobility_pipeline_report,  # r12
+        "mobility_tiles": _q_mobility_tiles,  # r12
+        "moving_avg_speed": relational.q_moving_avg_speed,  # r12
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,  # r12
+        "order_rank_report": relational.q_order_rank_report,  # r12
+        "range_frame_speed": relational.q_range_frame_speed,  # r12
+        "resample_trajectories": trajectory.q_resample_trajectories,  # r12
+        "rollup_delta_merge": _q_rollup_delta_merge,  # r12
+        "scd2_merge_apply": windows.q_scd2_merge_apply,  # r12
+        "scd2_user_segments": windows.q_scd2_user_segments,  # r12
+        "snapshot_diff_report": relational.q_snapshot_diff_report,  # r12
+        "source_roundtrip": source_roundtrip,  # r12
+        "stratified_sample": textops.q_stratified_sample,  # r12
+        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r12
+        "streaming_neardup": run_streaming_neardup,  # r12
+        "streaming_sessions": run_streaming_sessions,  # r12
+        "streaming_tiles": run_streaming_tiles,  # r12
+        "table_profile": windows.q_table_profile,  # r12
+        "table_profile_accuracy": windows.q_table_profile_accuracy,  # r12
+        "tile_colors": wire.q_tile_colors,  # r12
+        "value_histogram": windows.q_value_histogram,  # r12
+        "value_percentiles": windows.q_value_percentiles,  # r12
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,  # r12
+        "winnow_match_pairs": dedup.q_winnow_match_pairs,  # r12
+        "wire_encode": wire.q_wire_encode,  # r12
+        "zone_counts": spatial.q_zone_counts,  # r12
     }
 
 

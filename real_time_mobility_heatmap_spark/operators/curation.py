@@ -362,8 +362,10 @@ def semantic_decontaminate_oracle() -> str:
     return f"""
     WITH scored AS (
         SELECT t.vec_id AS train_id, q.vec_id AS test_id, {cos} AS cosine
-        FROM (SELECT * FROM embeddings WHERE vec_id % {TEST_MOD} != 0) t
-        LEFT JOIN (SELECT * FROM embeddings WHERE vec_id % {TEST_MOD} = 0) q
+        FROM (SELECT * FROM embeddings
+              WHERE embedding IS NOT NULL AND vec_id % {TEST_MOD} != 0) t
+        LEFT JOIN (SELECT * FROM embeddings
+                   WHERE embedding IS NOT NULL AND vec_id % {TEST_MOD} = 0) q
           ON t.label = q.label
     ),
     ranked AS (
@@ -380,4 +382,6 @@ def semantic_decontaminate_oracle() -> str:
 
 
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semantic_decontaminate(load_table(spark, sf_dir, "embeddings"))
+    from .similarity import load_embeddings
+
+    return semantic_decontaminate(load_embeddings(spark, sf_dir))

@@ -125,8 +125,12 @@ def media_features_oracle() -> str:
     == characters): the same adler-like modular byte sum and the derived
     fake dimensions — upgrading media_features from a rows-only check to
     a full value-hash check of the mapInPandas path."""
+    # nullif: string_split('', '') is [''] and unicode('') is -1 in
+    # DuckDB, so a ZERO-LENGTH blob would checksum -1 where the byte
+    # extractor (no bytes) sums 0 — found by the r13 empty-blob sweep
     checksum = (
-        "CAST(COALESCE(list_sum(list_transform(string_split(text, ''),"
+        "CAST(COALESCE(list_sum(list_transform("
+        "string_split(nullif(text, ''), ''),"
         " c -> unicode(c))), 0) % 65521 AS BIGINT)"
     )
     return f"""
@@ -279,7 +283,10 @@ def media_resize(docs: DataFrame) -> DataFrame:
 def media_resize_oracle() -> str:
     """SQL twin (fixture text is ASCII, chars == bytes): the same
     nearest-neighbor index math over substr, so the Arrow resize path is
-    value-checked."""
+    value-checked. Totality contract (r13 empty-blob sweep): EVERY media
+    row yields exactly one representation row — a zero-length blob
+    resizes to the (len 0, checksum 0) sentinel, matching the Arrow
+    extractor, rather than disappearing from the output."""
     return f"""
         WITH samples AS (
             SELECT doc_id,
@@ -288,11 +295,18 @@ def media_resize_oracle() -> str:
             FROM documents,
                  unnest(generate_series(0, {RESIZE_TARGET - 1})) AS t(i)
             WHERE text IS NOT NULL AND strlen(text) > 0
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS resized_len,
+                   CAST(sum(b) % 65521 AS BIGINT) AS resized_checksum
+            FROM samples GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(count(*) AS INTEGER) AS resized_len,
-               CAST(sum(b) % 65521 AS BIGINT) AS resized_checksum
-        FROM samples GROUP BY doc_id
+        SELECT d.doc_id,
+               coalesce(a.resized_len, 0) AS resized_len,
+               coalesce(a.resized_checksum, 0) AS resized_checksum
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.text IS NOT NULL
     """
 
 

@@ -45,6 +45,26 @@ DIM = 64
 ROUND_COS = 6
 
 
+# The embedding-family NULL-vector boundary (r13, found by the first
+# NULL-embedding perturbed sweep): a row with a NULL embedding carries no
+# signal for assignment, search, quantization, or banding, and the two
+# engines' incidental NULL behaviors diverge immediately (DuckDB
+# list_inner_product ERRORS on NULL lists; Spark's NULL dot ranks by
+# engine-specific NULL placement; kmeans member counts split). NULL
+# vectors are therefore EXCLUDED at the table boundary — the decision
+# embedding_drift_report took in r12, now uniform: every Spark entry
+# loads through ``load_embeddings`` and every oracle reads ``{_EMB}``.
+_EMB = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table past the NULL-vector validity boundary (the
+    embedding twin of ``validate_pings`` — see ``_EMB`` note above)."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 def _as_double(col: str):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
@@ -149,8 +169,8 @@ _COS_DUCK = (
 TOPK_COSINE_ORACLE = f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM embeddings q
-        JOIN embeddings c ON c.vec_id != q.vec_id
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
     ranked AS (
@@ -184,8 +204,8 @@ def topk_cosine_blocked(embeddings: DataFrame) -> DataFrame:
 TOPK_COSINE_BLOCKED_ORACLE = f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM embeddings q
-        JOIN embeddings c ON c.label = q.label AND c.vec_id != q.vec_id
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON c.label = q.label AND c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
     ranked AS (
@@ -225,7 +245,7 @@ def lsh_buckets_oracle() -> str:
             f" THEN {2**p} ELSE 0 END)"
         )
     expr = " + ".join(terms)
-    return f"SELECT vec_id, label, {expr} AS bucket FROM embeddings"
+    return f"SELECT vec_id, label, {expr} AS bucket FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
 
 
 N_VBANDS = 4
@@ -384,10 +404,10 @@ def _vband_sql_parts(n_bands: int) -> tuple[str, str]:
                 f" THEN {2**i} ELSE 0 END)"
             )
         band_rows.append(
-            f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bval FROM embeddings"
+            f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bval FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
         )
     cap = (
-        f"greatest(least(CAST(floor((SELECT count(*) FROM embeddings) * {BUCKET_CAP_FRAC})"
+        f"greatest(least(CAST(floor((SELECT count(*) FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)) * {BUCKET_CAP_FRAC})"
         f" AS BIGINT), {BUCKET_CAP_MAX}), 2)"
     )
     return "\nUNION ALL\n".join(band_rows), cap
@@ -409,8 +429,8 @@ def embedding_neardup_oracle(n_bands: int = N_VBANDS) -> str:
         )
         SELECT vec_a, vec_b, {_COS_DUCK.replace('q.', 'qa.').replace('c.', 'qb.')} AS cosine
         FROM candidates
-        JOIN embeddings qa ON vec_a = qa.vec_id
-        JOIN embeddings qb ON vec_b = qb.vec_id
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) qa ON vec_a = qa.vec_id
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) qb ON vec_b = qb.vec_id
         WHERE {_COS_DUCK.replace('q.', 'qa.').replace('c.', 'qb.')} >= {NEARDUP_COS}
     """
 
@@ -434,8 +454,8 @@ def vband_geometry_report_oracle() -> str:
         )
         blocks.append(
             f"np{g} AS (SELECT count(*) AS n FROM cand{g} "
-            f"JOIN embeddings qa ON vec_a = qa.vec_id "
-            f"JOIN embeddings qb ON vec_b = qb.vec_id "
+            f"JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) qa ON vec_a = qa.vec_id "
+            f"JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) qb ON vec_b = qb.vec_id "
             f"WHERE {cos} >= {NEARDUP_COS})"
         )
         selects.append(
@@ -519,8 +539,8 @@ def _assign_duck(nlist: int = N_CENTROIDS) -> str:
         SELECT e.vec_id, c.vec_id AS centroid_id, {_DIST2_DUCK} AS dist2,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_DIST2_DUCK} ASC, c.vec_id ASC) AS rn
-        FROM embeddings e
-        JOIN embeddings c ON c.vec_id < {nlist}
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON c.vec_id < {nlist}
     ) WHERE rn = 1
 """
 
@@ -588,10 +608,10 @@ TOPK_COSINE_IVF_ORACLE = f"""
     WITH assign AS ({_ASSIGN_DUCK}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM embeddings q
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q
         JOIN assign qa ON qa.vec_id = q.vec_id
         JOIN assign ca ON ca.centroid_id = qa.centroid_id
-        JOIN embeddings c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
     ranked AS (
@@ -685,17 +705,17 @@ TOPK_COSINE_IVF_PROBE2_ORACLE = f"""
             SELECT e.vec_id, c.vec_id AS centroid_id,
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {_DIST2_DUCK} ASC, c.vec_id ASC) AS rn
-            FROM embeddings e
-            JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+            JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON c.vec_id < {N_CENTROIDS}
             WHERE e.vec_id < {N_QUERIES}
         ) WHERE rn <= {N_PROBE}
     ),
     scored AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM embeddings q
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q
         JOIN probes p ON p.query_id = q.vec_id
         JOIN assign ca ON ca.centroid_id = p.probe_cell
-        JOIN embeddings c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
@@ -743,7 +763,7 @@ _KMEANS_UPDATE_DUCK = f"""
            round(avg(e.embedding[d.pos + 1]::DOUBLE), {ROUND_COS}) AS coord,
            count(*) AS n_members
     FROM ({_ASSIGN_DUCK}) a
-    JOIN embeddings e ON e.vec_id = a.vec_id
+    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e ON e.vec_id = a.vec_id
     CROSS JOIN (SELECT generate_series AS pos FROM generate_series(0, {DIM - 1})) d
     GROUP BY 1, 2
 """
@@ -811,7 +831,7 @@ IVF_ASSIGN_TRAINED_ORACLE = f"""
                          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)
                          + list_dot_product(c.cemb, c.cemb), {ROUND_COS}) ASC,
                    c.c_id ASC) AS rn
-        FROM embeddings e CROSS JOIN cent c
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cent c
     ) WHERE rn = 1
 """
 
@@ -859,7 +879,7 @@ IVF_RECALL_REPORT_ORACLE = f"""
 
 
 def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_recall_report(load_table(spark, sf_dir, "embeddings"))
+    return ivf_recall_report(load_embeddings(spark, sf_dir))
 
 
 QUANT_LEVELS = 255  # 8-bit scalar quantization codes per dimension
@@ -919,7 +939,7 @@ _QCODES_DUCK = (
 QUANTIZE_EMBEDDINGS_ORACLE = f"""
     WITH params AS (
         SELECT vec_id, embedding, {_QMN_DUCK} AS mn, {_QSCALE_DUCK} AS scale
-        FROM embeddings
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
     )
     SELECT vec_id, mn AS q_min, scale AS q_scale,
            array_to_string({_QCODES_DUCK}, ',') AS codes_csv
@@ -1000,7 +1020,7 @@ _DEQ_DUCK = (
 QUANTIZED_RECALL_REPORT_ORACLE = f"""
     WITH params AS (
         SELECT vec_id, embedding, {_QMN_DUCK} AS mn, {_QSCALE_DUCK} AS scale
-        FROM embeddings
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
     ),
     deq AS (SELECT vec_id, {_DEQ_DUCK} AS demb FROM params),
     scored AS (
@@ -1109,7 +1129,7 @@ SEMANTIC_DEDUP_ORACLE = f"""
     WITH assign AS ({_assign_duck(SEM_NLIST)}),
     members AS (
         SELECT e.vec_id, a.centroid_id, e.embedding
-        FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e JOIN assign a ON a.vec_id = e.vec_id
     ),
     pair_cos AS (
         SELECT c.vec_id,
@@ -1127,23 +1147,23 @@ SEMANTIC_DEDUP_ORACLE = f"""
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(load_embeddings(spark, sf_dir))
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return quantize_embeddings(load_embeddings(spark, sf_dir))
 
 
 def q_quantized_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quantized_recall_report(load_table(spark, sf_dir, "embeddings"))
+    return quantized_recall_report(load_embeddings(spark, sf_dir))
 
 
 def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kmeans_update(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_update(load_embeddings(spark, sf_dir))
 
 
 def q_ivf_assign_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_assign_trained(load_table(spark, sf_dir, "embeddings"))
+    return ivf_assign_trained(load_embeddings(spark, sf_dir))
 
 
 def cluster_quality_report(embeddings: DataFrame) -> DataFrame:
@@ -1242,35 +1262,35 @@ CLUSTER_QUALITY_ORACLE = f"""
 
 
 def q_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cluster_quality_report(load_table(spark, sf_dir, "embeddings"))
+    return cluster_quality_report(load_embeddings(spark, sf_dir))
 
 
 def q_topk_cosine_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk_cosine_ivf_probe2(load_table(spark, sf_dir, "embeddings"))
+    return topk_cosine_ivf_probe2(load_embeddings(spark, sf_dir))
 
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_assign(load_table(spark, sf_dir, "embeddings"))
+    return ivf_assign(load_embeddings(spark, sf_dir))
 
 
 def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk_cosine_ivf(load_table(spark, sf_dir, "embeddings"))
+    return topk_cosine_ivf(load_embeddings(spark, sf_dir))
 
 
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk_cosine(load_table(spark, sf_dir, "embeddings"))
+    return topk_cosine(load_embeddings(spark, sf_dir))
 
 
 def q_topk_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk_cosine_blocked(load_table(spark, sf_dir, "embeddings"))
+    return topk_cosine_blocked(load_embeddings(spark, sf_dir))
 
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+    return lsh_buckets(load_embeddings(spark, sf_dir))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+    return embedding_neardup(load_embeddings(spark, sf_dir))
 
 
 def vband_geometry_report(embeddings: DataFrame) -> DataFrame:
@@ -1320,7 +1340,7 @@ def vband_geometry_report(embeddings: DataFrame) -> DataFrame:
 
 
 def q_vband_geometry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return vband_geometry_report(load_table(spark, sf_dir, "embeddings"))
+    return vband_geometry_report(load_embeddings(spark, sf_dir))
 
 
 RP_DIM = 16   # Johnson-Lindenstrauss target dimensionality (64 -> 16)
@@ -1372,7 +1392,7 @@ def rp_project_oracle() -> str:
             f"round(list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[])"
             f" / 4.0, 6) AS rp_{k}"
         )
-    return f"SELECT vec_id, label, {', '.join(cols)} FROM embeddings"
+    return f"SELECT vec_id, label, {', '.join(cols)} FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
 
 
 def _rp_vec_duck() -> str:
@@ -1445,7 +1465,7 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
 
 def rp_recall_report_oracle() -> str:
     return f"""
-    WITH rp AS (SELECT vec_id, {_rp_vec_duck()} AS r FROM embeddings),
+    WITH rp AS (SELECT vec_id, {_rp_vec_duck()} AS r FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                round(list_dot_product(q.r, c.r)
@@ -1471,11 +1491,11 @@ def rp_recall_report_oracle() -> str:
 
 
 def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rp_project(load_table(spark, sf_dir, "embeddings"))
+    return rp_project(load_embeddings(spark, sf_dir))
 
 
 def q_rp_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rp_recall_report(load_table(spark, sf_dir, "embeddings"))
+    return rp_recall_report(load_embeddings(spark, sf_dir))
 
 
 def modality_agreement_report(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
@@ -1544,14 +1564,14 @@ def modality_agreement_report_oracle() -> str:
                     * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
                  {ROUND_COS}) >= {NEARDUP_COS} AS semantic_agrees
     FROM pairs p
-    JOIN embeddings ea ON ea.vec_id = p.doc_a
-    JOIN embeddings eb ON eb.vec_id = p.doc_b
+    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) ea ON ea.vec_id = p.doc_a
+    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) eb ON eb.vec_id = p.doc_b
 """
 
 
 def q_modality_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modality_agreement_report(
-        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "documents"), load_embeddings(spark, sf_dir)
     )
 
 
@@ -1626,7 +1646,7 @@ def embedding_drift_report_oracle() -> str:
     return f"""
         WITH tagged AS (
             SELECT d.source, e.vec_id, e.embedding
-            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e JOIN documents d ON d.doc_id = e.vec_id
             WHERE e.embedding IS NOT NULL
         ),
         cells AS (
@@ -1658,7 +1678,7 @@ def embedding_drift_report_oracle() -> str:
 
 def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift_report(
-        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "documents"), load_embeddings(spark, sf_dir)
     )
 
 
@@ -1722,8 +1742,8 @@ TOPK_COSINE_FILTERED_ORACLE = f"""
     WITH keep AS (SELECT doc_id AS vec_id FROM documents WHERE lang = '{FILTER_LANG}'),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM embeddings q
-        JOIN embeddings c ON c.vec_id != q.vec_id
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON c.vec_id != q.vec_id
         JOIN keep k ON k.vec_id = c.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
@@ -1739,7 +1759,7 @@ TOPK_COSINE_FILTERED_ORACLE = f"""
 
 def q_topk_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_filtered(
-        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "documents"), load_embeddings(spark, sf_dir)
     )
 
 
@@ -1831,5 +1851,5 @@ def filtered_topk_recall_report_oracle() -> str:
 
 def q_filtered_topk_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_topk_recall_report(
-        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "documents"), load_embeddings(spark, sf_dir)
     )

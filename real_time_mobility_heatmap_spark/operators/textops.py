@@ -70,8 +70,16 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.length("text").alias("n_text_chars"),
         n_toks.alias("n_tokens"),
         # exact-int ratios: shared half-up so an on-boundary rational
-        # cannot split the engines' native round (r12 conversion)
-        round_half_up(punct / F.length("text"), 6).alias("punct_ratio"),
+        # cannot split the engines' native round (r12 conversion).
+        # nullif guards the one zero-capable denominator (r13 empty-text
+        # sweep: a zero-length doc is ANSI DIVIDE_BY_ZERO in Spark but
+        # NULL in DuckDB double division — NULL is the contract: an
+        # empty doc has no punct ratio, its score is NULL, and the
+        # quality filter drops it in both engines). n_tokens needs no
+        # guard: split('') is [''] — size >= 1 for any non-null text.
+        round_half_up(punct / F.nullif(F.length("text"), F.lit(0)), 6).alias(
+            "punct_ratio"
+        ),
         round_half_up(n_stop / n_toks, 6).alias("stopword_ratio"),
         round_half_up((F.length("text") - n_toks + 1) / n_toks, 6).alias("mean_word_len"),
     )
@@ -88,7 +96,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 _PUNCT_RATIO_DUCK = round_half_up_sql(
     "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
-    " / CAST(length(text) AS DOUBLE)",
+    " / CAST(nullif(length(text), 0) AS DOUBLE)",
     6,
 )
 _STOPWORD_RATIO_DUCK = round_half_up_sql(
