@@ -34,6 +34,10 @@ PINNED = [
     "vehicle_trips",
     "lsh_candidate_stats",
     "vband_geometry_report",
+    # r13 totality contracts (empty-text / NULL-embedding boundary)
+    "quality_score",            # nullif'd punct-ratio denominator
+    "media_resize",             # one sentinel row per media row
+    "kmeans_update",            # NULL-vector boundary before assignment
 ]
 
 

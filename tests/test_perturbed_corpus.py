@@ -109,3 +109,72 @@ def test_money_queries_match_oracle_on_perturbed_corpus(
     assert sorted(sdf.columns) == sorted(odf.columns), name
     assert len(sdf) == len(odf), name
     assert _canon(sdf) == _canon(odf), name
+
+
+# ---------------------------------------------------------------------------
+# r13: the NULL-embedding / zero-length-blob axis, pinned as a permanent
+# differential net (the r13 sweep's first contact found 14 diverging
+# queries in three classes — DuckDB list_inner_product erroring on NULL
+# vectors, ANSI divide-by-zero on empty text, and the empty-blob
+# totality split in media_resize; all fixed via the load_embeddings /
+# _EMB boundary, nullif(length(text),0), and the resize left-join).
+
+NULL_AXIS_QUERIES = [
+    # NULL-vector boundary class
+    "kmeans_update",
+    "semantic_dedup",
+    "quantize_embeddings",
+    "lsh_buckets",
+    "embedding_neardup",
+    "rp_project",
+    "rp_recall_report",
+    "vband_geometry_report",
+    # empty-text ANSI-division class
+    "quality_score",
+    "quality_filter",
+    "quality_decile_report",
+    "dedup_keep_best",
+    # zero-length-blob totality class
+    "media_features",
+    "media_resize",
+]
+
+
+@pytest.fixture(scope="module")
+def null_perturbed_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf-perturbed-nulls")
+    build_perturbed(SRC, str(d), seed=7, nulls=True)
+    # the axis must actually exist in the corpus, or these tests rot
+    con = duckdb.connect()
+    n_null_emb, n_null_seed = con.sql(
+        f"SELECT count(*) FILTER (embedding IS NULL),"
+        f" count(*) FILTER (embedding IS NULL AND vec_id < 4)"
+        f" FROM '{d}/embeddings.parquet'"
+    ).fetchone()
+    assert n_null_emb > 0, "--nulls must NULL an embedding slice"
+    assert n_null_seed == 0, "seed centroids must stay non-null"
+    n_empty, n_bad_meta = con.sql(
+        f"SELECT count(*) FILTER (text = ''),"
+        f" count(*) FILTER (text = '' AND n_chars != 0)"
+        f" FROM '{d}/documents.parquet'"
+    ).fetchone()
+    assert n_empty > 0, "--nulls must empty a text slice"
+    assert n_bad_meta == 0, "empty text must carry n_chars = 0"
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_AXIS_QUERIES)
+def test_null_axis_queries_match_oracle(spark, null_perturbed_sf_dir, name):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sdf = qs[name](spark, null_perturbed_sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" '{null_perturbed_sf_dir}/{t}.parquet'"
+        )
+    odf = con.sql(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert len(sdf) == len(odf), name
+    assert _canon(sdf) == _canon(odf), name
