@@ -163,11 +163,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_recall_report": similarity.q_rp_recall_report,
         "semantic_dedup": similarity.q_semantic_dedup,
         "topk_cosine": similarity.q_topk_cosine,
-        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
         "topk_cosine_filtered": similarity.q_topk_cosine_filtered,
         "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
         "vband_geometry_report": similarity.q_vband_geometry_report,
+        # streaming_positions is changed (r13 --ties argmax pair key +
+        # the stream projection's event_id) AND at the r7 dwell edge —
+        # it and zorder_layout_report (the last two r7s) take the slots
+        # of topk_cosine_blocked/_ivf_probe2, two of the six topk dial
+        # twins whose only change this round is the one shared
+        # load_embeddings line already represented in-window by four
+        # family members (adjudication recorded in SCALE.md r13).
+        "streaming_positions": run_streaming_positions,  # r7, changed
+        "zorder_layout_report": spatial.q_zorder_layout_report,  # r7
         # (2) oldest-green-first rotation:
         "attribution_report": relational.q_attribution_report,  # r7
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r7
@@ -188,8 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_report": textops.q_source_mixture_report,  # r7
         "streaming_conversions": run_streaming_conversions,  # r7
         # ------------- end of driver window (50 entries) -------------
-        "streaming_positions": run_streaming_positions,  # r7
-        "zorder_layout_report": spatial.q_zorder_layout_report,  # r7
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r12, changed (shared line; 4 twins in-window)
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,  # r12, changed (same)
         "bm25_top_terms": textops.q_bm25_top_terms,  # r8
         "bpe_merge_round": textops.q_bpe_merge_round,  # r8
         "brand_volume": relational.q_brand_volume,  # r8

@@ -76,12 +76,39 @@ def ln_u60_exact_sql(h: str, dialect: str) -> str:
     return f"({poly} + CAST({e} - 60 AS DOUBLE) * 6.931471805599453e-1)"
 
 
+# lower() is engine-divergent on exactly TWO unconditional cases in the
+# root locale (probed cross-engine, r13): U+0130 İ (Java's SpecialCasing
+# full mapping -> 'i' + U+0307 combining dot; utf8proc's simple mapping ->
+# 'i') and word-final Σ (Java applies the contextual final-sigma rule ->
+# ς; utf8proc maps unconditionally -> σ). Everything else — ß, titlecase
+# digraphs like ǅ, the whole simple-mapping table — already agrees.
+# Pre-folding those three code points (İ->i, Σ->σ, ς->σ, the last so
+# medial and final sigma unify) makes lower() ENGINE-IDENTICAL over all
+# of Unicode; translate() is codepoint-based in both engines (verified
+# byte-for-byte on mixed İ/Σ/ς input). Every content-casefold site goes
+# through these two fragments so the contract has one definition.
+_CASEFOLD_SRC = "İΣς"  # İ Σ ς
+_CASEFOLD_DST = "iσσ"  # i σ σ
+
+
+def fold_lower(text: Column) -> Column:
+    """Engine-identical lowercase: pre-fold İ/Σ/ς, then ``lower``."""
+    return F.lower(F.translate(text, _CASEFOLD_SRC, _CASEFOLD_DST))
+
+
+def fold_lower_duck(expr: str) -> str:
+    """The identical casefold in DuckDB SQL."""
+    return (
+        f"lower(translate({expr}, '{_CASEFOLD_SRC}', '{_CASEFOLD_DST}'))"
+    )
+
+
 def tokens(text: Column) -> Column:
     """Lowercased whitespace tokens."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    return F.split(fold_lower(F.trim(text)), r"\s+")
 
 
-TOKENS_DUCK = "string_split_regex(lower(trim(text)), '\\s+')"
+TOKENS_DUCK = f"string_split_regex({fold_lower_duck('trim(text)')}, '\\s+')"
 
 
 def shingles(toks_col: str, n: int = 3) -> Column:

@@ -36,13 +36,23 @@ KEY = ["provider", "vehicleId"]
 
 
 def latest_maxby(pings: DataFrame) -> DataFrame:
-    """argmax via max_by: one shuffle, one row per key."""
+    """argmax via max_by: one shuffle, one row per key.
+
+    The ordering key is the PAIR (eventTs, event_id), not eventTs alone:
+    with a bare timestamp key, two pings of one vehicle in the same
+    second (the NORM for a real fleet; manufactured by the r13 --ties
+    sweep, which caught exactly this) make the winner arbitrary in BOTH
+    engines — Spark's max_by and DuckDB's arg_max each pick whichever
+    tied row their accumulator saw first. The struct key makes the
+    winner a pure function of the data: highest event_id wins ties.
+    """
     p = validate_pings(pings)
+    key = F.struct("eventTs", "event_id")
     return p.groupBy(*KEY).agg(
         F.max("eventTs").alias("event_ts"),
-        F.max_by("lat", "eventTs").alias("lat"),
-        F.max_by("lon", "eventTs").alias("lon"),
-        F.max_by("speedKmh", "eventTs").alias("speed_kmh"),
+        F.max_by("lat", key).alias("lat"),
+        F.max_by("lon", key).alias("lon"),
+        F.max_by("speedKmh", key).alias("speed_kmh"),
     )
 
 
@@ -193,20 +203,23 @@ def watermark_latedrop(pings: DataFrame, watermark: str = "10 minutes") -> DataF
 
 _VALID_PINGS = f"WITH pings AS ({PINGS_ORACLE_SQL}), valid AS (SELECT * FROM pings WHERE {VALID_SQL})"
 
-# speedKmh is struct-wrapped: it is the one nullable field post-validate,
-# and DuckDB's arg_max SKIPS null args (returning the newest NON-null
-# speed) while Spark's max_by keeps row semantics (the latest row's
-# speed, null included — what the latest_join/latest_rownum twins
-# return). The never-null struct carries the nullable field through
-# arg_max intact. Caught by the r11 null-bearing perturbed sweep.
+# Expressed in the row_number form, NOT arg_max: the argmax ordering key
+# is the PAIR (eventTs, event_id) — the r13 --ties sweep caught bare-
+# timestamp arg_max picking an arbitrary winner among same-second pings
+# in both engines — and DuckDB's arg_max accepts only scalar ordering
+# keys (no struct overload), so the deterministic pair ordering needs
+# the window form here. Row semantics also carry the one nullable field
+# (speedKmh) through intact, which arg_max would SKIP on NULL (the r11
+# null-sweep finding that previously forced a struct_pack wrap).
 LATEST_MAXBY_ORACLE = f"""
     {_VALID_PINGS}
-    SELECT provider, vehicleId,
-           max(eventTs) AS event_ts,
-           arg_max(lat, eventTs) AS lat,
-           arg_max(lon, eventTs) AS lon,
-           (arg_max(struct_pack(v := speedKmh), eventTs)).v AS speed_kmh
-    FROM valid GROUP BY provider, vehicleId
+    SELECT provider, vehicleId, eventTs AS event_ts, lat, lon, speedKmh AS speed_kmh
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY provider, vehicleId
+            ORDER BY eventTs DESC, event_id DESC) AS rn
+        FROM valid
+    ) WHERE rn = 1
 """
 
 LATEST_JOIN_ORACLE = f"""
@@ -225,14 +238,22 @@ LATEST_ROWNUM_ORACLE = f"""
     ) WHERE rn = 1
 """
 
+# row_number form for the same reason as LATEST_MAXBY_ORACLE: the
+# deterministic (eventTs, event_id) pair ordering has no DuckDB arg_max
+# spelling.
 LATEST_POSITIONS_ORACLE = f"""
     {_VALID_PINGS}
     SELECT provider || '|' || vehicleId AS position_id,
            provider, vehicleId,
-           max(eventTs) AS event_ts,
-           arg_max(lon, eventTs) AS loc_lon,
-           arg_max(lat, eventTs) AS loc_lat
-    FROM valid GROUP BY provider, vehicleId
+           eventTs AS event_ts,
+           lon AS loc_lon,
+           lat AS loc_lat
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY provider, vehicleId
+            ORDER BY eventTs DESC, event_id DESC) AS rn
+        FROM valid
+    ) WHERE rn = 1
 """
 
 WATERMARK_LATEDROP_ORACLE = f"""

@@ -120,25 +120,46 @@ def media_features(docs: DataFrame) -> DataFrame:
     return media.mapInPandas(fake_features, FEATURE_SCHEMA)
 
 
-def media_features_oracle() -> str:
-    """SQL twin of the Arrow extractor (fixture text is ASCII, so octets
-    == characters): the same adler-like modular byte sum and the derived
-    fake dimensions — upgrading media_features from a rows-only check to
-    a full value-hash check of the mapInPandas path."""
-    # nullif: string_split('', '') is [''] and unicode('') is -1 in
-    # DuckDB, so a ZERO-LENGTH blob would checksum -1 where the byte
-    # extractor (no bytes) sums 0 — found by the r13 empty-blob sweep
-    checksum = (
-        "CAST(COALESCE(list_sum(list_transform("
-        "string_split(nullif(text, ''), ''),"
-        " c -> unicode(c))), 0) % 65521 AS BIGINT)"
+# Byte-exact oracle plumbing (r13 unicode sweep): the Arrow extractors
+# operate on the UTF-8 BYTES of the blob, and the oracles previously
+# spelled that per CHARACTER (unicode(c) sums, substr windows) under a
+# "fixture text is ASCII, so octets == characters" caveat — the first
+# multibyte corpus split every media query (a CJK char is one unicode(c)
+# term of ~0x4E00 but three UTF-8 bytes). The twins now read the byte
+# sequence itself from hex(encode(text)): 2 hex chars per byte, byte j
+# (1-based) = '0x' || substr(h, 2j-1, 2) — exact for ANY text. (A
+# zero-length blob yields an empty generate_series -> COALESCE 0, which
+# also retires the old nullif('' -> unicode = -1) sentinel hack.)
+_HEX_DOCS = (
+    "SELECT doc_id, hex(encode(text)) AS h,"
+    " CAST(strlen(text) AS BIGINT) AS n"
+    " FROM documents WHERE text IS NOT NULL"
+)
+
+
+def _byte_sum_duck(start: str, length: str) -> str:
+    """Sum of blob bytes [start, start+length) (1-based), 0 when empty."""
+    return (
+        "COALESCE(list_sum(list_transform(generate_series("
+        f"CAST({start} AS BIGINT),"
+        f" CAST({start} AS BIGINT) + CAST({length} AS BIGINT) - 1),"
+        " j -> CAST('0x' || substr(h, CAST(2 * j - 1 AS BIGINT), 2)"
+        " AS BIGINT))), 0)"
     )
+
+
+def media_features_oracle() -> str:
+    """SQL twin of the Arrow extractor: the same adler-like modular sum
+    over the UTF-8 bytes and the derived fake dimensions — upgrading
+    media_features from a rows-only check to a full value-hash check of
+    the mapInPandas path."""
     return f"""
         WITH feats AS (
             SELECT doc_id,
-                   CAST(strlen(text) AS INTEGER) AS byte_len,
-                   {checksum} AS checksum
-            FROM documents WHERE text IS NOT NULL
+                   CAST(n AS INTEGER) AS byte_len,
+                   CAST({_byte_sum_duck('1', 'n')} % 65521 AS BIGINT)
+                       AS checksum
+            FROM ({_HEX_DOCS})
         )
         SELECT doc_id, byte_len, checksum,
                CAST(checksum % 640 + 16 AS INTEGER) AS fake_width,
@@ -207,25 +228,26 @@ def media_frame_sample(docs: DataFrame) -> DataFrame:
 
 def media_frame_sample_oracle() -> str:
     """SQL twin of the frame sampler — the Arrow path is value-checked,
-    not just row-counted: frames via substring windows over the UTF-8
-    bytes (fixture text is ASCII, so octets == characters), checksum via
-    the same adler-like modular byte sum (unicode(c) over the chars)."""
+    not just row-counted: 64-BYTE windows over the UTF-8 byte sequence
+    (via the hex spelling — a char-based substr would mis-slice
+    multibyte text; r13 unicode sweep) with the same modular sum."""
     return f"""
         WITH idx AS (
-            SELECT doc_id, text,
+            SELECT doc_id, h, n,
                    unnest(generate_series(0,
-                       CAST(ceil(strlen(text) / CAST({FRAME_BYTES} AS DOUBLE)) AS BIGINT) - 1
+                       CAST(ceil(n / CAST({FRAME_BYTES} AS DOUBLE)) AS BIGINT) - 1
                    )) AS i
-            FROM documents WHERE text IS NOT NULL
+            FROM ({_HEX_DOCS})
         ),
         frames AS (
-            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-                   substr(text, CAST(1 + i * {FRAME_BYTES} AS BIGINT), {FRAME_BYTES}) AS frame
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, h,
+                   1 + i * {FRAME_BYTES} AS off1,
+                   least(n - i * {FRAME_BYTES}, {FRAME_BYTES}) AS flen
             FROM idx WHERE i % {FRAME_STRIDE} = 0
         )
         SELECT doc_id, frame_idx,
-               CAST(strlen(frame) AS INTEGER) AS frame_len,
-               CAST(list_sum(list_transform(string_split(frame, ''), c -> unicode(c))) % 65521 AS BIGINT)
+               CAST(flen AS INTEGER) AS frame_len,
+               CAST({_byte_sum_duck('off1', 'flen')} % 65521 AS BIGINT)
                    AS frame_checksum
         FROM frames
     """
@@ -281,20 +303,24 @@ def media_resize(docs: DataFrame) -> DataFrame:
 
 
 def media_resize_oracle() -> str:
-    """SQL twin (fixture text is ASCII, chars == bytes): the same
-    nearest-neighbor index math over substr, so the Arrow resize path is
-    value-checked. Totality contract (r13 empty-blob sweep): EVERY media
-    row yields exactly one representation row — a zero-length blob
-    resizes to the (len 0, checksum 0) sentinel, matching the Arrow
-    extractor, rather than disappearing from the output."""
+    """SQL twin: the same nearest-neighbor index math over the UTF-8
+    BYTE sequence (hex spelling — char indexing diverges on multibyte
+    text; r13 unicode sweep), so the Arrow resize path is value-checked.
+    Totality contract (r13 empty-blob sweep): EVERY media row yields
+    exactly one representation row — a zero-length blob resizes to the
+    (len 0, checksum 0) sentinel, matching the Arrow extractor, rather
+    than disappearing from the output."""
+    byte_at = (
+        "CAST('0x' || substr(h,"
+        f" CAST(2 * (1 + (i * n) // {RESIZE_TARGET}) - 1 AS BIGINT), 2)"
+        " AS BIGINT)"
+    )
     return f"""
         WITH samples AS (
-            SELECT doc_id,
-                   unicode(substr(text,
-                       CAST(1 + (i * strlen(text)) // {RESIZE_TARGET} AS BIGINT), 1)) AS b
-            FROM documents,
+            SELECT doc_id, {byte_at} AS b
+            FROM ({_HEX_DOCS}),
                  unnest(generate_series(0, {RESIZE_TARGET - 1})) AS t(i)
-            WHERE text IS NOT NULL AND strlen(text) > 0
+            WHERE n > 0
         ),
         agg AS (
             SELECT doc_id,
@@ -407,23 +433,21 @@ def media_phash(docs: DataFrame) -> DataFrame:
 
 
 def _phash_duck() -> str:
-    """DuckDB twin: fixture text is ASCII so octets == characters."""
+    """DuckDB twin over the UTF-8 BYTE regions (hex spelling — the
+    char-slice form diverged on multibyte text; r13 unicode sweep)."""
     R = PHASH_REGIONS
     terms = []
     for i in range(R):
-        seg = (
-            "CAST(COALESCE(list_sum(list_transform("
-            f"string_split(text, '')[(strlen(text) * {i}) // {R} + 1 :"
-            f" (strlen(text) * {i + 1}) // {R}],"
-            " c -> unicode(c))), 0) % 16 AS BIGINT)"
-        )
+        start = f"(n * {i}) // {R} + 1"
+        length = f"(n * {i + 1}) // {R} - (n * {i}) // {R}"
+        seg = f"CAST({_byte_sum_duck(start, length)} % 16 AS BIGINT)"
         terms.append(f"{seg} * {16 ** i}")
     expr = " + ".join(terms)
     return f"""
         SELECT doc_id,
-               CAST(strlen(text) AS INTEGER) AS byte_len,
+               CAST(n AS INTEGER) AS byte_len,
                CAST({expr} AS BIGINT) AS phash
-        FROM documents WHERE text IS NOT NULL
+        FROM ({_HEX_DOCS})
     """
 
 

@@ -20,6 +20,8 @@ from ..functions.rounding import (
 from ..functions.textfns import (
     STOPWORDS,
     TOKENS_DUCK,
+    fold_lower,
+    fold_lower_duck,
     hash60_duck_sql,
     hash60_spark_sql,
     ln_u60_exact_sql,
@@ -172,7 +174,7 @@ LANG_ID_ORACLE = f"""
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercased, whitespace-
     collapsed text (plus sha256 of the raw text for exact identity)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(fold_lower(F.col("text")), r"\s+", " "))
     return docs.select(
         "doc_id",
         F.md5(norm).alias("norm_fingerprint"),
@@ -180,9 +182,9 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-FINGERPRINT_ORACLE = """
+FINGERPRINT_ORACLE = f"""
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_fingerprint,
+           md5(trim(regexp_replace({fold_lower_duck('text')}, '\\s+', ' ', 'g'))) AS norm_fingerprint,
            sha256(text) AS content_sha256
     FROM documents
 """
@@ -195,7 +197,9 @@ ROLL_P = 2147483647    # Mersenne 2^31-1
 # folds the rest (DuckDB's list_reduce has no explicit init, so both
 # engines use identical seed-with-first semantics)
 _HS_SPARK = (
-    "transform(split(lower(trim(text)), '\\\\s+'),"
+    # lower(translate(...)) = the fold_lower casefold (textfns), inlined
+    # in Spark-SQL dialect — keep in lockstep with TOKENS_DUCK.
+    "transform(split(lower(translate(trim(text), 'İΣς', 'iσσ')), '\\\\s+'),"
     f" t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % {ROLL_P})"
 )
 _ROLL_SPARK = (

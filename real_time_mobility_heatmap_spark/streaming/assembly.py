@@ -544,14 +544,33 @@ def run_streaming_conversions(spark, sf_dir: str) -> DataFrame:
 
 def positions_batch(batch_df: DataFrame) -> DataFrame:
     """Per-batch argmax to the positions_latest document shape (A4 via
-    max_by — single shuffle, no back-join; SURVEY.md §4.2)."""
+    max_by — single shuffle, no back-join; SURVEY.md §4.2).
+
+    Deterministic tie winner (r13 --ties sweep): a bare-eventTs max_by
+    picks an arbitrary row among same-second pings of one vehicle. The
+    ordering key appends event_id when the source carries it (the fixture
+    events twin), else the row CONTENT (lat, lon, speedKmh) — the wire
+    schema has no unique id (reference heatmap_stream.py:52-61), and a
+    content key still makes the winner a pure function of the batch's
+    rows, not of accumulator visit order. Ties that span MICRO-BATCHES
+    stay with the store's documented stored-wins-on-equal-ts guard
+    (reference parity: its Mongo upsert keeps the stored doc on equal
+    ts); a file-source batch is whole files, so the single-file fixture
+    run never splits a tie across batches.
+    """
+    tb = (
+        ["event_id"]
+        if "event_id" in batch_df.columns
+        else ["lat", "lon", "speedKmh"]
+    )
+    key = F.struct("eventTs", *tb)
     return (
         validate_pings(batch_df)
         .groupBy("provider", "vehicleId")
         .agg(
             F.max("eventTs").alias("event_ts"),
-            F.max_by("lon", "eventTs").alias("loc_lon"),
-            F.max_by("lat", "eventTs").alias("loc_lat"),
+            F.max_by("lon", key).alias("loc_lon"),
+            F.max_by("lat", key).alias("loc_lat"),
         )
         .select(
             position_id(F.col("provider"), F.col("vehicleId")).alias("position_id"),

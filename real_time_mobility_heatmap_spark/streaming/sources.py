@@ -145,4 +145,9 @@ def pings_stream_from_events(
         F.expr(LAT_SQL).alias("lat"),
         F.expr(LON_SQL).alias("lon"),
         F.col("value").alias("speedKmh"),
+        # event_id rides along like the batch twin's projection: the
+        # per-batch argmax (positions_batch) needs it as the
+        # deterministic tie key so the stream, the batch operator, and
+        # the oracle agree on tied-eventTs corpora (r13 --ties sweep).
+        F.col("event_id"),
     )

@@ -178,3 +178,166 @@ def test_null_axis_queries_match_oracle(spark, null_perturbed_sf_dir, name):
     assert sorted(sdf.columns) == sorted(odf.columns), name
     assert len(sdf) == len(odf), name
     assert _canon(sdf) == _canon(odf), name
+
+
+# ---------------------------------------------------------------------------
+# r13: the TIES axis, pinned as a permanent differential net. The base
+# fixtures contain ZERO duplicate (vehicle, eventTs) pairs, so until the
+# --ties sweep no registered query had ever been order-pressured on the
+# pings axis the way a real fleet stream is (two pings in one second is
+# the NORM). First contact at sf0.01 found the latest-position family
+# (latest_maxby / latest_positions / position_features /
+# streaming_positions) picking an ARBITRARY winner among tied
+# max-eventTs rows in both engines — fixed with the (eventTs, event_id)
+# argmax pair key (operators/latest.py, streaming/assembly.py
+# positions_batch) and row_number-form oracles (DuckDB arg_max has no
+# composite-key overload).
+
+TIES_AXIS_QUERIES = [
+    # the family first-contact caught (argmax tie winner)
+    "latest_maxby",
+    "latest_positions",
+    "position_features",
+    "streaming_positions",
+    # tie-duplicating reference-parity twin (must keep BOTH tied rows)
+    "latest_join",
+    # per-vehicle order-sensitive folds whose event_id tiebreaks the
+    # axis now actively exercises
+    "latest_rownum",
+    "vehicle_sessions",
+    "vehicle_trips",
+    "resample_trajectories",
+    "ewma_speed",
+    "markov_transitions",
+    "moving_avg_speed",
+]
+
+
+@pytest.fixture(scope="module")
+def ties_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf-perturbed-ties")
+    build_perturbed(SRC, str(d), seed=7, ties=True)
+    # the axis must actually exist in the corpus, or these tests rot
+    con = duckdb.connect()
+    n_same_user = con.sql(
+        f"SELECT count(*) FROM (SELECT user_id, ts, count(*) c FROM"
+        f" '{d}/events.parquet' GROUP BY 1, 2 HAVING c > 1)"
+    ).fetchone()[0]
+    assert n_same_user > 0, "--ties must create same-vehicle eventTs ties"
+    n_null_ts = con.sql(
+        f"SELECT count(*) FROM '{d}/events.parquet' WHERE ts IS NULL"
+    ).fetchone()[0]
+    assert n_null_ts == 0, "event-time stays non-null under --ties"
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TIES_AXIS_QUERIES)
+def test_ties_axis_queries_match_oracle(spark, ties_sf_dir, name):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sdf = qs[name](spark, ties_sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{ties_sf_dir}/{t}.parquet'"
+        )
+    odf = con.sql(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert len(sdf) == len(odf), name
+    assert _canon(sdf) == _canon(odf), name
+
+
+# ---------------------------------------------------------------------------
+# r13: the UNICODE axis. The fixtures are pure ASCII, so the text
+# family's primitives had never executed over multibyte input. The
+# cross-engine primitive probe found the used surface (code-point
+# length, the BPE/punct regex classes, \s+ tokenize, md5/sha over UTF-8
+# bytes) agrees — EXCEPT lower(): Java applies SpecialCasing full
+# mappings (İ -> i + U+0307) and the contextual final-sigma rule
+# (trailing Σ -> ς) where utf8proc applies simple mappings (İ -> i,
+# Σ -> σ always). Every content-casefold site now routes through
+# fold_lower / fold_lower_duck (functions/textfns.py), which pre-fold
+# the three divergent code points so lower() is engine-identical over
+# all of Unicode.
+
+UNICODE_AXIS_QUERIES = [
+    # the casefold sites themselves
+    "fingerprint",
+    "rolling_fingerprint",
+    # tokens()-derived pipelines over the injected multibyte tokens
+    "token_count",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "lang_id",
+    # byte-level media path (UTF-8 bytes of multibyte text as blobs)
+    "media_features",
+    "media_metadata",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf-perturbed-unicode")
+    build_perturbed(SRC, str(d), seed=7, unicode_text=True)
+    con = duckdb.connect()
+    n_nonascii, n_bad_meta = con.sql(
+        f"SELECT count(*) FILTER (regexp_matches(text, '[^\\x01-\\x7F]')),"
+        f" count(*) FILTER (n_chars != length(text))"
+        f" FROM '{d}/documents.parquet'"
+    ).fetchone()
+    assert n_nonascii > 0, "--unicode must inject multibyte tokens"
+    assert n_bad_meta == 0, "n_chars must stay code-point-consistent"
+    # the two lower()-divergent code points must both be present
+    n_dotted, n_sigma = con.sql(
+        f"SELECT count(*) FILTER (regexp_matches(text, 'İ')),"
+        f" count(*) FILTER (regexp_matches(text, 'Σ'))"
+        f" FROM '{d}/documents.parquet'"
+    ).fetchone()
+    assert n_dotted > 0 and n_sigma > 0
+    return str(d)
+
+
+@pytest.mark.parametrize("name", UNICODE_AXIS_QUERIES)
+def test_unicode_axis_queries_match_oracle(spark, unicode_sf_dir, name):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sdf = qs[name](spark, unicode_sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" '{unicode_sf_dir}/{t}.parquet'"
+        )
+    odf = con.sql(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert len(sdf) == len(odf), name
+    assert _canon(sdf) == _canon(odf), name
+
+
+def test_fold_lower_closes_java_utf8proc_casefold_split(spark):
+    """The raw-primitive pin: bare lower() DIVERGES between the engines
+    on İ and word-final Σ (so the detector is not vacuous), and the
+    fold_lower/fold_lower_duck pair agrees byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from real_time_mobility_heatmap_spark.functions.textfns import (
+        fold_lower,
+        fold_lower_duck,
+    )
+
+    samples = ["İSTANBUL", "ΒΑΣΙΛΕΥΣ ΣΟΣ", "straße", "MiXeD ascii"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    rows = df.select(
+        F.lower("t").alias("raw"), fold_lower(F.col("t")).alias("folded")
+    ).collect()
+    con = duckdb.connect()
+    diverged = 0
+    for s, r in zip(samples, rows):
+        d_raw, d_fold = con.execute(
+            f"SELECT lower(?), {fold_lower_duck('?')}", [s, s]
+        ).fetchone()
+        if r["raw"] != d_raw:
+            diverged += 1
+        assert r["folded"] == d_fold, s
+    assert diverged >= 2  # İ and final-sigma both split the engines

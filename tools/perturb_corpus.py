@@ -242,6 +242,105 @@ _NULL_RULES = {
 _EMPTY_TEXT_RULE = "hash(doc_id + @SEED@ + 5) % 13 = 6"
 
 
+# --unicode (r13): multibyte / special-casing text. The fixture corpus is
+# pure ASCII, so no registered query had ever executed the text family's
+# primitives over non-ASCII input. A cross-engine primitive probe found
+# the used surface (length, BPE/punct regex classes, \\s+ tokenize, md5)
+# agrees on unicode EXCEPT ``lower()``: Java applies SpecialCasing full
+# mappings (İ -> i+U+0307) and the contextual final-sigma rule (ΑΣ -> ας)
+# where utf8proc applies simple mappings (İ -> i, Σ -> σ always) — so the
+# casefold sites (fingerprint, tokens, rolling hash) are now the shared
+# fold_lower/fold_lower_duck fragments (functions/textfns.py), and this
+# axis keeps them honest: a ~1/5 doc slice gains a hash-picked unicode
+# token (dotted-İ, final-sigma Greek, ß, CJK, combining accents, non-BMP
+# emoji, fullwidth, NBSP inside a token) appended or prepended, with
+# n_chars recomputed (code-point length agrees cross-engine).
+_UNI_TOKENS = (
+    "İstanbul",      # U+0130 — the Java/utf8proc lower() split
+    "ΒΑΣΙΛΕΥΣ",      # word-final Σ — contextual final sigma
+    "straße",        # ß (upper-divergent; lower-stable)
+    "東京",          # CJK, 3-byte UTF-8
+    "café",    # combining acute — NFC/NFD sensitivity
+    "naïve",    # precomposed ï
+    "\U0001F44D\U0001F680",  # non-BMP emoji — 4-byte UTF-8
+    "Ａｂｃ",        # fullwidth letters
+    "a b",      # NBSP inside a token (not \\s in either regex)
+)
+
+
+def _apply_unicode(sql: str, tname: str, columns: list[str]) -> str:
+    if tname != "documents":
+        return sql
+    toks = ", ".join(f"'{t}'" for t in _UNI_TOKENS)
+    pick = (
+        f"[{toks}][CAST(1 + hash(doc_id + @SEED@ + 31) %"
+        f" {len(_UNI_TOKENS)} AS BIGINT)]"
+    )
+    slice_ = "hash(doc_id + @SEED@ + 32) % 5 = 2"
+    prepend = "hash(doc_id + @SEED@ + 33) % 2 = 0"
+    new_text = (
+        f"CASE WHEN {slice_} AND text IS NOT NULL AND text != '' THEN "
+        f"CASE WHEN {prepend} THEN {pick} || ' ' || text "
+        f"ELSE text || ' ' || {pick} END ELSE text END"
+    )
+    # n_chars recomputed ONLY for slice rows (code-point length — Spark
+    # and DuckDB agree, incl. non-BMP); untouched rows keep the original
+    # value so composing with --nulls preserves that regime's contract.
+    new_chars = (
+        f"CASE WHEN {slice_} AND text IS NOT NULL AND text != '' THEN "
+        f"CAST(length({new_text}) AS BIGINT) ELSE n_chars END"
+    )
+    sel = ",\n               ".join(
+        f"{new_text} AS text"
+        if c == "text"
+        else (f"{new_chars} AS n_chars" if c == "n_chars" else c)
+        for c in columns  # original order — the schema cast needs it
+    )
+    return f"SELECT {sel} FROM ({sql})"
+
+
+# --ties (r13): duplicate event timestamps. The base fixtures (and every
+# jittered corpus — the ts jitter is a bijection of event_id) contain ZERO
+# (user_id, ts) ties, so no registered query has ever been order-pressured
+# on the pings axis the way real GPS streams are (two pings in the same
+# second is the NORM for a fleet). TPC-H dates already carry ties (47
+# same-order l_shipdate ties, 2376 global o_orderdate ties at sf0.01), so
+# that family has survived tie pressure; events never has. Two rules:
+#   1. SAME-USER ties (~1/7 of non-first events): ts := the user's
+#      PREVIOUS event's ts (lag by event_id) — the hard case for every
+#      per-vehicle window/fold (sessions, trips, EWMA, Markov, latest,
+#      as-of, resample). Any order-sensitive operator without a
+#      deterministic secondary key diverges between engines here.
+#   2. CROSS-USER ties (~1/11 disjoint slice): ts truncated to the
+#      HOUR — collides timestamps ACROSS vehicles (minute truncation
+#      yields ~0 collisions at fixture density: ~1 month span), so
+#      global orderings (top-by-ts snapshots, windowed top-k) see ties.
+# Event-time stays NON-NULL (the ingestion contract) — ties move values
+# within the valid domain, they never invalidate rows.
+def _apply_ties(sql: str, tname: str, columns: list[str]) -> str:
+    if tname != "events":
+        return sql
+    same_user = "hash(event_id + @SEED@ + 21) % 7 = 3"
+    cross_user = "hash(event_id + @SEED@ + 22) % 11 = 5"
+    sel = ",\n               ".join(
+        (
+            f"CASE WHEN {same_user} AND _prev_ts IS NOT NULL THEN _prev_ts\n"
+            f"                    WHEN {cross_user} THEN date_trunc('hour', ts)\n"
+            f"                    ELSE ts END AS ts"
+        )
+        if c == "ts"
+        else c
+        for c in columns  # original order — the schema cast needs it
+    )
+    return f"""
+        SELECT {sel}
+        FROM (
+            SELECT *, lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS _prev_ts
+            FROM ({sql})
+        )"""
+
+
 def _apply_nulls(sql: str, tname: str, columns: list[str]) -> str:
     rules = _NULL_RULES.get(tname)
     if not rules:
@@ -264,7 +363,14 @@ def _apply_nulls(sql: str, tname: str, columns: list[str]) -> str:
     return out
 
 
-def build(base_dir: str, out_dir: str, seed: int = 0, nulls: bool = False) -> None:
+def build(
+    base_dir: str,
+    out_dir: str,
+    seed: int = 0,
+    nulls: bool = False,
+    ties: bool = False,
+    unicode_text: bool = False,
+) -> None:
     base, out = Path(base_dir), Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -274,6 +380,10 @@ def build(base_dir: str, out_dir: str, seed: int = 0, nulls: bool = False) -> No
         )
     for tname, sql in TABLE_SQL.items():
         want = pq.read_schema(base / f"{tname}.parquet")
+        if ties:
+            sql = _apply_ties(sql, tname, [f.name for f in want])
+        if unicode_text:
+            sql = _apply_unicode(sql, tname, [f.name for f in want])
         if nulls:
             sql = _apply_nulls(sql, tname, [f.name for f in want])
         got = con.sql(sql.replace("@SEED@", str(seed))).arrow()
@@ -284,11 +394,15 @@ def build(base_dir: str, out_dir: str, seed: int = 0, nulls: bool = False) -> No
         if got.num_rows != pq.read_metadata(base / f"{tname}.parquet").num_rows:
             raise SystemExit(f"{tname}: row count changed")
     _perturb_embeddings(base, out, seed, nulls=nulls)
-    print(f"perturbed corpus at {out} (seed {seed}, nulls={nulls})")
+    print(
+        f"perturbed corpus at {out} (seed {seed}, nulls={nulls},"
+        f" ties={ties}, unicode={unicode_text})"
+    )
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--nulls"]
+    flags = ("--nulls", "--ties", "--unicode")
+    args = [a for a in sys.argv[1:] if a not in flags]
     base = args[0] if len(args) > 0 else BASE
     out = args[1] if len(args) > 1 else tempfile.mkdtemp(prefix="perturbed-corpus-")
     build(
@@ -296,4 +410,6 @@ if __name__ == "__main__":
         out,
         int(args[2]) if len(args) > 2 else 0,
         nulls="--nulls" in sys.argv,
+        ties="--ties" in sys.argv,
+        unicode_text="--unicode" in sys.argv,
     )
