@@ -341,3 +341,92 @@ def test_fold_lower_closes_java_utf8proc_casefold_split(spark):
             diverged += 1
         assert r["folded"] == d_fold, s
     assert diverged >= 2  # İ and final-sigma both split the engines
+
+
+# ---------------------------------------------------------------------------
+# r13: two degenerate EVENT corpora, swept full-registry green on first
+# contact and pinned here on the order-sensitive subset (the r10
+# all-identical-documents corpus is the dedup-side precedent):
+#   - max-skew: every event on ONE vehicle (the single-giant-partition
+#     shape; per-key windows, session folds and pair self-joins must
+#     agree when one key holds the whole corpus);
+#   - one-instant: every event at ONE timestamp (zero time-variance:
+#     session/trip durations 0, OLS slope denominators 0, resample
+#     spans 0, every argmax fully tied — the division and tie guards
+#     all fire at once).
+
+DEGENERATE_EVENT_QUERIES = [
+    "vehicle_sessions",
+    "vehicle_trips",
+    "ewma_speed",
+    "markov_transitions",
+    "cell_speed_trend",
+    "co_dwell_pairs",
+    "encounter_pairs",
+    "latest_maxby",
+    "resample_trajectories",
+    "moving_avg_speed",
+]
+
+
+def _events_rewrite_dir(tmp_path_factory, label: str, select_sql: str) -> str:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp(f"sf-degenerate-{label}")
+    base = Path(SRC)
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(base / f"{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    want = pq.read_schema(base / "events.parquet")
+    got = con.sql(select_sql.format(src=base / "events.parquet")).arrow()
+    if isinstance(got, pa.RecordBatchReader):
+        got = got.read_all()
+    pq.write_table(got.cast(want), d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def one_vehicle_sf_dir(tmp_path_factory) -> str:
+    return _events_rewrite_dir(
+        tmp_path_factory,
+        "one-vehicle",
+        "SELECT event_id, ts, CAST(7 AS BIGINT) AS user_id, event_type,"
+        " value, props FROM '{src}'",
+    )
+
+
+@pytest.fixture(scope="module")
+def one_instant_sf_dir(tmp_path_factory) -> str:
+    return _events_rewrite_dir(
+        tmp_path_factory,
+        "one-instant",
+        "SELECT event_id, TIMESTAMP '2024-01-15 12:00:00' AS ts, user_id,"
+        " event_type, value, props FROM '{src}'",
+    )
+
+
+def _assert_matches_oracle(spark, sf_dir: str, name: str) -> None:
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sdf = qs[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    odf = con.sql(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert len(sdf) == len(odf), name
+    assert _canon(sdf) == _canon(odf), name
+
+
+@pytest.mark.parametrize("name", DEGENERATE_EVENT_QUERIES)
+def test_one_vehicle_corpus_matches_oracle(spark, one_vehicle_sf_dir, name):
+    _assert_matches_oracle(spark, one_vehicle_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_EVENT_QUERIES)
+def test_one_instant_corpus_matches_oracle(spark, one_instant_sf_dir, name):
+    _assert_matches_oracle(spark, one_instant_sf_dir, name)
