@@ -43,11 +43,24 @@ def latest_maxby(pings: DataFrame) -> DataFrame:
     second (the NORM for a real fleet; manufactured by the r13 --ties
     sweep, which caught exactly this) make the winner arbitrary in BOTH
     engines — Spark's max_by and DuckDB's arg_max each pick whichever
-    tied row their accumulator saw first. The struct key makes the
-    winner a pure function of the data: highest event_id wins ties.
+    tied row their accumulator saw first. The pair key makes the winner
+    a pure function of the data: highest event_id wins ties.
+
+    The pair is PACKED into one DECIMAL(38,0) — micros * 10^19 +
+    event_id — rather than a struct: a struct-typed max_by buffer is
+    not UnsafeRow-mutable, so Spark silently falls back from
+    HashAggregate to SortAggregate (measured: the struct form turned
+    this whole plan sort-based), while decimal buffers stay
+    hash-aggregable. Ordering is equivalent (micros ~1.7e15 * 1e19 ~
+    1.7e34 < 1e38; event_id is a non-negative int64 < 10^19 by the
+    fixture/producer contract), verified against the struct form on a
+    tie-heavy frame.
     """
     p = validate_pings(pings)
-    key = F.struct("eventTs", "event_id")
+    key = F.expr(
+        "CAST(unix_micros(eventTs) AS DECIMAL(18,0))"
+        " * 10000000000000000000 + event_id"
+    )
     return p.groupBy(*KEY).agg(
         F.max("eventTs").alias("event_ts"),
         F.max_by("lat", key).alias("lat"),

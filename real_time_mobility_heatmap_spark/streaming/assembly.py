@@ -558,12 +558,19 @@ def positions_batch(batch_df: DataFrame) -> DataFrame:
     ts); a file-source batch is whole files, so the single-file fixture
     run never splits a tie across batches.
     """
-    tb = (
-        ["event_id"]
-        if "event_id" in batch_df.columns
-        else ["lat", "lon", "speedKmh"]
-    )
-    key = F.struct("eventTs", *tb)
+    if "event_id" in batch_df.columns:
+        # decimal-packed (eventTs, event_id) — keeps the argmax
+        # HashAggregate-able (a struct buffer silently falls back to
+        # SortAggregate); same packing as operators/latest.latest_maxby
+        key = F.expr(
+            "CAST(unix_micros(eventTs) AS DECIMAL(18,0))"
+            " * 10000000000000000000 + event_id"
+        )
+    else:
+        # wire path: content ordering, struct-keyed — per-micro-batch
+        # relations are small, so the SortAggregate fallback the struct
+        # buffer forces is batch-local and cheap
+        key = F.struct("eventTs", "lat", "lon", "speedKmh")
     return (
         validate_pings(batch_df)
         .groupBy("provider", "vehicleId")
