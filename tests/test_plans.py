@@ -459,6 +459,51 @@ def test_registry_wide_plan_lint_no_cartesian_no_scalar_python_udf(spark):
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
 
 
+# A partition-less Window funnels its whole input into ONE task
+# (WindowExec warns "Moving all data to a single partition") — a plan
+# shape that only survives 100 TB when the windowed relation is bounded
+# by construction. Every allowed site below is, with the bound stated;
+# anything new must justify itself here or partition its window.
+_GLOBAL_WINDOW_ALLOWED = {
+    # cumulative share over the quality-score HISTOGRAM (bucket-bounded)
+    "quality_decile_report",
+    # rank over top-N heavy hitters — window runs AFTER .limit(N)
+    "key_skew_report",
+    # rank over the distinct-adjacent-pair count aggregate (vocab-bounded)
+    "bpe_merge_round",
+    # file-metadata relation (files, not rows)
+    "compaction_plan",
+    # B-bounded bucket-occupancy report (relational.py range_partition_plan:
+    # boundaries via the distinct-n_chars percentile path, window over B rows)
+    "range_partition_plan",
+    # documented |customers| single-task ntile caveat (analytics.py
+    # rfm_segments docstring: corpus-scale deployments bucket by
+    # histogram thresholds instead)
+    "rfm_segments",
+}
+
+
+def test_registry_wide_plan_lint_global_windows_are_allowlisted(spark):
+    """No registered plan may contain an un-adjudicated partition-less
+    window. Detection: in windowspecdefinition(...), partition columns
+    print BARE before the ordering columns (which carry ASC/DESC NULLS
+    markers) — a spec whose FIRST argument is an ordering column has an
+    empty partition spec."""
+    pat = re.compile(r"windowspecdefinition\(([^()]*)")
+    for name, fn in entry_mod.queries().items():
+        if name.startswith("streaming_"):
+            continue  # live runs; batch twins cover the plan shapes
+        plan = _plan(spark, name)
+        for m in pat.finditer(plan):
+            first = m.group(1).split(", ")[0]
+            if re.search(r" (ASC|DESC) NULLS", first):
+                assert name in _GLOBAL_WINDOW_ALLOWED, (
+                    f"{name}: partition-less window over {first!r} — "
+                    "bound the input and allowlist it, or partition it"
+                )
+                break
+
+
 def test_tpch_exists_shapes_plan_as_semi_anti(spark):
     # Q4: EXISTS -> left semi with the lateness residual on the hash join
     assert "LeftSemi" in _plan(spark, "late_order_priority")
