@@ -31,12 +31,30 @@ def json_decode(events: DataFrame) -> DataFrame:
     )
 
 
+# Mirrors Spark's TYPED PERMISSIVE parse exactly (r13 --json axis: the
+# naive `CAST(props ->> '$.k' AS INTEGER)` oracle diverged on five shape
+# classes). from_json("k INT") yields the field ONLY for an integral
+# JSON number within int32 range — a quoted "7", a 3.9 (or even 3.0)
+# double, an out-of-range integer, a boolean, or malformed JSON all
+# yield NULL — where DuckDB's text-extract-then-cast coerces ("7" -> 7,
+# 3.9 -> 4) or ERRORS (overflow, booleans, malformed). The guards below
+# reproduce the Spark contract: json_valid, integral json_type, int32
+# range.
 JSON_DECODE_ORACLE = """
+    WITH p AS (
+        SELECT event_id, try_cast(props AS JSON) AS j
+        FROM events
+    )
     SELECT
         event_id,
-        CAST(props ->> '$.k' AS INTEGER) AS prop_k,
-        (props ->> '$.k') IS NOT NULL AS prop_valid
-    FROM events
+        CASE WHEN json_type(j, '$.k') IN ('BIGINT', 'UBIGINT')
+              AND try_cast(j ->> '$.k' AS BIGINT)
+                  BETWEEN -2147483648 AND 2147483647
+             THEN CAST(j ->> '$.k' AS INTEGER) END AS prop_k,
+        (json_type(j, '$.k') IN ('BIGINT', 'UBIGINT')
+         AND try_cast(j ->> '$.k' AS BIGINT)
+             BETWEEN -2147483648 AND 2147483647) IS TRUE AS prop_valid
+    FROM p
 """
 
 
@@ -133,10 +151,37 @@ def props_key_stats(events: DataFrame) -> DataFrame:
     )
 
 
+# Mirrors Spark's STRICT map parse (r13 --json axis): from_json
+# map<string,bigint> nulls the ENTIRE map if ANY value is not an
+# integral int64 JSON number (a nested object, a string, a 2.5 — or
+# even an integral-valued 3.0 double), where DuckDB's MAP cast coerces
+# doubles and ERRORS on the rest. The ok-filter below admits a row only
+# when the payload is a valid JSON OBJECT whose every value has
+# integral json_type and fits BIGINT — exactly the rows whose Spark map
+# is non-null — and only then applies the MAP cast (safe by the filter).
 PROPS_KEY_STATS_ORACLE = """
-    WITH kv AS (
+    WITH cand AS (
+        -- try_cast, not json(): SQL conjuncts need not short-circuit,
+        -- so a bare json(props) could raise on the malformed slice
+        SELECT try_cast(props AS JSON) AS j FROM events
+        WHERE json_type(try_cast(props AS JSON)) = 'OBJECT'
+    ),
+    ok AS (
+        -- a JSON null IS an admissible entry (Spark keeps it as a
+        -- NULL-valued map entry, which counts in n_events and drops out
+        -- of min/max/sum); everything else must be an integral int64
+        SELECT j FROM cand
+        WHERE coalesce(list_aggregate(list_transform(json_keys(j),
+                  k -> json_type(j, '$."' || k || '"') = 'NULL'
+                       OR (json_type(j, '$."' || k || '"')
+                               IN ('BIGINT', 'UBIGINT')
+                           AND try_cast(json_extract_string(j, '$."' || k || '"')
+                                        AS BIGINT) IS NOT NULL)),
+              'bool_and'), TRUE)
+    ),
+    kv AS (
         SELECT unnest(map_keys(m)) AS prop_key, unnest(map_values(m)) AS prop_value
-        FROM (SELECT CAST(json(props) AS MAP(VARCHAR, BIGINT)) AS m FROM events)
+        FROM (SELECT CAST(j AS MAP(VARCHAR, BIGINT)) AS m FROM ok)
     )
     SELECT prop_key,
            count(*) AS n_events,

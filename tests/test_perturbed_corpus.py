@@ -430,3 +430,46 @@ def test_one_vehicle_corpus_matches_oracle(spark, one_vehicle_sf_dir, name):
 @pytest.mark.parametrize("name", DEGENERATE_EVENT_QUERIES)
 def test_one_instant_corpus_matches_oracle(spark, one_instant_sf_dir, name):
     _assert_matches_oracle(spark, one_instant_sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# r13: the JSON-shape axis. The fixture props is always '{"k": N}', so
+# the schema-on-read parsers had never seen any other shape. The
+# cross-engine battery found five divergence classes in the naive
+# extract-then-cast oracles (quoted numbers coerced, doubles rounded,
+# overflow/boolean/malformed ERRORING where Spark PERMISSIVE yields
+# NULL, and Spark's whole-map-null strictness admitting null entries);
+# JSON_DECODE_ORACLE / PROPS_KEY_STATS_ORACLE now mirror the Spark
+# contract via json_type guards (operators/decode.py).
+
+JSON_AXIS_QUERIES = [
+    "json_decode",
+    "props_key_stats",
+    # opaque-string carriers: props rides through checksums unchanged
+    "source_roundtrip",
+    "wire_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def json_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf-perturbed-json")
+    build_perturbed(SRC, str(d), seed=7, json_shapes=True)
+    con = duckdb.connect()
+    # try_cast, not json(): AND in a FILTER does not short-circuit, so a
+    # bare json(props) would raise on the malformed slice this asserts
+    n_bad, n_nonobj, n_quoted = con.sql(
+        f"SELECT count(*) FILTER (props IS NOT NULL AND NOT json_valid(props)),"
+        f" count(*) FILTER (json_type(try_cast(props AS JSON)) != 'OBJECT'),"
+        f" count(*) FILTER (json_type(try_cast(props AS JSON), '$.k') = 'VARCHAR')"
+        f" FROM '{d}/events.parquet'"
+    ).fetchone()
+    assert n_bad > 0, "--json must create malformed payloads"
+    assert n_nonobj > 0, "--json must create non-object payloads"
+    assert n_quoted > 0, "--json must create quoted-number k values"
+    return str(d)
+
+
+@pytest.mark.parametrize("name", JSON_AXIS_QUERIES)
+def test_json_axis_queries_match_oracle(spark, json_sf_dir, name):
+    _assert_matches_oracle(spark, json_sf_dir, name)

@@ -299,6 +299,55 @@ def _apply_unicode(sql: str, tname: str, columns: list[str]) -> str:
     return f"SELECT {sel} FROM ({sql})"
 
 
+# --json (r13): adversarial props payloads. The fixture props is always
+# the one shape '{"k": N}', so the schema-on-read parsers (json_decode's
+# typed from_json, props_key_stats' strict map parse) had never seen
+# anything else. A cross-engine battery found FIVE divergence classes in
+# the naive extract-then-cast oracles (quoted numbers coerced, doubles
+# rounded, overflow/boolean/malformed ERRORING where Spark PERMISSIVE
+# yields NULL, and Spark's whole-map-null strictness); the oracles now
+# mirror the Spark contract via json_type guards, and this axis keeps
+# them honest: disjoint hash slices of events.props take each shape.
+# Slices rewrite; non-sliced rows keep the jittered standard shape.
+_JSON_SHAPES = (
+    # valid, still k-bearing ({n} -> a per-row 0..99 integer)
+    ('{"k": {n}, "extra": {"a": 1}}', 13, 0),  # nested extra
+    ('{"k": {n}, "s": "x"}', 13, 1),           # string extra (map-null)
+    ('{"k": {n}, "d": 2.5}', 13, 2),           # double extra (map-null)
+    ('{"k": "{n}"}', 13, 3),                   # quoted k (int-null)
+    ('{"k": {n}.0}', 13, 4),                   # integral double (both-null)
+    ('{"k": {n}9999999999}', 13, 5),           # beyond int32
+    ('{"k": null}', 17, 6),                    # explicit null entry
+    # valid, k-less / non-object
+    ('{"é": {n}}', 17, 7),                # unicode key
+    ('[{n}, 2]', 17, 8),                       # top-level array
+    ('{}', 17, 9),                             # empty object
+    # invalid
+    ('{"k": {n}', 19, 10),                     # truncated
+    ('', 19, 11),                              # empty string
+)
+
+
+def _apply_json(sql: str, tname: str, columns: list[str]) -> str:
+    if tname != "events":
+        return sql
+    expr = "props"
+    for tmpl, mod, salt in reversed(_JSON_SHAPES):
+        shaped = (
+            "'"
+            + tmpl.replace("{n}", "' || CAST(hash(event_id + @SEED@) % 100 AS VARCHAR) || '")
+            + "'"
+        )
+        shaped = shaped.replace(" || ''", "").replace("'' || ", "")
+        cond = f"hash(event_id + @SEED@ + {40 + salt}) % {mod} = {salt % mod}"
+        expr = f"CASE WHEN {cond} THEN {shaped} ELSE {expr} END"
+    sel = ",\n               ".join(
+        f"{expr} AS props" if c == "props" else c
+        for c in columns  # original order — the schema cast needs it
+    )
+    return f"SELECT {sel} FROM ({sql})"
+
+
 # --ties (r13): duplicate event timestamps. The base fixtures (and every
 # jittered corpus — the ts jitter is a bijection of event_id) contain ZERO
 # (user_id, ts) ties, so no registered query has ever been order-pressured
@@ -370,6 +419,7 @@ def build(
     nulls: bool = False,
     ties: bool = False,
     unicode_text: bool = False,
+    json_shapes: bool = False,
 ) -> None:
     base, out = Path(base_dir), Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -384,6 +434,8 @@ def build(
             sql = _apply_ties(sql, tname, [f.name for f in want])
         if unicode_text:
             sql = _apply_unicode(sql, tname, [f.name for f in want])
+        if json_shapes:
+            sql = _apply_json(sql, tname, [f.name for f in want])
         if nulls:
             sql = _apply_nulls(sql, tname, [f.name for f in want])
         got = con.sql(sql.replace("@SEED@", str(seed))).arrow()
@@ -396,12 +448,12 @@ def build(
     _perturb_embeddings(base, out, seed, nulls=nulls)
     print(
         f"perturbed corpus at {out} (seed {seed}, nulls={nulls},"
-        f" ties={ties}, unicode={unicode_text})"
+        f" ties={ties}, unicode={unicode_text}, json={json_shapes})"
     )
 
 
 if __name__ == "__main__":
-    flags = ("--nulls", "--ties", "--unicode")
+    flags = ("--nulls", "--ties", "--unicode", "--json")
     args = [a for a in sys.argv[1:] if a not in flags]
     base = args[0] if len(args) > 0 else BASE
     out = args[1] if len(args) > 1 else tempfile.mkdtemp(prefix="perturbed-corpus-")
@@ -412,4 +464,5 @@ if __name__ == "__main__":
         nulls="--nulls" in sys.argv,
         ties="--ties" in sys.argv,
         unicode_text="--unicode" in sys.argv,
+        json_shapes="--json" in sys.argv,
     )
