@@ -351,7 +351,7 @@ def semantic_decontaminate(embeddings: DataFrame) -> DataFrame:
 
 
 def semantic_decontaminate_oracle() -> str:
-    from .similarity import ROUND_COS
+    from .similarity import _EMB, ROUND_COS
 
     cos = (
         "round(list_dot_product(t.embedding::DOUBLE[], q.embedding::DOUBLE[])"
@@ -362,10 +362,10 @@ def semantic_decontaminate_oracle() -> str:
     return f"""
     WITH scored AS (
         SELECT t.vec_id AS train_id, q.vec_id AS test_id, {cos} AS cosine
-        FROM (SELECT * FROM embeddings
-              WHERE embedding IS NOT NULL AND vec_id % {TEST_MOD} != 0) t
-        LEFT JOIN (SELECT * FROM embeddings
-                   WHERE embedding IS NOT NULL AND vec_id % {TEST_MOD} = 0) q
+        FROM (SELECT * FROM {_EMB} e
+              WHERE vec_id % {TEST_MOD} != 0) t
+        LEFT JOIN (SELECT * FROM {_EMB} e
+                   WHERE vec_id % {TEST_MOD} = 0) q
           ON t.label = q.label
     ),
     ranked AS (

@@ -160,6 +160,16 @@ def null_perturbed_sf_dir(tmp_path_factory) -> str:
     ).fetchone()
     assert n_empty > 0, "--nulls must empty a text slice"
     assert n_bad_meta == 0, "empty text must carry n_chars = 0"
+    # the r13 non-finite slice: NaN/Inf components must exist (the
+    # load_embeddings/_EMB finite boundary needs live pressure), and the
+    # in-domain -0.0 slice must survive as a VALID vector
+    n_nonfinite = con.sql(
+        f"SELECT count(*) FROM '{d}/embeddings.parquet'"
+        f" WHERE embedding IS NOT NULL AND"
+        f" list_aggregate(list_transform(embedding,"
+        f" x -> NOT isfinite(x)), 'bool_or')"
+    ).fetchone()[0]
+    assert n_nonfinite > 0, "--nulls must poison a non-finite slice"
     return str(d)
 
 

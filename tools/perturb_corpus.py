@@ -195,6 +195,21 @@ def _perturb_embeddings(
         v = np.roll(emb[i], r)
         flip = ((int(vid) + seed) * 40503) % dim
         v[flip] = -v[flip]
+        # --nulls also poisons disjoint slices with NON-FINITE components
+        # (r13 NaN-embedding probe: quantization paths CRASH under Spark
+        # ANSI on NaN->INT casts and DuckDB errors casting nan to int64
+        # — both engines now drop non-finite vectors at the load_
+        # embeddings/_EMB validity boundary, and this keeps that boundary
+        # exercised). A -0.0 slice stays IN-DOMAIN: negative zero is a
+        # valid component, pinned engine-consistent.
+        if nulls and int(vid) >= _N_SEED_CENTROIDS:
+            m = (int(vid) * 2654435761 + seed) % 13
+            if m == 4:
+                v[0] = np.nan
+            elif m == 8:
+                v[1 % dim] = np.inf
+            elif m == 12:
+                v[2 % dim] = -0.0
         rows.append(v.astype(np.float32))
     out_t = pa.table(
         {
