@@ -92,6 +92,7 @@ def scan_corpus(sf_dir: str) -> dict:
         for vid, e in con.execute(
             "SELECT vec_id, embedding FROM embeddings"
             " WHERE embedding IS NOT NULL"
+            " AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)"
         ).fetchall()
     }
     assign = con.execute(
@@ -102,6 +103,7 @@ def scan_corpus(sf_dir: str) -> dict:
             "SELECT d.doc_id, d.source FROM documents d"
             " JOIN embeddings e ON e.vec_id = d.doc_id"
             " WHERE e.embedding IS NOT NULL"
+            " AND NOT coalesce(list_aggregate(list_transform(e.embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)"
         ).fetchall()
     )
 
