@@ -61,22 +61,32 @@ ROUND_COS = 6
 # (CAST_OVERFLOW casting NaN to INT) while DuckDB rounds it — a trained
 # artifact with NaN/Inf components is invalid input, like a NULL ping
 # timestamp. (-0.0 components are VALID and verified engine-consistent.)
+#
+# NULL COMPONENTS (r14, per the r13 advisor): a non-NULL vector with a
+# NULL element is invalid by the same argument, and it sat exactly on a
+# 3-valued-logic fault line — Spark's exists() returned NULL on such a
+# row (predicate NULL on the NULL element, no TRUE), so ~NULL dropped
+# it, while DuckDB's bool_or SKIPPED the NULL lambda result and kept
+# it. Both predicates now test the element explicitly
+# (``x IS NULL OR NOT isfinite(x)``), so NULL-element vectors are
+# excluded by decision, not by whichever engine's NULL propagation
+# happens to fire.
 _EMB = (
     "(SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT"
     " coalesce(list_aggregate(list_transform(embedding,"
-    " x -> NOT isfinite(x)), 'bool_or'), FALSE))"
+    " x -> x IS NULL OR NOT isfinite(x)), 'bool_or'), FALSE))"
 )
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings table past the NULL-vector / non-finite validity
-    boundary (the embedding twin of ``validate_pings`` — see ``_EMB``
-    note above)."""
+    """The embeddings table past the NULL-vector / NULL-component /
+    non-finite validity boundary (the embedding twin of
+    ``validate_pings`` — see ``_EMB`` note above)."""
     return load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
         & ~F.exists(
             "embedding",
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
         )
     )
 
@@ -185,8 +195,8 @@ _COS_DUCK = (
 TOPK_COSINE_ORACLE = f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) q
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) c ON c.vec_id != q.vec_id
+        FROM {_EMB} q
+        JOIN {_EMB} c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
     ranked AS (
@@ -220,8 +230,8 @@ def topk_cosine_blocked(embeddings: DataFrame) -> DataFrame:
 TOPK_COSINE_BLOCKED_ORACLE = f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) q
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) c ON c.label = q.label AND c.vec_id != q.vec_id
+        FROM {_EMB} q
+        JOIN {_EMB} c ON c.label = q.label AND c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
     ranked AS (
@@ -261,7 +271,7 @@ def lsh_buckets_oracle() -> str:
             f" THEN {2**p} ELSE 0 END)"
         )
     expr = " + ".join(terms)
-    return f"SELECT vec_id, label, {expr} AS bucket FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE))"
+    return f"SELECT vec_id, label, {expr} AS bucket FROM {_EMB}"
 
 
 N_VBANDS = 4
@@ -420,10 +430,10 @@ def _vband_sql_parts(n_bands: int) -> tuple[str, str]:
                 f" THEN {2**i} ELSE 0 END)"
             )
         band_rows.append(
-            f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bval FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE))"
+            f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bval FROM {_EMB}"
         )
     cap = (
-        f"greatest(least(CAST(floor((SELECT count(*) FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE))) * {BUCKET_CAP_FRAC})"
+        f"greatest(least(CAST(floor((SELECT count(*) FROM {_EMB}) * {BUCKET_CAP_FRAC})"
         f" AS BIGINT), {BUCKET_CAP_MAX}), 2)"
     )
     return "\nUNION ALL\n".join(band_rows), cap
@@ -445,8 +455,8 @@ def embedding_neardup_oracle(n_bands: int = N_VBANDS) -> str:
         )
         SELECT vec_a, vec_b, {_COS_DUCK.replace('q.', 'qa.').replace('c.', 'qb.')} AS cosine
         FROM candidates
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) qa ON vec_a = qa.vec_id
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) qb ON vec_b = qb.vec_id
+        JOIN {_EMB} qa ON vec_a = qa.vec_id
+        JOIN {_EMB} qb ON vec_b = qb.vec_id
         WHERE {_COS_DUCK.replace('q.', 'qa.').replace('c.', 'qb.')} >= {NEARDUP_COS}
     """
 
@@ -470,8 +480,8 @@ def vband_geometry_report_oracle() -> str:
         )
         blocks.append(
             f"np{g} AS (SELECT count(*) AS n FROM cand{g} "
-            f"JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) qa ON vec_a = qa.vec_id "
-            f"JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) qb ON vec_b = qb.vec_id "
+            f"JOIN {_EMB} qa ON vec_a = qa.vec_id "
+            f"JOIN {_EMB} qb ON vec_b = qb.vec_id "
             f"WHERE {cos} >= {NEARDUP_COS})"
         )
         selects.append(
@@ -555,8 +565,8 @@ def _assign_duck(nlist: int = N_CENTROIDS) -> str:
         SELECT e.vec_id, c.vec_id AS centroid_id, {_DIST2_DUCK} AS dist2,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_DIST2_DUCK} ASC, c.vec_id ASC) AS rn
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) e
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) c ON c.vec_id < {nlist}
+        FROM {_EMB} e
+        JOIN {_EMB} c ON c.vec_id < {nlist}
     ) WHERE rn = 1
 """
 
@@ -624,10 +634,10 @@ TOPK_COSINE_IVF_ORACLE = f"""
     WITH assign AS ({_ASSIGN_DUCK}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) q
+        FROM {_EMB} q
         JOIN assign qa ON qa.vec_id = q.vec_id
         JOIN assign ca ON ca.centroid_id = qa.centroid_id
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
+        JOIN {_EMB} c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
     ranked AS (
@@ -721,17 +731,17 @@ TOPK_COSINE_IVF_PROBE2_ORACLE = f"""
             SELECT e.vec_id, c.vec_id AS centroid_id,
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {_DIST2_DUCK} ASC, c.vec_id ASC) AS rn
-            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) e
-            JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) c ON c.vec_id < {N_CENTROIDS}
+            FROM {_EMB} e
+            JOIN {_EMB} c ON c.vec_id < {N_CENTROIDS}
             WHERE e.vec_id < {N_QUERIES}
         ) WHERE rn <= {N_PROBE}
     ),
     scored AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) q
+        FROM {_EMB} q
         JOIN probes p ON p.query_id = q.vec_id
         JOIN assign ca ON ca.centroid_id = p.probe_cell
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
+        JOIN {_EMB} c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
@@ -779,7 +789,7 @@ _KMEANS_UPDATE_DUCK = f"""
            round(avg(e.embedding[d.pos + 1]::DOUBLE), {ROUND_COS}) AS coord,
            count(*) AS n_members
     FROM ({_ASSIGN_DUCK}) a
-    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) e ON e.vec_id = a.vec_id
+    JOIN {_EMB} e ON e.vec_id = a.vec_id
     CROSS JOIN (SELECT generate_series AS pos FROM generate_series(0, {DIM - 1})) d
     GROUP BY 1, 2
 """
@@ -847,7 +857,7 @@ IVF_ASSIGN_TRAINED_ORACLE = f"""
                          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)
                          + list_dot_product(c.cemb, c.cemb), {ROUND_COS}) ASC,
                    c.c_id ASC) AS rn
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) e CROSS JOIN cent c
+        FROM {_EMB} e CROSS JOIN cent c
     ) WHERE rn = 1
 """
 
@@ -955,7 +965,7 @@ _QCODES_DUCK = (
 QUANTIZE_EMBEDDINGS_ORACLE = f"""
     WITH params AS (
         SELECT vec_id, embedding, {_QMN_DUCK} AS mn, {_QSCALE_DUCK} AS scale
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE))
+        FROM {_EMB}
     )
     SELECT vec_id, mn AS q_min, scale AS q_scale,
            array_to_string({_QCODES_DUCK}, ',') AS codes_csv
@@ -1036,7 +1046,7 @@ _DEQ_DUCK = (
 QUANTIZED_RECALL_REPORT_ORACLE = f"""
     WITH params AS (
         SELECT vec_id, embedding, {_QMN_DUCK} AS mn, {_QSCALE_DUCK} AS scale
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE))
+        FROM {_EMB}
     ),
     deq AS (SELECT vec_id, {_DEQ_DUCK} AS demb FROM params),
     scored AS (
@@ -1145,7 +1155,7 @@ SEMANTIC_DEDUP_ORACLE = f"""
     WITH assign AS ({_assign_duck(SEM_NLIST)}),
     members AS (
         SELECT e.vec_id, a.centroid_id, e.embedding
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) e JOIN assign a ON a.vec_id = e.vec_id
+        FROM {_EMB} e JOIN assign a ON a.vec_id = e.vec_id
     ),
     pair_cos AS (
         SELECT c.vec_id,
@@ -1408,7 +1418,7 @@ def rp_project_oracle() -> str:
             f"round(list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[])"
             f" / 4.0, 6) AS rp_{k}"
         )
-    return f"SELECT vec_id, label, {', '.join(cols)} FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE))"
+    return f"SELECT vec_id, label, {', '.join(cols)} FROM {_EMB}"
 
 
 def _rp_vec_duck() -> str:
@@ -1481,7 +1491,7 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
 
 def rp_recall_report_oracle() -> str:
     return f"""
-    WITH rp AS (SELECT vec_id, {_rp_vec_duck()} AS r FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE))),
+    WITH rp AS (SELECT vec_id, {_rp_vec_duck()} AS r FROM {_EMB}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                round(list_dot_product(q.r, c.r)
@@ -1580,8 +1590,8 @@ def modality_agreement_report_oracle() -> str:
                     * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
                  {ROUND_COS}) >= {NEARDUP_COS} AS semantic_agrees
     FROM pairs p
-    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) ea ON ea.vec_id = p.doc_a
-    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) eb ON eb.vec_id = p.doc_b
+    JOIN {_EMB} ea ON ea.vec_id = p.doc_a
+    JOIN {_EMB} eb ON eb.vec_id = p.doc_b
 """
 
 
@@ -1662,7 +1672,7 @@ def embedding_drift_report_oracle() -> str:
     return f"""
         WITH tagged AS (
             SELECT d.source, e.vec_id, e.embedding
-            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) e JOIN documents d ON d.doc_id = e.vec_id
+            FROM {_EMB} e JOIN documents d ON d.doc_id = e.vec_id
             WHERE e.embedding IS NOT NULL
         ),
         cells AS (
@@ -1758,8 +1768,8 @@ TOPK_COSINE_FILTERED_ORACLE = f"""
     WITH keep AS (SELECT doc_id AS vec_id FROM documents WHERE lang = '{FILTER_LANG}'),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_DUCK} AS cosine
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) q
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)) c ON c.vec_id != q.vec_id
+        FROM {_EMB} q
+        JOIN {_EMB} c ON c.vec_id != q.vec_id
         JOIN keep k ON k.vec_id = c.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),

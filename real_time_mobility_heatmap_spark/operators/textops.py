@@ -18,6 +18,8 @@ from ..functions.rounding import (
     round_half_up_sql,
 )
 from ..functions.textfns import (
+    _CASEFOLD_DST,
+    _CASEFOLD_SRC,
     STOPWORDS,
     TOKENS_DUCK,
     fold_lower,
@@ -197,9 +199,12 @@ ROLL_P = 2147483647    # Mersenne 2^31-1
 # folds the rest (DuckDB's list_reduce has no explicit init, so both
 # engines use identical seed-with-first semantics)
 _HS_SPARK = (
-    # lower(translate(...)) = the fold_lower casefold (textfns), inlined
-    # in Spark-SQL dialect — keep in lockstep with TOKENS_DUCK.
-    "transform(split(lower(translate(trim(text), 'İΣς', 'iσσ')), '\\\\s+'),"
+    # lower(translate(...)) = the fold_lower casefold (textfns), in
+    # Spark-SQL dialect — built from the SAME constants so the fold set
+    # has one definition (a literal copy here would silently diverge
+    # from tokens()/TOKENS_DUCK the day the set gains a code point).
+    f"transform(split(lower(translate(trim(text),"
+    f" '{_CASEFOLD_SRC}', '{_CASEFOLD_DST}')), '\\\\s+'),"
     f" t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % {ROLL_P})"
 )
 _ROLL_SPARK = (

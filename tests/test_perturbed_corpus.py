@@ -57,6 +57,23 @@ MONEY_QUERIES = [
 ]
 
 
+def _assert_matches_oracle(spark, sf_dir: str, name: str) -> None:
+    """Same canonicalization as tools/check_oracles.py (the local
+    stand-in for the driver's value-hash gate) — the ONE comparison
+    every perturbed-corpus test routes through, so a canonicalization
+    change lands in exactly one place."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sdf = qs[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    odf = con.sql(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert len(sdf) == len(odf), name
+    assert _canon(sdf) == _canon(odf), name
+
+
 def test_money_sum_exact_on_half_cent_boundary(spark):
     """Two 0.1225 revenues total exactly 0.2450 — a half-cent boundary.
     The decimal path must round it half-up to 0.25 in BOTH engines; the
@@ -94,21 +111,7 @@ def perturbed_sf_dir(tmp_path_factory) -> str:
 def test_money_queries_match_oracle_on_perturbed_corpus(
     spark, perturbed_sf_dir, name
 ):
-    """Same canonicalization as tools/check_oracles.py (the local stand-in
-    for the driver's value-hash gate), on fresh value combinations."""
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    sdf = qs[name](spark, perturbed_sf_dir).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM"
-            f" '{perturbed_sf_dir}/{t}.parquet'"
-        )
-    odf = con.sql(oracles[name]).df()
-    assert sorted(sdf.columns) == sorted(odf.columns), name
-    assert len(sdf) == len(odf), name
-    assert _canon(sdf) == _canon(odf), name
+    _assert_matches_oracle(spark, perturbed_sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -170,24 +173,23 @@ def null_perturbed_sf_dir(tmp_path_factory) -> str:
         f" x -> NOT isfinite(x)), 'bool_or')"
     ).fetchone()[0]
     assert n_nonfinite > 0, "--nulls must poison a non-finite slice"
+    # the r14 NULL-COMPONENT slice: non-NULL vectors with one NULL
+    # element must exist — they sat on the exists()/bool_or 3VL fault
+    # line until both engines' boundary predicates tested the element
+    # explicitly (similarity._EMB / load_embeddings)
+    n_null_comp = con.sql(
+        f"SELECT count(*) FROM '{d}/embeddings.parquet'"
+        f" WHERE embedding IS NOT NULL AND"
+        f" list_aggregate(list_transform(embedding,"
+        f" x -> x IS NULL), 'bool_or')"
+    ).fetchone()[0]
+    assert n_null_comp > 0, "--nulls must inject NULL-component vectors"
     return str(d)
 
 
 @pytest.mark.parametrize("name", NULL_AXIS_QUERIES)
 def test_null_axis_queries_match_oracle(spark, null_perturbed_sf_dir, name):
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    sdf = qs[name](spark, null_perturbed_sf_dir).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM"
-            f" '{null_perturbed_sf_dir}/{t}.parquet'"
-        )
-    odf = con.sql(oracles[name]).df()
-    assert sorted(sdf.columns) == sorted(odf.columns), name
-    assert len(sdf) == len(odf), name
-    assert _canon(sdf) == _canon(odf), name
+    _assert_matches_oracle(spark, null_perturbed_sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -243,18 +245,7 @@ def ties_sf_dir(tmp_path_factory) -> str:
 
 @pytest.mark.parametrize("name", TIES_AXIS_QUERIES)
 def test_ties_axis_queries_match_oracle(spark, ties_sf_dir, name):
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    sdf = qs[name](spark, ties_sf_dir).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{ties_sf_dir}/{t}.parquet'"
-        )
-    odf = con.sql(oracles[name]).df()
-    assert sorted(sdf.columns) == sorted(odf.columns), name
-    assert len(sdf) == len(odf), name
-    assert _canon(sdf) == _canon(odf), name
+    _assert_matches_oracle(spark, ties_sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -310,19 +301,7 @@ def unicode_sf_dir(tmp_path_factory) -> str:
 
 @pytest.mark.parametrize("name", UNICODE_AXIS_QUERIES)
 def test_unicode_axis_queries_match_oracle(spark, unicode_sf_dir, name):
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    sdf = qs[name](spark, unicode_sf_dir).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM"
-            f" '{unicode_sf_dir}/{t}.parquet'"
-        )
-    odf = con.sql(oracles[name]).df()
-    assert sorted(sdf.columns) == sorted(odf.columns), name
-    assert len(sdf) == len(odf), name
-    assert _canon(sdf) == _canon(odf), name
+    _assert_matches_oracle(spark, unicode_sf_dir, name)
 
 
 def test_fold_lower_closes_java_utf8proc_casefold_split(spark):
@@ -417,19 +396,6 @@ def one_instant_sf_dir(tmp_path_factory) -> str:
         "SELECT event_id, TIMESTAMP '2024-01-15 12:00:00' AS ts, user_id,"
         " event_type, value, props FROM '{src}'",
     )
-
-
-def _assert_matches_oracle(spark, sf_dir: str, name: str) -> None:
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    sdf = qs[name](spark, sf_dir).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    odf = con.sql(oracles[name]).df()
-    assert sorted(sdf.columns) == sorted(odf.columns), name
-    assert len(sdf) == len(odf), name
-    assert _canon(sdf) == _canon(odf), name
 
 
 @pytest.mark.parametrize("name", DEGENERATE_EVENT_QUERIES)

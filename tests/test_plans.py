@@ -483,19 +483,71 @@ _GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+def _window_spec_first_args(plan: str) -> list[str]:
+    """FIRST top-level argument of every windowspecdefinition(...) in
+    the plan, via a balanced-paren walk. The r13 regex (`[^()]*`)
+    truncated at the first '(' — an ordering expression that is itself
+    a call (e.g. ``cast(x as double) ASC NULLS FIRST``) captured only
+    ``cast`` and never matched the ASC/DESC marker, a false NEGATIVE in
+    the exact guard meant to block single-task window funnels (r13
+    advisor)."""
+    out: list[str] = []
+    needle = "windowspecdefinition("
+    i = plan.find(needle)
+    while i != -1:
+        j = i + len(needle)
+        depth = 1
+        cur: list[str] = []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                break  # first top-level argument complete
+            cur.append(ch)
+            j += 1
+        out.append("".join(cur).strip())
+        i = plan.find(needle, i + len(needle))
+    return out
+
+
+def test_window_spec_walker_sees_through_call_orderings():
+    """Detector sanity: an ordering expression wrapped in a call must
+    still expose its ASC/DESC NULLS marker (the shape the r13 regex
+    silently passed)."""
+    plan = (
+        "Window [row_number() windowspecdefinition("
+        "cast(x#1 as double) ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#2]"
+    )
+    firsts = _window_spec_first_args(plan)
+    assert firsts == ["cast(x#1 as double) ASC NULLS FIRST"]
+    assert re.search(r" (ASC|DESC) NULLS", firsts[0])
+    # and a partitioned spec's first arg is the bare partition column
+    plan2 = (
+        "windowspecdefinition(k#3, cast(x#1 as double) ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$()))"
+    )
+    assert _window_spec_first_args(plan2) == ["k#3"]
+
+
 def test_registry_wide_plan_lint_global_windows_are_allowlisted(spark):
     """No registered plan may contain an un-adjudicated partition-less
     window. Detection: in windowspecdefinition(...), partition columns
     print BARE before the ordering columns (which carry ASC/DESC NULLS
     markers) — a spec whose FIRST argument is an ordering column has an
     empty partition spec."""
-    pat = re.compile(r"windowspecdefinition\(([^()]*)")
     for name, fn in entry_mod.queries().items():
         if name.startswith("streaming_"):
             continue  # live runs; batch twins cover the plan shapes
         plan = _plan(spark, name)
-        for m in pat.finditer(plan):
-            first = m.group(1).split(", ")[0]
+        for first in _window_spec_first_args(plan):
             if re.search(r" (ASC|DESC) NULLS", first):
                 assert name in _GLOBAL_WINDOW_ALLOWED, (
                     f"{name}: partition-less window over {first!r} — "

@@ -49,6 +49,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from real_time_mobility_heatmap_spark.operators.similarity import (  # noqa: E402
+    _EMB,
     ROUND_COS,
     _assign_duck,
 )
@@ -90,9 +91,7 @@ def scan_corpus(sf_dir: str) -> dict:
     emb = {
         vid: e
         for vid, e in con.execute(
-            "SELECT vec_id, embedding FROM embeddings"
-            " WHERE embedding IS NOT NULL"
-            " AND NOT coalesce(list_aggregate(list_transform(embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)"
+            f"SELECT vec_id, embedding FROM {_EMB}"
         ).fetchall()
     }
     assign = con.execute(
@@ -100,10 +99,8 @@ def scan_corpus(sf_dir: str) -> dict:
     ).fetchall()
     source = dict(
         con.execute(
-            "SELECT d.doc_id, d.source FROM documents d"
-            " JOIN embeddings e ON e.vec_id = d.doc_id"
-            " WHERE e.embedding IS NOT NULL"
-            " AND NOT coalesce(list_aggregate(list_transform(e.embedding, x -> NOT isfinite(x)), 'bool_or'), FALSE)"
+            f"SELECT d.doc_id, d.source FROM documents d"
+            f" JOIN {_EMB} e ON e.vec_id = d.doc_id"
         ).fetchall()
     )
 

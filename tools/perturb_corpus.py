@@ -182,7 +182,7 @@ def _perturb_embeddings(
     # #6 — the one fixture family that never carried NULLs): the row
     # stays, its embedding goes NULL, exercising every ANN assign /
     # verify / mapInPandas path's NULL-vector contract.
-    rows: list[np.ndarray | None] = []
+    rows: list[np.ndarray | list | None] = []
     for i, vid in enumerate(vec_ids):
         if (
             nulls
@@ -210,12 +210,28 @@ def _perturb_embeddings(
                 v[1 % dim] = np.inf
             elif m == 12:
                 v[2 % dim] = -0.0
+            elif m == 2:
+                # r14 (advisor): NULL COMPONENT — a non-NULL vector with
+                # one NULL element. This slice sat on a 3-valued-logic
+                # fault line (Spark exists() -> NULL -> dropped; DuckDB
+                # bool_or skips the NULL -> kept) until both predicates
+                # tested the element explicitly; it keeps that boundary
+                # under live pressure.
+                lv = [float(x) for x in v]
+                lv[3 % dim] = None
+                rows.append(lv)
+                continue
         rows.append(v.astype(np.float32))
     out_t = pa.table(
         {
             "vec_id": t.column("vec_id"),
             "embedding": pa.array(
-                [None if r is None else r.tolist() for r in rows],
+                [
+                    None
+                    if r is None
+                    else (r if isinstance(r, list) else r.tolist())
+                    for r in rows
+                ],
                 type=pa.list_(pa.float32()),
             ),
             "label": t.column("label"),
@@ -401,6 +417,86 @@ def _apply_ties(sql: str, tname: str, columns: list[str]) -> str:
         FROM (
             SELECT *, lag(ts) OVER (
                        PARTITION BY user_id ORDER BY event_id) AS _prev_ts
+            FROM ({sql})
+        )"""
+
+
+# --dupkeys (r14): duplicate primary keys. Every fixture (and every
+# jittered corpus — keys are UNTOUCHED by the jitter) has UNIQUE
+# event_id / doc_id, so the whole registry leans on PK semantics the
+# gate has never violated: the r13 ties fix keys argmax on
+# (eventTs, event_id) with event_id as the deterministic tiebreak,
+# dozens of window orderings end in event_id, and the split/dedup
+# families treat doc_id as a row identity. Real pipelines violate PKs
+# two ways, and the axis manufactures both:
+#   1. REPLAY (~1/13): a row is replaced by a verbatim copy of the
+#      lag-3 row (at-least-once redelivery — the payload agrees).
+#      Fully identical rows are value-symmetric: ANY engine's winner
+#      among them carries identical columns, so replay dups must never
+#      split the engines.
+#   2. CONFLICT (~1/17): a row keeps its own payload but takes the
+#      lag-5 row's (event_id, ts) key pair — a PK collision whose
+#      payloads DISAGREE, colliding exactly the (eventTs, event_id)
+#      argmax/ordering key. A disjoint sub-slice (~1/19) also takes
+#      user_id (lag-7), colliding the per-vehicle ordering
+#      (user_id, ts, event_id) itself.
+#      documents: the conflict slice copies doc_id only (text stays
+#      own), colliding the groupBy-doc_id and split identities.
+# Counts are preserved (victims are REPLACED, not appended).
+_DUP_PK = {"events": "event_id", "documents": "doc_id"}
+# events: key pair (and the user sub-slice); documents: bare pk
+_DUP_KEY_COLS = {"events": ("event_id", "ts"), "documents": ("doc_id",)}
+
+
+def _apply_dupkeys(sql: str, tname: str, columns: list[str]) -> str:
+    pk = _DUP_PK.get(tname)
+    if not pk:
+        return sql
+    key_cols = _DUP_KEY_COLS[tname]
+    replay = f"hash({pk} + @SEED@ + 51) % 13 = 7"
+    conflict = f"hash({pk} + @SEED@ + 52) % 17 = 9"
+    conflict_user = (
+        f"hash({pk} + @SEED@ + 53) % 19 = 11" if tname == "events" else "FALSE"
+    )
+    lags = ",\n                   ".join(
+        f"lag({c}, 3) OVER (ORDER BY {pk}) AS _r_{c}" for c in columns
+    )
+    key_lags = ",\n                   ".join(
+        f"lag({c}, 5) OVER (ORDER BY {pk}) AS _c_{c}" for c in key_cols
+    )
+    user_lags = (
+        ",\n                   ".join(
+            f"lag({c}, 7) OVER (ORDER BY {pk}) AS _u_{c}"
+            for c in (*key_cols, "user_id")
+        )
+        if tname == "events"
+        else ""
+    )
+
+    def cell(c: str) -> str:
+        branches = [f"WHEN {replay} AND _r_{pk} IS NOT NULL THEN _r_{c}"]
+        if tname == "events" and c in (*key_cols, "user_id"):
+            branches.append(
+                f"WHEN {conflict_user} AND _u_{pk} IS NOT NULL THEN _u_{c}"
+            )
+        if c in key_cols:
+            branches.append(
+                f"WHEN {conflict} AND _c_{pk} IS NOT NULL THEN _c_{c}"
+            )
+        return (
+            "CASE " + "\n                    ".join(branches)
+            + f"\n                    ELSE {c} END AS {c}"
+        )
+
+    sel = ",\n               ".join(cell(c) for c in columns)
+    inner_lags = ",\n                   ".join(
+        x for x in (lags, key_lags, user_lags) if x
+    )
+    return f"""
+        SELECT {sel}
+        FROM (
+            SELECT *,
+                   {inner_lags}
             FROM ({sql})
         )"""
 
