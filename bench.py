@@ -103,10 +103,29 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     regressions = _regressions(timings)
     common = _common_with_prev(timings)
-    if regressions:
-        for name, r in regressions.items():
+    # Quiet-window gate (r13 verdict #8): the 1.5x+0.3s guard burned
+    # three adjudication cycles on hypervisor weather — every r13 flag
+    # except one was host drift, diagnosable from the calibration series
+    # itself. A run whose calibration median exceeds the quiet bound
+    # (0.032 s — the r11-r13 quiet-window reads sat at 0.030, the
+    # drift-era reads at 0.037-0.050) reports its flags as
+    # DRIFT-SUSPECT instead of hard regressions: still recorded, still
+    # printed, but separated so the per-round regression list flags
+    # code, not weather. A real regression measured during drift
+    # re-flags on the next quiet run — the baseline only ratchets
+    # forward on complete records, so nothing is lost.
+    calib_median_now = (
+        sorted(calibration)[len(calibration) // 2] if calibration else None
+    )
+    quiet = calib_median_now is not None and calib_median_now <= 0.032
+    drift_suspect: dict[str, dict[str, float]] = {}
+    if regressions and not quiet:
+        drift_suspect, regressions = regressions, {}
+    for label, regs in (("REGRESSION", regressions),
+                        ("REGRESSION (drift-suspect)", drift_suspect)):
+        for name, r in regs.items():
             print(
-                f"BENCH REGRESSION: {name} {r['now']:.3f}s vs baseline "
+                f"BENCH {label}: {name} {r['now']:.3f}s vs baseline "
                 f"{r['baseline']:.3f}s (> 1.5x + 0.3s slack)",
                 file=sys.stderr,
             )
@@ -122,6 +141,8 @@ def main() -> None:
         "runs": runs,
         "agg": "min",
         "regressions": regressions,
+        "quiet": quiet,
+        **({"regressions_drift_suspect": drift_suspect} if drift_suspect else {}),
         "common_with_prev": common,
         # environment fingerprint: per-query baselines ratchet across
         # rounds, but rounds run on ephemeral containers — a pyspark or

@@ -7,6 +7,26 @@ adapts the fixture ``events`` table onto the reference's GPS-ping schema
 (FIXTURES.md §C): user_id -> vehicleId, event_type -> provider,
 value -> speedKmh, and deterministic lat/lon derivation that is exact,
 SQL-expressible column math in any engine.
+
+PRIMARY-KEY INGESTION CONTRACT (r14, codified by the --dupkeys first
+contact): ``events.event_id`` and ``documents.doc_id`` are UNIQUE row
+identities as a PRECONDITION of the batch query surface. The contract
+is established where the engine ingests: the producer assigns ids
+(producers/mobility_producer.py) and the streaming stores upsert BY KEY
+(streaming/sinks.py — a redelivered key can never persist twice); the
+remediation operators for foreign data that violates it are the exact-
+dedup family (operators/dedup.py ``exact_dedup`` — content-keyed — and
+``dedup_keep_best``). Under violation the engine stays TOTAL (no
+crashes; the r14 sweep verified all 223 queries complete on a
+PK-violating corpus) and the symmetric/per-row surface keeps its
+engine/oracle agreement, but the ~37 queries whose semantics READ the
+key as an identity — (eventTs, event_id) argmax/ordering tiebreaks,
+doc_id-grouped fingerprint/pair pipelines, doc_id equi-join
+multiplicities — return engine-arbitrary winners among conflicting
+duplicates, exactly as any SQL engine's results are unspecified under
+a violated uniqueness constraint it was told to assume. The sensitive
+set and the sweep record live in SCALE.md §r14; the pinned differential
+net is tests/test_perturbed_corpus.py (DUPKEYS axis).
 """
 
 from __future__ import annotations

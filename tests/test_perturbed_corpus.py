@@ -449,3 +449,109 @@ def json_sf_dir(tmp_path_factory) -> str:
 @pytest.mark.parametrize("name", JSON_AXIS_QUERIES)
 def test_json_axis_queries_match_oracle(spark, json_sf_dir, name):
     _assert_matches_oracle(spark, json_sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# r14: the DUPKEYS axis — duplicate primary keys. Every fixture (and
+# every jittered corpus: keys are untouched by the jitter) has UNIQUE
+# event_id / doc_id, so the registry's PK assumptions had never been
+# violated: the r13 ties fix keys argmax on (eventTs, event_id) with
+# event_id as the deterministic tiebreak, dozens of window orderings end
+# in event_id, and the doc pipelines treat doc_id as row identity.
+# First contact (sf0.01, seed 14, full registry) found 37 divergent
+# queries, ALL tracing to PK-identity ambiguity (argmax/ordering
+# winners among conflicting duplicates, doc_id-grouped vs per-row
+# fingerprint/pair pipelines, doc_id join multiplicities) and ZERO
+# crashes. The codified decision is a VALIDITY CONTRACT, not per-query
+# tiebreak surgery: event_id/doc_id uniqueness is an ingestion-contract
+# PRECONDITION (sources/tables.py module docstring — the engine's own
+# ingest establishes it via producer-assigned ids and key-upserting
+# stores; exact_dedup/dedup_keep_best are the remediation operators),
+# and under violation the engine stays total while key-identity readers
+# return engine-arbitrary winners — the same stance every SQL engine
+# takes on a violated uniqueness constraint. The full sensitive set is
+# recorded in SCALE.md §r14; this net pins (a) the corpus classes,
+# (b) a representative SYMMETRIC/per-row subset that must keep
+# engine/oracle agreement even under violation, and (c) detector
+# non-vacuity (a key-identity reader genuinely diverges).
+
+DUPKEYS_INSENSITIVE_QUERIES = [
+    # content-keyed / symmetric-merge dedup (dups collapse identically)
+    "exact_dedup",
+    "simhash",
+    # per-row or per-key symmetric document pipelines
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "dataset_split",
+    # per-row event parsers and symmetric space-time aggregation
+    "json_decode",
+    "props_key_stats",
+    "mobility_tiles",
+    # order-pressured but structurally symmetric under the collision
+    # classes (equal-ts rows contribute dt=0 to session folds; the
+    # latest projection derives from the copied key columns)
+    "vehicle_sessions",
+    "latest_positions",
+    # untouched-table control
+    "pricing_summary",
+]
+
+
+@pytest.fixture(scope="module")
+def dupkeys_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf-perturbed-dupkeys")
+    build_perturbed(SRC, str(d), seed=7, dupkeys=True)
+    con = duckdb.connect()
+    # the axis must actually exist in the corpus, or these tests rot
+    n_dup_ev = con.sql(
+        f"SELECT count(*) FROM (SELECT event_id FROM '{d}/events.parquet'"
+        f" GROUP BY 1 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert n_dup_ev > 0, "--dupkeys must duplicate event_ids"
+    n_replay = con.sql(
+        f"SELECT count(*) FROM (SELECT * FROM '{d}/events.parquet'"
+        f" GROUP BY ALL HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert n_replay > 0, "--dupkeys must create verbatim replay rows"
+    n_conflict_user = con.sql(
+        f"SELECT count(*) FROM (SELECT event_id, ts, user_id"
+        f" FROM '{d}/events.parquet' GROUP BY 1, 2, 3"
+        f" HAVING count(*) > 1"
+        f" AND count(DISTINCT (value, props, event_type)) > 1)"
+    ).fetchone()[0]
+    assert n_conflict_user > 0, (
+        "--dupkeys must collide (event_id, ts, user_id) with conflicting"
+        " payloads — the exact key the r13 ties fix leans on"
+    )
+    n_doc_conflict = con.sql(
+        f"SELECT count(*) FROM (SELECT doc_id FROM '{d}/documents.parquet'"
+        f" GROUP BY 1 HAVING count(DISTINCT text) > 1)"
+    ).fetchone()[0]
+    assert n_doc_conflict > 0, "--dupkeys must conflict doc_id identities"
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DUPKEYS_INSENSITIVE_QUERIES)
+def test_dupkeys_insensitive_queries_match_oracle(spark, dupkeys_sf_dir, name):
+    _assert_matches_oracle(spark, dupkeys_sf_dir, name)
+
+
+def test_dupkeys_detector_is_not_vacuous(spark, dupkeys_sf_dir):
+    """A key-identity reader must genuinely diverge on this corpus, or
+    the insensitive-subset net proves nothing: minhash_signatures groups
+    shingles by doc_id (one signature per distinct doc_id) while its
+    oracle emits per source row, so ANY duplicated doc_id splits the
+    row counts — the guaranteed-divergence shape of the contract."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sdf = qs["minhash_signatures"](spark, dupkeys_sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" '{dupkeys_sf_dir}/{t}.parquet'"
+        )
+    odf = con.sql(oracles["minhash_signatures"]).df()
+    assert len(sdf) < len(odf)  # grouped vs per-row under dup doc_ids

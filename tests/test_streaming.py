@@ -124,6 +124,44 @@ def test_positions_conditional_upsert_out_of_order(spark, dirs):
     assert len(got) == 2
 
 
+def test_cross_micro_batch_equal_ts_tie_stored_wins_both_arrival_orders(
+    spark, tmp_path
+):
+    """The r13 --ties axis ran on single-file batches, so the documented
+    stored-wins-on-equal-ts guard (KeyedParquetStore.merge orders by
+    (desc(newer_col), desc(__stored)) — the stored row outranks an
+    incoming EQUAL-ts row, reference parity with the Mongo upsert's ts
+    guard) had never seen a tie SPLIT across micro-batches. Two
+    single-row files with the same (vehicle, eventTs) and different
+    payloads, run in BOTH arrival orders: the FIRST-arrived payload must
+    win each time. The same-batch twin (both rows in one file) must pick
+    the content-key winner (positions_batch's struct ordering) in a way
+    independent of in-file row order."""
+    P = _wire("v1", "2024-01-01T10:10:00Z", lat=42.50)
+    Q = _wire("v1", "2024-01-01T10:10:00Z", lat=41.00)
+
+    def run_sequence(label: str, rows_by_file: list[list[dict]]):
+        ind = str(tmp_path / f"in-{label}")
+        store = positions_store(str(tmp_path / f"store-{label}"))
+        for i, rows in enumerate(rows_by_file):
+            _write_json(ind, f"b{i}.json", rows)
+            _run_positions(spark, ind, store, str(tmp_path / f"ckpt-{label}"))
+        got = store.read(spark).collect()
+        assert len(got) == 1
+        return got[0]
+
+    # the tied pair straddles the micro-batch boundary, both orders
+    first_p = run_sequence("pq", [[P], [Q]])
+    assert first_p["loc_lat"] == 42.50  # P arrived first -> stored wins tie
+    first_q = run_sequence("qp", [[Q], [P]])
+    assert first_q["loc_lat"] == 41.00  # Q arrived first -> stored wins tie
+
+    # same-batch twin: the content key decides, not arrival order
+    one_pq = run_sequence("one-pq", [[P, Q]])
+    one_qp = run_sequence("one-qp", [[Q, P]])
+    assert one_pq["loc_lat"] == one_qp["loc_lat"] == 42.50
+
+
 def test_watermark_drops_very_late_rows(spark, dirs):
     store = tile_store(dirs["store"])
     # run 1: event at T and T+20min -> watermark advances to T+10

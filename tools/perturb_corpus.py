@@ -531,6 +531,7 @@ def build(
     ties: bool = False,
     unicode_text: bool = False,
     json_shapes: bool = False,
+    dupkeys: bool = False,
 ) -> None:
     base, out = Path(base_dir), Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -549,6 +550,11 @@ def build(
             sql = _apply_json(sql, tname, [f.name for f in want])
         if nulls:
             sql = _apply_nulls(sql, tname, [f.name for f in want])
+        if dupkeys:
+            # OUTERMOST wrap: duplicates are verbatim copies of the
+            # fully-perturbed rows, so the replay slice stays
+            # value-symmetric under every composed regime
+            sql = _apply_dupkeys(sql, tname, [f.name for f in want])
         got = con.sql(sql.replace("@SEED@", str(seed))).arrow()
         if isinstance(got, pa.RecordBatchReader):  # duckdb >= 1.3
             got = got.read_all()
@@ -559,12 +565,13 @@ def build(
     _perturb_embeddings(base, out, seed, nulls=nulls)
     print(
         f"perturbed corpus at {out} (seed {seed}, nulls={nulls},"
-        f" ties={ties}, unicode={unicode_text}, json={json_shapes})"
+        f" ties={ties}, unicode={unicode_text}, json={json_shapes},"
+        f" dupkeys={dupkeys})"
     )
 
 
 if __name__ == "__main__":
-    flags = ("--nulls", "--ties", "--unicode", "--json")
+    flags = ("--nulls", "--ties", "--unicode", "--json", "--dupkeys")
     args = [a for a in sys.argv[1:] if a not in flags]
     base = args[0] if len(args) > 0 else BASE
     out = args[1] if len(args) > 1 else tempfile.mkdtemp(prefix="perturbed-corpus-")
@@ -576,4 +583,5 @@ if __name__ == "__main__":
         ties="--ties" in sys.argv,
         unicode_text="--unicode" in sys.argv,
         json_shapes="--json" in sys.argv,
+        dupkeys="--dupkeys" in sys.argv,
     )
