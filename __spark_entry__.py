@@ -136,67 +136,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
         # (1) CHANGED this round (re-verify the round code lands):
-        "co_dwell_pairs": flows.q_co_dwell_pairs,
-        "vehicle_sessions": windows.q_vehicle_sessions,
-        "zscore_outliers": analytics.q_zscore_outliers,
-        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
-        "quality_score": textops.q_quality_score,
-        "quality_filter": textops.q_quality_filter,
-        "quality_decile_report": textops.q_quality_decile_report,
-        "dedup_keep_best": dedup.q_dedup_keep_best,
-        "media_features": multimodal.q_media_features,
-        "media_resize": multimodal.q_media_resize,
-        "semantic_decontaminate": curation.q_semantic_decontaminate,
-        "cluster_quality_report": similarity.q_cluster_quality_report,
-        "embedding_drift_report": similarity.q_embedding_drift_report,
-        "embedding_neardup": similarity.q_embedding_neardup,
-        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,
-        "ivf_assign": similarity.q_ivf_assign,
-        "ivf_assign_trained": similarity.q_ivf_assign_trained,
-        "ivf_recall_report": similarity.q_ivf_recall_report,
-        "kmeans_update": similarity.q_kmeans_update,
-        "lsh_buckets": similarity.q_lsh_buckets,
-        "modality_agreement_report": similarity.q_modality_agreement_report,
-        "quantize_embeddings": similarity.q_quantize_embeddings,
-        "quantized_recall_report": similarity.q_quantized_recall_report,
-        "rp_project": similarity.q_rp_project,
-        "rp_recall_report": similarity.q_rp_recall_report,
-        "semantic_dedup": similarity.q_semantic_dedup,
+        "latest_maxby": latest.q_latest_maxby,
+        "latest_positions": latest.q_latest_positions,
+        "position_features": geojson.q_position_features,
+        "fingerprint": textops.q_fingerprint,
+        "rolling_fingerprint": textops.q_rolling_fingerprint,
+        "token_count": textops.q_token_count,
+        "minhash_signatures": dedup.q_minhash_signatures,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "json_decode": decode.q_json_decode,
+        "props_key_stats": decode.q_props_key_stats,
+        "media_metadata": multimodal.q_media_metadata,
+        "media_frame_sample": multimodal.q_media_frame_sample,
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
         "topk_cosine": similarity.q_topk_cosine,
-        "topk_cosine_filtered": similarity.q_topk_cosine_filtered,
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
-        "vband_geometry_report": similarity.q_vband_geometry_report,
-        # streaming_positions is changed (r13 --ties argmax pair key +
-        # the stream projection's event_id) AND at the r7 dwell edge —
-        # it and zorder_layout_report (the last two r7s) take the slots
-        # of topk_cosine_blocked/_ivf_probe2, two of the six topk dial
-        # twins whose only change this round is the one shared
-        # load_embeddings line already represented in-window by four
-        # family members (adjudication recorded in SCALE.md r13).
-        "streaming_positions": run_streaming_positions,  # r7, changed
-        "zorder_layout_report": spatial.q_zorder_layout_report,  # r7
+        "semantic_dedup": similarity.q_semantic_dedup,
+        "kmeans_update": similarity.q_kmeans_update,
+        "quantize_embeddings": similarity.q_quantize_embeddings,
+        "ivf_assign": similarity.q_ivf_assign,
+        "rp_project": similarity.q_rp_project,
+        "embedding_drift_report": similarity.q_embedding_drift_report,
+        "semantic_decontaminate": curation.q_semantic_decontaminate,
         # (2) oldest-green-first rotation:
-        "attribution_report": relational.q_attribution_report,  # r7
-        "boilerplate_scrub": textops.q_boilerplate_scrub,  # r7
-        "chunk_documents": textops.q_chunk_documents,  # r7
-        "cohort_retention": analytics.q_cohort_retention,  # r7
-        "containment_pairs": dedup.q_containment_pairs,  # r7
-        "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r7
-        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r7
-        "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r7
-        "idle_customer_balance": tpch.q_idle_customer_balance,  # r7
-        "key_skew_report": relational.q_key_skew_report,  # r7
-        "late_order_priority": tpch.q_late_order_priority,  # r7
-        "markov_transitions": analytics.q_markov_transitions,  # r7
-        "minhash_error_report": dedup.q_minhash_error_report,  # r7
-        "pagerank_pairs": dedup.q_pagerank_pairs,  # r7
-        "partition_pruned_stats": relational.q_partition_pruned_stats,  # r7
-        "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r7
-        "source_mixture_report": textops.q_source_mixture_report,  # r7
-        "streaming_conversions": run_streaming_conversions,  # r7
-        # ------------- end of driver window (50 entries) -------------
-        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r12, changed (shared line; 4 twins in-window)
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,  # r12, changed (same)
         "bm25_top_terms": textops.q_bm25_top_terms,  # r8
         "bpe_merge_round": textops.q_bpe_merge_round,  # r8
         "brand_volume": relational.q_brand_volume,  # r8
@@ -215,7 +178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": multimodal.q_media_phash,  # r8
         "ngram_novelty_report": textops.q_ngram_novelty_report,  # r8
         "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r8
-        "props_key_stats": decode.q_props_key_stats,  # r8
         "repeated_span_report": dedup.q_repeated_span_report,  # r8
         "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r8
         "streaming_enriched": run_streaming_enriched,  # r8
@@ -225,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": textops.q_weighted_sample,  # r8
         "winnow_match_spans": dedup.q_winnow_match_spans,  # r8
         "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,  # r9
+        # ------------- end of driver window (50 entries) -------------
         "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,  # r9
         "conversion_window_counts": relational.q_conversion_window_counts,  # r9
         "cube_sales": relational.q_cube_sales,  # r9
@@ -233,31 +196,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,  # r9
         "exact_dedup": dedup.q_exact_dedup,  # r9
         "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,  # r9
-        "fingerprint": textops.q_fingerprint,  # r9
         "fresh_tiles": geojson.q_fresh_tiles,  # r9
-        "json_decode": decode.q_json_decode,  # r9
         "large_volume_customers": tpch.q_large_volume_customers,  # r9
         "latest_join": latest.q_latest_join,  # r9
-        "latest_positions": latest.q_latest_positions,  # r9
         "latest_rownum": latest.q_latest_rownum,  # r9
         "latest_window_snapshot": latest.q_latest_window_snapshot,  # r9
         "mad_outliers": analytics.q_mad_outliers,  # r9
         "min_cost_supplier": tpch.q_min_cost_supplier,  # r9
-        "minhash_signatures": dedup.q_minhash_signatures,  # r9
         "multiplex_summary": multiplex.q_multiplex_summary,  # r9
         "orders_with_big_items": relational.q_orders_with_big_items,  # r9
         "pack_sequences": textops.q_pack_sequences,  # r9
         "part_supplier_counts": tpch.q_part_supplier_counts,  # r9
-        "position_features": geojson.q_position_features,  # r9
         "range_partition_plan": relational.q_range_partition_plan,  # r9
-        "rolling_fingerprint": textops.q_rolling_fingerprint,  # r9
         "sales_rollup": relational.q_sales_rollup,  # r9
         "simhash": dedup.q_simhash,  # r9
         "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,  # r9
         "small_quantity_revenue": relational.q_small_quantity_revenue,  # r9
         "tile_feature_collection": geojson.q_tile_feature_collection,  # r9
         "tile_features_flat": geojson.q_tile_features_flat,  # r9
-        "token_count": textops.q_token_count,  # r9
         "top_window": latest.q_top_window,  # r9
         "watermark_latedrop": latest.q_watermark_latedrop,  # r9
         "wire_roundtrip": decode.q_wire_roundtrip,  # r9
@@ -308,11 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": tpch.q_forecast_revenue_change,  # r11
         "important_parts": tpch.q_important_parts,  # r11
         "incremental_dedup": dedup.q_incremental_dedup,  # r11
-        "latest_maxby": latest.q_latest_maxby,  # r11
         "local_supplier_volume": relational.q_local_supplier_volume,  # r11
         "market_share": tpch.q_market_share,  # r11
-        "media_frame_sample": multimodal.q_media_frame_sample,  # r11
-        "media_metadata": multimodal.q_media_metadata,  # r11
         "mixture_sample": textops.q_mixture_sample,  # r11
         "nation_trade_volume": tpch.q_nation_trade_volume,  # r11
         "normalize": decode.q_normalize,  # r11
@@ -341,11 +294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": textops.q_lm_score,  # r12
         "location_entropy": science.q_location_entropy,  # r12
         "media_phash_pairs": multimodal.q_media_phash_pairs,  # r12
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # r12
         "mobility_pipeline_report": flows.q_mobility_pipeline_report,  # r12
         "mobility_tiles": _q_mobility_tiles,  # r12
         "moving_avg_speed": relational.q_moving_avg_speed,  # r12
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,  # r12
         "order_rank_report": relational.q_order_rank_report,  # r12
         "range_frame_speed": relational.q_range_frame_speed,  # r12
         "resample_trajectories": trajectory.q_resample_trajectories,  # r12
@@ -368,6 +319,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_match_pairs": dedup.q_winnow_match_pairs,  # r12
         "wire_encode": wire.q_wire_encode,  # r12
         "zone_counts": spatial.q_zone_counts,  # r12
+        "attribution_report": relational.q_attribution_report,  # r13
+        "boilerplate_scrub": textops.q_boilerplate_scrub,  # r13
+        "chunk_documents": textops.q_chunk_documents,  # r13
+        "cluster_quality_report": similarity.q_cluster_quality_report,  # r13
+        "co_dwell_pairs": flows.q_co_dwell_pairs,  # r13
+        "cohort_retention": analytics.q_cohort_retention,  # r13
+        "containment_pairs": dedup.q_containment_pairs,  # r13
+        "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r13
+        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r13
+        "dedup_keep_best": dedup.q_dedup_keep_best,  # r13
+        "embedding_neardup": similarity.q_embedding_neardup,  # r13
+        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,  # r13
+        "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r13
+        "idle_customer_balance": tpch.q_idle_customer_balance,  # r13
+        "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r13
+        "ivf_recall_report": similarity.q_ivf_recall_report,  # r13
+        "key_skew_report": relational.q_key_skew_report,  # r13
+        "late_order_priority": tpch.q_late_order_priority,  # r13
+        "lsh_buckets": similarity.q_lsh_buckets,  # r13
+        "markov_transitions": analytics.q_markov_transitions,  # r13
+        "media_features": multimodal.q_media_features,  # r13
+        "media_resize": multimodal.q_media_resize,  # r13
+        "minhash_error_report": dedup.q_minhash_error_report,  # r13
+        "modality_agreement_report": similarity.q_modality_agreement_report,  # r13
+        "pagerank_pairs": dedup.q_pagerank_pairs,  # r13
+        "partition_pruned_stats": relational.q_partition_pruned_stats,  # r13
+        "quality_decile_report": textops.q_quality_decile_report,  # r13
+        "quality_filter": textops.q_quality_filter,  # r13
+        "quality_score": textops.q_quality_score,  # r13
+        "quantized_recall_report": similarity.q_quantized_recall_report,  # r13
+        "rp_recall_report": similarity.q_rp_recall_report,  # r13
+        "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r13
+        "similar_speed_profiles": trajectory.q_similar_speed_profiles,  # r13
+        "source_mixture_report": textops.q_source_mixture_report,  # r13
+        "streaming_conversions": run_streaming_conversions,  # r13
+        "streaming_positions": run_streaming_positions,  # r13
+        "topk_cosine_filtered": similarity.q_topk_cosine_filtered,  # r13
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,  # r13
+        "vband_geometry_report": similarity.q_vband_geometry_report,  # r13
+        "vehicle_sessions": windows.q_vehicle_sessions,  # r13
+        "zorder_layout_report": spatial.q_zorder_layout_report,  # r13
+        "zscore_outliers": analytics.q_zscore_outliers,  # r13
     }
 
 
