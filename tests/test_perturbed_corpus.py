@@ -538,6 +538,47 @@ def test_dupkeys_insensitive_queries_match_oracle(spark, dupkeys_sf_dir, name):
     _assert_matches_oracle(spark, dupkeys_sf_dir, name)
 
 
+def test_dupkeys_remediation_restores_full_agreement(
+    spark, dupkeys_sf_dir, tmp_path
+):
+    """The contract's remediation path must actually work: restoring PK
+    uniqueness on the violating corpus (one deterministic survivor per
+    key — content-hash-ordered, computable identically in any engine)
+    returns the SENSITIVE queries to engine/oracle agreement, proving
+    the divergence is entirely the PK violation and not a latent bug
+    the axis uncovered."""
+    import shutil
+
+    d = tmp_path / "deduped"
+    d.mkdir()
+    src = Path(dupkeys_sf_dir)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t in ("events", "documents"):
+            continue
+        shutil.copy(src / f"{t}.parquet", d / f"{t}.parquet")
+    con.sql(
+        f"COPY (SELECT event_id, ts, user_id, event_type, value, props"
+        f" FROM (SELECT *, row_number() OVER ("
+        f"   PARTITION BY event_id ORDER BY md5(concat_ws(':', ts,"
+        f"   user_id, event_type, value, props))) AS _rn"
+        f" FROM '{src}/events.parquet') WHERE _rn = 1)"
+        f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT doc_id, text, lang, source, n_chars"
+        f" FROM (SELECT *, row_number() OVER ("
+        f"   PARTITION BY doc_id ORDER BY md5(concat_ws(':', text,"
+        f"   lang, source))) AS _rn"
+        f" FROM '{src}/documents.parquet') WHERE _rn = 1)"
+        f" TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    # representative sensitives from each first-contact class: argmax
+    # tie winner, grouped-vs-per-row signature, adjacent-row fold
+    for name in ("latest_maxby", "minhash_signatures", "stay_points"):
+        _assert_matches_oracle(spark, str(d), name)
+
+
 def test_dupkeys_detector_is_not_vacuous(spark, dupkeys_sf_dir):
     """A key-identity reader must genuinely diverge on this corpus, or
     the insensitive-subset net proves nothing: minhash_signatures groups
