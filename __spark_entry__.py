@@ -151,11 +151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": multimodal.q_media_frame_sample,
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
         "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "resample_trajectories": trajectory.q_resample_trajectories,
         "topk_cosine": similarity.q_topk_cosine,
         "semantic_dedup": similarity.q_semantic_dedup,
         "kmeans_update": similarity.q_kmeans_update,
         "quantize_embeddings": similarity.q_quantize_embeddings,
-        "ivf_assign": similarity.q_ivf_assign,
         "rp_project": similarity.q_rp_project,
         "embedding_drift_report": similarity.q_embedding_drift_report,
         "semantic_decontaminate": curation.q_semantic_decontaminate,
@@ -299,7 +299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_speed": relational.q_moving_avg_speed,  # r12
         "order_rank_report": relational.q_order_rank_report,  # r12
         "range_frame_speed": relational.q_range_frame_speed,  # r12
-        "resample_trajectories": trajectory.q_resample_trajectories,  # r12
         "rollup_delta_merge": _q_rollup_delta_merge,  # r12
         "scd2_merge_apply": windows.q_scd2_merge_apply,  # r12
         "scd2_user_segments": windows.q_scd2_user_segments,  # r12
@@ -333,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,  # r13
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r13
         "idle_customer_balance": tpch.q_idle_customer_balance,  # r13
+        "ivf_assign": similarity.q_ivf_assign,  # r13
         "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r13
         "ivf_recall_report": similarity.q_ivf_recall_report,  # r13
         "key_skew_report": relational.q_key_skew_report,  # r13

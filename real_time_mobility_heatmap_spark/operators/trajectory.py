@@ -49,6 +49,21 @@ _STEP_US = RESAMPLE_MINUTES * 60 * 1_000_000
 _OUT_SCHEMA = "provider string, vehicleId string, grid_us long, lat_i double, lon_i double"
 
 
+def _round_half_away(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Vectorized round-HALF-AWAY at ``decimals`` — the convention of
+    Spark's F.round and DuckDB's round(), which this mapInPandas path
+    must match. np.round is half-EVEN: the r14 ties sweep (seed 1410)
+    caught interpolated longitudes landing EXACTLY on the scaled .5
+    boundary (hour-snapped ties give exact dyadic fracs over cents-grid
+    endpoints, e.g. -71.6828125), where np.round said ...812 and the
+    oracle said ...813. floor(|s| + 0.5) is exact half-away for
+    |s| < 2^51 (0.5 is exactly addable there); coordinate-scaled values
+    are ~1e8, far inside."""
+    scale = 10.0**decimals
+    s = x * scale
+    return np.copysign(np.floor(np.abs(s) + 0.5), s) / scale
+
+
 def _interp_one(ts: np.ndarray, lat: np.ndarray, lon: np.ndarray):
     """Grid + interpolated coordinates for ONE vehicle's sorted unique ts."""
     start = -(-int(ts[0]) // _STEP_US) * _STEP_US  # ceil to grid
@@ -61,8 +76,8 @@ def _interp_one(ts: np.ndarray, lat: np.ndarray, lon: np.ndarray):
     t0, t1 = ts[prv], ts[nxt]
     span = (t1 - t0).astype(np.float64)
     frac = np.where(t1 > t0, (grid - t0).astype(np.float64) / np.where(span == 0, 1.0, span), 0.0)
-    lat_i = np.round(lat[prv] + (lat[nxt] - lat[prv]) * frac, 6)
-    lon_i = np.round(lon[prv] + (lon[nxt] - lon[prv]) * frac, 6)
+    lat_i = _round_half_away(lat[prv] + (lat[nxt] - lat[prv]) * frac)
+    lon_i = _round_half_away(lon[prv] + (lon[nxt] - lon[prv]) * frac)
     return grid, lat_i, lon_i
 
 

@@ -108,3 +108,29 @@ def test_centroid_margin_detector_flags_boundary_straddler():
     # and a clearly-safe group is not flagged
     dist, bound = group_margin([0.25, 0.75, 0.125])
     assert dist > SAFETY * bound
+
+
+def test_pandas_round_matches_engine_half_away_on_exact_boundaries():
+    """The r14 ties sweep (seed 1410) caught the mapInPandas resample
+    path flipping one ulp against the oracle on values landing EXACTLY
+    on the scaled .5 boundary (-71.6828125 -> np.round said ...812
+    half-EVEN, DuckDB round and Spark F.round say ...813 half-AWAY).
+    _round_half_away must match the engines' convention on exact
+    boundaries — and np.round must demonstrably differ there, or this
+    pin is vacuous."""
+    import duckdb
+    import numpy as np
+
+    from real_time_mobility_heatmap_spark.operators.trajectory import (
+        _round_half_away,
+    )
+
+    boundary = np.array([-71.6828125, -71.3265625, 71.6828125, 2.5e-6])
+    plain = np.array([-71.898118, 0.1234564999, 42.0000005])
+    con = duckdb.connect()
+    for v in np.concatenate([boundary, plain]):
+        duck = con.execute("SELECT round(?::DOUBLE, 6)", [float(v)]).fetchone()[0]
+        assert float(_round_half_away(np.array([v]))[0]) == duck, v
+    # non-vacuity: half-even disagrees on the caught values
+    assert float(np.round(np.array([-71.6828125]), 6)[0]) == -71.682812
+    assert float(_round_half_away(np.array([-71.6828125]))[0]) == -71.682813
