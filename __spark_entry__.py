@@ -152,12 +152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
         "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
         "resample_trajectories": trajectory.q_resample_trajectories,
+        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
         "topk_cosine": similarity.q_topk_cosine,
         "semantic_dedup": similarity.q_semantic_dedup,
         "kmeans_update": similarity.q_kmeans_update,
         "quantize_embeddings": similarity.q_quantize_embeddings,
         "rp_project": similarity.q_rp_project,
-        "embedding_drift_report": similarity.q_embedding_drift_report,
         "semantic_decontaminate": curation.q_semantic_decontaminate,
         # (2) oldest-green-first rotation:
         "bm25_top_terms": textops.q_bm25_top_terms,  # r8
@@ -305,7 +305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_report": relational.q_snapshot_diff_report,  # r12
         "source_roundtrip": source_roundtrip,  # r12
         "stratified_sample": textops.q_stratified_sample,  # r12
-        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r12
         "streaming_neardup": run_streaming_neardup,  # r12
         "streaming_sessions": run_streaming_sessions,  # r12
         "streaming_tiles": run_streaming_tiles,  # r12
@@ -328,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r13
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r13
         "dedup_keep_best": dedup.q_dedup_keep_best,  # r13
+        "embedding_drift_report": similarity.q_embedding_drift_report,  # r13
         "embedding_neardup": similarity.q_embedding_neardup,  # r13
         "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,  # r13
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r13

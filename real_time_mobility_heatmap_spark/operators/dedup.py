@@ -1531,8 +1531,23 @@ def streaming_exact_dedup(events: DataFrame) -> DataFrame:
     Spark's arbitrary dropDuplicates survivor — an arbitrary survivor only
     hash-matches an (equally arbitrary) DISTINCT ON oracle while duplicate
     rows happen to carry identical payloads.
+
+    NULL tiebreak fields order NULLS-LAST EXPLICITLY (the boolean
+    is-null flag ahead of the value in the key): this operator is the
+    PK contract's own remediation path, so it must stay deterministic
+    precisely on violating input — and the r14 five-axis composed sweep
+    caught the bare struct key splitting the engines there (a conflict
+    pair equal on (ts, user_id) with one NULL event_type: Spark struct
+    ordering is NULLS FIRST, DuckDB ORDER BY is NULLS LAST). ts and
+    event_id are non-null by the ingestion contract; event_type is the
+    one nullable key field.
     """
-    tiebreak = F.struct("ts", "user_id", "event_type")
+    tiebreak = F.struct(
+        "ts",
+        "user_id",
+        F.col("event_type").isNull().alias("et_null"),  # false < true
+        "event_type",
+    )
     keep = F.min_by(F.struct("user_id", "event_type"), tiebreak)
     return (
         events.groupBy("event_id")
@@ -1543,7 +1558,9 @@ def streaming_exact_dedup(events: DataFrame) -> DataFrame:
 
 STREAMING_EXACT_DEDUP_ORACLE = """
     SELECT DISTINCT ON (event_id) event_id, user_id, event_type
-    FROM events ORDER BY event_id, ts, user_id, event_type
+    FROM events
+    ORDER BY event_id, ts, user_id,
+             (event_type IS NULL) ASC, event_type ASC NULLS LAST
 """
 
 

@@ -579,6 +579,38 @@ def test_dupkeys_remediation_restores_full_agreement(
         _assert_matches_oracle(spark, str(d), name)
 
 
+@pytest.fixture(scope="module")
+def null_in_dup_pair_sf_dir(tmp_path_factory) -> str:
+    """Events with a conflict pair equal on (event_id, ts, user_id)
+    where one side's event_type is NULL — the composition shape
+    (--dupkeys x --nulls) the r14 five-axis sweep caught splitting
+    streaming_exact_dedup's survivor between Spark's NULLS-FIRST
+    struct ordering and DuckDB's NULLS-LAST ORDER BY."""
+    return _events_rewrite_dir(
+        tmp_path_factory,
+        "null-dup",
+        "SELECT event_id, ts, user_id, event_type, value, props FROM '{src}'"
+        " UNION ALL"
+        " SELECT event_id, ts, user_id, NULL, value + 1, props"
+        " FROM '{src}' WHERE event_id % 50 = 3",
+    )
+
+
+def test_streaming_exact_dedup_deterministic_on_null_in_dup_pair(
+    spark, null_in_dup_pair_sf_dir
+):
+    """The PK contract's remediation operator must stay deterministic
+    PRECISELY on violating input: engine/oracle agree, and the survivor
+    among a (ts, user_id)-tied pair is the NON-NULL event_type row
+    (explicit NULLS-LAST in the tiebreak on both sides)."""
+    _assert_matches_oracle(spark, null_in_dup_pair_sf_dir, "streaming_exact_dedup")
+    qs = entry_mod.queries()
+    sdf = qs["streaming_exact_dedup"](spark, null_in_dup_pair_sf_dir).toPandas()
+    dup_slice = sdf[sdf["event_id"] % 50 == 3]
+    assert len(dup_slice) > 0
+    assert dup_slice["event_type"].notna().all()
+
+
 def test_dupkeys_detector_is_not_vacuous(spark, dupkeys_sf_dir):
     """A key-identity reader must genuinely diverge on this corpus, or
     the insensitive-subset net proves nothing: minhash_signatures groups
