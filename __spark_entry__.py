@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
+        # (0) NEW this round (never had a driver row):
+        "pk_violation_report": relational.q_pk_violation_report,
         # (1) CHANGED this round (re-verify the round code lands):
         "latest_maxby": latest.q_latest_maxby,
         "latest_positions": latest.q_latest_positions,
@@ -413,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_pairs": multimodal.media_phash_pairs_oracle(),
         "bloom_semijoin_stats": relational.BLOOM_SEMIJOIN_STATS_ORACLE,
         "dq_expectations": relational.DQ_EXPECTATIONS_ORACLE,
+        "pk_violation_report": relational.PK_VIOLATION_ORACLE,
         "rollup_delta_merge": tiles.rollup_delta_merge_oracle(PINGS_ORACLE_SQL, CFG),
         "modality_agreement_report": similarity.modality_agreement_report_oracle(),
         "triangle_count": dedup.triangle_count_oracle(),

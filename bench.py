@@ -117,7 +117,22 @@ def main() -> None:
     calib_median_now = (
         sorted(calibration)[len(calibration) // 2] if calibration else None
     )
-    quiet = calib_median_now is not None and calib_median_now <= 0.032
+    # The bound is the MAX of the absolute quiet ceiling and 1.2x the
+    # baseline record's own calibration (r14 advice): per-query flags
+    # compare against the detail baselines, so what makes them
+    # attributable to CODE is that both runs carried similar session
+    # overhead — like-for-like — not that the host hit an absolute
+    # speed. On a permanently slower host/image every run would
+    # otherwise be non-quiet forever and strict mode could never fire.
+    baseline_calib = None
+    try:
+        _d = json.loads(DETAIL_PATH.read_text())
+        if _d.get("sf") == sf:
+            baseline_calib = _d.get("calib_median")
+    except (OSError, ValueError):
+        pass
+    quiet_bound = max(0.032, 1.2 * baseline_calib) if baseline_calib else 0.032
+    quiet = calib_median_now is not None and calib_median_now <= quiet_bound
     drift_suspect: dict[str, dict[str, float]] = {}
     if regressions and not quiet:
         drift_suspect, regressions = regressions, {}
@@ -142,6 +157,7 @@ def main() -> None:
         "agg": "min",
         "regressions": regressions,
         "quiet": quiet,
+        "quiet_bound": round(quiet_bound, 3),
         **({"regressions_drift_suspect": drift_suspect} if drift_suspect else {}),
         "common_with_prev": common,
         # environment fingerprint: per-query baselines ratchet across

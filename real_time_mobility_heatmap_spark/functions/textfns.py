@@ -87,19 +87,34 @@ def ln_u60_exact_sql(h: str, dialect: str) -> str:
 # of Unicode; translate() is codepoint-based in both engines (verified
 # byte-for-byte on mixed İ/Σ/ς input). Every content-casefold site goes
 # through these two fragments so the contract has one definition.
-_CASEFOLD_SRC = "İΣς"  # İ Σ ς
-_CASEFOLD_DST = "iσσ"  # i σ σ
+CASEFOLD_SRC = "İΣς"  # İ Σ ς
+CASEFOLD_DST = "iσσ"  # i σ σ
+# every consumer f-string-interpolates the fold set into SQL string
+# literals (both dialects), so the set must never contain SQL quote or
+# escape characters — a future addition that does would silently
+# produce broken SQL (r14 advice)
+assert not set("'\"\\") & set(CASEFOLD_SRC + CASEFOLD_DST)
+# back-compat aliases (pre-r15 private names)
+_CASEFOLD_SRC = CASEFOLD_SRC
+_CASEFOLD_DST = CASEFOLD_DST
 
 
 def fold_lower(text: Column) -> Column:
     """Engine-identical lowercase: pre-fold İ/Σ/ς, then ``lower``."""
-    return F.lower(F.translate(text, _CASEFOLD_SRC, _CASEFOLD_DST))
+    return F.lower(F.translate(text, CASEFOLD_SRC, CASEFOLD_DST))
+
+
+def fold_lower_spark_sql(expr: str) -> str:
+    """The identical casefold as a Spark-SQL fragment (for expression
+    strings that embed it inside transform()/aggregate() lambdas where
+    a Column can't be composed in)."""
+    return f"lower(translate({expr}, '{CASEFOLD_SRC}', '{CASEFOLD_DST}'))"
 
 
 def fold_lower_duck(expr: str) -> str:
     """The identical casefold in DuckDB SQL."""
     return (
-        f"lower(translate({expr}, '{_CASEFOLD_SRC}', '{_CASEFOLD_DST}'))"
+        f"lower(translate({expr}, '{CASEFOLD_SRC}', '{CASEFOLD_DST}'))"
     )
 
 

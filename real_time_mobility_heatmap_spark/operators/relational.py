@@ -1648,6 +1648,100 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pk_violation_report(events: DataFrame, documents: DataFrame) -> DataFrame:
+    """Executable edge of the PK-uniqueness ingestion contract
+    (sources/tables.py module docstring): one row per identity-keyed
+    table counting contract violations BY SHAPE, so a pipeline fed
+    foreign/replayed data can see — before any key-identity query runs —
+    whether its answers are inside the contract's guarantee.
+
+    Shapes mirror the --dupkeys axis taxonomy (SCALE.md §r14):
+
+    - ``replay_keys``: duplicated keys whose rows are verbatim copies
+      (at-least-once redelivery) — remediated losslessly by
+      ``exact_dedup``.
+    - ``conflict_keys``: duplicated keys carrying ≥2 distinct payloads
+      (identity collision) — key-identity readers return engine-
+      arbitrary winners until ``dedup_keep_best`` picks survivors.
+    - ``null_key_rows``: rows with no identity at all.
+
+    ``excess_rows`` (= n_rows - n_keys) is the row inflation any doc_id
+    equi-join multiplies by. A report of all-zero violation columns
+    certifies the corpus for the full 223-query surface; non-zero means
+    the ~37-query sensitive set is operating outside its precondition.
+
+    Scale shape: the inner aggregate is exact-dedup's groupBy-all-columns
+    (duplicates combine map-side, so the shuffle carries distinct rows
+    only); the outer two aggregates ship (key, n, variants) triples and a
+    single final row. Payload identity via GROUP BY rather than a hash
+    projection keeps it collision-free and engine-portable; at 100 TB
+    you'd swap the inner pass to ``xxhash64(payload)`` to shrink the
+    shuffle width — same plan shape, documented trade.
+    """
+
+    def per_table(df: DataFrame, pk: str, name: str) -> DataFrame:
+        rows = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("cnt"))
+        keys = rows.groupBy(pk).agg(
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).alias("variants"),
+        )
+        flag = lambda c: F.sum(c.cast("long"))  # noqa: E731
+        return keys.agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            flag(F.col("n") > 1).alias("dup_keys"),
+            flag((F.col("n") > 1) & (F.col("variants") == 1)).alias(
+                "replay_keys"
+            ),
+            flag(F.col("variants") > 1).alias("conflict_keys"),
+            (F.sum("n") - F.count(F.lit(1))).alias("excess_rows"),
+            F.sum(
+                F.when(F.col(pk).isNull(), F.col("n")).otherwise(F.lit(0))
+            ).alias("null_key_rows"),
+        ).select(F.lit(name).alias("table_name"), "*")
+
+    return per_table(events, "event_id", "events").unionByName(
+        per_table(documents, "doc_id", "documents")
+    )
+
+
+def _pk_violation_oracle_cte(table: str, pk: str, payload: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+           CAST(sum(CASE WHEN n > 1 AND variants = 1 THEN 1 ELSE 0 END) AS BIGINT) AS replay_keys,
+           CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT) AS conflict_keys,
+           CAST(sum(n) - count(*) AS BIGINT) AS excess_rows,
+           CAST(sum(CASE WHEN {pk} IS NULL THEN n ELSE 0 END) AS BIGINT) AS null_key_rows
+    FROM (
+        SELECT {pk}, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS variants
+        FROM (
+            SELECT {pk}, count(*) AS cnt
+            FROM {table} GROUP BY {pk}, {payload}
+        ) GROUP BY {pk}
+    )"""
+
+
+PK_VIOLATION_ORACLE = (
+    _pk_violation_oracle_cte(
+        "events", "event_id", "ts, user_id, event_type, value, props"
+    )
+    + "\n    UNION ALL\n"
+    + _pk_violation_oracle_cte(
+        "documents", "doc_id", "text, lang, source, n_chars"
+    )
+)
+
+
+def q_pk_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pk_violation_report(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
 RANGE_FRAME_S = 600  # 10-minute trailing event-time frame
 
 

@@ -18,12 +18,11 @@ from ..functions.rounding import (
     round_half_up_sql,
 )
 from ..functions.textfns import (
-    _CASEFOLD_DST,
-    _CASEFOLD_SRC,
     STOPWORDS,
     TOKENS_DUCK,
     fold_lower,
     fold_lower_duck,
+    fold_lower_spark_sql,
     hash60_duck_sql,
     hash60_spark_sql,
     ln_u60_exact_sql,
@@ -199,12 +198,11 @@ ROLL_P = 2147483647    # Mersenne 2^31-1
 # folds the rest (DuckDB's list_reduce has no explicit init, so both
 # engines use identical seed-with-first semantics)
 _HS_SPARK = (
-    # lower(translate(...)) = the fold_lower casefold (textfns), in
-    # Spark-SQL dialect — built from the SAME constants so the fold set
-    # has one definition (a literal copy here would silently diverge
-    # from tokens()/TOKENS_DUCK the day the set gains a code point).
-    f"transform(split(lower(translate(trim(text),"
-    f" '{_CASEFOLD_SRC}', '{_CASEFOLD_DST}')), '\\\\s+'),"
+    # the fold_lower casefold (textfns) in Spark-SQL dialect — built by
+    # the SAME module so the fold set has one definition (a literal
+    # copy here would silently diverge from tokens()/TOKENS_DUCK the
+    # day the set gains a code point).
+    f"transform(split({fold_lower_spark_sql('trim(text)')}, '\\\\s+'),"
     f" t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % {ROLL_P})"
 )
 _ROLL_SPARK = (

@@ -56,9 +56,15 @@ def _round_half_away(x: np.ndarray, decimals: int = 6) -> np.ndarray:
     caught interpolated longitudes landing EXACTLY on the scaled .5
     boundary (hour-snapped ties give exact dyadic fracs over cents-grid
     endpoints, e.g. -71.6828125), where np.round said ...812 and the
-    oracle said ...813. floor(|s| + 0.5) is exact half-away for
-    |s| < 2^51 (0.5 is exactly addable there); coordinate-scaled values
-    are ~1e8, far inside."""
+    oracle said ...813. Guarantee (scoped, r14 advice): floor(|s|+0.5)
+    matches the engines' shared multiply-then-round DOUBLE algorithm at
+    coordinate magnitudes — both also compute on s = x*scale, so any
+    rounding inside the scaling itself is shared — and the +0.5 step is
+    exact wherever 0.5 is a multiple of ulp(|s|) (true for the ~1e8
+    scaled coordinates here). It is NOT a universal half-away: for |s|
+    just below 0.5 (coordinates near 5e-7) the addition itself rounds
+    up and disagrees with true half-away, so don't lift this helper to
+    magnitude-unconstrained inputs."""
     scale = 10.0**decimals
     s = x * scale
     return np.copysign(np.floor(np.abs(s) + 0.5), s) / scale

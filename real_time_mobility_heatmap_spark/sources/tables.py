@@ -27,6 +27,13 @@ duplicates, exactly as any SQL engine's results are unspecified under
 a violated uniqueness constraint it was told to assume. The sensitive
 set and the sweep record live in SCALE.md §r14; the pinned differential
 net is tests/test_perturbed_corpus.py (DUPKEYS axis).
+
+The contract's EXECUTABLE EDGE (r15): ``assert_pk_unique`` below is the
+opt-in ingest-boundary enforcement (``SPARK_GRAFT_ENFORCE_PK=1`` at the
+fixture entrypoints), and ``operators/relational.pk_violation_report``
+is the oracle-checked audit that counts violations by shape (replay /
+conflict / null-key) — all-zero certifies a corpus for the full query
+surface.
 """
 
 from __future__ import annotations
@@ -224,6 +231,53 @@ def source_roundtrip_oracle() -> str:
     """
 
 
+class PKViolationError(ValueError):
+    """A table violated the PK-uniqueness ingestion contract."""
+
+
+def assert_pk_unique(df: DataFrame, key: str, table: str) -> DataFrame:
+    """Boundary assert for the PK-uniqueness ingestion contract: raise
+    ``PKViolationError`` if ``key`` is NULL anywhere or duplicated, else
+    return ``df`` unchanged.
+
+    This is the contract's enforcement hook for FOREIGN data entering the
+    batch surface (the engine's own ingest establishes uniqueness by
+    construction — producer-assigned ids, key-upserting stores). It is
+    opt-in (``SPARK_GRAFT_ENFORCE_PK=1`` at the fixture entrypoints;
+    callers embedding the engine invoke it directly) because validation
+    costs one aggregate pass per table and the query surface must stay
+    TOTAL on violating input for the remediation operators
+    (``exact_dedup`` / ``dedup_keep_best``) and the audit query
+    (``pk_violation_report``) to run at all.
+
+    Scale shape: a single key-only groupBy (map-side combinable, shuffle
+    carries distinct keys) with a count; the 5-key sample is fetched only
+    on the failure path.
+    """
+    bad = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) | F.col(key).isNull())
+    )
+    n_bad = bad.count()
+    if n_bad:
+        sample = [r[key] for r in bad.select(key).limit(5).collect()]
+        raise PKViolationError(
+            f"{table}.{key} violates the PK-uniqueness ingestion contract: "
+            f"{n_bad} duplicated-or-NULL key(s), e.g. {sample}. Run "
+            f"pk_violation_report for the violation-shape breakdown; "
+            f"remediate with exact_dedup (replay) / dedup_keep_best "
+            f"(conflict) before key-identity queries."
+        )
+    return df
+
+
+def _enforce_pk_enabled() -> bool:
+    import os
+
+    return os.getenv("SPARK_GRAFT_ENFORCE_PK", "") not in ("", "0", "false")
+
+
 def pings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> GPS-ping stream shape (reference schema heatmap_stream.py:52-61).
 
@@ -234,6 +288,8 @@ def pings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition shuffle of the raw rows costs more than the parallelism
     # buys (measured at sf0.1); the heavy text/vector operators do spread.
     ev = load_table(spark, sf_dir, "events")
+    if _enforce_pk_enabled():
+        ev = assert_pk_unique(ev, "event_id", "events")
     return ev.select(
         F.col("event_type").alias("provider"),
         F.col("user_id").cast("string").alias("vehicleId"),

@@ -45,6 +45,49 @@ def test_canon_null_and_nan_are_equal():
     assert _canon(a) == _canon(b)
 
 
+def test_canon_unifies_timestamp_cell_types_across_the_full_domain():
+    """The r15 extreme-ts harness fix: the same instant arrives as
+    pd.Timestamp (DuckDB .df(), datetime64[us] over the full 1–9999
+    domain; Spark's in-window path) or plain datetime.datetime (Spark's
+    ``spark_to_pandas`` out-of-window fallback) and must canonicalize
+    identically — including year-9999/year-1 values pandas' ns unit
+    cannot represent, and NaT ≡ None for NULLs."""
+    import datetime as dt
+
+    extreme = [dt.datetime(9999, 12, 31, 23, 59, 59), dt.datetime(1, 1, 2, 3, 4, 5)]
+    as_dt = pd.DataFrame({"v": pd.Series(extreme, dtype="object")})
+    as_ts = pd.DataFrame({"v": pd.Series(extreme, dtype="datetime64[us]")})
+    assert _canon(as_dt) == _canon(as_ts)
+    nat = pd.DataFrame({"v": pd.Series([pd.NaT], dtype="datetime64[us]")})
+    none = pd.DataFrame({"v": pd.Series([None], dtype="object")})
+    assert _canon(nat) == _canon(none)
+    # tz-aware strips to the wall-clock instant on both cell types
+    aware_ts = pd.DataFrame(
+        {"v": pd.Series([pd.Timestamp("2024-03-01 12:00:00", tz="UTC")])}
+    )
+    naive_ts = pd.DataFrame({"v": pd.Series([pd.Timestamp("2024-03-01 12:00:00")])})
+    assert _canon(aware_ts) == _canon(naive_ts)
+
+
+def test_spark_to_pandas_falls_back_on_out_of_ns_window_timestamps(spark):
+    from tools.check_oracles import spark_to_pandas
+
+    df = spark.sql(
+        "SELECT TIMESTAMP '9999-12-31 23:59:59' AS hi,"
+        " TIMESTAMP '0001-01-02 03:04:05' AS lo,"
+        " CAST(NULL AS TIMESTAMP) AS nul, 1 AS k"
+    )
+    with pytest.raises(Exception):
+        df.toPandas()  # the exact gap the fallback exists for
+    pdf = spark_to_pandas(df)
+    odf = duckdb.sql(
+        "SELECT TIMESTAMP '9999-12-31 23:59:59' AS hi,"
+        " TIMESTAMP '0001-01-02 03:04:05' AS lo,"
+        " CAST(NULL AS TIMESTAMP) AS nul, 1 AS k"
+    ).df()
+    assert _canon(pdf) == _canon(odf)
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()

@@ -26,7 +26,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 import __spark_entry__ as entry_mod
-from check_oracles import _canon
+from check_oracles import _canon, spark_to_pandas
 from perturb_corpus import build as build_perturbed
 from real_time_mobility_heatmap_spark.functions.money import (
     money_sum,
@@ -64,7 +64,7 @@ def _assert_matches_oracle(spark, sf_dir: str, name: str) -> None:
     change lands in exactly one place."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    sdf = qs[name](spark, sf_dir).toPandas()
+    sdf = spark_to_pandas(qs[name](spark, sf_dir))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -536,6 +536,48 @@ def dupkeys_sf_dir(tmp_path_factory) -> str:
 @pytest.mark.parametrize("name", DUPKEYS_INSENSITIVE_QUERIES)
 def test_dupkeys_insensitive_queries_match_oracle(spark, dupkeys_sf_dir, name):
     _assert_matches_oracle(spark, dupkeys_sf_dir, name)
+
+
+def test_pk_violation_report_guards_sensitive_set(spark, dupkeys_sf_dir):
+    """The contract's executable edge (r14 verdict item #2): on a
+    PK-violating corpus the report is non-zero on EVERY shape the
+    --dupkeys axis manufactures — so "report all-zero" is a sufficient
+    certificate for the 37-query sensitive set — and the report itself
+    is engine/oracle agreed on the violating corpus (it is a SYMMETRIC
+    aggregate, usable as the audit even when identity readers are not)."""
+    _assert_matches_oracle(spark, dupkeys_sf_dir, "pk_violation_report")
+    rows = {
+        r["table_name"]: r.asDict()
+        for r in entry_mod.queries()["pk_violation_report"](
+            spark, dupkeys_sf_dir
+        ).collect()
+    }
+    for t in ("events", "documents"):
+        assert rows[t]["dup_keys"] > 0, t
+        assert rows[t]["replay_keys"] > 0, t
+        assert rows[t]["conflict_keys"] > 0, t
+        assert rows[t]["excess_rows"] == rows[t]["n_rows"] - rows[t]["n_keys"]
+    # and all-zero on the clean fixture: the certificate is not vacuous
+    for r in (
+        entry_mod.queries()["pk_violation_report"](spark, SRC).collect()
+    ):
+        assert r["dup_keys"] == r["conflict_keys"] == r["null_key_rows"] == 0
+
+
+def test_assert_pk_unique_is_the_contract_boundary(spark, dupkeys_sf_dir):
+    """Opt-in ingest assert: raises with counts + key sample on a
+    violating corpus, passes rows through untouched on a clean one."""
+    from real_time_mobility_heatmap_spark.sources.tables import (
+        PKViolationError,
+        assert_pk_unique,
+        load_table,
+    )
+
+    ev_bad = load_table(spark, dupkeys_sf_dir, "events")
+    with pytest.raises(PKViolationError, match="events.event_id"):
+        assert_pk_unique(ev_bad, "event_id", "events")
+    ev_ok = load_table(spark, SRC, "events")
+    assert assert_pk_unique(ev_ok, "event_id", "events") is ev_ok
 
 
 def test_dupkeys_remediation_restores_full_agreement(

@@ -500,6 +500,17 @@ def _window_spec_first_args(plan: str) -> list[str]:
         cur: list[str] = []
         while j < len(plan) and depth > 0:
             ch = plan[j]
+            if ch == "'":
+                # skip single-quoted literal spans whole (r14 advice): a
+                # paren/comma inside a string argument (e.g. a regex in
+                # regexp_replace(x, '(a,b)', ...)) must not move the
+                # depth counter or end the argument early
+                k = plan.find("'", j + 1)
+                if k == -1:
+                    k = len(plan) - 1
+                cur.append(plan[j : k + 1])
+                j = k + 1
+                continue
             if ch == "(":
                 depth += 1
             elif ch == ")":
@@ -528,6 +539,20 @@ def test_window_spec_walker_sees_through_call_orderings():
     firsts = _window_spec_first_args(plan)
     assert firsts == ["cast(x#1 as double) ASC NULLS FIRST"]
     assert re.search(r" (ASC|DESC) NULLS", firsts[0])
+
+
+def test_window_spec_walker_skips_quoted_paren_and_comma():
+    """Detector sanity (r14 advice): parens/commas inside string
+    literals within the ordering expression must not desynchronize the
+    balanced-paren walk or split the first argument early."""
+    plan = (
+        "Window [max(y#3) windowspecdefinition("
+        "regexp_replace(x#1, '(a,b)(', 'z') ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS m#4]"
+    )
+    firsts = _window_spec_first_args(plan)
+    assert firsts == ["regexp_replace(x#1, '(a,b)(', 'z') ASC NULLS FIRST"]
     # and a partitioned spec's first arg is the bare partition column
     plan2 = (
         "windowspecdefinition(k#3, cast(x#1 as double) ASC NULLS FIRST, "

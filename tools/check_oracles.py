@@ -11,6 +11,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 import sys
 from decimal import Decimal
@@ -38,10 +39,19 @@ def _norm_cell(v):
     to the driver's hash), numpy floats to ``float`` WITHOUT integral-value
     coercion, Decimal to float (driver-green queries show it hashes as float).
     """
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return None
+    # All timestamp-like cells canonicalize to the naive ISO string: the
+    # engines deliver the SAME instant through THREE cell types — DuckDB
+    # .df() always yields datetime64[us]/pd.Timestamp (full 1–9999
+    # domain), Spark's in-window path yields pd.Timestamp, and Spark's
+    # extreme-window fallback (``spark_to_pandas``) yields plain
+    # datetime.datetime — and repr() would split them. Timestamp before
+    # datetime: it is a subclass.
     if isinstance(v, pd.Timestamp):
-        return v.tz_localize(None) if v.tzinfo else v
+        return (v.tz_localize(None) if v.tzinfo else v).isoformat()
+    if isinstance(v, dt.datetime):
+        return (v.replace(tzinfo=None) if v.tzinfo else v).isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, (bool, np.bool_)):
@@ -53,6 +63,25 @@ def _norm_cell(v):
     if isinstance(v, Decimal):
         return float(v)
     return v
+
+
+def spark_to_pandas(df) -> pd.DataFrame:
+    """``toPandas`` with an extreme-timestamp fallback.
+
+    pandas' ns-unit window (~1677–2262) is narrower than both engines'
+    timestamp domain: Spark's Arrow→pandas cast raises ``ArrowInvalid``
+    on values outside it (year-1 / year-9999 / far-pre-epoch) while
+    DuckDB's ``.df()`` delivers them as datetime64[us] — so the GATE
+    broke on corpora the engines themselves agree on (SCALE.md r14
+    extreme-ts probe). On that failure, re-fetch via the public Arrow
+    path with ``timestamp_as_object=True``: Python datetimes are exact
+    over the full 1–9999 domain. Exception-gated so every in-window
+    query keeps today's byte-identical conversion.
+    """
+    try:
+        return df.toPandas()
+    except Exception:
+        return df.toArrow().to_pandas(timestamp_as_object=True)
 
 
 def _canon(df: pd.DataFrame) -> list[str]:
@@ -81,7 +110,7 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = spark_to_pandas(fn(spark, sf_dir))
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")

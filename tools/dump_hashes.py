@@ -32,7 +32,7 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from check_oracles import _canon  # noqa: E402
+from check_oracles import _canon, spark_to_pandas  # noqa: E402
 from real_time_mobility_heatmap_spark.session import get_spark  # noqa: E402
 
 
@@ -48,7 +48,7 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = spark_to_pandas(fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — record, keep dumping
             out[name] = f"ERROR: {e}"
             continue

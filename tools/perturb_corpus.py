@@ -501,6 +501,113 @@ def _apply_dupkeys(sql: str, tname: str, columns: list[str]) -> str:
         )"""
 
 
+# --xts (r15): extreme timestamps. The fixtures (and every jitter,
+# which moves timestamps ± a day) keep the time axis inside 1992-2025,
+# so the gate had never observed the domain boundaries both engines
+# support (proleptic-Gregorian year 1 .. 9999) or the band OUTSIDE
+# pandas' ns window (~1677-2262) that the r14 probe showed breaks the
+# COMPARISON HARNESS (fixed: tools/check_oracles.spark_to_pandas).
+# Four disjoint-by-construction slices per timestamp column, shifted by
+# whole years so wall-clock fields stay valid and arithmetic keeps
+# headroom to the 9999-12-31 ceiling (TTL/staleAt adds minutes):
+#   far-future ~1/23: +7900y -> ~9890s (out of ns window, high)
+#   ancient    ~1/29: -1900y -> ~year 92-125 (keeps the TPC-H
+#                              1992 floor above Spark's 0001 domain edge)
+#   pre-epoch  ~1/31:  -150y -> ~1840-1875 (negative epoch, IN ns window)
+#   pre-ns     ~1/37:  -400y -> ~1590-1625 (out of ns window, low;
+#                                           post-1582 Julian gap)
+_XTS_COLS = {
+    "events": ("event_id", "ts"),
+    "orders": ("o_orderkey", "o_orderdate"),
+    "lineitem": ("l_orderkey * 8 + l_linenumber", "l_shipdate"),
+}
+
+
+def _apply_xts(sql: str, tname: str, columns: list[str]) -> str:
+    spec = _XTS_COLS.get(tname)
+    if not spec:
+        return sql
+    pk, ts = spec
+    shifted = (
+        f"CASE WHEN hash({pk} + @SEED@ + 61) % 23 = 5"
+        f" THEN {ts} + INTERVAL 7900 YEAR\n"
+        f"                    WHEN hash({pk} + @SEED@ + 62) % 29 = 7"
+        f" THEN {ts} - INTERVAL 1900 YEAR\n"
+        f"                    WHEN hash({pk} + @SEED@ + 63) % 31 = 11"
+        f" THEN {ts} - INTERVAL 150 YEAR\n"
+        f"                    WHEN hash({pk} + @SEED@ + 64) % 37 = 13"
+        f" THEN {ts} - INTERVAL 400 YEAR\n"
+        f"                    ELSE {ts} END AS {ts}"
+    )
+    sel = ",\n               ".join(
+        shifted if c == ts else c for c in columns
+    )
+    return f"SELECT {sel} FROM ({sql})"
+
+
+# --xval (r15): extreme finite doubles. The jitters keep every numeric
+# column at physical magnitudes, so the gate had never observed the
+# IEEE-754 boundary band: ±DBL_MAX (overflow-adjacent products/squares
+# go Inf mid-aggregate), subnormals (gradual-underflow arithmetic),
+# 1e15-magnitude (above 2^52 — doubles stop representing every integer,
+# cents grids and round() get ulp-sensitive), and -0.0 (sign-sensitive
+# formatting/grouping). Slices land on events.value ONLY: the free
+# measure column feeding the percentile/OLS/science families. The
+# MONEY columns (*price, *acctbal, value-as-money in pricing paths)
+# carry the engine's documented cents-domain contract (DECIMAL-exact,
+# functions/money.py) — ±DBL_MAX there is outside ANY money domain and
+# would only test DECIMAL-overflow error shapes, so money columns get a
+# separate large-but-in-domain 1e12 slice instead of the full band.
+# int64 overflow-adjacency is deliberately NOT manufactured: the only
+# non-key int64 measure (documents.n_chars) carries the n_chars =
+# length(text) derivation contract, and breaking it to force a sum past
+# 2^63 tests a corpus no contract admits (adjudication: SCALE.md r15
+# int64-overflow probe).
+_XVAL_DOUBLE_MAX = "1.7976931348623157e308"
+_XVAL_SUBNORMAL = "4.9406564584124654e-324"  # min positive subnormal
+
+
+def _apply_xval(sql: str, tname: str, columns: list[str]) -> str:
+    if tname == "events":
+        sign = "CASE WHEN hash(event_id + @SEED@ + 75) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        rule = (
+            f"CASE WHEN hash(event_id + @SEED@ + 71) % 41 = 5"
+            f" THEN {_XVAL_DOUBLE_MAX} * ({sign})\n"
+            f"                    WHEN hash(event_id + @SEED@ + 72) % 43 = 7"
+            f" THEN {_XVAL_SUBNORMAL} * ({sign})\n"
+            f"                    WHEN hash(event_id + @SEED@ + 73) % 47 = 11"
+            f" THEN (1e15 + CAST(hash(event_id + @SEED@ + 76) % 100 AS DOUBLE)"
+            f" / 100.0) * ({sign})\n"
+            f"                    WHEN hash(event_id + @SEED@ + 74) % 53 = 13"
+            f" THEN -(CAST(0.0 AS DOUBLE))\n"  # DECIMAL -0.0 loses the sign
+
+            f"                    ELSE value END"
+        )
+        sel = ",\n               ".join(
+            f"{rule} AS value" if c == "value" else c for c in columns
+        )
+        return f"SELECT {sel} FROM ({sql})"
+    money = {
+        "lineitem": ("l_extendedprice", "l_orderkey * 8 + l_linenumber"),
+        "orders": ("o_totalprice", "o_orderkey"),
+        "customer": ("c_acctbal", "c_custkey"),
+    }.get(tname)
+    if not money:
+        return sql
+    col, pk = money
+    # in-domain extreme: 1e12 + fresh cents (DECIMAL(38) headroom holds
+    # through *(1-disc)*(1+tax) products and sf-scale sums)
+    rule = (
+        f"CASE WHEN hash({pk} + @SEED@ + 77) % 49 = 9"
+        f" THEN 1e12 + CAST(hash({pk} + @SEED@ + 78) % 100 AS DOUBLE) / 100.0"
+        f" ELSE {col} END"
+    )
+    sel = ",\n               ".join(
+        f"{rule} AS {col}" if c == col else c for c in columns
+    )
+    return f"SELECT {sel} FROM ({sql})"
+
+
 def _apply_nulls(sql: str, tname: str, columns: list[str]) -> str:
     rules = _NULL_RULES.get(tname)
     if not rules:
@@ -532,6 +639,8 @@ def build(
     unicode_text: bool = False,
     json_shapes: bool = False,
     dupkeys: bool = False,
+    xts: bool = False,
+    xval: bool = False,
 ) -> None:
     base, out = Path(base_dir), Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -550,6 +659,14 @@ def build(
             sql = _apply_json(sql, tname, [f.name for f in want])
         if nulls:
             sql = _apply_nulls(sql, tname, [f.name for f in want])
+        if xts:
+            # after ties (ties copy in-window neighbors; xts then shifts
+            # a slice of the RESULT, so tied pairs shift together when
+            # both rows land in a slice, apart when only one does —
+            # both compositions are wanted)
+            sql = _apply_xts(sql, tname, [f.name for f in want])
+        if xval:
+            sql = _apply_xval(sql, tname, [f.name for f in want])
         if dupkeys:
             # OUTERMOST wrap: duplicates are verbatim copies of the
             # fully-perturbed rows, so the replay slice stays
@@ -566,12 +683,12 @@ def build(
     print(
         f"perturbed corpus at {out} (seed {seed}, nulls={nulls},"
         f" ties={ties}, unicode={unicode_text}, json={json_shapes},"
-        f" dupkeys={dupkeys})"
+        f" dupkeys={dupkeys}, xts={xts}, xval={xval})"
     )
 
 
 if __name__ == "__main__":
-    flags = ("--nulls", "--ties", "--unicode", "--json", "--dupkeys")
+    flags = ("--nulls", "--ties", "--unicode", "--json", "--dupkeys", "--xts", "--xval")
     args = [a for a in sys.argv[1:] if a not in flags]
     base = args[0] if len(args) > 0 else BASE
     out = args[1] if len(args) > 1 else tempfile.mkdtemp(prefix="perturbed-corpus-")
@@ -584,4 +701,6 @@ if __name__ == "__main__":
         unicode_text="--unicode" in sys.argv,
         json_shapes="--json" in sys.argv,
         dupkeys="--dupkeys" in sys.argv,
+        xts="--xts" in sys.argv,
+        xval="--xval" in sys.argv,
     )
