@@ -69,6 +69,17 @@ from real_time_mobility_heatmap_spark.streaming.assembly import (
     run_streaming_tiles,
     streaming_enriched_oracle,
 )
+from real_time_mobility_heatmap_spark.streaming.sources import stream_ts_bound_sql
+
+# bounded stream event-time domain (streaming/sources.py): the oracle-side
+# mirror of the filter events_stream applies — streaming queries compare
+# over exactly the rows the stream admits
+BOUNDED_PINGS_SQL = (
+    f"SELECT * FROM ({PINGS_ORACLE_SQL}) WHERE {stream_ts_bound_sql('eventTs')}"
+)
+BOUNDED_EVENTS_SQL = (
+    f"SELECT * FROM events WHERE {stream_ts_bound_sql('ts')}"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -499,7 +510,7 @@ def oracle_sql() -> dict[str, str]:
         # round-8 additions
         "repeated_span_report": dedup.repeated_span_report_oracle(),
         "ngram_novelty_report": textops.ngram_novelty_report_oracle(),
-        "streaming_enriched": streaming_enriched_oracle(PINGS_ORACLE_SQL, CFG),
+        "streaming_enriched": streaming_enriched_oracle(BOUNDED_PINGS_SQL, CFG),
         "cluster_quality_report": similarity.CLUSTER_QUALITY_ORACLE,
         "mad_outliers": analytics.MAD_OUTLIERS_ORACLE,
         "bm25_top_terms": textops.BM25_TOP_TERMS_ORACLE,
@@ -510,7 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "range_partition_plan": relational.range_partition_plan_oracle(),
         "approx_percentile_accuracy": windows.APPROX_PERCENTILE_ACCURACY_ORACLE,
         "table_profile_accuracy": windows.table_profile_accuracy_oracle(),
-        "streaming_tiles": tiles.tiles_oracle_sql(PINGS_ORACLE_SQL, CFG),
+        "streaming_tiles": tiles.tiles_oracle_sql(BOUNDED_PINGS_SQL, CFG),
         "tile_features_flat": geojson.tile_features_flat_oracle(CFG),
         "tile_feature_collection": geojson.tile_feature_collection_json_oracle(CFG),
         "position_features": geojson.POSITION_FEATURES_ORACLE,
@@ -558,7 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_cell_counts": windows.sliding_cell_counts_oracle(CFG),
         "vehicle_sessions": windows.vehicle_sessions_oracle(),
         # live session-window stream, same oracle as the batch twin
-        "streaming_sessions": windows.vehicle_sessions_oracle(),
+        "streaming_sessions": windows.vehicle_sessions_oracle(BOUNDED_PINGS_SQL),
         "salted_cell_counts": windows.salted_cell_counts_oracle(CFG),
         "value_percentiles": windows.VALUE_PERCENTILES_ORACLE,
         "value_histogram": windows.VALUE_HISTOGRAM_ORACLE,
@@ -589,11 +600,11 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": textops.CHUNK_DOCUMENTS_ORACLE,
         "ivf_recall_report": similarity.IVF_RECALL_REPORT_ORACLE,
         # live stream-stream join, same oracle as the batch twin
-        "streaming_conversions": relational.CONVERSION_WINDOW_ORACLE,
+        "streaming_conversions": relational.conversion_window_oracle(BOUNDED_EVENTS_SQL),
         "quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_ORACLE,
         "quantized_recall_report": similarity.QUANTIZED_RECALL_REPORT_ORACLE,
         # live S5 sink path, same oracle as the batch latest_positions twin
-        "streaming_positions": latest.LATEST_POSITIONS_ORACLE,
+        "streaming_positions": latest.latest_positions_oracle(BOUNDED_PINGS_SQL),
         "shipmode_priority_counts": relational.SHIPMODE_PRIORITY_COUNTS_ORACLE,
         "source_mixture_report": textops.SOURCE_MIXTURE_REPORT_ORACLE,
         "semantic_dedup": similarity.SEMANTIC_DEDUP_ORACLE,

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.epochs import epoch_s_sql
 from ..functions.percentiles import percentile_disc_exact
 from ..functions.rounding import round_half_up, round_half_up_sql
 from ..sources.tables import load_table
@@ -43,7 +44,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     """
     per_user = events.select(
         "user_id",
-        F.expr(f"(unix_timestamp(ts) div {WEEK_S}) * {WEEK_S}").alias("week_epoch"),
+        F.expr(f"({epoch_s_sql('ts')} div {WEEK_S}) * {WEEK_S}").alias("week_epoch"),
     )
     w = Window.partitionBy("user_id")
     active = (
@@ -584,7 +585,7 @@ def autocorrelation_report(events: DataFrame) -> DataFrame:
     emits NULL acf rather than a division by zero.
     """
     hourly = (
-        events.groupBy(F.expr("unix_timestamp(ts) div 3600").alias("hour_id"))
+        events.groupBy(F.expr(f"{epoch_s_sql('ts')} div 3600").alias("hour_id"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     lags = (

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.epochs import epoch_s, epoch_s_sql
+from ..functions.guards import spine_guard_sql
 from ..functions.ols import OLS_SUMS_SQL, grouped_ols, ols_select_sql
 from ..functions.percentiles import percentile_disc_exact
 from ..functions.rounding import round_half_up_sql
@@ -328,7 +330,7 @@ def stay_points(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     count, so nothing downstream exceeds the input.
     """
     snapped = snap_pings(pings, cfg).withColumn(
-        "es", F.unix_timestamp("eventTs").cast("bigint")
+        "es", epoch_s("eventTs")
     )
     w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
     chg = F.when(
@@ -436,7 +438,7 @@ def ping_gap_report(pings: DataFrame) -> DataFrame:
     w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
     gaps = (
         validate_pings(pings)
-        .withColumn("es", F.unix_timestamp("eventTs").cast("bigint"))
+        .withColumn("es", epoch_s("eventTs"))
         .select(
             "vehicleId", (F.col("es") - F.lag("es").over(w)).alias("gap_s")
         )
@@ -579,8 +581,12 @@ def co_dwell_pairs(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
         "stay_end_es",
         F.explode(
             F.expr(
-                f"sequence(stay_start_es div {CODWELL_BUCKET_S},"
-                f" stay_end_es div {CODWELL_BUCKET_S})"
+                spine_guard_sql(
+                    f"stay_start_es div {CODWELL_BUCKET_S}",
+                    f"stay_end_es div {CODWELL_BUCKET_S}",
+                    "1",
+                    "co_dwell_pairs",
+                )
             )
         ).alias("tb"),
     )
@@ -696,7 +702,7 @@ def tile_anomaly_report(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFr
     snapped = snap_pings(pings, cfg)
     counts = snapped.groupBy(
         "cell_id",
-        F.expr(f"(unix_timestamp(eventTs) div {ANOM_BUCKET_S}) * {ANOM_BUCKET_S}").alias(
+        F.expr(f"({epoch_s_sql('eventTs')} div {ANOM_BUCKET_S}) * {ANOM_BUCKET_S}").alias(
             "bucket_epoch"
         ),
     ).agg(F.count(F.lit(1)).alias("ping_count"))
@@ -826,7 +832,7 @@ GAPFILL_TOP_CELLS = 20
 
 def _hour_bucket() -> F.Column:
     return F.expr(
-        f"(unix_timestamp(eventTs) div {GAPFILL_BUCKET_S}) * {GAPFILL_BUCKET_S}"
+        f"({epoch_s_sql('eventTs')} div {GAPFILL_BUCKET_S}) * {GAPFILL_BUCKET_S}"
     ).alias("h")
 
 
@@ -844,7 +850,9 @@ def _top_cell_spine(counts: DataFrame) -> DataFrame:
     )
     return top.select(
         "cell_id",
-        F.explode(F.expr(f"sequence(mn, mx, {GAPFILL_BUCKET_S})")).alias("h"),
+        F.explode(
+            F.expr(spine_guard_sql("mn", "mx", str(GAPFILL_BUCKET_S), "tile_gap_fill"))
+        ).alias("h"),
     )
 
 
@@ -1396,7 +1404,7 @@ def cell_speed_trend(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
     hourly = (
         snap_pings(pings, cfg)
         .groupBy(
-            "cell_id", F.expr("unix_timestamp(eventTs) div 3600").alias("hour_id")
+            "cell_id", F.expr(f"{epoch_s_sql('eventTs')} div 3600").alias("hour_id")
         )
         .agg(F.sum(micro).alias("sum_micro"), F.count("speedKmh").alias("n"))
         .filter(F.col("n") > 0)
@@ -1587,7 +1595,7 @@ def gps_jump_report(pings: DataFrame) -> DataFrame:
     w = Window.partitionBy("vehicleId").orderBy(F.asc("eventTs"), F.asc("event_id"))
     dy = (F.col("lat") - F.lag("lat").over(w)) * F.lit(M_PER_DEG_LAT)
     dx = (F.col("lon") - F.lag("lon").over(w)) * F.lit(M_PER_DEG_LON)
-    es = F.expr("CAST(unix_timestamp(eventTs) AS BIGINT)")
+    es = epoch_s("eventTs")
     legs = (
         validate_pings(pings)
         .select(

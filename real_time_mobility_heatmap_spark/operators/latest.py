@@ -254,8 +254,11 @@ LATEST_ROWNUM_ORACLE = f"""
 # row_number form for the same reason as LATEST_MAXBY_ORACLE: the
 # deterministic (eventTs, event_id) pair ordering has no DuckDB arg_max
 # spelling.
-LATEST_POSITIONS_ORACLE = f"""
-    {_VALID_PINGS}
+def latest_positions_oracle(pings_sql: str = PINGS_ORACLE_SQL) -> str:
+    """Parameterized on the pings SELECT so the streaming twin can pass
+    the bounded stream event-time domain (streaming/sources.py)."""
+    return f"""
+    WITH pings AS ({pings_sql}), valid AS (SELECT * FROM pings WHERE {VALID_SQL})
     SELECT provider || '|' || vehicleId AS position_id,
            provider, vehicleId,
            eventTs AS event_ts,
@@ -268,6 +271,9 @@ LATEST_POSITIONS_ORACLE = f"""
         FROM valid
     ) WHERE rn = 1
 """
+
+
+LATEST_POSITIONS_ORACLE = latest_positions_oracle()
 
 WATERMARK_LATEDROP_ORACLE = f"""
     {_VALID_PINGS}

@@ -581,11 +581,15 @@ def conversion_window_counts(events: DataFrame) -> DataFrame:
     )
 
 
-CONVERSION_WINDOW_ORACLE = """
+def conversion_window_oracle(events_sql: str = "SELECT * FROM events") -> str:
+    """Parameterized on the events SELECT so the streaming twin can pass
+    the bounded stream event-time domain (streaming/sources.py)."""
+    return f"""
+    WITH ev AS ({events_sql})
     SELECT p.event_id AS purchase_id, p.user_id AS p_user,
            count(c.ts) AS clicks_within_1h
-    FROM events p
-    LEFT JOIN events c
+    FROM ev p
+    LEFT JOIN ev c
       ON c.event_type = 'click'
      AND c.user_id = p.user_id
      AND c.ts > p.ts
@@ -593,6 +597,9 @@ CONVERSION_WINDOW_ORACLE = """
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id, p.user_id
 """
+
+
+CONVERSION_WINDOW_ORACLE = conversion_window_oracle()
 
 
 def funnel_conversions(events: DataFrame) -> DataFrame:

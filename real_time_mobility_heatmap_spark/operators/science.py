@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.guards import spine_guard_days_sql
 from ..operators.flows import M_PER_DEG_LAT, M_PER_DEG_LON
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..operators.validate import VALID_SQL, validate_pings
@@ -416,7 +417,9 @@ def cusum_anomaly_report(pings: DataFrame) -> DataFrame:
         )
         .select(
             "provider",
-            F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias("day"),
+            F.explode(
+                F.expr(spine_guard_days_sql("_d0", "_d1", "cusum_anomaly_report"))
+            ).alias("day"),
             "_counts",
         )
         .select(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.epochs import epoch_s_sql
 from ..functions.grid import cell_id, cell_id_sql
 from ..functions.keys import tile_id, tile_id_sql
 from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
@@ -161,7 +162,7 @@ def hierarchical_rollups(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataF
     level = (
         snapped.select(
             "cell_id",
-            F.expr(f"(unix_timestamp(eventTs) div {w0}) * {w0}").alias("bucket_epoch"),
+            F.expr(f"({epoch_s_sql('eventTs')} div {w0}) * {w0}").alias("bucket_epoch"),
             micro.alias("micro"),
         )
         .groupBy("cell_id", "bucket_epoch")
@@ -264,7 +265,7 @@ def rollup_delta_merge(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFra
     micro = F.round(F.col("speedKmh") * 1e6).cast("long")
     part = snapped.select(
         "cell_id",
-        F.expr(f"(unix_timestamp(eventTs) div {MERGE_W}) * {MERGE_W}").alias(
+        F.expr(f"({epoch_s_sql('eventTs')} div {MERGE_W}) * {MERGE_W}").alias(
             "bucket_epoch"
         ),
         micro.alias("micro"),

@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.epochs import epoch_s_sql
+from ..functions.guards import MAX_SPINE_STEPS, spine_guard_sql
 from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
 from ..lineage import cut_lineage
 from ..operators.validate import require_event_time
@@ -76,6 +78,17 @@ def _interp_one(ts: np.ndarray, lat: np.ndarray, lon: np.ndarray):
     end = (int(ts[-1]) // _STEP_US) * _STEP_US     # floor to grid
     if end < start:
         return None
+    if (end - start) // _STEP_US > MAX_SPINE_STEPS:
+        # same fail-fast posture as the SQL spine guards: one
+        # out-of-domain timestamp must not np.arange an unbounded grid
+        # in the Python worker (functions/guards.py)
+        raise ValueError(
+            f"resample_trajectories: time-spine span of "
+            f"{(end - start) // _STEP_US} steps exceeds "
+            f"MAX_SPINE_STEPS={MAX_SPINE_STEPS}; an out-of-domain event "
+            f"timestamp violates the event-time ingestion contract - "
+            f"validate or filter the feed"
+        )
     grid = np.arange(start, end + 1, _STEP_US, dtype=np.int64)
     nxt = np.searchsorted(ts, grid, side="left")
     prv = np.searchsorted(ts, grid, side="right") - 1
@@ -287,7 +300,7 @@ def similar_speed_profiles(events: DataFrame) -> DataFrame:
     # audit; pinned in tests/test_plans.py). Both relations are
     # (user, bucket)-sized — calendar x users, far below the corpus —
     # so one materialization each is the right 100 TB shape.
-    b = F.expr(f"(unix_timestamp(ts) div {TS_BUCKET_S}) * {TS_BUCKET_S}")
+    b = F.expr(f"({epoch_s_sql('ts')} div {TS_BUCKET_S}) * {TS_BUCKET_S}")
     per = cut_lineage(
         events.select("user_id", b.alias("bucket"), "value").groupBy(
             "user_id", "bucket"
@@ -302,7 +315,13 @@ def similar_speed_profiles(events: DataFrame) -> DataFrame:
         users.crossJoin(F.broadcast(span))
         .select(
             "user_id",
-            F.explode(F.expr(f"sequence(lo, hi, {TS_BUCKET_S})")).alias("bucket"),
+            F.explode(
+                F.expr(
+                    spine_guard_sql(
+                        "lo", "hi", str(TS_BUCKET_S), "similar_speed_profiles"
+                    )
+                )
+            ).alias("bucket"),
         )
         .join(per, ["user_id", "bucket"], "left")
         .select("user_id", "bucket", F.coalesce("v", F.lit(0.0)).alias("v")),

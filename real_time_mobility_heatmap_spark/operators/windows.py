@@ -117,9 +117,11 @@ def vehicle_sessions(pings: DataFrame) -> DataFrame:
     )
 
 
-def vehicle_sessions_oracle() -> str:
+def vehicle_sessions_oracle(pings_sql: str = PINGS_ORACLE_SQL) -> str:
+    """Parameterized on the pings SELECT so the streaming twin can pass
+    the bounded stream event-time domain (streaming/sources.py)."""
     return f"""
-        WITH pings AS ({PINGS_ORACLE_SQL}),
+        WITH pings AS ({pings_sql}),
         flagged AS (
             SELECT provider, vehicleId, eventTs, speedKmh,
                    CASE WHEN eventTs - lag(eventTs) OVER w > INTERVAL '{SESSION_GAP_MIN} minutes'

@@ -304,6 +304,18 @@ def _sentinel_events_dir(sf_dir: str, flush_after_minutes: int, prefix: str) -> 
         # flush — stream just the (empty) fixture (r10 empty-input sweep)
         return tmp, in_dir
     flush_ts = max(maxes) + timedelta(minutes=flush_after_minutes)
+    # the sentinel must itself pass the stream event-time bound
+    # (sources.STREAM_TS_MIN/MAX): on a corpus carrying out-of-domain
+    # future timestamps the footer max exceeds the cap, and an
+    # out-of-domain sentinel would be filtered at the source — flushing
+    # nothing. Clamp to just under the cap: still past every IN-DOMAIN
+    # event by construction.
+    from datetime import datetime as _dt
+
+    from .sources import STREAM_TS_MAX
+
+    cap = _dt.fromisoformat(STREAM_TS_MAX) - timedelta(seconds=1)
+    flush_ts = min(flush_ts, cap)
     # mirror the fixture's own ts arrow type (unit varies across fixture
     # generations: micros vs nanos) so one stream schema reads both files
     ts_type = pq.ParquetFile(src).schema_arrow.field("ts").type
@@ -527,8 +539,14 @@ def run_streaming_conversions(spark, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id", "p_user")
         .agg(F.count(F.lit(1)).alias("n_clicks"))
     )
+    from .sources import stream_ts_bound_sql
+
     all_purchases = (
         load_table(spark, sf_dir, "events")
+        # same bounded stream event-time domain as the streamed side
+        # (sources.events_stream): the zero-click restore must cover
+        # exactly the purchases the stream admitted
+        .filter(F.expr(stream_ts_bound_sql("ts")))
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -712,7 +730,17 @@ def run_streaming_enriched(spark, sf_dir: str, cfg: EngineConfig = DEFAULT) -> D
     from .sinks import KeyedParquetStore
     from .sources import pings_stream_from_events
 
-    dim = provider_dim(pings_from_events(spark, sf_dir))
+    from .sources import stream_ts_bound_sql
+
+    # the provider dim is derived from the SAME feed the stream consumes,
+    # so it carries the stream's bounded event-time domain too — tier
+    # thresholds computed over rows the stream never admits would skew
+    # the classification of the rows it does
+    dim = provider_dim(
+        pings_from_events(spark, sf_dir).filter(
+            F.expr(stream_ts_bound_sql("eventTs"))
+        )
+    )
     stream = enrich_with_static_dim(
         pings_stream_from_events(spark, sf_dir), dim, "provider"
     )

@@ -18,6 +18,35 @@ from pyspark.sql import functions as F
 from ..functions.keys import ISO_FMT
 from ..schema import WIRE_SCHEMA
 
+# Bounded stream event-time domain (r15 --xts first contact). Watermarked
+# streaming structurally REQUIRES clock-sane event time, in both
+# directions:
+#  - floor 1970-01-01: Spark's initial watermark is epoch 0, so pre-epoch
+#    rows are late-dropped in the very FIRST micro-batch (measured: every
+#    pre-1970 --xts slice vanished from streaming_tiles while year-9924
+#    rows survived). The floor makes that structural drop an explicit,
+#    oracle-mirrorable ingest rule instead of silent loss.
+#  - cap 2100-01-01: one far-future event advances the watermark past the
+#    whole live horizon and silently drops every subsequent in-domain
+#    event (and pins every "latest" projection forever) — the classic
+#    poisoned-feed outage. Production stream processors bound event time
+#    at ingest for exactly this reason.
+# The BATCH surface deliberately keeps the engines' full proleptic-
+# Gregorian 1–9999 domain (floor-exact epoch math, functions/epochs.py);
+# only watermark-/latest-semantics consumers need clock sanity. Oracles
+# of streaming queries mirror the bound via ``stream_ts_bound_sql``.
+STREAM_TS_MIN = "1970-01-01 00:00:00"
+STREAM_TS_MAX = "2100-01-01 00:00:00"
+
+
+def stream_ts_bound_sql(col: str) -> str:
+    """The stream event-time domain as a SQL predicate on ``col`` —
+    shared verbatim by the engine filter and the DuckDB oracles."""
+    return (
+        f"{col} >= TIMESTAMP '{STREAM_TS_MIN}'"
+        f" AND {col} < TIMESTAMP '{STREAM_TS_MAX}'"
+    )
+
 
 def decode_pings(raw: DataFrame) -> DataFrame:
     """Wire-schema struct -> typed ping relation (heatmap_stream.py:88-93)."""
@@ -126,7 +155,7 @@ def events_stream(
         "event_type",
         "value",
         "props",
-    )
+    ).filter(F.expr(stream_ts_bound_sql("ts")))
 
 
 def pings_stream_from_events(

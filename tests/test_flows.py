@@ -687,3 +687,49 @@ def test_home_work_two_exchanges_no_join(spark):
     tree = buf.getvalue().split("\n(1)")[0]
     assert "Join" not in tree
     assert tree.count(" Exchange (") == 2
+
+
+# ---- time-spine guards (r15 --xts axis) ----------------------------------
+
+
+def test_spine_guard_fails_fast_on_out_of_domain_span(spark):
+    """One out-of-domain timestamp (year 9924) must make the spine
+    densifiers FAIL FAST with the named diagnostic — not np.arange /
+    sequence() an ~10^7-step grid per entity (the OOM shape the --xts
+    sweep hit on first contact; functions/guards.py)."""
+    import pytest
+
+    from real_time_mobility_heatmap_spark.operators.flows import (
+        co_dwell_pairs,
+        tile_gap_fill,
+    )
+    from real_time_mobility_heatmap_spark.operators.trajectory import (
+        resample_trajectories,
+    )
+
+    rows = [
+        _ping(ts="2024-01-01T10:00:00", eid=1),
+        _ping(ts="2024-01-01T10:20:00", eid=2),
+        _ping(ts="9924-01-01T10:00:00", eid=3),  # poisoned feed value
+    ]
+    pings = spark.createDataFrame(rows, PING_SCHEMA)
+    with pytest.raises(Exception, match="MAX_SPINE_STEPS"):
+        tile_gap_fill(pings).write.format("noop").mode("overwrite").save()
+    with pytest.raises(Exception, match="MAX_SPINE_STEPS"):
+        resample_trajectories(pings).write.format("noop").mode("overwrite").save()
+    # co_dwell: the poisoned ping lands INSIDE a same-cell stay, so the
+    # stay interval itself spans millennia
+    with pytest.raises(Exception, match="MAX_SPINE_STEPS"):
+        co_dwell_pairs(pings).write.format("noop").mode("overwrite").save()
+
+
+def test_spine_guard_passes_in_domain_spans(spark):
+    """The guard is inert on contract-respecting input."""
+    from real_time_mobility_heatmap_spark.operators.flows import tile_gap_fill
+
+    rows = [
+        _ping(ts="2024-01-01T10:00:00", eid=1),
+        _ping(ts="2024-03-01T10:00:00", eid=2),  # 60 days: 1440 buckets
+    ]
+    out = tile_gap_fill(spark.createDataFrame(rows, PING_SCHEMA)).collect()
+    assert len(out) > 1000  # densified, zero-filled
