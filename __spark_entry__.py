@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (regenerated by tools/rotate_window.py) ----
         # (0) NEW this round (never had a driver row):
         "pk_violation_report": relational.q_pk_violation_report,
+        "value_domain_report": relational.q_value_domain_report,
         # (1) CHANGED this round (re-verify the round code lands):
         "latest_maxby": latest.q_latest_maxby,
         "latest_positions": latest.q_latest_positions,
@@ -427,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_stats": relational.BLOOM_SEMIJOIN_STATS_ORACLE,
         "dq_expectations": relational.DQ_EXPECTATIONS_ORACLE,
         "pk_violation_report": relational.PK_VIOLATION_ORACLE,
+        "value_domain_report": relational.VALUE_DOMAIN_ORACLE,
         "rollup_delta_merge": tiles.rollup_delta_merge_oracle(PINGS_ORACLE_SQL, CFG),
         "modality_agreement_report": similarity.modality_agreement_report_oracle(),
         "triangle_count": dedup.triangle_count_oracle(),

@@ -95,7 +95,11 @@ def normalize(events: DataFrame) -> DataFrame:
     """
     return events.select(
         "event_id",
-        F.round(F.col("value") * 3.6, 6).alias("speed_kmh"),
+        # + 0.0 canonicalizes a -0.0 result (r15 --xval): Spark's round()
+        # normalizes -0.0 to +0.0 while DuckDB's preserves the sign —
+        # adding positive zero is the identity everywhere else and maps
+        # -0.0 -> +0.0 identically in both engines (IEEE -0 + +0 = +0)
+        (F.round(F.col("value") * 3.6, 6) + F.lit(0.0)).alias("speed_kmh"),
         F.coalesce(
             F.nullif(F.col("event_type"), F.lit("error")),
             F.col("user_id").cast("string"),
@@ -109,7 +113,7 @@ def normalize(events: DataFrame) -> DataFrame:
 NORMALIZE_ORACLE = """
     SELECT
         event_id,
-        round(value * CAST(3.6 AS DOUBLE), 6) AS speed_kmh,
+        round(value * CAST(3.6 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS speed_kmh,
         coalesce(nullif(event_type, 'error'), CAST(user_id AS VARCHAR), 'unknown') AS provider_norm,
         coalesce(value, CAST(0.0 AS DOUBLE)) AS value_or_zero,
         ts + INTERVAL '45 minutes' AS stale_at

@@ -1749,6 +1749,85 @@ def q_pk_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# wire-contract measure domain (r15 --xval): the fixed-point disciplines
+# are premised on 2-decimal values whose cents stay inside 2^53
+# (functions/rounding.py) and per-row money under $1e5 (functions/
+# money.py). |x| <= 1e13 is the 2-decimal representability edge.
+MEASURE_ABS_MAX = 1e13
+
+
+def value_domain_report(events: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Executable edge of the MEASURE-DOMAIN wire contract (r15 --xval
+    axis; the value analog of ``pk_violation_report``): one row per
+    measure column counting values outside the fixed-point disciplines'
+    documented domain, by shape:
+
+    - ``nonfinite``: NaN/±Inf — poison any double aggregate, and
+      Spark's double→BIGINT cast SATURATES ±Inf to ±Long.MAX silently
+      (measured: a DBL_MAX speed emitted a 9.2e16 km/h tile average as
+      a "valid" row) while DuckDB's cast errors.
+    - ``over_grid``: |x| > 1e13 — beyond 2-decimal representability;
+      cents recovery and double sums go order-/engine-sensitive.
+    - ``subnormal``: |x| < 2.3e-308, x ≠ 0 — gradual-underflow band;
+      rendering and arithmetic edge cases.
+    - ``neg_zero``: -0.0 — sign-sensitive formatting/round splits.
+
+    All-zero certifies the corpus for the cents/micros query surface;
+    remediation is ``quality_filter``-style ingest filtering. One fused
+    aggregate pass per table (map-side combined)."""
+    flag = lambda c: F.sum(c.cast("long"))  # noqa: E731
+
+    def per_col(df: DataFrame, col: str, table: str) -> DataFrame:
+        x = F.col(col)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            flag(F.isnan(x) | (F.abs(x) == float("inf"))).alias("nonfinite"),
+            flag(
+                ~F.isnan(x) & (F.abs(x) != float("inf"))
+                & (F.abs(x) > MEASURE_ABS_MAX)
+            ).alias("over_grid"),
+            flag(
+                (F.abs(x) < 2.3e-308) & (x != 0) & ~F.isnan(x)
+            ).alias("subnormal"),
+            # sign via the string cast ('-0.0'): ANSI Spark raises
+            # DIVIDE_BY_ZERO even on double 1/x, and there is no signbit()
+            flag((x == 0) & x.cast("string").startswith("-")).alias(
+                "neg_zero"
+            ),
+        ).select(F.lit(f"{table}.{col}").alias("measure"), "*")
+
+    return per_col(events, "value", "events").unionByName(
+        per_col(lineitem, "l_extendedprice", "lineitem")
+    )
+
+
+def _vdr_oracle_cte(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS measure,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN isnan({col}) OR isinf({col}) THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite,
+           CAST(sum(CASE WHEN NOT isnan({col}) AND NOT isinf({col})
+                         AND abs({col}) > {MEASURE_ABS_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS over_grid,
+           CAST(sum(CASE WHEN abs({col}) < 2.3e-308 AND {col} <> 0
+                         AND NOT isnan({col}) THEN 1 ELSE 0 END) AS BIGINT) AS subnormal,
+           CAST(sum(CASE WHEN {col} = 0 AND signbit({col}) THEN 1 ELSE 0 END) AS BIGINT) AS neg_zero
+    FROM {table}"""
+
+
+VALUE_DOMAIN_ORACLE = (
+    _vdr_oracle_cte("events", "value")
+    + "\n    UNION ALL\n"
+    + _vdr_oracle_cte("lineitem", "l_extendedprice")
+)
+
+
+def q_value_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_domain_report(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 RANGE_FRAME_S = 600  # 10-minute trailing event-time frame
 
 

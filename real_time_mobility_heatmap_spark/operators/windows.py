@@ -371,6 +371,25 @@ VALUE_HISTOGRAM_ORACLE = f"""
 """
 
 
+# DOUBLE min/max are emitted as NUMERIC columns, not strings (r15
+# --xval): double->VARCHAR rendering is engine-specific outside the
+# plain-decimal band (Spark flips to E-notation at 1e7 and prints
+# 'E308' where DuckDB prints 'e+308'), so a profile that stringifies a
+# double column hash-splits on magnitudes both engines agree on. The
+# numeric cells carry the exact value; string cells stay for the types
+# whose casts are engine-identical (ints, timestamps, varchar).
+def _profile_cell(c: str) -> str:
+    if c == "value":  # the DOUBLE column
+        return (
+            f"'{c}', {c}__null_rate, {c}__n_distinct, CAST(NULL AS STRING), "
+            f"CAST(NULL AS STRING), CAST({c}__min AS DOUBLE), CAST({c}__max AS DOUBLE)"
+        )
+    return (
+        f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max, "
+        f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+    )
+
+
 def table_profile(events: DataFrame) -> DataFrame:
     """Column-profile aggregate (null rate, distinct count, min/max as
     strings) — the data-quality pass a pipeline runs before training,
@@ -391,11 +410,10 @@ def table_profile(events: DataFrame) -> DataFrame:
         ]
         exact_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
     wide = events.agg(*cheap_aggs).crossJoin(F.broadcast(events.agg(*exact_aggs)))
-    stack_args = ", ".join(
-        f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max" for c in cols
-    )
+    stack_args = ", ".join(_profile_cell(c) for c in cols)
     return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (column_name, null_rate, n_distinct, min_str, max_str)"
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, null_rate, n_distinct, min_str, max_str, min_num, max_num)"
     )
 
 
@@ -461,13 +479,14 @@ def table_profile_accuracy(events: DataFrame) -> DataFrame:
         exact_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
     wide = events.agg(*cheap_aggs).crossJoin(F.broadcast(events.agg(*exact_aggs)))
     bound_args = ", ".join(
-        f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max, "
+        f"{_profile_cell(c)}, "
         f"abs({c}__est - {c}__n_distinct) * 100 <= greatest({c}__n_distinct * 15, 300)"
         for c in cols
     )
     return wide.selectExpr(
         f"stack({len(cols)}, {bound_args}) AS "
-        "(column_name, null_rate, n_distinct, min_str, max_str, distinct_within_bound)"
+        "(column_name, null_rate, n_distinct, min_str, max_str, min_num, max_num, "
+        "distinct_within_bound)"
     )
 
 
@@ -477,8 +496,7 @@ def table_profile_accuracy_oracle() -> str:
         f"""SELECT '{c}' AS column_name,
                    {round_half_up_sql(f'avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END)', 6)} AS null_rate,
                    count(DISTINCT {c}) AS n_distinct,
-                   CAST(min({c}) AS VARCHAR) AS min_str,
-                   CAST(max({c}) AS VARCHAR) AS max_str,
+                   {_profile_minmax_duck(c)},
                    TRUE AS distinct_within_bound
             FROM events"""
         for c in cols
@@ -494,14 +512,25 @@ def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_percentile_accuracy(load_table(spark, sf_dir, "events"))
 
 
+def _profile_minmax_duck(c: str) -> str:
+    if c == "value":
+        return (
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str, "
+            f"CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num"
+        )
+    return (
+        f"CAST(min({c}) AS VARCHAR) AS min_str, CAST(max({c}) AS VARCHAR) AS max_str, "
+        "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+    )
+
+
 def table_profile_oracle() -> str:
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     selects = [
         f"""SELECT '{c}' AS column_name,
                    {round_half_up_sql(f'avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END)', 6)} AS null_rate,
                    count(DISTINCT {c}) AS n_distinct,
-                   CAST(min({c}) AS VARCHAR) AS min_str,
-                   CAST(max({c}) AS VARCHAR) AS max_str
+                   {_profile_minmax_duck(c)}
             FROM events"""
         for c in cols
     ]

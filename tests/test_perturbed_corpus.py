@@ -670,3 +670,87 @@ def test_dupkeys_detector_is_not_vacuous(spark, dupkeys_sf_dir):
         )
     odf = con.sql(oracles["minhash_signatures"]).df()
     assert len(sdf) < len(odf)  # grouped vs per-row under dup doc_ids
+
+
+# r15: the XVAL axis — extreme finite doubles (±DBL_MAX, subnormals,
+# -0.0, in-contract 1e8 cents) on events.value, a just-under-$1e5
+# boundary slice on money columns. First contact (full registry,
+# sf0.001, seed 0) found and fixed three REAL silent splits on values
+# both engines handle: Spark's round() normalizes -0.0 while DuckDB
+# preserves it (normalize), double->VARCHAR rendering diverges outside
+# the plain-decimal band (table_profile min/max, now typed numeric for
+# the double column), and the first-contact out-of-contract magnitude
+# slices measured exactly the inexactness the money/rounding docstrings
+# predict at their documented bounds. The surviving sensitive set is
+# the MEASURE-DOMAIN wire contract (operators/relational.py
+# MEASURE_ABS_MAX): cents/micros consumers under non-finite input split
+# on totality (Spark's double->BIGINT cast SATURATES ±Inf to ±Long.MAX
+# silently; DuckDB's cast errors) — value_domain_report is the
+# oracle-checked certificate, quality_filter the remediation.
+
+XVAL_INSENSITIVE_QUERIES = [
+    # full-double-domain consumers of value (no fixed-point recovery)
+    "value_percentiles",
+    "value_histogram",
+    "ewma_speed",
+    # money surface at its documented in-domain boundary slice
+    "pricing_summary",
+    "sql_pricing_summary",
+    # the r15 fixes under the axis that caught them
+    "normalize",
+    "table_profile",
+    "table_profile_accuracy",
+    "bloom_semijoin_stats",
+    # NOT salted_cell_counts: its plain double sum is ORDER-sensitive
+    # under ±DBL_MAX collisions (+Inf + -Inf = NaN depends on partition
+    # order — nondeterministic even within one engine), so it sits in
+    # the documented measure-domain sensitive set
+]
+
+
+@pytest.fixture(scope="module")
+def xval_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf-perturbed-xval")
+    build_perturbed(SRC, str(d), seed=0, xval=True)
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*) FILTER (WHERE isinf(value) OR abs(value) > 1e300),"
+        f" count(*) FILTER (WHERE abs(value) < 1e-300 AND value <> 0),"
+        f" count(*) FILTER (WHERE value = 0 AND signbit(value))"
+        f" FROM '{d}/events.parquet'"
+    ).fetchone()
+    assert all(x > 0 for x in n), f"--xval slices missing: {n}"
+    return str(d)
+
+
+@pytest.mark.parametrize("name", XVAL_INSENSITIVE_QUERIES)
+def test_xval_insensitive_queries_match_oracle(spark, xval_sf_dir, name):
+    _assert_matches_oracle(spark, xval_sf_dir, name)
+
+
+def test_value_domain_report_certifies_the_measure_surface(spark, xval_sf_dir):
+    """The measure-domain contract's executable edge: non-zero on every
+    out-of-domain shape the axis manufactures (events.value), zero on
+    the in-domain money slice (lineitem), engine/oracle agreed on the
+    violating corpus, and all-zero on the clean fixture."""
+    _assert_matches_oracle(spark, xval_sf_dir, "value_domain_report")
+    rows = {
+        r["measure"]: r.asDict()
+        for r in entry_mod.queries()["value_domain_report"](
+            spark, xval_sf_dir
+        ).collect()
+    }
+    ev = rows["events.value"]
+    assert ev["nonfinite"] > 0 or ev["over_grid"] > 0
+    assert ev["subnormal"] > 0
+    assert ev["neg_zero"] > 0
+    li = rows["lineitem.l_extendedprice"]
+    assert (
+        li["nonfinite"] == li["over_grid"] == li["subnormal"]
+        == li["neg_zero"] == 0
+    )
+    for r in entry_mod.queries()["value_domain_report"](spark, SRC).collect():
+        assert (
+            r["nonfinite"] == r["over_grid"] == r["subnormal"]
+            == r["neg_zero"] == 0
+        ), r["measure"]

@@ -549,15 +549,20 @@ def _apply_xts(sql: str, tname: str, columns: list[str]) -> str:
 # column at physical magnitudes, so the gate had never observed the
 # IEEE-754 boundary band: ±DBL_MAX (overflow-adjacent products/squares
 # go Inf mid-aggregate), subnormals (gradual-underflow arithmetic),
-# 1e15-magnitude (above 2^52 — doubles stop representing every integer,
-# cents grids and round() get ulp-sensitive), and -0.0 (sign-sensitive
+# 1e8-magnitude in-contract cents (a fresh exponent band for the
+# fixed-point recovery; the first-contact 1e15 slice measured values
+# beyond 2-decimal double representability — outside the wire contract,
+# now covered by the DBL_MAX slice's sensitive set), and -0.0 (sign-sensitive
 # formatting/grouping). Slices land on events.value ONLY: the free
 # measure column feeding the percentile/OLS/science families. The
 # MONEY columns (*price, *acctbal, value-as-money in pricing paths)
 # carry the engine's documented cents-domain contract (DECIMAL-exact,
 # functions/money.py) — ±DBL_MAX there is outside ANY money domain and
 # would only test DECIMAL-overflow error shapes, so money columns get a
-# separate large-but-in-domain 1e12 slice instead of the full band.
+# just-under-the-documented-$1e5-bound slice (money.py: per-row money
+# below $1e5 keeps e4-unit recovery inside 2^53 through the product;
+# first contact at 1e12 measured the recovery going ulp-inexact exactly
+# as that bound predicts) instead of the full band.
 # int64 overflow-adjacency is deliberately NOT manufactured: the only
 # non-key int64 measure (documents.n_chars) carries the n_chars =
 # length(text) derivation contract, and breaking it to force a sum past
@@ -576,7 +581,7 @@ def _apply_xval(sql: str, tname: str, columns: list[str]) -> str:
             f"                    WHEN hash(event_id + @SEED@ + 72) % 43 = 7"
             f" THEN {_XVAL_SUBNORMAL} * ({sign})\n"
             f"                    WHEN hash(event_id + @SEED@ + 73) % 47 = 11"
-            f" THEN (1e15 + CAST(hash(event_id + @SEED@ + 76) % 100 AS DOUBLE)"
+            f" THEN (1e8 + CAST(hash(event_id + @SEED@ + 76) % 100 AS DOUBLE)"
             f" / 100.0) * ({sign})\n"
             f"                    WHEN hash(event_id + @SEED@ + 74) % 53 = 13"
             f" THEN -(CAST(0.0 AS DOUBLE))\n"  # DECIMAL -0.0 loses the sign
@@ -595,11 +600,11 @@ def _apply_xval(sql: str, tname: str, columns: list[str]) -> str:
     if not money:
         return sql
     col, pk = money
-    # in-domain extreme: 1e12 + fresh cents (DECIMAL(38) headroom holds
-    # through *(1-disc)*(1+tax) products and sf-scale sums)
+    # in-domain boundary: just under the documented $1e5 money bound,
+    # with fresh cents
     rule = (
         f"CASE WHEN hash({pk} + @SEED@ + 77) % 49 = 9"
-        f" THEN 1e12 + CAST(hash({pk} + @SEED@ + 78) % 100 AS DOUBLE) / 100.0"
+        f" THEN 99000.0 + CAST(hash({pk} + @SEED@ + 78) % 1000 AS DOUBLE) / 100.0"
         f" ELSE {col} END"
     )
     sel = ",\n               ".join(
