@@ -439,11 +439,10 @@ def table_profile_approx(events: DataFrame) -> DataFrame:
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     wide = events.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__null_rate, {c}__n_distinct, {c}__min, {c}__max" for c in cols
-    )
+    stack_args = ", ".join(_profile_cell(c) for c in cols)
     return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (column_name, null_rate, n_distinct, min_str, max_str)"
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, null_rate, n_distinct, min_str, max_str, min_num, max_num)"
     )
 
 

@@ -117,8 +117,12 @@ def test_table_profile_approx_within_hll_tolerance(spark):
     assert set(exact) == set(approx)
     for c in exact:
         e, a = exact[c], approx[c]
-        assert (a["null_rate"], a["min_str"], a["max_str"]) == (
+        assert (
+            a["null_rate"], a["min_str"], a["max_str"],
+            a["min_num"], a["max_num"],
+        ) == (
             e["null_rate"], e["min_str"], e["max_str"],
+            e["min_num"], e["max_num"],
         ), c
         rel = abs(a["n_distinct"] - e["n_distinct"]) / max(e["n_distinct"], 1)
         assert rel <= 0.10, (c, e["n_distinct"], a["n_distinct"], rel)
