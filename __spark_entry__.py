@@ -146,62 +146,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
-        # (0) NEW this round (never had a driver row):
+        # (0) NEW (never driver-checked):
         "pk_violation_report": relational.q_pk_violation_report,
         "value_domain_report": relational.q_value_domain_report,
         # (1) CHANGED this round (re-verify the round code lands):
-        "latest_maxby": latest.q_latest_maxby,
-        "latest_positions": latest.q_latest_positions,
-        "position_features": geojson.q_position_features,
-        "fingerprint": textops.q_fingerprint,
-        "rolling_fingerprint": textops.q_rolling_fingerprint,
-        "token_count": textops.q_token_count,
-        "minhash_signatures": dedup.q_minhash_signatures,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        "json_decode": decode.q_json_decode,
-        "props_key_stats": decode.q_props_key_stats,
-        "media_metadata": multimodal.q_media_metadata,
-        "media_frame_sample": multimodal.q_media_frame_sample,
-        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "autocorrelation_report": analytics.q_autocorrelation_report,
+        "cell_speed_trend": flows.q_cell_speed_trend,
+        "co_dwell_pairs": flows.q_co_dwell_pairs,
+        "cohort_retention": analytics.q_cohort_retention,
+        "cusum_anomaly_report": science.q_cusum_anomaly_report,
+        "gps_jump_report": flows.q_gps_jump_report,
+        "hierarchical_rollups": _q_hierarchical_rollups,
+        "ping_gap_report": flows.q_ping_gap_report,
         "resample_trajectories": trajectory.q_resample_trajectories,
-        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,
-        "topk_cosine": similarity.q_topk_cosine,
-        "semantic_dedup": similarity.q_semantic_dedup,
-        "kmeans_update": similarity.q_kmeans_update,
-        "quantize_embeddings": similarity.q_quantize_embeddings,
-        "rp_project": similarity.q_rp_project,
-        "semantic_decontaminate": curation.q_semantic_decontaminate,
+        "rollup_delta_merge": _q_rollup_delta_merge,
+        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
+        "stay_points": flows.q_stay_points,
+        "streaming_conversions": run_streaming_conversions,
+        "streaming_enriched": run_streaming_enriched,
+        "streaming_positions": run_streaming_positions,
+        "streaming_sessions": run_streaming_sessions,
+        "streaming_tiles": run_streaming_tiles,
+        "tile_anomaly_report": flows.q_tile_anomaly_report,
+        "tile_gap_fill": flows.q_tile_gap_fill,
+        "tile_speed_locf": flows.q_tile_speed_locf,
+        "mobility_pipeline_report": flows.q_mobility_pipeline_report,
+        "normalize": decode.q_normalize,
+        "table_profile": windows.q_table_profile,
+        "table_profile_accuracy": windows.q_table_profile_accuracy,
         # (2) oldest-green-first rotation:
-        "bm25_top_terms": textops.q_bm25_top_terms,  # r8
-        "bpe_merge_round": textops.q_bpe_merge_round,  # r8
-        "brand_volume": relational.q_brand_volume,  # r8
-        "cms_token_counts": textops.q_cms_token_counts,  # r8
-        "compaction_plan": spatial.q_compaction_plan,  # r8
-        "customer_order_distribution": tpch.q_customer_order_distribution,  # r8
-        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,  # r8
-        "dq_expectations": relational.q_dq_expectations,  # r8
-        "ewma_speed": analytics.q_ewma_speed,  # r8
-        "grouping_sets_sales": relational.q_grouping_sets_sales,  # r8
-        "join_size_estimate": relational.q_join_size_estimate,  # r8
-        "k_anonymity_report": relational.q_k_anonymity_report,  # r8
-        "lang_mix_report": textops.q_lang_mix_report,  # r8
-        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,  # r8
-        "leakage_safe_split": dedup.q_leakage_safe_split,  # r8
-        "media_phash": multimodal.q_media_phash,  # r8
-        "ngram_novelty_report": textops.q_ngram_novelty_report,  # r8
-        "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r8
-        "repeated_span_report": dedup.q_repeated_span_report,  # r8
-        "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r8
-        "streaming_enriched": run_streaming_enriched,  # r8
-        "triangle_count": dedup.q_triangle_count,  # r8
-        "unpivot_tile_metrics": _q_unpivot_tile_metrics,  # r8
-        "vocab_coverage_report": textops.q_vocab_coverage_report,  # r8
-        "weighted_sample": textops.q_weighted_sample,  # r8
-        "winnow_match_spans": dedup.q_winnow_match_spans,  # r8
-        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,  # r9
-        # ------------- end of driver window (50 entries) -------------
         "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,  # r9
         "conversion_window_counts": relational.q_conversion_window_counts,  # r9
         "cube_sales": relational.q_cube_sales,  # r9
@@ -226,13 +199,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,  # r9
         "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,  # r9
         "small_quantity_revenue": relational.q_small_quantity_revenue,  # r9
+        # ------------- end of driver window (50 entries) -------------
         "tile_feature_collection": geojson.q_tile_feature_collection,  # r9
         "tile_features_flat": geojson.q_tile_features_flat,  # r9
         "top_window": latest.q_top_window,  # r9
         "watermark_latedrop": latest.q_watermark_latedrop,  # r9
         "wire_roundtrip": decode.q_wire_roundtrip,  # r9
         "active_cells_flags": relational.q_active_cells_flags,  # r10
-        "autocorrelation_report": analytics.q_autocorrelation_report,  # r10
         "cell_reachability": flows.q_cell_reachability,  # r10
         "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10
         "convoy_clusters": flows.q_convoy_clusters,  # r10
@@ -242,7 +215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": relational.q_event_type_pivot,  # r10
         "feature_hashing": mlprep.q_feature_hashing,  # r10
         "funnel_conversions": relational.q_funnel_conversions,  # r10
-        "gps_jump_report": flows.q_gps_jump_report,  # r10
         "home_work_locations": flows.q_home_work_locations,  # r10
         "jump_length_report": science.q_jump_length_report,  # r10
         "kring_smooth": flows.q_kring_smooth,  # r10
@@ -254,14 +226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_of_gyration": science.q_radius_of_gyration,  # r10
         "rfm_segments": analytics.q_rfm_segments,  # r10
         "route_trigrams": flows.q_route_trigrams,  # r10
-        "stay_points": flows.q_stay_points,  # r10
         "streaming_encounters": run_streaming_encounters,  # r10
         "target_encoding": mlprep.q_target_encoding,  # r10
         "term_frequencies": textops.q_term_frequencies,  # r10
         "tfidf_top_terms": textops.q_tfidf_top_terms,  # r10
-        "tile_anomaly_report": flows.q_tile_anomaly_report,  # r10
-        "tile_gap_fill": flows.q_tile_gap_fill,  # r10
-        "tile_speed_locf": flows.q_tile_speed_locf,  # r10
         "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,  # r10
         "training_order": curation.q_training_order,  # r10
         "trip_distance_report": flows.q_trip_distance_report,  # r10
@@ -270,8 +238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r11
         "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,  # r11
         "bucketed_join_stats": relational.bucketed_join_stats,  # r11
-        "cell_speed_trend": flows.q_cell_speed_trend,  # r11
-        "cusum_anomaly_report": science.q_cusum_anomaly_report,  # r11
         "decontaminate": dedup.q_decontaminate,  # r11
         "dedup_clusters": dedup.q_dedup_clusters,  # r11
         "disjunctive_revenue": tpch.q_disjunctive_revenue,  # r11
@@ -282,8 +248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": tpch.q_market_share,  # r11
         "mixture_sample": textops.q_mixture_sample,  # r11
         "nation_trade_volume": tpch.q_nation_trade_volume,  # r11
-        "normalize": decode.q_normalize,  # r11
-        "ping_gap_report": flows.q_ping_gap_report,  # r11
         "pricing_summary": relational.q_pricing_summary,  # r11
         "product_type_profit": tpch.q_product_type_profit,  # r11
         "promo_revenue_share": tpch.q_promo_revenue_share,  # r11
@@ -303,27 +267,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": relational.q_above_avg_orders,  # r12
         "active_cells_setops": relational.q_active_cells_setops,  # r12
         "corpus_stats": textops.q_corpus_stats,  # r12
-        "hierarchical_rollups": _q_hierarchical_rollups,  # r12
         "lang_id": textops.q_lang_id,  # r12
         "lm_score": textops.q_lm_score,  # r12
         "location_entropy": science.q_location_entropy,  # r12
         "media_phash_pairs": multimodal.q_media_phash_pairs,  # r12
-        "mobility_pipeline_report": flows.q_mobility_pipeline_report,  # r12
         "mobility_tiles": _q_mobility_tiles,  # r12
         "moving_avg_speed": relational.q_moving_avg_speed,  # r12
         "order_rank_report": relational.q_order_rank_report,  # r12
         "range_frame_speed": relational.q_range_frame_speed,  # r12
-        "rollup_delta_merge": _q_rollup_delta_merge,  # r12
         "scd2_merge_apply": windows.q_scd2_merge_apply,  # r12
         "scd2_user_segments": windows.q_scd2_user_segments,  # r12
         "snapshot_diff_report": relational.q_snapshot_diff_report,  # r12
         "source_roundtrip": source_roundtrip,  # r12
         "stratified_sample": textops.q_stratified_sample,  # r12
         "streaming_neardup": run_streaming_neardup,  # r12
-        "streaming_sessions": run_streaming_sessions,  # r12
-        "streaming_tiles": run_streaming_tiles,  # r12
-        "table_profile": windows.q_table_profile,  # r12
-        "table_profile_accuracy": windows.q_table_profile_accuracy,  # r12
         "tile_colors": wire.q_tile_colors,  # r12
         "value_histogram": windows.q_value_histogram,  # r12
         "value_percentiles": windows.q_value_percentiles,  # r12
@@ -335,8 +292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r13
         "chunk_documents": textops.q_chunk_documents,  # r13
         "cluster_quality_report": similarity.q_cluster_quality_report,  # r13
-        "co_dwell_pairs": flows.q_co_dwell_pairs,  # r13
-        "cohort_retention": analytics.q_cohort_retention,  # r13
         "containment_pairs": dedup.q_containment_pairs,  # r13
         "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r13
         "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r13
@@ -365,16 +320,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_recall_report": similarity.q_quantized_recall_report,  # r13
         "rp_recall_report": similarity.q_rp_recall_report,  # r13
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r13
-        "similar_speed_profiles": trajectory.q_similar_speed_profiles,  # r13
         "source_mixture_report": textops.q_source_mixture_report,  # r13
-        "streaming_conversions": run_streaming_conversions,  # r13
-        "streaming_positions": run_streaming_positions,  # r13
         "topk_cosine_filtered": similarity.q_topk_cosine_filtered,  # r13
         "topk_cosine_ivf": similarity.q_topk_cosine_ivf,  # r13
         "vband_geometry_report": similarity.q_vband_geometry_report,  # r13
         "vehicle_sessions": windows.q_vehicle_sessions,  # r13
         "zorder_layout_report": spatial.q_zorder_layout_report,  # r13
         "zscore_outliers": analytics.q_zscore_outliers,  # r13
+        "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,  # r14
+        "bm25_top_terms": textops.q_bm25_top_terms,  # r14
+        "bpe_merge_round": textops.q_bpe_merge_round,  # r14
+        "brand_volume": relational.q_brand_volume,  # r14
+        "cms_token_counts": textops.q_cms_token_counts,  # r14
+        "compaction_plan": spatial.q_compaction_plan,  # r14
+        "customer_order_distribution": tpch.q_customer_order_distribution,  # r14
+        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,  # r14
+        "dq_expectations": relational.q_dq_expectations,  # r14
+        "ewma_speed": analytics.q_ewma_speed,  # r14
+        "fingerprint": textops.q_fingerprint,  # r14
+        "grouping_sets_sales": relational.q_grouping_sets_sales,  # r14
+        "join_size_estimate": relational.q_join_size_estimate,  # r14
+        "json_decode": decode.q_json_decode,  # r14
+        "k_anonymity_report": relational.q_k_anonymity_report,  # r14
+        "kmeans_update": similarity.q_kmeans_update,  # r14
+        "lang_mix_report": textops.q_lang_mix_report,  # r14
+        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,  # r14
+        "latest_maxby": latest.q_latest_maxby,  # r14
+        "latest_positions": latest.q_latest_positions,  # r14
+        "leakage_safe_split": dedup.q_leakage_safe_split,  # r14
+        "media_frame_sample": multimodal.q_media_frame_sample,  # r14
+        "media_metadata": multimodal.q_media_metadata,  # r14
+        "media_phash": multimodal.q_media_phash,  # r14
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # r14
+        "minhash_signatures": dedup.q_minhash_signatures,  # r14
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,  # r14
+        "ngram_novelty_report": textops.q_ngram_novelty_report,  # r14
+        "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r14
+        "position_features": geojson.q_position_features,  # r14
+        "props_key_stats": decode.q_props_key_stats,  # r14
+        "quantize_embeddings": similarity.q_quantize_embeddings,  # r14
+        "repeated_span_report": dedup.q_repeated_span_report,  # r14
+        "rolling_fingerprint": textops.q_rolling_fingerprint,  # r14
+        "rp_project": similarity.q_rp_project,  # r14
+        "semantic_decontaminate": curation.q_semantic_decontaminate,  # r14
+        "semantic_dedup": similarity.q_semantic_dedup,  # r14
+        "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r14
+        "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r14
+        "token_count": textops.q_token_count,  # r14
+        "topk_cosine": similarity.q_topk_cosine,  # r14
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r14
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,  # r14
+        "triangle_count": dedup.q_triangle_count,  # r14
+        "unpivot_tile_metrics": _q_unpivot_tile_metrics,  # r14
+        "vocab_coverage_report": textops.q_vocab_coverage_report,  # r14
+        "weighted_sample": textops.q_weighted_sample,  # r14
+        "winnow_match_spans": dedup.q_winnow_match_spans,  # r14
     }
 
 
