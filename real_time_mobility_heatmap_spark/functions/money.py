@@ -59,7 +59,25 @@ def money_sum_sql(expr: str, in_dec: int = 4, out_dec: int = 2) -> str:
     hi = f"sum(CAST(floor(({u}) / 1e6) AS BIGINT))"
     total = f"(CAST({hi} AS DECIMAL(32,0)) * 1000000 + {lo})"
     scale = f"CAST(1e-{in_dec} AS DECIMAL({in_dec + 1},{in_dec}))"
-    return f"CAST(round({total} * {scale}, {out_dec}) AS DOUBLE)"
+    # The exact-decimal ROUNDING stays decimal (half-up on the exact
+    # total decides cents boundaries exactly), but the final
+    # decimal->double conversion goes THROUGH THE UNSCALED INTEGER:
+    # CAST(decimal-with-scale AS DOUBLE) is correctly-rounded ONCE in
+    # Spark (BigDecimal.doubleValue) but unscaled-int->double THEN a
+    # double divide in DuckDB — two roundings — so totals whose unscaled
+    # value exceeds 2^53 split in the last ulp (r15 --xval first
+    # contact: an 18-row group of ~$1e12 items read ...404.9146 vs
+    # ...404.9143; at 100 TB ANY revenue total past ~$9e11 crosses
+    # 2^53 e4-units and hits this). Re-scaling to the integer and
+    # dividing by the exact power of ten makes BOTH engines do the
+    # identical (int -> nearest double) then one shared IEEE division —
+    # bit-identical to the old form wherever the unscaled value fits
+    # 2^53 (every in-gate corpus), deterministic-shared beyond.
+    rounded_units = (
+        f"CAST(round({total} * {scale}, {out_dec})"
+        f" * CAST(1e{out_dec} AS DECIMAL({out_dec + 1},0)) AS DECIMAL(38,0))"
+    )
+    return f"(CAST({rounded_units} AS DOUBLE) / 1e{out_dec})"
 
 
 def money_sum(expr: str, in_dec: int = 4, out_dec: int = 2) -> Column:

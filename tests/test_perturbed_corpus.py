@@ -100,6 +100,25 @@ def test_money_sum_exact_on_half_cent_boundary(spark):
     assert got_big == round(9999.99 * 7, 2) == 69999.93
 
 
+def test_money_sum_final_conversion_agrees_past_2_53_units(spark):
+    """The r15 --xval find: with the exact total's UNSCALED value past
+    2^53, Spark's decimal→double cast (one correct rounding) and
+    DuckDB's (int→double then a double divide — two roundings) split in
+    the last ulp; at 100 TB any revenue total past ~$9e11 crosses it.
+    The fragment now converts through the exact integer and divides by
+    the power of ten in double — the SAME two steps in both engines.
+    18 rows of ~$1e12 items is the measured first-contact shape."""
+    rows = [(1.0e12 + k * 97.37, 0.01 * (k % 7)) for k in range(18)]
+    df = spark.createDataFrame(rows, "x double, d double")
+    frag = money_sum_sql("x * (1 - d)", 4, 6)
+    got = df.selectExpr(f"{frag} AS s").collect()[0]["s"]
+    vals = ", ".join(f"({x!r}, {d!r})" for x, d in rows)
+    oracle = duckdb.sql(
+        f"SELECT {frag} AS s FROM (VALUES {vals}) t(x, d)"
+    ).fetchone()[0]
+    assert got == oracle
+
+
 @pytest.fixture(scope="module")
 def perturbed_sf_dir(tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("sf-perturbed")
