@@ -174,6 +174,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": decode.q_normalize,
         "table_profile": windows.q_table_profile,
         "table_profile_accuracy": windows.q_table_profile_accuracy,
+        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
+        "bucketed_join_stats": relational.bucketed_join_stats,
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,
+        "local_supplier_volume": relational.q_local_supplier_volume,
+        "nation_trade_volume": tpch.q_nation_trade_volume,
+        "returned_item_reporting": tpch.q_returned_item_reporting,
+        "shipping_priority": relational.q_shipping_priority,
+        "top_suppliers": tpch.q_top_suppliers,
         # (2) oldest-green-first rotation:
         "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,  # r9
         "conversion_window_counts": relational.q_conversion_window_counts,  # r9
@@ -190,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_window_snapshot": latest.q_latest_window_snapshot,  # r9
         "mad_outliers": analytics.q_mad_outliers,  # r9
         "min_cost_supplier": tpch.q_min_cost_supplier,  # r9
+        # ------------- end of driver window (50 entries) -------------
         "multiplex_summary": multiplex.q_multiplex_summary,  # r9
         "orders_with_big_items": relational.q_orders_with_big_items,  # r9
         "pack_sequences": textops.q_pack_sequences,  # r9
@@ -199,7 +209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,  # r9
         "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,  # r9
         "small_quantity_revenue": relational.q_small_quantity_revenue,  # r9
-        # ------------- end of driver window (50 entries) -------------
         "tile_feature_collection": geojson.q_tile_feature_collection,  # r9
         "tile_features_flat": geojson.q_tile_features_flat,  # r9
         "top_window": latest.q_top_window,  # r9
@@ -236,32 +245,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
         "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,  # r11
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r11
-        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,  # r11
-        "bucketed_join_stats": relational.bucketed_join_stats,  # r11
         "decontaminate": dedup.q_decontaminate,  # r11
         "dedup_clusters": dedup.q_dedup_clusters,  # r11
-        "disjunctive_revenue": tpch.q_disjunctive_revenue,  # r11
-        "forecast_revenue_change": tpch.q_forecast_revenue_change,  # r11
         "important_parts": tpch.q_important_parts,  # r11
         "incremental_dedup": dedup.q_incremental_dedup,  # r11
-        "local_supplier_volume": relational.q_local_supplier_volume,  # r11
         "market_share": tpch.q_market_share,  # r11
         "mixture_sample": textops.q_mixture_sample,  # r11
-        "nation_trade_volume": tpch.q_nation_trade_volume,  # r11
         "pricing_summary": relational.q_pricing_summary,  # r11
         "product_type_profit": tpch.q_product_type_profit,  # r11
         "promo_revenue_share": tpch.q_promo_revenue_share,  # r11
         "recent_tiles_merged": latest.q_recent_tiles_merged,  # r11
         "redact_pii": textops.q_redact_pii,  # r11
         "repetition_stats": textops.q_repetition_stats,  # r11
-        "returned_item_reporting": tpch.q_returned_item_reporting,  # r11
         "salted_cell_counts": windows.q_salted_cell_counts,  # r11
         "salted_join_stats": relational.q_salted_join_stats,  # r11
-        "shipping_priority": relational.q_shipping_priority,  # r11
         "sliding_cell_counts": windows.q_sliding_cell_counts,  # r11
         "sql_pricing_summary": wire.q_sql_pricing_summary,  # r11
         "token_commonness": textops.q_token_commonness,  # r11
-        "top_suppliers": tpch.q_top_suppliers,  # r11
         "vehicle_travel_stats": windows.q_vehicle_travel_stats,  # r11
         "vehicle_trips": windows.q_vehicle_trips,  # r11
         "above_avg_orders": relational.q_above_avg_orders,  # r12
