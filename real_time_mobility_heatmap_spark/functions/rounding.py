@@ -28,6 +28,30 @@ def round_half_up_sql(expr: str, decimals: int) -> str:
     return f"(floor(({expr}) * {scale} + 5e-1) / {scale})"
 
 
+def round0_sql(expr: str, decimals: int) -> str:
+    """NATIVE round (half-away, both engines) with the -0.0 result
+    canonicalized to +0.0 — shared fragment, valid in both dialects.
+
+    The r15 --xval axis caught the split twice (normalize,
+    mad_outliers): Spark's round() goes through BigDecimal, which has
+    NO negative zero, so a -0.0 input — or any tiny negative that
+    rounds to zero at the target scale — emits +0.0, while DuckDB's
+    IEEE scaled round keeps the sign. Adding positive zero is the
+    identity everywhere else and maps -0.0 -> +0.0 identically in both
+    engines (IEEE: -0 + +0 = +0). Use this instead of bare
+    round()/F.round for any output column whose expression can be
+    negative; the floor-based half-up fragments are structurally
+    immune (floor(x*s + 0.5) of a tiny negative is +0)."""
+    return f"(round({expr}, {decimals}) + CAST(0.0 AS DOUBLE))"
+
+
+def round0(col, decimals: int):
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, decimals) + F.lit(0.0)
+
+
 def avg_2dec_exact_sql(col: str, decimals: int = 6) -> str:
     """Engine-exact mean of a DOUBLE column whose values carry a
     2-decimal wire contract (speedKmh, lon/lat grid offsets, money

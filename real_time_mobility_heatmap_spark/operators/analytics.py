@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.epochs import epoch_s_sql
 from ..functions.percentiles import percentile_disc_exact
+from ..functions.rounding import round0, round0_sql
 from ..functions.rounding import round_half_up, round_half_up_sql
 from ..sources.tables import load_table
 
@@ -280,8 +281,8 @@ def mad_outliers(events: DataFrame) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round("value", 6).alias("value"),
-            F.round("med", 6).alias("med"),
+            round0("value", 6).alias("value"),
+            round0("med", 6).alias("med"),
             F.round("mad", 6).alias("mad"),
             F.round(F.abs(F.col("value") - F.col("med")), 6).alias("deviation"),
         )
@@ -301,8 +302,8 @@ MAD_OUTLIERS_ORACLE = f"""
         FROM wm GROUP BY event_type
     )
     SELECT w.event_id, w.event_type,
-           round(w.value, 6) AS value,
-           round(w.med, 6) AS med,
+           {round0_sql('w.value', 6)} AS value,
+           {round0_sql('w.med', 6)} AS med,
            round(d.mad, 6) AS mad,
            round(abs(w.value - w.med), 6) AS deviation
     FROM wm w JOIN mad d USING (event_type)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.keys import ISO_FMT
+from ..functions.rounding import round0, round0_sql
 from ..sources.tables import load_table
 
 
@@ -95,11 +96,9 @@ def normalize(events: DataFrame) -> DataFrame:
     """
     return events.select(
         "event_id",
-        # + 0.0 canonicalizes a -0.0 result (r15 --xval): Spark's round()
-        # normalizes -0.0 to +0.0 while DuckDB's preserves the sign —
-        # adding positive zero is the identity everywhere else and maps
-        # -0.0 -> +0.0 identically in both engines (IEEE -0 + +0 = +0)
-        (F.round(F.col("value") * 3.6, 6) + F.lit(0.0)).alias("speed_kmh"),
+        # round0: native round with the -0.0 result canonicalized (r15
+        # --xval; functions/rounding.round0_sql has the full class note)
+        round0(F.col("value") * 3.6, 6).alias("speed_kmh"),
         F.coalesce(
             F.nullif(F.col("event_type"), F.lit("error")),
             F.col("user_id").cast("string"),
@@ -110,10 +109,10 @@ def normalize(events: DataFrame) -> DataFrame:
     )
 
 
-NORMALIZE_ORACLE = """
+NORMALIZE_ORACLE = f"""
     SELECT
         event_id,
-        round(value * CAST(3.6 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS speed_kmh,
+        {round0_sql('value * CAST(3.6 AS DOUBLE)', 6)} AS speed_kmh,
         coalesce(nullif(event_type, 'error'), CAST(user_id AS VARCHAR), 'unknown') AS provider_norm,
         coalesce(value, CAST(0.0 AS DOUBLE)) AS value_or_zero,
         ts + INTERVAL '45 minutes' AS stale_at
