@@ -120,8 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (oldest-green-first from the CORRECTNESS records; pass the round's
     changed queries on the command line).
 
-    REGISTRY POLICY (r10 verdict item #1 — dwell bound): at 223 entries
-    a 50-row driver window cycles in ceil(223/50) = 5 rounds, so the
+    REGISTRY POLICY (r10 verdict item #1 — dwell bound): at 225 entries
+    a 50-row driver window cycles in ceil(225/50) = 5 rounds, so the
     DRIVER-side dwell bound is 5 rounds and growth is capped at ~10 new
     entries per round to keep it there (r11 added 0). r11's window is
     29 changed + 21 oldest-r6: the perturbed-corpus sweeps exposed the

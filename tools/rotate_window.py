@@ -27,7 +27,7 @@ distribution (rounds since each entry's newest driver-green row).
 
 MAX-DWELL POLICY (codified r12, per the r11 verdict): with ~223
 registered entries and a 50-slot driver window, the floor on worst-case
-dwell is ceil(223/50) ≈ 5 rounds even under perfect oldest-first
+dwell is ceil(N/50) ≈ 5 rounds at N≈225 even under perfect oldest-first
 rotation with zero new or changed queries; any round that changes K
 queries (which take priority slots — a changed query MUST be driver-
 re-verified the round its code lands) pushes the tail out by K more.
