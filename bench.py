@@ -175,6 +175,25 @@ def main() -> None:
     # (multiplicative host/runtime shift, not code) — the flag makes the
     # recorded comparison self-describing instead of needing a post-mortem.
     payload["env_match_prev"] = _env_match_prev(payload)
+    # persistence escalation (r15 verdict #5): the quiet gate mutes flags
+    # during host drift, but three straight noisy driver rounds proved
+    # weather can be the NORM — a real regression measured under drift
+    # would then stay muted forever. A name flagged in THIS run and in
+    # BOTH of the two most recent same-environment driver records (and
+    # not adjudicated-refuted since; bench_adjudicated.json) is CODE,
+    # not weather — drift inflates different queries run to run, code
+    # inflates the same one every time. Escalated flags fail strict mode
+    # even when the run itself is non-quiet.
+    persistent = _persistent_flags(
+        set(regressions) | set(drift_suspect), payload
+    )
+    if persistent:
+        payload["regressions_persistent"] = persistent
+        for name in persistent:
+            print(
+                f"BENCH REGRESSION (persistent, 3 same-env runs): {name}",
+                file=sys.stderr,
+            )
     payload["calib_max"] = max(calibration) if calibration else None
     payload["calib_median"] = (
         round(sorted(calibration)[len(calibration) // 2], 3) if calibration else None
@@ -200,7 +219,7 @@ def main() -> None:
         pass
     print(_stdout_line(payload))
     spark.stop()
-    if regressions and os.getenv("SPARK_GRAFT_BENCH_STRICT"):
+    if (regressions or persistent) and os.getenv("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
 
 
@@ -225,6 +244,47 @@ def _stdout_line(payload: dict) -> str:
         compact["n_folded"] = compact.get("n_folded", 0) + 1
         line = json.dumps(compact, separators=(",", ":"))
     return line
+
+
+ADJUDICATED_PATH = REPO / "bench_adjudicated.json"
+
+
+def _persistent_flags(flagged_now: set, env: dict) -> list[str]:
+    """Names flagged in this run AND in both of the two most recent
+    recorded driver rounds, all three on the same environment
+    fingerprint, excluding flags adjudicated-refuted at or after the
+    record's round (bench_adjudicated.json: {name: refuted_round} — an
+    isolated quiet-window A/B entry in SCALE.md is the evidence that
+    backs each value; records from rounds <= refuted_round are
+    explained weather and do not count toward the streak)."""
+    if not flagged_now:
+        return []
+    try:
+        adjudicated = json.loads(ADJUDICATED_PATH.read_text())
+    except (OSError, ValueError):
+        adjudicated = {}
+    recorded = sorted(REPO.glob("BENCH_r*.json"), reverse=True)[:2]
+    if len(recorded) < 2:
+        return []
+    survivors = set(flagged_now)
+    for p in recorded:
+        m = re.search(r"BENCH_r(\d+)", p.name)
+        try:
+            rnd = int(m.group(1))
+            parsed = json.loads(p.read_text()).get("parsed") or {}
+        except (OSError, ValueError, AttributeError):
+            return []
+        if any(
+            parsed.get(k) != env.get(k)
+            for k in ("pyspark", "cpus", "jvm")
+            if k in parsed
+        ):
+            return []  # env changed: multiplicative host shift, not code
+        prior = set(parsed.get("regressions", {})) | set(
+            parsed.get("regressions_drift_suspect", {})
+        )
+        survivors &= {n for n in prior if adjudicated.get(n, -1) < rnd}
+    return sorted(survivors)
 
 
 def _env_match_prev(payload: dict) -> bool | None:

@@ -348,7 +348,7 @@ def ewma_speed(events: DataFrame) -> DataFrame:
             "user_id",
             F.size("vals").alias("n_events"),
             F.element_at("vals", -1).alias("last_value"),
-            F.round(folded, 6).alias("ewma"),
+            round0(folded, 6).alias("ewma"),
         )
     )
     return per.withColumn(
@@ -364,7 +364,8 @@ EWMA_SPEED_ORACLE = """
     SELECT user_id,
            CAST(len(vals) AS INTEGER) AS n_events,
            vals[-1] AS last_value,
-           round(list_reduce(vals, (acc, x) -> acc / 2.0 + x / 2.0), 6) AS ewma,
+           round(list_reduce(vals, (acc, x) -> acc / 2.0 + x / 2.0), 6)
+               + CAST(0.0 AS DOUBLE) AS ewma,
            vals[-1] > round(list_reduce(vals, (acc, x) -> acc / 2.0 + x / 2.0), 6)
                AS last_above_trend
     FROM seq

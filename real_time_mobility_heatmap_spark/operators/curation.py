@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round0
 from ..functions.textfns import hash60_duck_sql, hash60_spark_sql
 from ..sources.tables import load_table, spread
 from .textops import BPE_RE
@@ -327,7 +328,7 @@ def semantic_decontaminate(embeddings: DataFrame) -> DataFrame:
     scored = train.join(test, F.col("train_label") == F.col("test_label"), "left").select(
         F.col("train_id"),
         F.col("test_id"),
-        F.round(
+        round0(
             _dot(F.col("train_emb"), F.col("test_emb"))
             / (F.col("train_norm") * F.col("test_norm")),
             ROUND_COS,
@@ -354,10 +355,10 @@ def semantic_decontaminate_oracle() -> str:
     from .similarity import _EMB, ROUND_COS
 
     cos = (
-        "round(list_dot_product(t.embedding::DOUBLE[], q.embedding::DOUBLE[])"
+        "(round(list_dot_product(t.embedding::DOUBLE[], q.embedding::DOUBLE[])"
         " / (sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[]))"
         " * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
-        f", {ROUND_COS})"
+        f", {ROUND_COS}) + CAST(0.0 AS DOUBLE))"
     )
     return f"""
     WITH scored AS (

@@ -27,7 +27,7 @@ from ..config import DEFAULT, EngineConfig
 from ..functions.money import money_sum, money_sum_sql
 from ..lineage import cut_lineage
 from ..functions.percentiles import percentile_disc_exact
-from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
+from ..functions.rounding import avg_2dec_exact_sql, round0, round_half_up, round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 
@@ -1326,7 +1326,7 @@ def partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_date").cast("timestamp").alias("event_date"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            round0(F.sum("value"), 2).alias("total_value"),
         )
     )
 
@@ -1334,7 +1334,7 @@ def partition_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARTITION_PRUNED_STATS_ORACLE = """
     SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(value), 2) + CAST(0.0 AS DOUBLE) AS total_value
     FROM events
     WHERE event_type = 'purchase'
       AND CAST(ts AS DATE) >= DATE '2024-01-01'

@@ -35,6 +35,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round0, round0_sql
 from ..lineage import cut_lineage
 from ..sources.tables import load_table, spread
 
@@ -175,7 +176,7 @@ def topk_cosine(embeddings: DataFrame, base: DataFrame | None = None) -> DataFra
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            round0(
                 _dot(F.col("query_emb"), F.col("cand_emb"))
                 / (F.col("query_norm") * F.col("cand_norm")),
                 ROUND_COS,
@@ -185,11 +186,11 @@ def topk_cosine(embeddings: DataFrame, base: DataFrame | None = None) -> DataFra
     return _rank_topk(scored)
 
 
-_COS_DUCK = (
-    "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+_COS_DUCK = round0_sql(
+    "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
     " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
-    " * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
-    f", {ROUND_COS})"
+    " * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))",
+    ROUND_COS,
 )
 
 TOPK_COSINE_ORACLE = f"""
@@ -217,7 +218,7 @@ def topk_cosine_blocked(embeddings: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            round0(
                 _dot(F.col("query_emb"), F.col("cand_emb"))
                 / (F.col("query_norm") * F.col("cand_norm")),
                 ROUND_COS,
@@ -405,7 +406,7 @@ def _verified_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(
+            round0(
                 _dot(F.col("qa_emb"), F.col("qb_emb"))
                 / (F.col("qa_norm") * F.col("qb_norm")),
                 ROUND_COS,
@@ -536,7 +537,7 @@ def ivf_assign(
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
-        F.round(
+        round0(
             _dot(F.col("e"), F.col("e"))
             - 2 * _dot(F.col("e"), F.col("c_emb"))
             + _dot(F.col("c_emb"), F.col("c_emb")),
@@ -551,11 +552,11 @@ def ivf_assign(
     )
 
 
-_DIST2_DUCK = (
-    "round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+_DIST2_DUCK = round0_sql(
+    "list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])"
     " - 2 * list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[])"
-    " + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])"
-    f", {ROUND_COS})"
+    " + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])",
+    ROUND_COS,
 )
 
 
@@ -620,7 +621,7 @@ def topk_cosine_ivf(
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            round0(
                 _dot(F.col("query_emb"), F.col("cand_emb"))
                 / (F.col("query_norm") * F.col("cand_norm")),
                 ROUND_COS,
@@ -674,7 +675,7 @@ def ivf_probe_cells(
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
-        F.round(
+        round0(
             _dot(F.col("e"), F.col("e"))
             - 2 * _dot(F.col("e"), F.col("c_emb"))
             + _dot(F.col("c_emb"), F.col("c_emb")),
@@ -712,7 +713,7 @@ def topk_cosine_ivf_probe2(embeddings: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            round0(
                 _dot(F.col("query_emb"), F.col("cand_emb"))
                 / (F.col("query_norm") * F.col("cand_norm")),
                 ROUND_COS,
@@ -779,14 +780,15 @@ def kmeans_update(embeddings: DataFrame) -> DataFrame:
         .select("centroid_id", F.posexplode(_as_double("embedding")).alias("pos", "v"))
     )
     return members.groupBy("centroid_id", "pos").agg(
-        F.round(F.avg("v"), ROUND_COS).alias("coord"),
+        round0(F.avg("v"), ROUND_COS).alias("coord"),
         F.count(F.lit(1)).alias("n_members"),
     )
 
 
 _KMEANS_UPDATE_DUCK = f"""
     SELECT a.centroid_id, d.pos,
-           round(avg(e.embedding[d.pos + 1]::DOUBLE), {ROUND_COS}) AS coord,
+           round(avg(e.embedding[d.pos + 1]::DOUBLE), {ROUND_COS})
+               + CAST(0.0 AS DOUBLE) AS coord,
            count(*) AS n_members
     FROM ({_ASSIGN_DUCK}) a
     JOIN {_EMB} e ON e.vec_id = a.vec_id
@@ -826,7 +828,7 @@ def ivf_assign_trained(
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
-        F.round(
+        round0(
             _dot(F.col("e"), F.col("e"))
             - 2 * _dot(F.col("e"), F.col("c_emb"))
             + _dot(F.col("c_emb"), F.col("c_emb")),
@@ -851,7 +853,8 @@ IVF_ASSIGN_TRAINED_ORACLE = f"""
         SELECT e.vec_id, c.c_id AS centroid_id,
                round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
                      - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)
-                     + list_dot_product(c.cemb, c.cemb), {ROUND_COS}) AS dist2,
+                     + list_dot_product(c.cemb, c.cemb), {ROUND_COS})
+                   + CAST(0.0 AS DOUBLE) AS dist2,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                    round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
                          - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)
@@ -915,7 +918,7 @@ def _quant_params(e):
     """(min, scale) per vector, rounded to 6dp BEFORE any code math so
     both engines quantize from identical parameters. Scale floored at
     1e-6 (constant-vector guard, and keeps the rounded value nonzero)."""
-    mn = F.round(F.array_min(e), 6)
+    mn = round0(F.array_min(e), 6)
     rng = F.array_max(e) - F.array_min(e)
     scale = F.greatest(
         F.round(rng / QUANT_LEVELS, 6), F.lit(1e-6)
@@ -952,7 +955,7 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     )
 
 
-_QMN_DUCK = "round(list_min(embedding::DOUBLE[]), 6)"
+_QMN_DUCK = "(round(list_min(embedding::DOUBLE[]), 6) + CAST(0.0 AS DOUBLE))"
 _QSCALE_DUCK = (
     "greatest(round((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]))"
     f" / CAST({QUANT_LEVELS} AS DOUBLE), 6), CAST(0.000001 AS DOUBLE))"
@@ -1013,7 +1016,7 @@ def quantized_recall_report(embeddings: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            round0(
                 _dot(F.col("query_emb"), F.col("cand_emb"))
                 / (F.col("query_norm") * F.col("cand_norm")),
                 ROUND_COS,
@@ -1054,7 +1057,7 @@ QUANTIZED_RECALL_REPORT_ORACLE = f"""
                round(list_dot_product(q.demb, c.demb)
                      / (sqrt(list_dot_product(q.demb, q.demb))
                         * sqrt(list_dot_product(c.demb, c.demb))), {ROUND_COS})
-                   AS cosine
+                   + CAST(0.0 AS DOUBLE) AS cosine
         FROM deq q JOIN deq c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
@@ -1129,7 +1132,7 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
         .filter(F.col("lo_id") < F.col("hi_id"))
         .select(
             F.col("hi_id").alias("vec_id"),
-            F.round(
+            round0(
                 _dot(F.col("lo_e"), F.col("hi_e"))
                 / (F.col("lo_nrm") * F.col("hi_nrm")),
                 ROUND_COS,
@@ -1402,7 +1405,7 @@ def rp_project(
         )
     )
     cols = [
-        F.round(
+        round0(
             _dot(F.col("e"), F.array(*[F.lit(v) for v in weights])) / 4.0, 6
         ).alias(f"rp_{k}")
         for k, weights in enumerate(_rp_matrix())
@@ -1415,8 +1418,8 @@ def rp_project_oracle() -> str:
     for k, weights in enumerate(_rp_matrix()):
         arr = "[" + ", ".join(repr(v) for v in weights) + "]"
         cols.append(
-            f"round(list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[])"
-            f" / 4.0, 6) AS rp_{k}"
+            f"(round(list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[])"
+            f" / 4.0, 6) + CAST(0.0 AS DOUBLE)) AS rp_{k}"
         )
     return f"SELECT vec_id, label, {', '.join(cols)} FROM {_EMB}"
 
@@ -1426,7 +1429,8 @@ def _rp_vec_duck() -> str:
     for weights in _rp_matrix():
         arr = "[" + ", ".join(repr(v) for v in weights) + "]"
         comps.append(
-            f"round(list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) / 4.0, 6)"
+            f"(round(list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) / 4.0, 6)"
+            f" + CAST(0.0 AS DOUBLE))"
         )
     return "[" + ", ".join(comps) + "]"
 
@@ -1467,7 +1471,7 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            round0(
                 _dot(F.col("qr"), F.col("cr")) / (F.col("qn") * F.col("cn")),
                 ROUND_COS,
             ).alias("cosine"),
@@ -1496,7 +1500,8 @@ def rp_recall_report_oracle() -> str:
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                round(list_dot_product(q.r, c.r)
                      / (sqrt(list_dot_product(q.r, q.r))
-                        * sqrt(list_dot_product(c.r, c.r))), {ROUND_COS}) AS cosine
+                        * sqrt(list_dot_product(c.r, c.r))), {ROUND_COS})
+                   + CAST(0.0 AS DOUBLE) AS cosine
         FROM rp q JOIN rp c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
@@ -1565,7 +1570,7 @@ def modality_agreement_report(docs: DataFrame, embeddings: DataFrame) -> DataFra
             "doc_a",
             "doc_b",
             "jaccard",
-            F.round(
+            round0(
                 _dot(F.col("emb_a"), F.col("emb_b"))
                 / (F.col("nrm_a") * F.col("nrm_b")),
                 ROUND_COS,
@@ -1584,7 +1589,7 @@ def modality_agreement_report_oracle() -> str:
            round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
                  / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
-                 {ROUND_COS}) AS cosine,
+                 {ROUND_COS}) + CAST(0.0 AS DOUBLE) AS cosine,
            round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
                  / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
@@ -1636,10 +1641,10 @@ def embedding_drift_report(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
         "source", F.posexplode(_as_double("embedding")).alias("pos", "v")
     )
     src_cells = cells.groupBy("source", "pos").agg(
-        F.round(F.avg("v"), ROUND_COS).alias("coord")
+        round0(F.avg("v"), ROUND_COS).alias("coord")
     )
     corpus_cells = cells.groupBy("pos").agg(
-        F.round(F.avg("v"), ROUND_COS).alias("coord")
+        round0(F.avg("v"), ROUND_COS).alias("coord")
     )
     assemble = lambda df, keys: df.groupBy(*keys).agg(  # noqa: E731
         F.transform(
@@ -1653,7 +1658,7 @@ def embedding_drift_report(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
         .drop("_g")
     )
     counts = tagged.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    cos = F.round(
+    cos = round0(
         _dot(F.col("s_emb"), F.col("c_emb"))
         / (
             F.sqrt(_dot(F.col("s_emb"), F.col("s_emb")))
@@ -1681,11 +1686,13 @@ def embedding_drift_report_oracle() -> str:
                  (SELECT generate_series AS pos FROM generate_series(0, {DIM - 1})) p
         ),
         src AS (
-            SELECT source, pos, round(avg(v), {ROUND_COS}) AS coord
+            SELECT source, pos,
+                   round(avg(v), {ROUND_COS}) + CAST(0.0 AS DOUBLE) AS coord
             FROM cells GROUP BY 1, 2
         ),
         corpus AS (
-            SELECT pos, round(avg(v), {ROUND_COS}) AS coord
+            SELECT pos,
+                   round(avg(v), {ROUND_COS}) + CAST(0.0 AS DOUBLE) AS coord
             FROM cells GROUP BY 1
         ),
         src_c AS (
@@ -1697,7 +1704,7 @@ def embedding_drift_report_oracle() -> str:
                round(list_dot_product(s_emb, c_emb)
                      / (sqrt(list_dot_product(s_emb, s_emb))
                         * sqrt(list_dot_product(c_emb, c_emb))),
-                     {ROUND_COS}) AS centroid_cosine
+                     {ROUND_COS}) + CAST(0.0 AS DOUBLE) AS centroid_cosine
         FROM src_c s CROSS JOIN corpus_c JOIN counts n ON n.source = s.source
     """
 
@@ -1754,7 +1761,7 @@ def topk_cosine_filtered(
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            round0(
                 _dot(F.col("query_emb"), F.col("cand_emb"))
                 / (F.col("query_norm") * F.col("cand_norm")),
                 ROUND_COS,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
+from ..functions.rounding import avg_2dec_exact_sql, round0, round_half_up, round_half_up_sql
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..operators.validate import VALID_SQL, require_event_time, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
@@ -236,17 +236,17 @@ def salted_cell_counts_oracle(cfg: EngineConfig = DEFAULT) -> str:
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact interpolated percentiles of event value per event_type."""
     return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        round0(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        round0(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        round0(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
 
 
 VALUE_PERCENTILES_ORACLE = """
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.95), 6) AS p95,
-           round(quantile_cont(value, 0.99), 6) AS p99
+           round(quantile_cont(value, 0.5), 6) + CAST(0.0 AS DOUBLE) AS p50,
+           round(quantile_cont(value, 0.95), 6) + CAST(0.0 AS DOUBLE) AS p95,
+           round(quantile_cont(value, 0.99), 6) + CAST(0.0 AS DOUBLE) AS p99
     FROM events GROUP BY event_type
 """
 

@@ -28,6 +28,15 @@ a violated uniqueness constraint it was told to assume. The sensitive
 set and the sweep record live in SCALE.md §r14; the pinned differential
 net is tests/test_perturbed_corpus.py (DUPKEYS axis).
 
+REMEDIATION-FAMILY EXCEPTION (r16, r15 verdict #3): operators whose JOB
+is cleaning foreign/dirty corpora — ``incremental_dedup``, the winnow
+family, the decontaminate family — are NOT members of the sensitive
+set: they pre-collapse doc_id identity at entry
+(operators/dedup.py ``collapse_doc_identity``, oracle mirror
+``pk1_oracle``), so they stay deterministic and engine/oracle-agreed on
+exactly the PK-violating input they exist to handle (pinned on a
+conflicting-doc_id corpus in tests/test_perturbed_corpus.py).
+
 The contract's EXECUTABLE EDGE (r15): ``assert_pk_unique`` below is the
 opt-in ingest-boundary enforcement (``SPARK_GRAFT_ENFORCE_PK=1`` at the
 fixture entrypoints), and ``operators/relational.pk_violation_report``
@@ -278,6 +287,77 @@ def _enforce_pk_enabled() -> bool:
     return os.getenv("SPARK_GRAFT_ENFORCE_PK", "") not in ("", "0", "false")
 
 
+class MeasureDomainError(ValueError):
+    """A measure column violated the measure-domain wire contract."""
+
+
+def assert_measure_domain(df: DataFrame, col: str, table: str) -> DataFrame:
+    """Boundary assert for the MEASURE-DOMAIN wire contract (r15 --xval
+    axis; the value analog of ``assert_pk_unique``, r15 verdict #7):
+    raise ``MeasureDomainError`` if ``col`` carries any NaN/±Inf,
+    |x| > 1e13 (beyond 2-decimal cents representability), subnormal, or
+    -0.0 value — the four shapes ``relational.value_domain_report``
+    audits and whose all-zero report certifies a corpus for the
+    cents/micros query surface. Returns ``df`` unchanged when clean.
+
+    Opt-in (``SPARK_GRAFT_ENFORCE_DOMAIN=1`` at the fixture entrypoints;
+    embedders call it directly) for the same reason as the PK hook: one
+    aggregate pass per table, and the surface must stay TOTAL on
+    violating input so the audit query and the ``quality_filter``-style
+    remediation can run.
+
+    Scale shape: one fused map-side-combinable aggregate (four
+    conditional sums), no shuffle of row data; the 5-value sample is
+    fetched only on the failure path.
+    """
+    x = F.col(col)
+    is_bad = (
+        F.isnan(x)
+        | (F.abs(x) == float("inf"))
+        | (F.abs(x) > 1e13)  # MEASURE_ABS_MAX (operators/relational.py)
+        | ((F.abs(x) < 2.3e-308) & (x != 0))
+        # -0.0: sign via the string cast — ANSI Spark has no signbit()
+        | ((x == 0) & x.cast("string").startswith("-"))
+    )
+    counts = df.agg(
+        F.sum(F.isnan(x).cast("long")).alias("nonfinite_nan"),
+        F.sum((F.abs(x) == float("inf")).cast("long")).alias("nonfinite_inf"),
+        F.sum(
+            (~F.isnan(x) & (F.abs(x) != float("inf")) & (F.abs(x) > 1e13))
+            .cast("long")
+        ).alias("over_grid"),
+        F.sum(((F.abs(x) < 2.3e-308) & (x != 0) & ~F.isnan(x)).cast("long")).alias(
+            "subnormal"
+        ),
+        F.sum(((x == 0) & x.cast("string").startswith("-")).cast("long")).alias(
+            "neg_zero"
+        ),
+    ).collect()[0]
+    n_bad = sum(v or 0 for v in counts.asDict().values())
+    if n_bad:
+        sample = [
+            r[col] for r in df.where(is_bad).select(col).limit(5).collect()
+        ]
+        raise MeasureDomainError(
+            f"{table}.{col} violates the measure-domain wire contract: "
+            f"{dict(counts.asDict())} (total {n_bad}), e.g. {sample}. Run "
+            f"value_domain_report for the per-measure breakdown; remediate "
+            f"with quality_filter-style ingest filtering before the "
+            f"cents/micros query surface."
+        )
+    return df
+
+
+def _enforce_domain_enabled() -> bool:
+    import os
+
+    return os.getenv("SPARK_GRAFT_ENFORCE_DOMAIN", "") not in (
+        "",
+        "0",
+        "false",
+    )
+
+
 def pings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> GPS-ping stream shape (reference schema heatmap_stream.py:52-61).
 
@@ -290,6 +370,8 @@ def pings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     if _enforce_pk_enabled():
         ev = assert_pk_unique(ev, "event_id", "events")
+    if _enforce_domain_enabled():
+        ev = assert_measure_domain(ev, "value", "events")
     return ev.select(
         F.col("event_type").alias("provider"),
         F.col("user_id").cast("string").alias("vehicleId"),

@@ -557,6 +557,32 @@ def test_dupkeys_insensitive_queries_match_oracle(spark, dupkeys_sf_dir, name):
     _assert_matches_oracle(spark, dupkeys_sf_dir, name)
 
 
+# r16 (r15 verdict #3): the REMEDIATION-family operators — the tooling
+# whose job is cleaning foreign/dirty corpora — pre-collapse doc_id
+# identity (operators/dedup.py collapse_doc_identity, mirrored by
+# pk1_oracle), so unlike the general registry they are DETERMINISTIC and
+# engine/oracle-agreed on exactly the PK-violating input the contract
+# names. Pinned here on a conflicting-doc_id corpus; their base-corpus
+# value-identity was proven by the r16 cross-tree hash differential
+# (0-diff at sf0.001, SCALE.md).
+REMEDIATION_FAMILY_QUERIES = [
+    "incremental_dedup",
+    "winnow_fingerprints",
+    "winnow_match_pairs",
+    "winnow_match_spans",
+    "decontaminate",
+    "decontaminate_bloom",
+    "decontaminate_bloom_bitmap",
+]
+
+
+@pytest.mark.parametrize("name", REMEDIATION_FAMILY_QUERIES)
+def test_remediation_family_deterministic_on_dupkeys(
+    spark, dupkeys_sf_dir, name
+):
+    _assert_matches_oracle(spark, dupkeys_sf_dir, name)
+
+
 def test_pk_violation_report_guards_sensitive_set(spark, dupkeys_sf_dir):
     """The contract's executable edge (r14 verdict item #2): on a
     PK-violating corpus the report is non-zero on EVERY shape the
@@ -774,3 +800,21 @@ def test_value_domain_report_certifies_the_measure_surface(spark, xval_sf_dir):
             r["nonfinite"] == r["over_grid"] == r["subnormal"]
             == r["neg_zero"] == 0
         ), r["measure"]
+
+
+def test_assert_measure_domain_is_the_contract_boundary(spark, xval_sf_dir):
+    """r16 (r15 verdict #7): the measure-domain contract's opt-in
+    enforcement hook, the value analog of ``assert_pk_unique`` — raises
+    with per-shape counts + a value sample on a violating corpus,
+    passes rows through untouched on a clean one."""
+    from real_time_mobility_heatmap_spark.sources.tables import (
+        MeasureDomainError,
+        assert_measure_domain,
+        load_table,
+    )
+
+    ev_bad = load_table(spark, xval_sf_dir, "events")
+    with pytest.raises(MeasureDomainError, match="events.value"):
+        assert_measure_domain(ev_bad, "value", "events")
+    ev_ok = load_table(spark, SRC, "events")
+    assert assert_measure_domain(ev_ok, "value", "events") is ev_ok

@@ -134,3 +134,161 @@ def test_pandas_round_matches_engine_half_away_on_exact_boundaries():
     # non-vacuity: half-even disagrees on the caught values
     assert float(np.round(np.array([-71.6828125]), 6)[0]) == -71.682812
     assert float(_round_half_away(np.array([-71.6828125]))[0]) == -71.682813
+
+
+# ---------------------------------------------------------------------------
+# r16 (r15 verdict #4): proactive -0.0 audit of every native-round site.
+#
+# The class trigger (functions/rounding.py round0 docstring): a NEGATIVE
+# expression rounding to ZERO at the target scale — Spark's BigDecimal
+# round has no -0.0 (emits +0.0) while DuckDB's IEEE scaled round keeps
+# the sign, splitting the value hash. Two members were found seed-at-a-
+# time (normalize r15, mad_outliers xval@1502); r16 swept ALL native
+# round sites instead and converted every negative-capable OUTPUT column
+# to round0/round0_sql (cosines, centroid coords, quantizer min, rp
+# projections, signed-value percentiles/sums/ewma) — full-registry
+# cross-tree hash differential 0-diff on the base corpus (SCALE.md r16).
+# This test pins the converted state: every remaining native round(
+# site must be (a) canonicalized (round0 / "+ CAST(0.0 AS DOUBLE)"),
+# (b) immediately cast to an integer type (ints have no -0.0), or
+# (c) adjudicated non-negative / zero-bounded in the allowlist below,
+# with the domain reason. A new site fails until classified.
+# ---------------------------------------------------------------------------
+
+# (file, regex, reason) — reason documents WHY -0.0 is unreachable
+NONNEG_ALLOWED = [
+    ("functions/money.py", r"CAST\(round\(\{total\} \* \{scale\}",
+     "money totals: in-contract measures are non-negative; exact-int rescale"),
+    ("functions/rounding.py", r".", "the shared fragments themselves"),
+    ("operators/analytics.py", r"mad|abs\(|F\.abs\(",
+     "MAD / absolute deviation >= 0 by construction"),
+    ("operators/analytics.py", r"monetary_cents",
+     "o_totalprice > 0 in TPC-H domain"),
+    ("operators/analytics.py", r"vals\[-1\] > round\(",
+     "comparison-only copy: -0.0 == +0.0 in every IEEE compare"),
+    ("operators/dedup.py", r'F\.max\("jaccard"\)|max\(jaccard\)',
+     "jaccard in [0, 1]"),
+    ("operators/flows.py", r"speedKmh|avg_speed",
+     "speed >= 0 (measure-domain contract, value_domain_report)"),
+    ("operators/flows.py", r"step_mm|dist_m|max_step",
+     "euclidean step lengths >= 0"),
+    ("operators/latest.py", r"speedKmh", "speed >= 0 (measure domain)"),
+    ("operators/relational.py",
+     r"l_quantity|l_extendedprice",
+     "TPC-H lineitem measures are positive by generator domain"),
+    ("operators/science.py", r"sqrt\(", "sqrt >= 0"),
+    ("operators/similarity.py", r"rng / QUANT_LEVELS|list_max\(embedding",
+     "quantizer scale = range/levels >= 0, floored at 1e-6"),
+    ("operators/similarity.py", r"ORDER BY$|^ *round\(list_dot_product\(e\.embedding",
+     "ORDER-BY-only dist2 copy: -0.0 sorts equal to +0.0 in both engines"),
+    ("operators/similarity.py", r">= \{NEARDUP_COS\}",
+     "threshold-comparison-only copy"),
+    ("operators/spatial.py", r"speedKmh", "speed >= 0 (measure domain)"),
+    ("operators/textops.py", r"tfidf|tf\.tf \* ln\(",
+     "tf*idf >= 0: df <= N so ln(N/df) >= 0"),
+    ("operators/textops.py", r"bm25|idf \* \(F\.col\(\"tf\"\)|^ *round\($",
+     "bm25 >= 0: idf = ln(x + 1) > 0, tf-part > 0"),
+    ("operators/textops.py", r"min\(qs\)|max\(qs\)|F\.(min|max)\(\"qs\"\)",
+     "quality score in [0, 1]"),
+    ("operators/tiles.py", r"speedKmh", "speed >= 0 (measure domain)"),
+    ("operators/tpch.py", r"_den|total_revenue",
+     "revenue sums of positive extendedprice*(1-disc)"),
+    ("operators/tpch.py", r"o_totalprice|sum_qty",
+     "TPC-H order/lineitem measures positive"),
+    ("operators/tpch.py", r"c_acctbal",
+     "q22 sums acctbals filtered > avg of positive balances"),
+    ("operators/tpch.py", r"part_value", "part revenue > 0"),
+    ("operators/trajectory.py", r"lat0 \+ \(lat1|lon0 \+ \(lon1",
+     "interp stays in lat [42,43] / lon [-72,-71]: bounded away from 0"),
+    ("operators/windows.py", r"sum\(speedKmh\)|F\.sum\(\"s\"\)",
+     "speed >= 0 (measure domain)"),
+    ("operators/windows.py", r"leg", "leg = |dlat|+|dlon| >= 0"),
+    ("operators/wire.py", r"l_quantity|l_extendedprice",
+     "TPC-H measures positive"),
+    ("producers/mobility_producer.py", r"speed_mps \* 3\.6",
+     "wire speed >= 0 (producer domain)"),
+    ("streaming/neardup.py", r"jaccard", "jaccard in [0, 1]"),
+]
+
+_ROUND_SITE = re.compile(r"F\.round\(|(?<![\w_.])round\(")
+_INT_CAST = re.compile(r'\.cast\("(?:long|int)"\)|AS (?:BIGINT|INT)\)')
+_CANON = re.compile(r"round0|CAST\(0\.0 AS DOUBLE\)|round_half_up")
+
+
+def _round_sites():
+    """(relpath, lineno, line) for every native-round occurrence outside
+    comments and docstrings — token-level, so docstring prose never
+    counts and f-string SQL fragments always do."""
+    import io
+    import tokenize
+
+    out = []
+    for py in sorted(PKG.rglob("*.py")):
+        rel = str(py.relative_to(PKG))
+        src = py.read_text()
+        lines = src.splitlines()
+        prev = None
+        for t in tokenize.generate_tokens(io.StringIO(src).readline):
+            if t.type == tokenize.COMMENT:
+                continue
+            if t.type == tokenize.STRING:
+                is_doc = prev in (
+                    tokenize.INDENT, tokenize.DEDENT, tokenize.NEWLINE, None
+                )
+                if not is_doc:
+                    for m in re.finditer(r"(?<![\w_.])round\(", t.string):
+                        ln = t.start[0] + t.string[: m.start()].count("\n")
+                        out.append((rel, ln, lines[ln - 1]))
+            elif t.type == tokenize.NAME and t.string == "round":
+                out.append((rel, t.start[0], lines[t.start[0] - 1]))
+            if t.type != tokenize.NL:
+                prev = t.type
+        # dedupe per line
+    return sorted(set(out))
+
+
+def test_every_native_round_site_is_classified():
+    offenders = []
+    by_file: dict = {}
+    for rel, ln, line in _round_sites():
+        window = by_file.setdefault(rel, (PKG / rel).read_text().splitlines())
+        ctx = "\n".join(window[ln - 1 : ln + 9])
+        if _CANON.search(ctx):
+            continue  # canonicalized (round0 family) within the site window
+        if _INT_CAST.search(ctx):
+            continue  # integer result: no -0.0
+        if any(
+            rel == f and (re.search(rx, line) or re.search(rx, ctx, re.M))
+            for f, rx, _ in NONNEG_ALLOWED
+        ):
+            continue
+        offenders.append(f"{rel}:{ln}: {line.strip()[:100]}")
+    assert not offenders, (
+        "native round( site neither canonicalized (round0/round0_sql), "
+        "integer-cast, nor adjudicated non-negative in NONNEG_ALLOWED — "
+        "a negative expression rounding to zero splits Spark (+0.0, "
+        "BigDecimal) from DuckDB (-0.0, IEEE):\n" + "\n".join(offenders)
+    )
+
+
+def test_round_site_allowlist_is_not_stale():
+    """Every NONNEG_ALLOWED entry must still match at least one live
+    site, or it is dead weight that could silently exempt future code."""
+    sites = _round_sites()
+    by_file: dict = {}
+    dead = []
+    for f, rx, reason in NONNEG_ALLOWED:
+        if f == "functions/rounding.py":
+            continue  # blanket entry for the fragment module
+        hit = False
+        for rel, ln, line in sites:
+            if rel != f:
+                continue
+            window = by_file.setdefault(rel, (PKG / rel).read_text().splitlines())
+            ctx = "\n".join(window[ln - 1 : ln + 9])
+            if re.search(rx, line) or re.search(rx, ctx, re.M):
+                hit = True
+                break
+        if not hit:
+            dead.append(f"{f} :: {rx}")
+    assert not dead, "stale allowlist entries:\n" + "\n".join(dead)
