@@ -146,60 +146,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
-        # (0) NEW (never driver-checked):
-        "pk_violation_report": relational.q_pk_violation_report,
-        "value_domain_report": relational.q_value_domain_report,
         # (1) CHANGED this round (re-verify the round code lands):
-        "autocorrelation_report": analytics.q_autocorrelation_report,
-        "cell_speed_trend": flows.q_cell_speed_trend,
-        "co_dwell_pairs": flows.q_co_dwell_pairs,
-        "cohort_retention": analytics.q_cohort_retention,
-        "cusum_anomaly_report": science.q_cusum_anomaly_report,
-        "gps_jump_report": flows.q_gps_jump_report,
-        "hierarchical_rollups": _q_hierarchical_rollups,
-        "ping_gap_report": flows.q_ping_gap_report,
-        "resample_trajectories": trajectory.q_resample_trajectories,
-        "rollup_delta_merge": _q_rollup_delta_merge,
-        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
-        "stay_points": flows.q_stay_points,
-        "streaming_conversions": run_streaming_conversions,
-        "streaming_enriched": run_streaming_enriched,
-        "streaming_positions": run_streaming_positions,
-        "streaming_sessions": run_streaming_sessions,
-        "streaming_tiles": run_streaming_tiles,
-        "tile_anomaly_report": flows.q_tile_anomaly_report,
-        "tile_gap_fill": flows.q_tile_gap_fill,
-        "tile_speed_locf": flows.q_tile_speed_locf,
-        "mobility_pipeline_report": flows.q_mobility_pipeline_report,
-        "normalize": decode.q_normalize,
-        "table_profile": windows.q_table_profile,
-        "table_profile_accuracy": windows.q_table_profile_accuracy,
-        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,
-        "bucketed_join_stats": relational.bucketed_join_stats,
-        "disjunctive_revenue": tpch.q_disjunctive_revenue,
-        "forecast_revenue_change": tpch.q_forecast_revenue_change,
-        "local_supplier_volume": relational.q_local_supplier_volume,
-        "nation_trade_volume": tpch.q_nation_trade_volume,
-        "returned_item_reporting": tpch.q_returned_item_reporting,
-        "shipping_priority": relational.q_shipping_priority,
-        "top_suppliers": tpch.q_top_suppliers,
+        "cluster_quality_report": similarity.q_cluster_quality_report,
+        "decontaminate": dedup.q_decontaminate,
+        "decontaminate_bloom": dedup.q_decontaminate_bloom,
+        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
+        "embedding_drift_report": similarity.q_embedding_drift_report,
+        "embedding_neardup": similarity.q_embedding_neardup,
+        "ewma_speed": analytics.q_ewma_speed,
+        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,
+        "incremental_dedup": dedup.q_incremental_dedup,
+        "ivf_assign": similarity.q_ivf_assign,
+        "ivf_assign_trained": similarity.q_ivf_assign_trained,
+        "ivf_recall_report": similarity.q_ivf_recall_report,
+        "kmeans_update": similarity.q_kmeans_update,
+        "modality_agreement_report": similarity.q_modality_agreement_report,
+        "partition_pruned_stats": relational.q_partition_pruned_stats,
+        "quantize_embeddings": similarity.q_quantize_embeddings,
+        "quantized_recall_report": similarity.q_quantized_recall_report,
+        "rp_project": similarity.q_rp_project,
+        "rp_recall_report": similarity.q_rp_recall_report,
+        "semantic_decontaminate": curation.q_semantic_decontaminate,
+        "semantic_dedup": similarity.q_semantic_dedup,
+        "topk_cosine": similarity.q_topk_cosine,
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
+        "topk_cosine_filtered": similarity.q_topk_cosine_filtered,
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "value_percentiles": windows.q_value_percentiles,
+        "vband_geometry_report": similarity.q_vband_geometry_report,
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,
+        "winnow_match_pairs": dedup.q_winnow_match_pairs,
+        "winnow_match_spans": dedup.q_winnow_match_spans,
         # (2) oldest-green-first rotation:
-        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,  # r9
-        "conversion_window_counts": relational.q_conversion_window_counts,  # r9
-        "cube_sales": relational.q_cube_sales,  # r9
-        "customers_without_orders": relational.q_customers_without_orders,  # r9
-        "demux_tiles": multiplex.q_demux_tiles,  # r9
-        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,  # r9
-        "exact_dedup": dedup.q_exact_dedup,  # r9
-        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,  # r9
-        "fresh_tiles": geojson.q_fresh_tiles,  # r9
-        "large_volume_customers": tpch.q_large_volume_customers,  # r9
-        "latest_join": latest.q_latest_join,  # r9
-        "latest_rownum": latest.q_latest_rownum,  # r9
-        "latest_window_snapshot": latest.q_latest_window_snapshot,  # r9
-        "mad_outliers": analytics.q_mad_outliers,  # r9
-        "min_cost_supplier": tpch.q_min_cost_supplier,  # r9
-        # ------------- end of driver window (50 entries) -------------
         "multiplex_summary": multiplex.q_multiplex_summary,  # r9
         "orders_with_big_items": relational.q_orders_with_big_items,  # r9
         "pack_sequences": textops.q_pack_sequences,  # r9
@@ -219,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10
         "convoy_clusters": flows.q_convoy_clusters,  # r10
         "copurchase_affinity": analytics.q_copurchase_affinity,  # r10
+        # ------------- end of driver window (50 entries) -------------
         "dataset_split": textops.q_dataset_split,  # r10
         "encounter_pairs": flows.q_encounter_pairs,  # r10
         "event_type_pivot": relational.q_event_type_pivot,  # r10
@@ -245,10 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
         "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,  # r11
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r11
-        "decontaminate": dedup.q_decontaminate,  # r11
         "dedup_clusters": dedup.q_dedup_clusters,  # r11
         "important_parts": tpch.q_important_parts,  # r11
-        "incremental_dedup": dedup.q_incremental_dedup,  # r11
         "market_share": tpch.q_market_share,  # r11
         "mixture_sample": textops.q_mixture_sample,  # r11
         "pricing_summary": relational.q_pricing_summary,  # r11
@@ -283,27 +261,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": run_streaming_neardup,  # r12
         "tile_colors": wire.q_tile_colors,  # r12
         "value_histogram": windows.q_value_histogram,  # r12
-        "value_percentiles": windows.q_value_percentiles,  # r12
-        "winnow_fingerprints": dedup.q_winnow_fingerprints,  # r12
-        "winnow_match_pairs": dedup.q_winnow_match_pairs,  # r12
         "wire_encode": wire.q_wire_encode,  # r12
         "zone_counts": spatial.q_zone_counts,  # r12
         "attribution_report": relational.q_attribution_report,  # r13
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r13
         "chunk_documents": textops.q_chunk_documents,  # r13
-        "cluster_quality_report": similarity.q_cluster_quality_report,  # r13
         "containment_pairs": dedup.q_containment_pairs,  # r13
-        "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r13
-        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r13
         "dedup_keep_best": dedup.q_dedup_keep_best,  # r13
-        "embedding_drift_report": similarity.q_embedding_drift_report,  # r13
-        "embedding_neardup": similarity.q_embedding_neardup,  # r13
-        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,  # r13
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r13
         "idle_customer_balance": tpch.q_idle_customer_balance,  # r13
-        "ivf_assign": similarity.q_ivf_assign,  # r13
-        "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r13
-        "ivf_recall_report": similarity.q_ivf_recall_report,  # r13
         "key_skew_report": relational.q_key_skew_report,  # r13
         "late_order_priority": tpch.q_late_order_priority,  # r13
         "lsh_buckets": similarity.q_lsh_buckets,  # r13
@@ -311,19 +277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": multimodal.q_media_features,  # r13
         "media_resize": multimodal.q_media_resize,  # r13
         "minhash_error_report": dedup.q_minhash_error_report,  # r13
-        "modality_agreement_report": similarity.q_modality_agreement_report,  # r13
         "pagerank_pairs": dedup.q_pagerank_pairs,  # r13
-        "partition_pruned_stats": relational.q_partition_pruned_stats,  # r13
         "quality_decile_report": textops.q_quality_decile_report,  # r13
         "quality_filter": textops.q_quality_filter,  # r13
         "quality_score": textops.q_quality_score,  # r13
-        "quantized_recall_report": similarity.q_quantized_recall_report,  # r13
-        "rp_recall_report": similarity.q_rp_recall_report,  # r13
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r13
         "source_mixture_report": textops.q_source_mixture_report,  # r13
-        "topk_cosine_filtered": similarity.q_topk_cosine_filtered,  # r13
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,  # r13
-        "vband_geometry_report": similarity.q_vband_geometry_report,  # r13
         "vehicle_sessions": windows.q_vehicle_sessions,  # r13
         "zorder_layout_report": spatial.q_zorder_layout_report,  # r13
         "zscore_outliers": analytics.q_zscore_outliers,  # r13
@@ -336,13 +295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": tpch.q_customer_order_distribution,  # r14
         "dedup_pipeline_report": dedup.q_dedup_pipeline_report,  # r14
         "dq_expectations": relational.q_dq_expectations,  # r14
-        "ewma_speed": analytics.q_ewma_speed,  # r14
         "fingerprint": textops.q_fingerprint,  # r14
         "grouping_sets_sales": relational.q_grouping_sets_sales,  # r14
         "join_size_estimate": relational.q_join_size_estimate,  # r14
         "json_decode": decode.q_json_decode,  # r14
         "k_anonymity_report": relational.q_k_anonymity_report,  # r14
-        "kmeans_update": similarity.q_kmeans_update,  # r14
         "lang_mix_report": textops.q_lang_mix_report,  # r14
         "late_shipment_suppliers": tpch.q_late_shipment_suppliers,  # r14
         "latest_maxby": latest.q_latest_maxby,  # r14
@@ -358,23 +315,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r14
         "position_features": geojson.q_position_features,  # r14
         "props_key_stats": decode.q_props_key_stats,  # r14
-        "quantize_embeddings": similarity.q_quantize_embeddings,  # r14
         "repeated_span_report": dedup.q_repeated_span_report,  # r14
         "rolling_fingerprint": textops.q_rolling_fingerprint,  # r14
-        "rp_project": similarity.q_rp_project,  # r14
-        "semantic_decontaminate": curation.q_semantic_decontaminate,  # r14
-        "semantic_dedup": similarity.q_semantic_dedup,  # r14
         "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r14
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r14
         "token_count": textops.q_token_count,  # r14
-        "topk_cosine": similarity.q_topk_cosine,  # r14
-        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r14
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,  # r14
         "triangle_count": dedup.q_triangle_count,  # r14
         "unpivot_tile_metrics": _q_unpivot_tile_metrics,  # r14
         "vocab_coverage_report": textops.q_vocab_coverage_report,  # r14
         "weighted_sample": textops.q_weighted_sample,  # r14
-        "winnow_match_spans": dedup.q_winnow_match_spans,  # r14
+        "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,  # r15
+        "autocorrelation_report": analytics.q_autocorrelation_report,  # r15
+        "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,  # r15
+        "bucketed_join_stats": relational.bucketed_join_stats,  # r15
+        "cell_speed_trend": flows.q_cell_speed_trend,  # r15
+        "co_dwell_pairs": flows.q_co_dwell_pairs,  # r15
+        "cohort_retention": analytics.q_cohort_retention,  # r15
+        "conversion_window_counts": relational.q_conversion_window_counts,  # r15
+        "cube_sales": relational.q_cube_sales,  # r15
+        "customers_without_orders": relational.q_customers_without_orders,  # r15
+        "cusum_anomaly_report": science.q_cusum_anomaly_report,  # r15
+        "demux_tiles": multiplex.q_demux_tiles,  # r15
+        "disjunctive_revenue": tpch.q_disjunctive_revenue,  # r15
+        "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,  # r15
+        "exact_dedup": dedup.q_exact_dedup,  # r15
+        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,  # r15
+        "forecast_revenue_change": tpch.q_forecast_revenue_change,  # r15
+        "fresh_tiles": geojson.q_fresh_tiles,  # r15
+        "gps_jump_report": flows.q_gps_jump_report,  # r15
+        "hierarchical_rollups": _q_hierarchical_rollups,  # r15
+        "large_volume_customers": tpch.q_large_volume_customers,  # r15
+        "latest_join": latest.q_latest_join,  # r15
+        "latest_rownum": latest.q_latest_rownum,  # r15
+        "latest_window_snapshot": latest.q_latest_window_snapshot,  # r15
+        "local_supplier_volume": relational.q_local_supplier_volume,  # r15
+        "mad_outliers": analytics.q_mad_outliers,  # r15
+        "min_cost_supplier": tpch.q_min_cost_supplier,  # r15
+        "mobility_pipeline_report": flows.q_mobility_pipeline_report,  # r15
+        "nation_trade_volume": tpch.q_nation_trade_volume,  # r15
+        "normalize": decode.q_normalize,  # r15
+        "ping_gap_report": flows.q_ping_gap_report,  # r15
+        "pk_violation_report": relational.q_pk_violation_report,  # r15
+        "resample_trajectories": trajectory.q_resample_trajectories,  # r15
+        "returned_item_reporting": tpch.q_returned_item_reporting,  # r15
+        "rollup_delta_merge": _q_rollup_delta_merge,  # r15
+        "shipping_priority": relational.q_shipping_priority,  # r15
+        "similar_speed_profiles": trajectory.q_similar_speed_profiles,  # r15
+        "stay_points": flows.q_stay_points,  # r15
+        "streaming_conversions": run_streaming_conversions,  # r15
+        "streaming_enriched": run_streaming_enriched,  # r15
+        "streaming_positions": run_streaming_positions,  # r15
+        "streaming_sessions": run_streaming_sessions,  # r15
+        "streaming_tiles": run_streaming_tiles,  # r15
+        "table_profile": windows.q_table_profile,  # r15
+        "table_profile_accuracy": windows.q_table_profile_accuracy,  # r15
+        "tile_anomaly_report": flows.q_tile_anomaly_report,  # r15
+        "tile_gap_fill": flows.q_tile_gap_fill,  # r15
+        "tile_speed_locf": flows.q_tile_speed_locf,  # r15
+        "top_suppliers": tpch.q_top_suppliers,  # r15
+        "value_domain_report": relational.q_value_domain_report,  # r15
     }
 
 
