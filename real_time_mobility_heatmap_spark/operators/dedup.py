@@ -1295,6 +1295,13 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
     names, so it must not itself read doc_id as row identity (r15
     verdict #3; seed-1506 isolation pinned the divergence).
     """
+    # no lineage cut on the collapsed frame: its only expensive consumer
+    # is the hashed-shingle branch (computed once); the _doc_cap branches
+    # column-prune straight through the collapse to a doc_id-only
+    # aggregate (verified in the physical plan — the min(text) and the
+    # text shuffle both drop out), so recompute is cheap and a
+    # localCheckpoint of the corpus text would cost more than it saves
+    # (r16 profile)
     pairs = minhash_lsh_pairs(collapse_doc_identity(docs))
     return (
         pairs.filter(F.pmod(F.col("doc_b"), F.lit(INCOMING_MOD)) == 0)

@@ -81,7 +81,28 @@ def spread(df: DataFrame) -> DataFrame:
     shuffle. A real deployment reads many splits and never needs this; here
     a tiny round-robin repartition stands in for that layout. No-op when
     the scan already has enough splits.
+
+    Inputs that already contain a shuffle-producing node (aggregate /
+    join / window / repartition — e.g. the remediation family's
+    ``collapse_doc_identity`` output) are returned untouched WITHOUT the
+    partition-count probe: their parallelism comes from
+    ``spark.sql.shuffle.partitions``/AQE, the probe itself
+    (``df.rdd.getNumPartitions`` on an AQE plan) forces plan
+    finalization and can EXECUTE the upstream shuffle just to count
+    partitions (measured ~0.3 s per call at sf0.1), and the extra
+    round-robin it inserted destroyed the exchange reuse the downstream
+    doc_id-partitioned stages get for free (r16 profile: the collapse
+    regression was mostly this, not the aggregate).
     """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            k in plan
+            for k in ("Aggregate", "Repartition", "Join", "Window", "Generate")
+        ):
+            return df
+    except Exception:
+        pass
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
