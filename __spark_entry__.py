@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": dedup.q_winnow_fingerprints,
         "winnow_match_pairs": dedup.q_winnow_match_pairs,
         "winnow_match_spans": dedup.q_winnow_match_spans,
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
+        "leakage_safe_split": dedup.q_leakage_safe_split,
         # (2) oldest-green-first rotation:
         "multiplex_summary": multiplex.q_multiplex_summary,  # r9
         "orders_with_big_items": relational.q_orders_with_big_items,  # r9
@@ -195,10 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_roundtrip": decode.q_wire_roundtrip,  # r9
         "active_cells_flags": relational.q_active_cells_flags,  # r10
         "cell_reachability": flows.q_cell_reachability,  # r10
+        # ------------- end of driver window (50 entries) -------------
         "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10
         "convoy_clusters": flows.q_convoy_clusters,  # r10
         "copurchase_affinity": analytics.q_copurchase_affinity,  # r10
-        # ------------- end of driver window (50 entries) -------------
         "dataset_split": textops.q_dataset_split,  # r10
         "encounter_pairs": flows.q_encounter_pairs,  # r10
         "event_type_pivot": relational.q_event_type_pivot,  # r10
@@ -225,7 +228,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
         "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,  # r11
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r11
-        "dedup_clusters": dedup.q_dedup_clusters,  # r11
         "important_parts": tpch.q_important_parts,  # r11
         "market_share": tpch.q_market_share,  # r11
         "mixture_sample": textops.q_mixture_sample,  # r11
@@ -267,7 +269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r13
         "chunk_documents": textops.q_chunk_documents,  # r13
         "containment_pairs": dedup.q_containment_pairs,  # r13
-        "dedup_keep_best": dedup.q_dedup_keep_best,  # r13
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r13
         "idle_customer_balance": tpch.q_idle_customer_balance,  # r13
         "key_skew_report": relational.q_key_skew_report,  # r13
@@ -304,7 +305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_suppliers": tpch.q_late_shipment_suppliers,  # r14
         "latest_maxby": latest.q_latest_maxby,  # r14
         "latest_positions": latest.q_latest_positions,  # r14
-        "leakage_safe_split": dedup.q_leakage_safe_split,  # r14
         "media_frame_sample": multimodal.q_media_frame_sample,  # r14
         "media_metadata": multimodal.q_media_metadata,  # r14
         "media_phash": multimodal.q_media_phash,  # r14

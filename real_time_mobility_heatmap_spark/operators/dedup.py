@@ -802,6 +802,11 @@ def pk1_oracle(sql: str) -> str:
     )
     idx = body.upper().find("WITH")
     if idx >= 0:
+        if body[idx:].upper().startswith("WITH RECURSIVE"):
+            # RECURSIVE must follow WITH immediately; a non-recursive CTE
+            # is legal inside a WITH RECURSIVE list in DuckDB
+            ins = idx + len("WITH RECURSIVE")
+            return f"{body[:idx]}WITH RECURSIVE {cte},{body[ins:]}"
         return f"{body[:idx]}WITH {cte},{body[idx + 4:]}"
     return f"WITH {cte} {body}"
 
@@ -979,10 +984,17 @@ def dedup_clusters(
 
     ``edges`` lets a caller that ALREADY materialized the verified pair
     table (``dedup_pipeline_report``) reuse it instead of re-running the
-    LSH pipeline.
+    LSH pipeline — such a caller chooses its own identity posture.
+
+    Remediation-family entry (r16): on the edges=None path the corpus is
+    identity-collapsed first (``collapse_doc_identity``) — the contract
+    names the cluster/keep tier as the remediation path for PK-violating
+    corpora, so it must be deterministic on exactly that input.
     """
     if edges is None:
-        edges = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+        edges = minhash_lsh_pairs(collapse_doc_identity(docs)).select(
+            "doc_a", "doc_b"
+        )
     # undirected adjacency, deduplicated once up front
     adj = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -1050,6 +1062,10 @@ def dedup_clusters(
 
 
 def dedup_clusters_oracle() -> str:
+    return pk1_oracle(_dedup_clusters_oracle_raw())
+
+
+def _dedup_clusters_oracle_raw() -> str:
     return f"""
         WITH RECURSIVE pairs AS ({minhash_lsh_pairs_oracle()}),
         edges AS (
@@ -1747,7 +1763,10 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     relations (components ≪ corpus); quality is computed only for docs
     that are IN a cluster — at 100 TB the non-clustered majority never
     enters the shuffle."""
-    clusters = dedup_clusters(docs)
+    docs = collapse_doc_identity(docs)  # remediation-family entry (r16)
+    clusters = dedup_clusters(
+        docs, edges=minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    )
     q = quality_score(docs).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
@@ -1766,8 +1785,8 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
 
 
 def dedup_keep_best_oracle() -> str:
-    return f"""
-        WITH clusters AS ({dedup_clusters_oracle()}),
+    return pk1_oracle(f"""
+        WITH clusters AS ({_dedup_clusters_oracle_raw()}),
         q AS ({QUALITY_SCORE_ORACLE}),
         ranked AS (
             SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality_score,
@@ -1778,7 +1797,7 @@ def dedup_keep_best_oracle() -> str:
         SELECT cluster_id, doc_id AS keeper_doc_id,
                quality_score AS keeper_quality, cluster_size
         FROM ranked WHERE rn = 1
-    """
+    """)
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2037,7 +2056,7 @@ def dedup_pipeline_report_oracle() -> str:
     return f"""
         WITH exact AS ({EXACT_DEDUP_ORACLE}),
         pairs AS ({minhash_lsh_pairs_oracle()}),
-        clusters AS ({dedup_clusters_oracle()}),
+        clusters AS ({_dedup_clusters_oracle_raw()}),
         a AS (SELECT count(*) AS n_docs FROM documents),
         b AS (SELECT CAST(sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)
                      AS BIGINT) AS n_exact_dup_docs FROM exact),
@@ -2071,7 +2090,10 @@ def leakage_safe_split(docs: DataFrame) -> DataFrame:
     from ..functions.textfns import hash60_spark_sql
     from .textops import _split_case
 
-    clusters = dedup_clusters(docs).select("doc_id", "cluster_id")
+    docs = collapse_doc_identity(docs)  # remediation-family entry (r16)
+    clusters = dedup_clusters(
+        docs, edges=minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    ).select("doc_id", "cluster_id")
     base = docs.select("doc_id").join(clusters, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("group_key"),
@@ -2086,8 +2108,8 @@ def leakage_safe_split_oracle() -> str:
     from .textops import _split_case
 
     split_case = _split_case(hash60_duck_sql, key="group_key")
-    return f"""
-        WITH clusters AS ({dedup_clusters_oracle()}),
+    return pk1_oracle(f"""
+        WITH clusters AS ({_dedup_clusters_oracle_raw()}),
         base AS (
             SELECT d.doc_id,
                    coalesce(c.cluster_id, d.doc_id) AS group_key,
@@ -2096,7 +2118,7 @@ def leakage_safe_split_oracle() -> str:
         )
         SELECT doc_id, group_key, is_clustered, {split_case} AS split
         FROM base
-    """
+    """)
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:

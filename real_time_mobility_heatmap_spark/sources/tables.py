@@ -30,8 +30,10 @@ net is tests/test_perturbed_corpus.py (DUPKEYS axis).
 
 REMEDIATION-FAMILY EXCEPTION (r16, r15 verdict #3): operators whose JOB
 is cleaning foreign/dirty corpora — ``incremental_dedup``, the winnow
-family, the decontaminate family — are NOT members of the sensitive
-set: they pre-collapse doc_id identity at entry
+family, the decontaminate family, and the cluster/keep/split tier
+(``dedup_clusters`` / ``dedup_keep_best`` — the remediation operators
+this contract itself names — and ``leakage_safe_split``) — are NOT
+members of the sensitive set: they pre-collapse doc_id identity at entry
 (operators/dedup.py ``collapse_doc_identity``, oracle mirror
 ``pk1_oracle``), so they stay deterministic and engine/oracle-agreed on
 exactly the PK-violating input they exist to handle (pinned on a

@@ -573,6 +573,11 @@ REMEDIATION_FAMILY_QUERIES = [
     "decontaminate",
     "decontaminate_bloom",
     "decontaminate_bloom_bitmap",
+    # the cluster/keep/split tier — the contract's NAMED remediation path
+    # (dedup_keep_best) and the curation outputs built on it
+    "dedup_clusters",
+    "dedup_keep_best",
+    "leakage_safe_split",
 ]
 
 
