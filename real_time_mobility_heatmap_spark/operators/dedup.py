@@ -923,7 +923,13 @@ def winnow_match_pairs(docs: DataFrame, fps: DataFrame | None = None) -> DataFra
     build, so results are deterministic on PK-violating input."""
     docs = collapse_doc_identity(docs)
     if fps is None:
-        fps = _winnow_fingerprints_body(docs)
+        # materialize once: the capped-bucket builder reads the
+        # fingerprint relation TWICE (hot-key count + anti-join collect),
+        # and the fingerprint pipeline now carries the identity collapse —
+        # recomputing it per pass doubled the operator's cost (the one
+        # hard flag on the r16 quiet bench). Same pattern as
+        # _lsh_buckets' exploded-bands cut.
+        fps = cut_lineage(_winnow_fingerprints_body(docs), eager=False)
     return _winnow_match_pairs_body(docs, fps)
 
 
