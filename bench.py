@@ -15,7 +15,10 @@ long, the cheapest queries are folded into one ``_other`` bucket (their
 sum — cheap queries are inside the regression guard's 0.3 s absolute
 slack anyway, so per-query detail matters most for the expensive ones).
 The COMPLETE payload — all per-query timings at 3 decimals, regressions,
-like-for-like subtotals — is written to ``BENCH_DETAIL.json`` every run.
+like-for-like subtotals — is written to ``BENCH_DETAIL.json`` when the
+run is QUIET (calibration inside the quiet bound — the only reads that
+may ratchet the baseline), else to ``BENCH_LAST_RUN.json`` so a noisy
+driver read can never overwrite the quiet pin (r16 verdict #1).
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ from real_time_mobility_heatmap_spark.session import get_spark  # noqa: E402
 
 LINE_BUDGET = 1850  # stdout line cap: recorder tail window is ~2000 chars
 DETAIL_PATH = REPO / "BENCH_DETAIL.json"
+LAST_RUN_PATH = REPO / "BENCH_LAST_RUN.json"
 
 
 def main() -> None:
@@ -213,10 +217,7 @@ def main() -> None:
     detail = dict(payload)
     detail["calibration"] = calibration
     detail["raw_times"] = {k: [round(t, 3) for t in v] for k, v in all_times.items()}
-    try:
-        DETAIL_PATH.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
-    except OSError:
-        pass
+    _persist_detail(detail)
     print(_stdout_line(payload))
     spark.stop()
     if (regressions or persistent) and os.getenv("SPARK_GRAFT_BENCH_STRICT"):
@@ -246,7 +247,45 @@ def _stdout_line(payload: dict) -> str:
     return line
 
 
+def _persist_detail(detail: dict) -> Path:
+    """Route the full detail record to disk and return the path written.
+
+    QUIET runs refresh the ratchet file (``BENCH_DETAIL.json`` — the
+    per-query baseline every later run compares against); non-quiet runs
+    go to ``BENCH_LAST_RUN.json`` instead, so hypervisor weather can
+    never overwrite the quiet pin. Three consecutive rounds (r14-r16)
+    opened with a ritual ``git checkout -- BENCH_DETAIL.json`` because
+    the driver's noisy per-round read landed in the ratchet; routing by
+    the run's own quiet verdict removes the ritual without changing any
+    gate semantics (the quiet pin stays the only baseline source, and a
+    noisy run's record is still fully preserved for adjudication)."""
+    target = DETAIL_PATH if detail.get("quiet") else LAST_RUN_PATH
+    try:
+        target.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
+    except OSError:
+        pass
+    return target
+
+
 ADJUDICATED_PATH = REPO / "bench_adjudicated.json"
+
+
+def _adjudicated_round(entry) -> int:
+    """Refuted-round from one bench_adjudicated.json value. Two formats:
+    the legacy bare int, and the evidence-bearing object
+    ``{"round": N, "evidence": "<SCALE.md anchor>"}`` (r16 advice: a
+    blanket name list with no per-entry pointer could quietly mute the
+    persistence escalation; tests/test_bench_guard.py asserts every
+    committed entry's evidence anchor exists in SCALE.md)."""
+    if isinstance(entry, dict):
+        try:
+            return int(entry.get("round", -1))
+        except (TypeError, ValueError):
+            return -1
+    try:
+        return int(entry)
+    except (TypeError, ValueError):
+        return -1
 
 
 def _persistent_flags(flagged_now: set, env: dict) -> list[str]:
@@ -274,23 +313,29 @@ def _persistent_flags(flagged_now: set, env: dict) -> list[str]:
             parsed = json.loads(p.read_text()).get("parsed") or {}
         except (OSError, ValueError, AttributeError):
             return []
-        if any(
-            parsed.get(k) != env.get(k)
-            for k in ("pyspark", "cpus", "jvm")
-            if k in parsed
-        ):
+        if any(k not in parsed for k in ("pyspark", "cpus", "jvm")):
+            # env-UNKNOWN record (pre-fingerprint round, or a parsed:null
+            # recovery): can't attribute the flag to the same host, so it
+            # must not extend a same-env streak — mirror the conservative
+            # return on parse errors (r16 advice)
+            return []
+        if any(parsed.get(k) != env.get(k) for k in ("pyspark", "cpus", "jvm")):
             return []  # env changed: multiplicative host shift, not code
         prior = set(parsed.get("regressions", {})) | set(
             parsed.get("regressions_drift_suspect", {})
         )
-        survivors &= {n for n in prior if adjudicated.get(n, -1) < rnd}
+        survivors &= {
+            n for n in prior if _adjudicated_round(adjudicated.get(n, -1)) < rnd
+        }
     return sorted(survivors)
 
 
 def _env_match_prev(payload: dict) -> bool | None:
-    """True/False if the newest recorded round carries an environment
-    fingerprint and it does/doesn't match this run; None when the
-    previous record predates fingerprinting (r5 and earlier)."""
+    """True/False if the newest recorded round carries a COMPLETE
+    environment fingerprint and it does/doesn't match this run; None when
+    the previous record predates fingerprinting (r5 and earlier) or is
+    missing any fingerprint key (env-unknown — same conservative posture
+    as ``_persistent_flags``, r16 advice)."""
     recorded = sorted(REPO.glob("BENCH_r*.json"), reverse=True)
     if not recorded:
         return None
@@ -298,11 +343,9 @@ def _env_match_prev(payload: dict) -> bool | None:
         prev = json.loads(recorded[0].read_text()).get("parsed") or {}
     except (OSError, ValueError):
         return None
-    if "pyspark" not in prev:
+    if any(k not in prev for k in ("pyspark", "cpus", "jvm")):
         return None
-    return all(
-        prev.get(k) == payload.get(k) for k in ("pyspark", "cpus", "jvm") if k in prev
-    )
+    return all(prev.get(k) == payload.get(k) for k in ("pyspark", "cpus", "jvm"))
 
 
 def _recorded_queries(path: Path) -> dict[str, float]:

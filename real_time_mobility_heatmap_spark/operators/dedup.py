@@ -791,11 +791,25 @@ def pk1_oracle(sql: str) -> str:
     including inside embedded sub-oracles and the ``_DF_CAP_DUCK`` corpus
     count, so the hot-shingle cap sees the same collapsed cardinality the
     Spark side's ``_doc_cap`` does. (DuckDB forbids a CTE from shadowing
-    the table it reads, hence the distinct name.)"""
+    the table it reads, hence the distinct name.)
+
+    Both the ``FROM documents`` and ``JOIN documents`` reference forms are
+    rewritten, and a build-time assert rejects any OTHER surviving bare
+    ``documents`` token (comma-join lists, quoted names) — r16 advice: a
+    future wrapped oracle using a form this function missed would
+    silently read the uncollapsed table and diverge from the Spark side's
+    ``collapse_doc_identity``."""
     import re as _re
 
     assert "documents_pk1" not in sql
-    body = _re.sub(r"\bFROM documents\b", "FROM documents_pk1", sql)
+    body = _re.sub(r"\b(FROM|JOIN) documents\b", r"\1 documents_pk1", sql)
+    leftover = _re.search(r"\bdocuments\b", body)
+    if leftover is not None:
+        ctx = body[max(0, leftover.start() - 40) : leftover.start() + 40]
+        raise AssertionError(
+            "pk1_oracle: unrewritten `documents` reference (use the "
+            f"FROM/JOIN form): ...{ctx}..."
+        )
     cte = (
         "documents_pk1 AS (SELECT doc_id, min(text) AS text"
         " FROM documents GROUP BY doc_id)"

@@ -95,20 +95,56 @@ def spread(df: DataFrame) -> DataFrame:
     round-robin it inserted destroyed the exchange reuse the downstream
     doc_id-partitioned stages get for free (r16 profile: the collapse
     regression was mostly this, not the aggregate).
+
+    Detection walks the analyzed logical plan's NODE CLASSES (r16 advice:
+    the earlier rendered-string substring match false-positived on any
+    literal/alias containing "Join" etc., and wrongly counted Generate —
+    explode — which produces no shuffle, so an explode-only lineage would
+    have silently run at raw-scan parallelism).
     """
-    try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if any(
-            k in plan
-            for k in ("Aggregate", "Repartition", "Join", "Window", "Generate")
-        ):
-            return df
-    except Exception:
-        pass
+    if _has_shuffle_node(df):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# Logical-plan node classes whose physical translation introduces an
+# exchange (or an explicit partitioning the caller chose): downstream
+# parallelism then comes from spark.sql.shuffle.partitions / AQE, so
+# spread()'s round-robin would only destroy it.
+_SHUFFLE_NODE_CLASSES = frozenset(
+    {
+        "Aggregate",
+        "Join",
+        "Window",
+        "Repartition",  # repartition(n) / coalesce
+        "RepartitionByExpression",  # repartition(col), DISTRIBUTE BY
+        "RebalancePartitions",
+        "Distinct",
+        "Deduplicate",  # dropDuplicates
+    }
+)
+
+
+def _has_shuffle_node(df: DataFrame) -> bool:
+    """True when the DataFrame's analyzed logical plan contains a node
+    class from ``_SHUFFLE_NODE_CLASSES`` anywhere in the tree (walked via
+    py4j ``children()``; conservative False on any introspection error,
+    which at worst re-adds spread()'s harmless repartition)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() in _SHUFFLE_NODE_CLASSES:
+                return True
+            children = node.children()
+            for i in range(children.length()):
+                stack.append(children.apply(i))
+    except Exception:
+        return False
+    return False
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -81,3 +81,76 @@ def test_adjudicated_refutation_excuses_covered_rounds(tmp_path, monkeypatch):
     assert _run(tmp_path, monkeypatch, {"q_slow"}, {"q_slow": 13}) == [
         "q_slow"
     ]
+
+
+def test_evidence_format_adjudication_is_honored(tmp_path, monkeypatch):
+    """The r17 format {name: {round, evidence}} refutes exactly like the
+    legacy bare-int format; malformed entries count as never-refuted."""
+    _write_record(tmp_path, 14, ["q_slow"])
+    _write_record(tmp_path, 15, ["q_slow"])
+    entry = {"round": 15, "evidence": "SCALE.md: some A/B section"}
+    assert _run(tmp_path, monkeypatch, {"q_slow"}, {"q_slow": entry}) == []
+    stale = {"round": 13, "evidence": "SCALE.md: some A/B section"}
+    assert _run(tmp_path, monkeypatch, {"q_slow"}, {"q_slow": stale}) == [
+        "q_slow"
+    ]
+    # malformed (no round key / non-numeric) never refutes
+    assert _run(
+        tmp_path, monkeypatch, {"q_slow"}, {"q_slow": {"evidence": "x"}}
+    ) == ["q_slow"]
+    assert _run(
+        tmp_path, monkeypatch, {"q_slow"}, {"q_slow": {"round": "soon"}}
+    ) == ["q_slow"]
+
+
+def test_env_unknown_record_breaks_the_streak(tmp_path, monkeypatch):
+    """A recorded round missing any fingerprint key (pre-fingerprint
+    round or parsed:null recovery) is env-UNKNOWN, not same-env: it must
+    not let a streak escalate across an unverified env change (r16
+    advice — `if k in parsed` silently treated missing keys as equal)."""
+    env_missing_jvm = {k: v for k, v in ENV.items() if k != "jvm"}
+    _write_record(tmp_path, 14, ["q_slow"], env=env_missing_jvm)
+    _write_record(tmp_path, 15, ["q_slow"])
+    assert _run(tmp_path, monkeypatch, {"q_slow"}) == []
+
+
+def test_committed_adjudications_carry_scale_md_evidence():
+    """Every entry in the repo's bench_adjudicated.json must point at a
+    SCALE.md anchor that actually exists — a blanket name list with no
+    verifiable evidence could quietly mute the persistence escalation
+    (r16 advice). Legacy bare-int entries are no longer allowed in the
+    committed file."""
+    repo = Path(bench.__file__).resolve().parent
+    adjudicated = json.loads((repo / "bench_adjudicated.json").read_text())
+    scale = (repo / "SCALE.md").read_text()
+    assert adjudicated, "committed adjudication file unexpectedly empty"
+    for name, entry in adjudicated.items():
+        assert isinstance(entry, dict), f"{name}: legacy bare-int entry"
+        assert bench._adjudicated_round(entry) >= 0, f"{name}: bad round"
+        evidence = entry.get("evidence", "")
+        anchor = evidence.split("SCALE.md:", 1)[-1].strip()
+        assert anchor and anchor in scale, (
+            f"{name}: evidence anchor not found in SCALE.md: {evidence!r}"
+        )
+
+
+def test_nonquiet_detail_never_mutates_the_ratchet(tmp_path, monkeypatch):
+    """The structural fix for the r14-r16 restore ritual: a non-quiet
+    run's detail record lands in BENCH_LAST_RUN.json and the ratchet
+    file (BENCH_DETAIL.json) is untouched; a quiet run refreshes the
+    ratchet."""
+    detail_path = tmp_path / "BENCH_DETAIL.json"
+    last_run_path = tmp_path / "BENCH_LAST_RUN.json"
+    monkeypatch.setattr(bench, "DETAIL_PATH", detail_path)
+    monkeypatch.setattr(bench, "LAST_RUN_PATH", last_run_path)
+    pin = {"quiet": True, "value": 240.0}
+    detail_path.write_text(json.dumps(pin))
+
+    noisy = {"quiet": False, "value": 306.0}
+    assert bench._persist_detail(noisy) == last_run_path
+    assert json.loads(detail_path.read_text()) == pin  # ratchet untouched
+    assert json.loads(last_run_path.read_text())["value"] == 306.0
+
+    quiet = {"quiet": True, "value": 238.0}
+    assert bench._persist_detail(quiet) == detail_path
+    assert json.loads(detail_path.read_text())["value"] == 238.0

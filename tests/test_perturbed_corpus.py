@@ -823,3 +823,24 @@ def test_assert_measure_domain_is_the_contract_boundary(spark, xval_sf_dir):
         assert_measure_domain(ev_bad, "value", "events")
     ev_ok = load_table(spark, SRC, "events")
     assert assert_measure_domain(ev_ok, "value", "events") is ev_ok
+
+
+def test_pk1_oracle_rewrites_join_form_and_rejects_other_forms():
+    """r16 advice: pk1_oracle used to rewrite only `FROM documents`, so a
+    composed oracle JOINing documents would silently read the
+    UNCOLLAPSED table and diverge from collapse_doc_identity. Both
+    reference forms must rewrite; any other surviving bare `documents`
+    token must fail at build time, not at compare time."""
+    from real_time_mobility_heatmap_spark.operators.dedup import pk1_oracle
+
+    out = pk1_oracle("SELECT * FROM documents JOIN documents d ON 1=1")
+    assert "JOIN documents_pk1 d" in out and "FROM documents_pk1" in out
+    # the only bare `documents` read left is the CTE's own definition
+    assert out.count("FROM documents ") + out.count("FROM documents\n") <= 1
+
+    import pytest
+
+    with pytest.raises(AssertionError, match="unrewritten"):
+        pk1_oracle("SELECT * FROM documents, documents d2")
+    with pytest.raises(AssertionError):
+        pk1_oracle("WITH x AS (SELECT 1) SELECT * FROM x, documents")

@@ -218,10 +218,19 @@ _CANON = re.compile(r"round0|CAST\(0\.0 AS DOUBLE\)|round_half_up")
 def _round_sites():
     """(relpath, lineno, line) for every native-round occurrence outside
     comments and docstrings — token-level, so docstring prose never
-    counts and f-string SQL fragments always do."""
+    counts and f-string SQL fragments always do.
+
+    On Python >= 3.12 f-strings tokenize as FSTRING_START/MIDDLE/END
+    instead of one STRING token (r16 advice: a STRING-only scan would
+    silently skip every oracle ``round(`` inside an f-string there, and
+    most oracle SQL lives in f-strings); FSTRING_MIDDLE chunks are
+    scanned exactly like non-docstring STRING bodies. A non-vacuity
+    floor in the classification test fails loudly if a future tokenizer
+    change ever drops the count instead of passing with zero sites."""
     import io
     import tokenize
 
+    fstring_middle = getattr(tokenize, "FSTRING_MIDDLE", None)
     out = []
     for py in sorted(PKG.rglob("*.py")):
         rel = str(py.relative_to(PKG))
@@ -231,8 +240,9 @@ def _round_sites():
         for t in tokenize.generate_tokens(io.StringIO(src).readline):
             if t.type == tokenize.COMMENT:
                 continue
-            if t.type == tokenize.STRING:
-                is_doc = prev in (
+            if t.type == tokenize.STRING or t.type == fstring_middle:
+                # an FSTRING_MIDDLE is never a docstring
+                is_doc = t.type == tokenize.STRING and prev in (
                     tokenize.INDENT, tokenize.DEDENT, tokenize.NEWLINE, None
                 )
                 if not is_doc:
@@ -250,7 +260,15 @@ def _round_sites():
 def test_every_native_round_site_is_classified():
     offenders = []
     by_file: dict = {}
-    for rel, ln, line in _round_sites():
+    sites = _round_sites()
+    # non-vacuity floor (r16 advice): 3.11 finds ~143 sites; a tokenizer
+    # change that silently drops f-string coverage must fail here, not
+    # pass with zero sites audited
+    assert len(sites) >= 100, (
+        f"only {len(sites)} native-round sites found — the scanner lost "
+        "coverage (f-string tokenization change?)"
+    )
+    for rel, ln, line in sites:
         window = by_file.setdefault(rel, (PKG / rel).read_text().splitlines())
         ctx = "\n".join(window[ln - 1 : ln + 9])
         if _CANON.search(ctx):

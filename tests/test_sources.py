@@ -59,3 +59,45 @@ def test_partitioned_tile_write_prunes_on_read(spark, tmp_path):
     assert one_day.count() == tiles.filter(
         F.to_date("window_start") == "2024-01-02"
     ).count()
+
+
+def test_spread_shuffle_detection_walks_plan_nodes(spark):
+    """spread() must pass shuffle-bearing plans through untouched (their
+    parallelism comes from shuffle.partitions/AQE and the probe would
+    finalize the AQE plan), repartition narrow scans, and — the r16
+    advice fixes — neither treat explode (Generate) as a shuffle nor
+    false-positive on literals/aliases whose TEXT contains a node name."""
+    from real_time_mobility_heatmap_spark.sources.tables import (
+        _has_shuffle_node,
+        spread,
+    )
+
+    ev = _events(spark).select("event_id", "user_id")
+
+    # narrow scan: no shuffle node -> spread repartitions up to cores
+    assert not _has_shuffle_node(ev)
+    target = spark.sparkContext.defaultParallelism
+    assert spread(ev).rdd.getNumPartitions() >= min(target, 2)
+
+    # aggregate / join / window / repartition / dropDuplicates: detected
+    agg = ev.groupBy("user_id").count()
+    assert _has_shuffle_node(agg)
+    assert spread(agg) is agg
+    assert _has_shuffle_node(ev.join(agg, "user_id"))
+    assert _has_shuffle_node(ev.repartition(4))
+    assert _has_shuffle_node(ev.dropDuplicates(["user_id"]))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    assert _has_shuffle_node(ev.withColumn("rn", F.row_number().over(w)))
+
+    # Generate (explode) is NOT shuffle-producing: explode-only lineage
+    # must still be spread to full parallelism
+    exploded = ev.select("event_id", F.explode(F.array(F.lit(1), F.lit(2))))
+    assert not _has_shuffle_node(exploded)
+
+    # a literal/alias whose text contains a node class name must not trip
+    tricked = ev.select(
+        F.lit("Join Window Aggregate").alias("RepartitionNote")
+    )
+    assert not _has_shuffle_node(tricked)
