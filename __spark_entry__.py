@@ -147,58 +147,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
         # (1) CHANGED this round (re-verify the round code lands):
-        "cluster_quality_report": similarity.q_cluster_quality_report,
-        "decontaminate": dedup.q_decontaminate,
-        "decontaminate_bloom": dedup.q_decontaminate_bloom,
-        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
-        "embedding_drift_report": similarity.q_embedding_drift_report,
+        "polygon_zone_counts": spatial.q_polygon_zone_counts,
+        "unpivot_tile_metrics": _q_unpivot_tile_metrics,
+        "mobility_tiles": _q_mobility_tiles,
+        "zone_counts": spatial.q_zone_counts,
+        "demux_tiles": multiplex.q_demux_tiles,
+        "fresh_tiles": geojson.q_fresh_tiles,
+        "sliding_cell_counts": windows.q_sliding_cell_counts,
+        "salted_cell_counts": windows.q_salted_cell_counts,
+        "vehicle_sessions": windows.q_vehicle_sessions,
+        "latest_window_snapshot": latest.q_latest_window_snapshot,
+        "cell_speed_trend": flows.q_cell_speed_trend,
+        "streaming_tiles": run_streaming_tiles,
+        "streaming_sessions": run_streaming_sessions,
+        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
+        "resample_trajectories": trajectory.q_resample_trajectories,
+        "co_dwell_pairs": flows.q_co_dwell_pairs,
+        "tile_gap_fill": flows.q_tile_gap_fill,
+        "tile_speed_locf": flows.q_tile_speed_locf,
+        "cusum_anomaly_report": science.q_cusum_anomaly_report,
+        "moving_avg_speed": relational.q_moving_avg_speed,
+        "range_frame_speed": relational.q_range_frame_speed,
+        "zscore_outliers": analytics.q_zscore_outliers,
+        "salted_join_stats": relational.q_salted_join_stats,
         "embedding_neardup": similarity.q_embedding_neardup,
-        "ewma_speed": analytics.q_ewma_speed,
-        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,
-        "incremental_dedup": dedup.q_incremental_dedup,
-        "ivf_assign": similarity.q_ivf_assign,
-        "ivf_assign_trained": similarity.q_ivf_assign_trained,
-        "ivf_recall_report": similarity.q_ivf_recall_report,
-        "kmeans_update": similarity.q_kmeans_update,
-        "modality_agreement_report": similarity.q_modality_agreement_report,
-        "partition_pruned_stats": relational.q_partition_pruned_stats,
-        "quantize_embeddings": similarity.q_quantize_embeddings,
-        "quantized_recall_report": similarity.q_quantized_recall_report,
-        "rp_project": similarity.q_rp_project,
-        "rp_recall_report": similarity.q_rp_recall_report,
-        "semantic_decontaminate": curation.q_semantic_decontaminate,
-        "semantic_dedup": similarity.q_semantic_dedup,
-        "topk_cosine": similarity.q_topk_cosine,
-        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,
-        "topk_cosine_filtered": similarity.q_topk_cosine_filtered,
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
-        "value_percentiles": windows.q_value_percentiles,
-        "vband_geometry_report": similarity.q_vband_geometry_report,
-        "winnow_fingerprints": dedup.q_winnow_fingerprints,
-        "winnow_match_pairs": dedup.q_winnow_match_pairs,
-        "winnow_match_spans": dedup.q_winnow_match_spans,
-        "dedup_clusters": dedup.q_dedup_clusters,
-        "dedup_keep_best": dedup.q_dedup_keep_best,
-        "leakage_safe_split": dedup.q_leakage_safe_split,
+        "hierarchical_rollups": _q_hierarchical_rollups,
+        "rollup_delta_merge": _q_rollup_delta_merge,
         # (2) oldest-green-first rotation:
-        "multiplex_summary": multiplex.q_multiplex_summary,  # r9
-        "orders_with_big_items": relational.q_orders_with_big_items,  # r9
-        "pack_sequences": textops.q_pack_sequences,  # r9
-        "part_supplier_counts": tpch.q_part_supplier_counts,  # r9
-        "range_partition_plan": relational.q_range_partition_plan,  # r9
-        "sales_rollup": relational.q_sales_rollup,  # r9
-        "simhash": dedup.q_simhash,  # r9
-        "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,  # r9
-        "small_quantity_revenue": relational.q_small_quantity_revenue,  # r9
-        "tile_feature_collection": geojson.q_tile_feature_collection,  # r9
-        "tile_features_flat": geojson.q_tile_features_flat,  # r9
-        "top_window": latest.q_top_window,  # r9
-        "watermark_latedrop": latest.q_watermark_latedrop,  # r9
-        "wire_roundtrip": decode.q_wire_roundtrip,  # r9
-        "active_cells_flags": relational.q_active_cells_flags,  # r10
-        "cell_reachability": flows.q_cell_reachability,  # r10
-        # ------------- end of driver window (50 entries) -------------
         "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10
         "convoy_clusters": flows.q_convoy_clusters,  # r10
         "copurchase_affinity": analytics.q_copurchase_affinity,  # r10
@@ -223,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": textops.q_term_frequencies,  # r10
         "tfidf_top_terms": textops.q_tfidf_top_terms,  # r10
         "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,  # r10
+        # ------------- end of driver window (50 entries) -------------
         "training_order": curation.q_training_order,  # r10
         "trip_distance_report": flows.q_trip_distance_report,  # r10
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
@@ -237,9 +213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recent_tiles_merged": latest.q_recent_tiles_merged,  # r11
         "redact_pii": textops.q_redact_pii,  # r11
         "repetition_stats": textops.q_repetition_stats,  # r11
-        "salted_cell_counts": windows.q_salted_cell_counts,  # r11
-        "salted_join_stats": relational.q_salted_join_stats,  # r11
-        "sliding_cell_counts": windows.q_sliding_cell_counts,  # r11
         "sql_pricing_summary": wire.q_sql_pricing_summary,  # r11
         "token_commonness": textops.q_token_commonness,  # r11
         "vehicle_travel_stats": windows.q_vehicle_travel_stats,  # r11
@@ -251,10 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": textops.q_lm_score,  # r12
         "location_entropy": science.q_location_entropy,  # r12
         "media_phash_pairs": multimodal.q_media_phash_pairs,  # r12
-        "mobility_tiles": _q_mobility_tiles,  # r12
-        "moving_avg_speed": relational.q_moving_avg_speed,  # r12
         "order_rank_report": relational.q_order_rank_report,  # r12
-        "range_frame_speed": relational.q_range_frame_speed,  # r12
         "scd2_merge_apply": windows.q_scd2_merge_apply,  # r12
         "scd2_user_segments": windows.q_scd2_user_segments,  # r12
         "snapshot_diff_report": relational.q_snapshot_diff_report,  # r12
@@ -264,7 +234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_colors": wire.q_tile_colors,  # r12
         "value_histogram": windows.q_value_histogram,  # r12
         "wire_encode": wire.q_wire_encode,  # r12
-        "zone_counts": spatial.q_zone_counts,  # r12
         "attribution_report": relational.q_attribution_report,  # r13
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r13
         "chunk_documents": textops.q_chunk_documents,  # r13
@@ -284,9 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textops.q_quality_score,  # r13
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r13
         "source_mixture_report": textops.q_source_mixture_report,  # r13
-        "vehicle_sessions": windows.q_vehicle_sessions,  # r13
         "zorder_layout_report": spatial.q_zorder_layout_report,  # r13
-        "zscore_outliers": analytics.q_zscore_outliers,  # r13
         "approx_distinct_accuracy": relational.q_approx_distinct_accuracy,  # r14
         "bm25_top_terms": textops.q_bm25_top_terms,  # r14
         "bpe_merge_round": textops.q_bpe_merge_round,  # r14
@@ -312,7 +279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.q_minhash_signatures,  # r14
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,  # r14
         "ngram_novelty_report": textops.q_ngram_novelty_report,  # r14
-        "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r14
         "position_features": geojson.q_position_features,  # r14
         "props_key_stats": decode.q_props_key_stats,  # r14
         "repeated_span_report": dedup.q_repeated_span_report,  # r14
@@ -321,33 +287,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r14
         "token_count": textops.q_token_count,  # r14
         "triangle_count": dedup.q_triangle_count,  # r14
-        "unpivot_tile_metrics": _q_unpivot_tile_metrics,  # r14
         "vocab_coverage_report": textops.q_vocab_coverage_report,  # r14
         "weighted_sample": textops.q_weighted_sample,  # r14
         "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,  # r15
         "autocorrelation_report": analytics.q_autocorrelation_report,  # r15
         "bloom_semijoin_stats": relational.q_bloom_semijoin_stats,  # r15
         "bucketed_join_stats": relational.bucketed_join_stats,  # r15
-        "cell_speed_trend": flows.q_cell_speed_trend,  # r15
-        "co_dwell_pairs": flows.q_co_dwell_pairs,  # r15
         "cohort_retention": analytics.q_cohort_retention,  # r15
         "conversion_window_counts": relational.q_conversion_window_counts,  # r15
         "cube_sales": relational.q_cube_sales,  # r15
         "customers_without_orders": relational.q_customers_without_orders,  # r15
-        "cusum_anomaly_report": science.q_cusum_anomaly_report,  # r15
-        "demux_tiles": multiplex.q_demux_tiles,  # r15
         "disjunctive_revenue": tpch.q_disjunctive_revenue,  # r15
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,  # r15
         "exact_dedup": dedup.q_exact_dedup,  # r15
         "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,  # r15
         "forecast_revenue_change": tpch.q_forecast_revenue_change,  # r15
-        "fresh_tiles": geojson.q_fresh_tiles,  # r15
         "gps_jump_report": flows.q_gps_jump_report,  # r15
-        "hierarchical_rollups": _q_hierarchical_rollups,  # r15
         "large_volume_customers": tpch.q_large_volume_customers,  # r15
         "latest_join": latest.q_latest_join,  # r15
         "latest_rownum": latest.q_latest_rownum,  # r15
-        "latest_window_snapshot": latest.q_latest_window_snapshot,  # r15
         "local_supplier_volume": relational.q_local_supplier_volume,  # r15
         "mad_outliers": analytics.q_mad_outliers,  # r15
         "min_cost_supplier": tpch.q_min_cost_supplier,  # r15
@@ -356,24 +314,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": decode.q_normalize,  # r15
         "ping_gap_report": flows.q_ping_gap_report,  # r15
         "pk_violation_report": relational.q_pk_violation_report,  # r15
-        "resample_trajectories": trajectory.q_resample_trajectories,  # r15
         "returned_item_reporting": tpch.q_returned_item_reporting,  # r15
-        "rollup_delta_merge": _q_rollup_delta_merge,  # r15
         "shipping_priority": relational.q_shipping_priority,  # r15
-        "similar_speed_profiles": trajectory.q_similar_speed_profiles,  # r15
         "stay_points": flows.q_stay_points,  # r15
         "streaming_conversions": run_streaming_conversions,  # r15
         "streaming_enriched": run_streaming_enriched,  # r15
         "streaming_positions": run_streaming_positions,  # r15
-        "streaming_sessions": run_streaming_sessions,  # r15
-        "streaming_tiles": run_streaming_tiles,  # r15
         "table_profile": windows.q_table_profile,  # r15
         "table_profile_accuracy": windows.q_table_profile_accuracy,  # r15
         "tile_anomaly_report": flows.q_tile_anomaly_report,  # r15
-        "tile_gap_fill": flows.q_tile_gap_fill,  # r15
-        "tile_speed_locf": flows.q_tile_speed_locf,  # r15
         "top_suppliers": tpch.q_top_suppliers,  # r15
         "value_domain_report": relational.q_value_domain_report,  # r15
+        "active_cells_flags": relational.q_active_cells_flags,  # r16
+        "cell_reachability": flows.q_cell_reachability,  # r16
+        "cluster_quality_report": similarity.q_cluster_quality_report,  # r16
+        "decontaminate": dedup.q_decontaminate,  # r16
+        "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r16
+        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r16
+        "dedup_clusters": dedup.q_dedup_clusters,  # r16
+        "dedup_keep_best": dedup.q_dedup_keep_best,  # r16
+        "embedding_drift_report": similarity.q_embedding_drift_report,  # r16
+        "ewma_speed": analytics.q_ewma_speed,  # r16
+        "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,  # r16
+        "incremental_dedup": dedup.q_incremental_dedup,  # r16
+        "ivf_assign": similarity.q_ivf_assign,  # r16
+        "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r16
+        "ivf_recall_report": similarity.q_ivf_recall_report,  # r16
+        "kmeans_update": similarity.q_kmeans_update,  # r16
+        "leakage_safe_split": dedup.q_leakage_safe_split,  # r16
+        "modality_agreement_report": similarity.q_modality_agreement_report,  # r16
+        "multiplex_summary": multiplex.q_multiplex_summary,  # r16
+        "orders_with_big_items": relational.q_orders_with_big_items,  # r16
+        "pack_sequences": textops.q_pack_sequences,  # r16
+        "part_supplier_counts": tpch.q_part_supplier_counts,  # r16
+        "partition_pruned_stats": relational.q_partition_pruned_stats,  # r16
+        "quantize_embeddings": similarity.q_quantize_embeddings,  # r16
+        "quantized_recall_report": similarity.q_quantized_recall_report,  # r16
+        "range_partition_plan": relational.q_range_partition_plan,  # r16
+        "rp_project": similarity.q_rp_project,  # r16
+        "rp_recall_report": similarity.q_rp_recall_report,  # r16
+        "sales_rollup": relational.q_sales_rollup,  # r16
+        "semantic_decontaminate": curation.q_semantic_decontaminate,  # r16
+        "semantic_dedup": similarity.q_semantic_dedup,  # r16
+        "simhash": dedup.q_simhash,  # r16
+        "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,  # r16
+        "small_quantity_revenue": relational.q_small_quantity_revenue,  # r16
+        "tile_feature_collection": geojson.q_tile_feature_collection,  # r16
+        "tile_features_flat": geojson.q_tile_features_flat,  # r16
+        "top_window": latest.q_top_window,  # r16
+        "topk_cosine": similarity.q_topk_cosine,  # r16
+        "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r16
+        "topk_cosine_filtered": similarity.q_topk_cosine_filtered,  # r16
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,  # r16
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,  # r16
+        "value_percentiles": windows.q_value_percentiles,  # r16
+        "vband_geometry_report": similarity.q_vband_geometry_report,  # r16
+        "watermark_latedrop": latest.q_watermark_latedrop,  # r16
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,  # r16
+        "winnow_match_pairs": dedup.q_winnow_match_pairs,  # r16
+        "winnow_match_spans": dedup.q_winnow_match_spans,  # r16
+        "wire_roundtrip": decode.q_wire_roundtrip,  # r16
     }
 
 

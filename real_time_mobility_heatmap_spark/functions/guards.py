@@ -28,6 +28,23 @@ from __future__ import annotations
 
 MAX_SPINE_STEPS = 200_000
 
+# Densification event-time DOMAIN (r17): the six spine consumers fail
+# fast on any input timestamp outside [SPINE_TS_MIN, SPINE_TS_MAX) —
+# checked row-locally at the operator INPUT (operators/validate.py
+# require_ts_domain), so the trip is a function of the corpus's CONTENT,
+# not of whether a particular entity's spine happened to materialize
+# past MAX_SPINE_STEPS (r16 dupkeys+xts seed 1616: co_dwell_pairs' span
+# guard did not trip because no extreme-ts STAY formed — seed-dependent
+# membership the r16 verdict asked to make deterministic). The batch
+# surface at large keeps the full year 1-9999 domain; only operators
+# that DENSIFY time carry this bound, chosen to admit any plausible
+# historical/forecast window while excluding the corrupted-feed years
+# (92, 9924) the --xts axis manufactures. The per-entity span guards
+# below REMAIN as the backstop for in-domain-but-enormous spans (200
+# in-domain years hourly is still ~1.75M steps).
+SPINE_TS_MIN = "1900-01-01 00:00:00"
+SPINE_TS_MAX = "2100-01-01 00:00:00"
+
 
 def spine_guard_sql(lo: str, hi: str, step: str, op: str) -> str:
     """SQL fragment: ``sequence(lo, hi, step)`` over int64s (epoch

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.epochs import epoch_s_sql
 from ..functions.percentiles import percentile_disc_exact
-from ..functions.rounding import round0, round0_sql
+from ..functions.rounding import fixed_units, fixed_units_sql, round0, round0_sql
 from ..functions.rounding import round_half_up, round_half_up_sql
 from ..sources.tables import load_table
 
@@ -169,7 +169,7 @@ def zscore_outliers(events: DataFrame) -> DataFrame:
     # n is the NON-NULL value count (r12 advice): s1/s2 skip NULLs, so
     # dividing by count(*) under a NULL-carrying corpus biased every
     # moment — standard avg/stddev semantics divide by count(value).
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents = fixed_units("value", 100)
     cents_dec = cents.cast("decimal(19,0)")
     stats = events.groupBy("event_type").agg(
         F.count(F.col("value")).alias("_n"),
@@ -210,9 +210,9 @@ ZSCORE_OUTLIERS_ORACLE = f"""
     WITH s AS (
         SELECT event_type,
                count(value) AS n,
-               sum(CAST(floor(value * 100 + 5e-1) AS BIGINT)) AS s1c,
-               sum(CAST(floor(value * 100 + 5e-1) AS BIGINT)
-                   * CAST(floor(value * 100 + 5e-1) AS BIGINT)) AS s2c
+               sum({fixed_units_sql('value', '100')}) AS s1c,
+               sum(CAST({fixed_units_sql('value', '100')} AS HUGEINT)
+                   * CAST({fixed_units_sql('value', '100')} AS HUGEINT)) AS s2c
         FROM events GROUP BY 1
     ),
     m AS (

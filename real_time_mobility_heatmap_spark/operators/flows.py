@@ -39,11 +39,11 @@ from ..functions.epochs import epoch_s, epoch_s_sql
 from ..functions.guards import spine_guard_sql
 from ..functions.ols import OLS_SUMS_SQL, grouped_ols, ols_select_sql
 from ..functions.percentiles import percentile_disc_exact
-from ..functions.rounding import round_half_up_sql
+from ..functions.rounding import micro_units, round_half_up_sql
 from ..lineage import cut_lineage
 from ..operators.dedup import _capped_sorted_buckets
 from ..operators.tiles import snap_pings, snapped_oracle_cte
-from ..operators.validate import VALID_SQL, validate_pings
+from ..operators.validate import VALID_SQL, require_ts_domain, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events
 
 # co-location bucket: same grid cell within the same 5-minute tumbling
@@ -569,7 +569,7 @@ def co_dwell_pairs(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     the materialization barrier is cheap; pinned in tests/test_plans.py.
     """
     stays = cut_lineage(
-        stay_points(pings, cfg).select(
+        stay_points(require_ts_domain(pings, "co_dwell_pairs"), cfg).select(
             "vehicleId", "cell_id", "stay_start_es", "stay_end_es"
         ),
         eager=False,
@@ -885,7 +885,7 @@ def tile_gap_fill(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     TOP_CELLS × the time range — never corpus rows — and the top-cell
     pick is a deterministic bounded sort (total desc, cell_id asc).
     """
-    snapped = snap_pings(pings, cfg)
+    snapped = snap_pings(require_ts_domain(pings, "tile_gap_fill"), cfg)
     counts = snapped.groupBy("cell_id", _hour_bucket()).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -939,8 +939,8 @@ def tile_speed_locf(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     engines; everything after the one corpus shuffle is bounded by
     top-N cells × the hour range.
     """
-    snapped = snap_pings(pings, cfg)
-    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    snapped = snap_pings(require_ts_domain(pings, "tile_speed_locf"), cfg)
+    micro = micro_units("speedKmh")
     counts = snapped.groupBy("cell_id", _hour_bucket()).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(micro) / F.lit(1e6) / F.count("speedKmh"), 6).alias("avg_speed"),
@@ -966,7 +966,7 @@ def tile_speed_locf_oracle(cfg: EngineConfig = DEFAULT) -> str:
                    (CAST(floor(epoch(eventTs)) AS BIGINT) // {GAPFILL_BUCKET_S})
                        * {GAPFILL_BUCKET_S} AS h,
                    count(*) AS n,
-                   round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6
+                   round(sum(TRY_CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6
                          / count(speedKmh), 6) AS avg_speed
             FROM snapped GROUP BY 1, 2"""
     return f"""
@@ -1375,6 +1375,12 @@ def q_home_work_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# OLS input-domain bounds (see cell_speed_trend docstring): hours-offset
+# and milli-km/h grids safe for n*max(x^2, y^2) << 2^63 at any corpus size
+OLS_X_MAX = 1_000_000
+OLS_Y_MAX = 1_000_000
+
+
 def cell_speed_trend(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """Per-cell least-squares trend of speed over time — the congestion
     drift detector ("is this block getting slower week over week?"), and
@@ -1399,8 +1405,17 @@ def cell_speed_trend(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
     The six-sum core lives in ``functions.ols.grouped_ols`` (r10
     verdict item #8) so provider-/corridor-level trend queries reuse
     the float discipline instead of re-deriving it.
+
+    The OLS caller contract (n·max(x²,y²) ≪ 2^63) is ENFORCED at the
+    regression input (r17): hourly points outside |x| < 1e6 hours
+    (~114 years of span) or |y| < 1e6 milli-km/h (1000 km/h) are
+    excluded in BOTH engines — without the guard an out-of-wire-domain
+    speed surviving the total micros recovery overflows Spark's ANSI
+    int64 ``y*y`` while DuckDB errors differently (the r16 --xval
+    error-shape split). In-contract corpora (speeds ≤ 200 km/h,
+    hours-bounded spans) never touch the bound.
     """
-    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    micro = micro_units("speedKmh")
     hourly = (
         snap_pings(pings, cfg)
         .groupBy(
@@ -1415,7 +1430,7 @@ def cell_speed_trend(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
         (F.col("hour_id") - F.min("hour_id").over(w)).alias("x"),
         F.expr("(sum_micro div n) div 1000").alias("y"),
         "n",
-    )
+    ).filter((F.abs(F.col("x")) < OLS_X_MAX) & (F.abs(F.col("y")) < OLS_Y_MAX))
     return grouped_ols(
         rel,
         ["cell_id"],
@@ -1436,7 +1451,7 @@ def cell_speed_trend_oracle(cfg: EngineConfig = DEFAULT) -> str:
         hourly AS (
             SELECT cell_id,
                    CAST(floor(epoch(eventTs)) AS BIGINT) // 3600 AS hour_id,
-                   CAST(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
+                   CAST(sum(TRY_CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
                        AS sum_micro,
                    count(speedKmh) AS n
             FROM snapped
@@ -1454,7 +1469,8 @@ def cell_speed_trend_oracle(cfg: EngineConfig = DEFAULT) -> str:
             SELECT cell_id,
                    {OLS_SUMS_SQL},
                    CAST(sum(n) AS BIGINT) AS n_pings
-            FROM rel GROUP BY cell_id
+            FROM rel WHERE abs(x) < 1000000 AND abs(y) < 1000000
+            GROUP BY cell_id
         )
         SELECT cell_id, n_points AS n_hours, n_pings,
                {ols_select_sql(slope_alias="slope_milli_kmh_per_hour")}

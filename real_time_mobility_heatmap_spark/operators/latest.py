@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.keys import position_id
-from ..functions.rounding import round_half_up, round_half_up_sql
+from ..functions.rounding import micro_units, round_half_up, round_half_up_sql
 from ..operators.tiles import snap_pings, tile_aggregate, tiles_oracle_sql
 from ..operators.validate import VALID_SQL, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events
@@ -160,7 +160,7 @@ def recent_tiles_merged(pings: DataFrame, cfg: EngineConfig = DEFAULT, k: int = 
     recent = snapped.crossJoin(F.broadcast(latest)).filter(
         F.col("w.start") >= F.col("min_ws")
     )
-    micro = F.round(F.col("speedKmh") * 1e6).cast("long")  # exact: < 2^53
+    micro = micro_units("speedKmh")  # exact: < 2^53
     return recent.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("ping_count"),
         # half-up float-domain rounding of the int64-exact mean: identical
@@ -188,7 +188,7 @@ def recent_tiles_merged_oracle(cfg: EngineConfig = DEFAULT, k: int = MERGE_WINDO
         )
         SELECT cell_id,
                count(*) AS ping_count,
-               {round_half_up_sql('sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh)', 6)}
+               {round_half_up_sql('sum(TRY_CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh)', 6)}
                    AS avg_speed_kmh,
                count(DISTINCT ws) AS n_windows,
                min(ws) AS merge_start,

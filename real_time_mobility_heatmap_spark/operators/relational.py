@@ -27,7 +27,14 @@ from ..config import DEFAULT, EngineConfig
 from ..functions.money import money_sum, money_sum_sql
 from ..lineage import cut_lineage
 from ..functions.percentiles import percentile_disc_exact
-from ..functions.rounding import avg_2dec_exact_sql, round0, round_half_up, round_half_up_sql
+from ..functions.rounding import (
+    avg_2dec_exact_sql,
+    fixed_units,
+    fixed_units_sql,
+    round0,
+    round_half_up,
+    round_half_up_sql,
+)
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 
@@ -468,7 +475,7 @@ def moving_avg_speed(pings: DataFrame) -> DataFrame:
         "vehicleId",
         "event_id",
         round_half_up(
-            F.sum(F.floor(F.col("speedKmh") * 100 + F.lit(0.5)).cast("long")).over(w)
+            F.sum(fixed_units("speedKmh", 100)).over(w)
             .cast("double")
             / 100
             / F.count("speedKmh").over(w),
@@ -481,7 +488,7 @@ MOVING_AVG_SPEED_ORACLE = f"""
     WITH pings AS ({PINGS_ORACLE_SQL})
     SELECT provider, vehicleId, event_id,
            {round_half_up_sql(
-               "CAST(sum(CAST(floor(speedKmh * 100 + 5e-1) AS BIGINT)) OVER w AS DOUBLE)"
+               f"CAST(sum({fixed_units_sql('speedKmh', '100')}) OVER w AS DOUBLE)"
                " / 100 / count(speedKmh) OVER w", 6)} AS speed_ma3
     FROM pings
     WINDOW w AS (PARTITION BY provider, vehicleId
@@ -941,14 +948,20 @@ def salted_join_stats(events: DataFrame, salt: int = SALT_BUCKETS) -> DataFrame:
         "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt")
     )
     joined = fact.hint("merge").join(dim_rep, ["event_type", "salt"])
-    micro = F.round(F.col("value") * F.col("type_weight") * 1e8).cast("long")
+    micro = F.round(F.col("value") * F.col("type_weight") * 1e8).try_cast("long")
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.first("type_weight").alias("type_weight"),
         # half-up float-domain rounding: the int64-exact quotient is an
         # identical double in both engines, but its true value can land
-        # exactly on a 5e-5 boundary where native round() splits (r11)
-        round_half_up(F.sum(micro) / F.lit(1e8), 4).alias("weighted_value"),
+        # exactly on a 5e-5 boundary where native round() splits (r11).
+        # try_cast + DECIMAL(38,0) accumulation (r17): the weighted
+        # micros grid is 1e8-scaled, so the documented |value| <= 1e13
+        # measure domain already exceeds an int64 SUM's headroom —
+        # decimal mirrors DuckDB's HUGEINT sum promotion exactly.
+        round_half_up(
+            F.sum(micro.cast("decimal(38,0)")).cast("double") / F.lit(1e8), 4
+        ).alias("weighted_value"),
     )
 
 
@@ -964,7 +977,7 @@ def salted_join_stats_oracle() -> str:
         SELECT e.event_type,
                count(*) AS n_events,
                any_value(d.type_weight) AS type_weight,
-               {round_half_up_sql('sum(CAST(round(e.value * d.type_weight * 1e8) AS BIGINT)) / 1e8', 4)}
+               {round_half_up_sql('CAST(sum(TRY_CAST(round(e.value * d.type_weight * 1e8) AS BIGINT)) AS DOUBLE) / 1e8', 4)}
                    AS weighted_value
         FROM events e JOIN dim d USING (event_type)
         GROUP BY e.event_type
@@ -1855,7 +1868,7 @@ def range_frame_speed(events: DataFrame) -> DataFrame:
         # mean + shared half-up (r12 exact-ratio conversion; engines'
         # windowed double-sum algorithms differ in accumulation order)
         round_half_up(
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).over(w)
+            F.sum(fixed_units("value", 100).cast("decimal(38,0)")).over(w)
             .cast("double")
             / 100
             / F.count("value").over(w),
@@ -1868,7 +1881,7 @@ def range_frame_speed(events: DataFrame) -> DataFrame:
 RANGE_FRAME_SPEED_ORACLE = f"""
     SELECT event_id, user_id, value,
            {round_half_up_sql(
-               "CAST(sum(CAST(floor(value * 100 + 5e-1) AS BIGINT)) OVER w AS DOUBLE)"
+               f"CAST(sum({fixed_units_sql('value', '100')}) OVER w AS DOUBLE)"
                " / 100 / count(value) OVER w", 6)} AS avg_value_10m,
            count(*) OVER w AS n_events_10m
     FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)

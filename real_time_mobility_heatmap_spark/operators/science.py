@@ -48,7 +48,7 @@ from ..config import DEFAULT, EngineConfig
 from ..functions.guards import spine_guard_days_sql
 from ..operators.flows import M_PER_DEG_LAT, M_PER_DEG_LON
 from ..operators.tiles import snap_pings, snapped_oracle_cte
-from ..operators.validate import VALID_SQL, validate_pings
+from ..operators.validate import VALID_SQL, require_ts_domain, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events
 
 # jump-length histogram: decade bins in millimeters. A leg shorter than a
@@ -402,7 +402,7 @@ def cusum_anomaly_report(pings: DataFrame) -> DataFrame:
     shuffle. The DuckDB oracle keeps the equivalent join formulation.
     """
     observed = (
-        validate_pings(pings)
+        validate_pings(require_ts_domain(pings, "cusum_anomaly_report"))
         .groupBy("provider", F.date_trunc("day", F.col("eventTs")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n_pings"))
     )

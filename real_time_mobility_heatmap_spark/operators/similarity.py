@@ -376,8 +376,17 @@ def embedding_neardup(embeddings: DataFrame, n_bands: int = N_VBANDS) -> DataFra
     small-corpus shape; ``WIDE_VBANDS`` (2x8) is the scale shape — see
     the band-width note at the constant and the r10 scale-curve table in
     SCALE.md for the measured quadratic-vs-linear difference.
+
+    One lineage-cut ``_norm_base`` frontier feeds banding, the cap
+    aggregate, and both verify sides (r17 sweep of the winnow-shape
+    ``=None`` recompute defaults: this was the one remaining caller
+    fanning four uncut corpus frontiers — ``vband_geometry_report``
+    already shared a cut frontier for the same sub-operators).
     """
-    return _verified_pairs(embeddings, _vband_buckets(embeddings, n_bands))
+    b = cut_lineage(_norm_base(embeddings), eager=False)
+    return _verified_pairs(
+        embeddings, _vband_buckets(embeddings, n_bands, base=b), base=b
+    )
 
 
 def _verified_pairs(

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.grid import cell_id
+from ..functions.rounding import micro_units
 from ..operators.validate import VALID_SQL, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
 
@@ -101,7 +102,7 @@ def zone_counts(pings: DataFrame, nation: DataFrame, cfg: EngineConfig = DEFAULT
         & (F.col("lon") >= F.col("lon0"))
         & (F.col("lon") < F.col("lon1"))
     )
-    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    micro = micro_units("speedKmh")
     return matched.groupBy("zone_key", "zone_name").agg(
         F.count(F.lit(1)).alias("n_pings"),
         F.count_distinct("vehicleId").alias("n_vehicles"),
@@ -124,7 +125,7 @@ ZONE_COUNTS_ORACLE = f"""
     SELECT zone_key, zone_name,
            count(*) AS n_pings,
            count(DISTINCT vehicleId) AS n_vehicles,
-           round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh), 6)
+           round(sum(TRY_CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh), 6)
                AS avg_speed_kmh
     FROM valid v
     JOIN zones z
@@ -388,7 +389,7 @@ def polygon_zone_counts(
     )
     crossings = " + ".join(_crossing_terms("lat0", "lon0"))
     inside = cand.filter(F.expr(f"(({crossings}) % 2) = 1"))
-    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    micro = micro_units("speedKmh")
     return inside.groupBy("zone_key", "zone_name").agg(
         F.count(F.lit(1)).alias("n_pings"),
         F.count_distinct("vehicleId").alias("n_vehicles"),
@@ -415,7 +416,7 @@ def polygon_zone_counts_oracle() -> str:
     SELECT zone_key, zone_name,
            count(*) AS n_pings,
            count(DISTINCT vehicleId) AS n_vehicles,
-           round(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh), 6)
+           round(sum(TRY_CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(speedKmh), 6)
                AS avg_speed_kmh
     FROM valid v
     JOIN zones z

@@ -28,7 +28,7 @@ from ..config import DEFAULT, EngineConfig
 from ..functions.epochs import epoch_s_sql
 from ..functions.grid import cell_id, cell_id_sql
 from ..functions.keys import tile_id, tile_id_sql
-from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
+from ..functions.rounding import avg_2dec_exact_sql, micro_units, round_half_up, round_half_up_sql
 from .validate import VALID_SQL, validate_pings
 
 ROUND_AVG = 6  # decimal places for avg() aggregates in oracle-checked output
@@ -157,7 +157,7 @@ def hierarchical_rollups(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataF
     always and is what a rollup TABLE would key on).
     """
     snapped = snap_pings(pings, cfg)
-    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    micro = micro_units("speedKmh")
     w0 = ROLLUP_GRAINS[0][1]
     level = (
         snapped.select(
@@ -209,7 +209,7 @@ def hierarchical_rollups_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> 
                            (CAST(floor(epoch(eventTs)) AS BIGINT) // {width}) * {width}
                                AS bucket_epoch,
                            count(*) AS n_pings,
-                           CAST(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
+                           CAST(sum(TRY_CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
                                AS sum_speed_micro
                     FROM snapped GROUP BY 1, 2
                 )"""
@@ -262,7 +262,7 @@ def rollup_delta_merge(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFra
     snapshot (here recomputed once for self-containment).
     """
     snapped = snap_pings(pings, cfg)
-    micro = F.round(F.col("speedKmh") * 1e6).cast("long")
+    micro = micro_units("speedKmh")
     part = snapped.select(
         "cell_id",
         F.expr(f"({epoch_s_sql('eventTs')} div {MERGE_W}) * {MERGE_W}").alias(
@@ -321,9 +321,9 @@ def rollup_delta_merge_oracle(pings_sql: str, cfg: EngineConfig = DEFAULT) -> st
                count(*) AS n_pings,
                CAST(sum(CASE WHEN eventTs >= TIMESTAMP '{MERGE_CUTOFF}'
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_pings,
-               CAST(sum(CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(speedKmh * 1e6) AS BIGINT)) AS BIGINT)
                    AS sum_speed_micro,
-               {round_half_up_sql('sum(CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(*)', ROUND_AVG)} AS avg_speed_kmh
+               {round_half_up_sql('sum(TRY_CAST(round(speedKmh * 1e6) AS BIGINT)) / 1e6 / count(*)', ROUND_AVG)} AS avg_speed_kmh
         FROM snapped
         GROUP BY 1, 2
     """

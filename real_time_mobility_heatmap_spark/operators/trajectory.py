@@ -40,9 +40,15 @@ from pyspark.sql import functions as F
 
 from ..functions.epochs import epoch_s_sql
 from ..functions.guards import MAX_SPINE_STEPS, spine_guard_sql
-from ..functions.rounding import avg_2dec_exact_sql, round_half_up, round_half_up_sql
+from ..functions.rounding import (
+    avg_2dec_exact_sql,
+    fixed_units,
+    fixed_units_sql,
+    round_half_up,
+    round_half_up_sql,
+)
 from ..lineage import cut_lineage
-from ..operators.validate import require_event_time
+from ..operators.validate import require_event_time, require_ts_domain
 from ..sources.tables import PINGS_ORACLE_SQL, pings_from_events, spread
 
 RESAMPLE_MINUTES = 360  # 6-hour grid: fixture pings are ~13/vehicle/month
@@ -174,7 +180,7 @@ def _finalize(out: DataFrame) -> DataFrame:
 def resample_trajectories(pings: DataFrame) -> DataFrame:
     """pings -> per-vehicle positions interpolated onto the global grid
     (one mapInPandas pass over key-sorted partitions)."""
-    p = _ping_projection(pings)
+    p = _ping_projection(require_ts_domain(pings, "resample_trajectories"))
     pre = p.repartition("provider", "vehicleId").sortWithinPartitions(
         "provider", "vehicleId", "ts_us", "event_id"
     )
@@ -205,7 +211,9 @@ def resample_trajectories_grouped(pings: DataFrame) -> DataFrame:
             }
         )
 
-    out = _ping_projection(pings).groupBy("provider", "vehicleId").applyInPandas(
+    out = _ping_projection(
+        require_ts_domain(pings, "resample_trajectories")
+    ).groupBy("provider", "vehicleId").applyInPandas(
         one_group, _OUT_SCHEMA
     )
     return _finalize(out)
@@ -300,6 +308,7 @@ def similar_speed_profiles(events: DataFrame) -> DataFrame:
     # audit; pinned in tests/test_plans.py). Both relations are
     # (user, bucket)-sized — calendar x users, far below the corpus —
     # so one materialization each is the right 100 TB shape.
+    events = require_ts_domain(events, "similar_speed_profiles", "ts")
     b = F.expr(f"({epoch_s_sql('ts')} div {TS_BUCKET_S}) * {TS_BUCKET_S}")
     per = cut_lineage(
         events.select("user_id", b.alias("bucket"), "value").groupBy(
@@ -349,12 +358,12 @@ def similar_speed_profiles(events: DataFrame) -> DataFrame:
                 F.sqrt(
                     F.sum(
                         (
-                            F.floor(F.col("qv") * 1e6 + F.lit(0.5)).cast("long")
-                            - F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long")
+                            fixed_units(F.col("qv"), 1e6)
+                            - fixed_units(F.col("v"), 1e6)
                         ).cast("decimal(19,0)")
                         * (
-                            F.floor(F.col("qv") * 1e6 + F.lit(0.5)).cast("long")
-                            - F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long")
+                            fixed_units(F.col("qv"), 1e6)
+                            - fixed_units(F.col("v"), 1e6)
                         ).cast("decimal(19,0)")
                     ).cast("double")
                 )
@@ -395,10 +404,10 @@ SIMILAR_SPEED_PROFILES_ORACLE = f"""
         SELECT p.query_user, g.user_id AS cand_user,
                {round_half_up_sql(
                    "sqrt(CAST(sum("
-                   "(CAST(floor(p.qv * 1e6 + 5e-1) AS BIGINT)"
-                   " - CAST(floor(g.v * 1e6 + 5e-1) AS BIGINT))"
-                   " * (CAST(floor(p.qv * 1e6 + 5e-1) AS BIGINT)"
-                   " - CAST(floor(g.v * 1e6 + 5e-1) AS BIGINT))"
+                   f"CAST(({fixed_units_sql('p.qv', '1e6')}"
+                   f" - {fixed_units_sql('g.v', '1e6')}) AS HUGEINT)"
+                   f" * CAST(({fixed_units_sql('p.qv', '1e6')}"
+                   f" - {fixed_units_sql('g.v', '1e6')}) AS HUGEINT)"
                    ") AS DOUBLE)) / 1e6", 6)} AS dist
         FROM grid g JOIN probes p ON p.bucket = g.bucket
         WHERE g.user_id != p.query_user

@@ -72,3 +72,49 @@ def require_event_time(df: DataFrame, *cols: str) -> DataFrame:
             ).otherwise(F.col(c)),
         )
     return out
+
+
+def require_ts_domain(df: DataFrame, op: str, *cols: str) -> DataFrame:
+    """Deterministic densification-domain guard for the spine consumers
+    (r17; functions/guards.py SPINE_TS_MIN/MAX): rewrite each event-time
+    column as ``CASE WHEN ts < min OR ts >= max THEN raise ELSE ts`` so
+    ANY out-of-domain timestamp in the operator's INPUT fails fast with
+    a named diagnostic — the trip depends on the corpus's content, never
+    on whether a downstream per-entity spine happened to exceed
+    MAX_SPINE_STEPS (the r16 seed-dependence this replaces as the
+    primary trigger; the span guards remain as the in-domain backstop).
+
+    Same column-embedded-raise idiom as ``require_event_time`` (a guard
+    FILTER can be shadowed by predicate reordering); one codegen
+    comparison per row on conforming data. NULL timestamps pass through
+    untouched — NULL handling belongs to validate_pings /
+    require_event_time, not this domain check.
+    """
+    from ..functions.guards import SPINE_TS_MAX, SPINE_TS_MIN
+
+    out = df
+    for c in cols or ("eventTs",):
+        x = F.col(c)
+        out = out.withColumn(
+            c,
+            F.when(
+                (x < F.lit(SPINE_TS_MIN).cast("timestamp"))
+                | (x >= F.lit(SPINE_TS_MAX).cast("timestamp")),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{op}: event time "
+                        ),
+                        x.cast("string"),
+                        F.lit(
+                            f" is outside the densification domain "
+                            f"[{SPINE_TS_MIN}, {SPINE_TS_MAX}) "
+                            "(functions/guards.py); an out-of-domain "
+                            "timestamp violates the event-time ingestion "
+                            "contract - validate or filter the feed"
+                        ),
+                    )
+                ).cast(df.schema[c].dataType),
+            ).otherwise(x),
+        )
+    return out

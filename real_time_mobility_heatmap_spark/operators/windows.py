@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..functions.rounding import avg_2dec_exact_sql, round0, round_half_up, round_half_up_sql
+from ..functions.rounding import (
+    avg_2dec_exact_sql,
+    fixed_units,
+    fixed_units_sql,
+    round0,
+    round_half_up,
+    round_half_up_sql,
+)
 from ..operators.tiles import snap_pings, snapped_oracle_cte
 from ..operators.validate import VALID_SQL, require_event_time, validate_pings
 from ..sources.tables import PINGS_ORACLE_SQL, load_table, pings_from_events
@@ -213,14 +220,18 @@ def salted_cell_counts(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFra
     )
     partial = snapped.groupBy("cell_id", "__salt").agg(
         F.count(F.lit(1)).alias("c"),
-        F.sum("speedKmh").alias("s"),
+        # exact cents partials (r17): a raw double sum is partition-order
+        # dependent, so the salted two-phase plan could legally disagree
+        # with the oracle's single-phase sum on extreme values; guarded
+        # int64 cents in DECIMAL(38,0) are order-free and total
+        F.sum(fixed_units("speedKmh", 100).cast("decimal(38,0)")).alias("s"),
     )
     # sum (not avg): per-cell ping counts here are powers of two, so an avg
     # terminates exactly on the round() half-boundary where Spark
     # (BigDecimal HALF_UP) and DuckDB (binary rounding) legitimately differ
     return partial.groupBy("cell_id").agg(
         F.sum("c").alias("ping_count"),
-        F.round(F.sum("s"), 2).alias("sum_speed_kmh"),
+        round_half_up(F.sum("s").cast("double") / 100, 2).alias("sum_speed_kmh"),
     )
 
 
@@ -228,7 +239,9 @@ def salted_cell_counts_oracle(cfg: EngineConfig = DEFAULT) -> str:
     return f"""
         {snapped_oracle_cte(PINGS_ORACLE_SQL, cfg)}
         SELECT cell_id, count(*) AS ping_count,
-               round(sum(speedKmh), 2) AS sum_speed_kmh
+               {round_half_up_sql(
+                   f"CAST(sum({fixed_units_sql('speedKmh', '100')}) AS DOUBLE)"
+                   " / 100", 2)} AS sum_speed_kmh
         FROM snapped GROUP BY cell_id
     """
 

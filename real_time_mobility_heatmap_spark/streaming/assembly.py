@@ -25,7 +25,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..config import DEFAULT, EngineConfig
 from ..functions.grid import cell_id
 from ..functions.keys import position_id, tile_id
-from ..functions.rounding import round_half_up
+from ..functions.rounding import fixed_units, round_half_up
 from ..operators.validate import validate_pings
 from .sinks import KeyedParquetStore
 
@@ -35,7 +35,9 @@ from .sinks import KeyedParquetStore
 # is the identical exact rational the batch/oracle formulation
 # computes, regardless of batch arrival order.
 def _cents(col: str):
-    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+    # total unit recovery (functions/rounding.fixed_units): NULL outside
+    # the int64 cents grid, identical to the batch/oracle fragment
+    return fixed_units(col, 100)
 
 
 def _cents_avg(sum_col: str, cnt_col: str):

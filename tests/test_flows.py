@@ -713,14 +713,34 @@ def test_spine_guard_fails_fast_on_out_of_domain_span(spark):
         _ping(ts="9924-01-01T10:00:00", eid=3),  # poisoned feed value
     ]
     pings = spark.createDataFrame(rows, PING_SCHEMA)
+    # r17: the out-of-domain TIMESTAMP itself now trips the row-local
+    # densification-domain guard — deterministically, whether or not a
+    # per-entity spine would have materialized past MAX_SPINE_STEPS
+    # (the r16 seed-dependence: co_dwell only failed when the poisoned
+    # ping happened to land inside a stay)
+    with pytest.raises(Exception, match="densification domain"):
+        tile_gap_fill(pings).write.format("noop").mode("overwrite").save()
+    with pytest.raises(Exception, match="densification domain"):
+        resample_trajectories(pings).write.format("noop").mode("overwrite").save()
+    with pytest.raises(Exception, match="densification domain"):
+        co_dwell_pairs(pings).write.format("noop").mode("overwrite").save()
+
+
+def test_spine_guard_backstops_in_domain_mega_spans(spark):
+    """The per-entity span guard remains the backstop for timestamps
+    INSIDE the densification domain whose span still exceeds
+    MAX_SPINE_STEPS (198 in-domain years hourly is ~1.7M steps)."""
+    import pytest
+
+    from real_time_mobility_heatmap_spark.operators.flows import tile_gap_fill
+
+    rows = [
+        _ping(ts="1901-01-01T10:00:00", eid=1),
+        _ping(ts="2099-01-01T10:00:00", eid=2),
+    ]
+    pings = spark.createDataFrame(rows, PING_SCHEMA)
     with pytest.raises(Exception, match="MAX_SPINE_STEPS"):
         tile_gap_fill(pings).write.format("noop").mode("overwrite").save()
-    with pytest.raises(Exception, match="MAX_SPINE_STEPS"):
-        resample_trajectories(pings).write.format("noop").mode("overwrite").save()
-    # co_dwell: the poisoned ping lands INSIDE a same-cell stay, so the
-    # stay interval itself spans millennia
-    with pytest.raises(Exception, match="MAX_SPINE_STEPS"):
-        co_dwell_pairs(pings).write.format("noop").mode("overwrite").save()
 
 
 def test_spine_guard_passes_in_domain_spans(spark):

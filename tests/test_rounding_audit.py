@@ -200,8 +200,6 @@ NONNEG_ALLOWED = [
     ("operators/tpch.py", r"part_value", "part revenue > 0"),
     ("operators/trajectory.py", r"lat0 \+ \(lat1|lon0 \+ \(lon1",
      "interp stays in lat [42,43] / lon [-72,-71]: bounded away from 0"),
-    ("operators/windows.py", r"sum\(speedKmh\)|F\.sum\(\"s\"\)",
-     "speed >= 0 (measure domain)"),
     ("operators/windows.py", r"leg", "leg = |dlat|+|dlon| >= 0"),
     ("operators/wire.py", r"l_quantity|l_extendedprice",
      "TPC-H measures positive"),
@@ -211,7 +209,7 @@ NONNEG_ALLOWED = [
 ]
 
 _ROUND_SITE = re.compile(r"F\.round\(|(?<![\w_.])round\(")
-_INT_CAST = re.compile(r'\.cast\("(?:long|int)"\)|AS (?:BIGINT|INT)\)')
+_INT_CAST = re.compile(r'\.(?:try_)?cast\("(?:long|int)"\)|AS (?:BIGINT|INT)\)')
 _CANON = re.compile(r"round0|CAST\(0\.0 AS DOUBLE\)|round_half_up")
 
 
