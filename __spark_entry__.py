@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": similarity.q_embedding_neardup,
         "hierarchical_rollups": _q_hierarchical_rollups,
         "rollup_delta_merge": _q_rollup_delta_merge,
+        "attribution_report": relational.q_attribution_report,
         # (2) oldest-green-first rotation:
         "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10
         "convoy_clusters": flows.q_convoy_clusters,  # r10
@@ -197,8 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding": mlprep.q_target_encoding,  # r10
         "term_frequencies": textops.q_term_frequencies,  # r10
         "tfidf_top_terms": textops.q_tfidf_top_terms,  # r10
-        "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,  # r10
         # ------------- end of driver window (50 entries) -------------
+        "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,  # r10
         "training_order": curation.q_training_order,  # r10
         "trip_distance_report": flows.q_trip_distance_report,  # r10
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
@@ -234,7 +235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_colors": wire.q_tile_colors,  # r12
         "value_histogram": windows.q_value_histogram,  # r12
         "wire_encode": wire.q_wire_encode,  # r12
-        "attribution_report": relational.q_attribution_report,  # r13
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r13
         "chunk_documents": textops.q_chunk_documents,  # r13
         "containment_pairs": dedup.q_containment_pairs,  # r13

@@ -160,7 +160,7 @@ def recent_tiles_merged(pings: DataFrame, cfg: EngineConfig = DEFAULT, k: int = 
     recent = snapped.crossJoin(F.broadcast(latest)).filter(
         F.col("w.start") >= F.col("min_ws")
     )
-    micro = micro_units("speedKmh")  # exact: < 2^53
+    micro = micro_units("speedKmh")  # total int64 grid (rounding.py)
     return recent.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("ping_count"),
         # half-up float-domain rounding of the int64-exact mean: identical

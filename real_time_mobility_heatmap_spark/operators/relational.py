@@ -1233,10 +1233,16 @@ def attribution_report(events: DataFrame) -> DataFrame:
     # engines exactly on a cents boundary (121.27499... vs 121.275) and
     # the driver hash flipped. The final /1e6 + 2dp round are shared
     # exact expressions over identical integers.
-    micro = "CAST(floor(p_value * 1e6 + 5e-1) AS BIGINT)"
+    # guarded unit recovery (r17): p_value is events.value, the measure-
+    # domain column, so the raw floor form would saturate on Spark and
+    # error on DuckDB for out-of-grid values (the r16 --xval totality
+    # class; this site passed the seed-1601 sweep only because no extreme
+    # slice landed on a credited purchase). Same fragment string feeds
+    # both engines, so the op-order change is cross-engine identical.
+    micro = fixed_units_sql("p_value", "1e6")
     first_micro = F.expr(f"CASE WHEN rn = 1 THEN {micro} ELSE 0 END")
     last_micro = F.expr(f"CASE WHEN rn = n_touches THEN {micro} ELSE 0 END")
-    linear_micro = F.expr("CAST(floor(p_value * 1e6 / n_touches + 5e-1) AS BIGINT)")
+    linear_micro = F.expr(fixed_units_sql("p_value / n_touches", "1e6"))
     to_value = lambda c: F.expr(  # noqa: E731
         round_half_up_sql(f"CAST({c} AS DOUBLE) / 1e6", 2)
     )
@@ -1280,11 +1286,11 @@ ATTRIBUTION_REPORT_ORACLE = f"""
     )
     SELECT channel,
            count(*) AS n_touches,
-           {round_half_up_sql("CAST(sum(CASE WHEN rn = 1 THEN CAST(floor(p_value * 1e6 + 5e-1) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e6", 2)}
+           {round_half_up_sql(f"CAST(sum(CASE WHEN rn = 1 THEN {fixed_units_sql('p_value', '1e6')} ELSE 0 END) AS DOUBLE) / 1e6", 2)}
                AS first_touch_value,
-           {round_half_up_sql("CAST(sum(CASE WHEN rn = n_touches THEN CAST(floor(p_value * 1e6 + 5e-1) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e6", 2)}
+           {round_half_up_sql(f"CAST(sum(CASE WHEN rn = n_touches THEN {fixed_units_sql('p_value', '1e6')} ELSE 0 END) AS DOUBLE) / 1e6", 2)}
                AS last_touch_value,
-           {round_half_up_sql("CAST(sum(CAST(floor(p_value * 1e6 / n_touches + 5e-1) AS BIGINT)) AS DOUBLE) / 1e6", 2)} AS linear_value
+           {round_half_up_sql(f"CAST(sum({fixed_units_sql('p_value / n_touches', '1e6')}) AS DOUBLE) / 1e6", 2)} AS linear_value
     FROM ranked
     GROUP BY channel
 """

@@ -308,3 +308,78 @@ def test_round_site_allowlist_is_not_stale():
         if not hit:
             dead.append(f"{f} :: {rx}")
     assert not dead, "stale allowlist entries:\n" + "\n".join(dead)
+
+
+# ---------------------------------------------------------------------------
+# r17: floor-based fixed-point unit recovery audit.
+#
+# The --xval totality class (SCALE.md r17) showed Spark's floor(DOUBLE)
+# returns BIGINT and silently SATURATES at +-2^63 (NaN -> 0) while
+# DuckDB's stays DOUBLE and errors on the cast — so every floor-based
+# unit-recovery site over a MEASURE-domain column must go through the
+# guarded shared fragments (functions/rounding.fixed_units[_sql]). This
+# audit greps the package for raw `floor(x * scale + 0.5)` spellings; a
+# new site fails until it is converted or allowlisted with the domain
+# argument that bounds its input away from the int64 grid edge.
+# ---------------------------------------------------------------------------
+
+_FLOOR_UNIT = re.compile(
+    # greedy within the line: the scaled expression may carry nested
+    # parens (ln(CAST(sum(c) AS DOUBLE)) * 1000000 + 5e-1)
+    r"floor\(.*\*\s*(?:100|1e6|1e8|1000000)\b.*(?:\+\s*5e-1|\+\s*0\.5|F\.lit\(0\.5\))"
+)
+
+# (file, line-regex, reason-the-input-is-bounded)
+FLOOR_UNIT_ALLOWED = [
+    ("operators/relational.py", r"l_extendedprice|l_discount",
+     "TPC-H money columns: per-row money < $1e5 by the money.py domain "
+     "contract (cents < 1e7, 11 orders under the grid edge)"),
+    ("operators/science.py", r"ln\(CAST\(sum\(c\) AS DOUBLE\)\)|ln\(CAST\(c AS DOUBLE\)\)|count\(\*\) \* ln\(",
+     "ln-of-count and c*ln(c): c is a group COUNT >= 1, so the scaled "
+     "value is <= ~n*42e6 — int64-sum-bounded for any corpus that fits "
+     "in storage"),
+]
+
+
+def test_every_floor_unit_site_is_guarded_or_bounded():
+    offenders = []
+    n_sites = 0
+    for py in sorted(PKG.rglob("*.py")):
+        rel = str(py.relative_to(PKG))
+        if rel == "functions/rounding.py":
+            continue  # the shared fragments themselves (guard + docs)
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if not _FLOOR_UNIT.search(line) or COMMENT.match(line):
+                continue
+            n_sites += 1
+            if "abs(" in line:  # inline-guarded (fixed_units_sql output)
+                continue
+            if any(
+                rel == f and re.search(rx, line)
+                for f, rx, _ in FLOOR_UNIT_ALLOWED
+            ):
+                continue
+            offenders.append(f"{rel}:{i}: {line.strip()[:100]}")
+    assert not offenders, (
+        "raw floor-unit recovery over a measure-domain column — Spark "
+        "saturates where DuckDB errors; convert to functions/rounding."
+        "fixed_units[_sql] or allowlist with a boundedness argument:\n"
+        + "\n".join(offenders)
+    )
+    # non-vacuity: the allowlisted residue itself must still exist
+    assert n_sites >= 4, f"floor-unit scanner lost coverage ({n_sites})"
+
+
+def test_floor_unit_allowlist_is_not_stale():
+    live = []
+    for py in sorted(PKG.rglob("*.py")):
+        rel = str(py.relative_to(PKG))
+        for line in py.read_text().splitlines():
+            if _FLOOR_UNIT.search(line) and not COMMENT.match(line):
+                live.append((rel, line))
+    dead = [
+        f"{f} :: {rx}"
+        for f, rx, _ in FLOOR_UNIT_ALLOWED
+        if not any(rel == f and re.search(rx, line) for rel, line in live)
+    ]
+    assert not dead, "stale FLOOR_UNIT_ALLOWED entries:\n" + "\n".join(dead)
