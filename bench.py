@@ -217,18 +217,19 @@ def main() -> None:
     detail = dict(payload)
     detail["calibration"] = calibration
     detail["raw_times"] = {k: [round(t, 3) for t in v] for k, v in all_times.items()}
-    _persist_detail(detail)
-    print(_stdout_line(payload))
+    persisted = _persist_detail(detail)
+    print(_stdout_line(payload, persisted.name))
     spark.stop()
     if (regressions or persistent) and os.getenv("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
 
 
-def _stdout_line(payload: dict) -> str:
+def _stdout_line(payload: dict, detail_name: str = None) -> str:
     """Render the final stdout line within ``LINE_BUDGET``: full payload
     if it fits, else per-query values at 2 decimals, else the cheapest
-    queries folded into an ``_other`` sum (detail stays in
-    BENCH_DETAIL.json, referenced by the ``detail`` field)."""
+    queries folded into an ``_other`` sum (detail stays in the persisted
+    detail file — BENCH_DETAIL.json for quiet runs, BENCH_LAST_RUN.json
+    for noisy ones — referenced by the ``detail`` field)."""
     compact = dict(payload)
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= LINE_BUDGET:
@@ -236,7 +237,7 @@ def _stdout_line(payload: dict) -> str:
 
     q2 = {k: round(v, 2) for k, v in payload["queries"].items()}
     compact["queries"] = q2
-    compact["detail"] = DETAIL_PATH.name
+    compact["detail"] = detail_name or DETAIL_PATH.name
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > LINE_BUDGET and len(q2) > 1:
         # fold the cheapest remaining query into _other (ties: name order)
