@@ -490,23 +490,26 @@ def _verify_jaccard(docs: DataFrame, candidates: DataFrame, hashed: DataFrame | 
     ``hashed``: optional pre-materialized distinct (doc_id, s_h) rows —
     callers that already computed them (minhash_lsh_pairs) pass them in
     so verify doesn't re-shingle the corpus.
+
+    Set sizes come from a map-side-combinable groupBy(doc_id) aggregate
+    joined onto the (small) intersection result, NOT a corpus-wide
+    window (r17; guide §2.3 "aggregate before you shuffle"): the window
+    form shuffled and sorted every (doc_id, s_h) row just to attach one
+    int per doc — the aggregate shuffles one row per doc per mapper and
+    the attach joins are candidate-pair-sized. Denominators are the FULL
+    distinct set sizes (pre-hot-exclusion), exactly as before; same
+    shape the streaming twin (streaming/neardup.py) already uses.
     """
-    if hashed is not None:
-        ex = hashed.select(
-            "doc_id",
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
-            "s_h",
-        )
-    else:
-        ex = _exploded_hashed(docs)
+    rows = _hashed_rows(docs) if hashed is None else hashed
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hot = (
-        ex.groupBy("s_h")
+        rows.groupBy("s_h")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(_doc_cap(docs)))
         .filter(F.col("df") > F.col("df_cap"))
         .select("s_h")
     )
-    exc = ex.join(F.broadcast(hot), "s_h", "left_anti")
+    exc = rows.join(F.broadcast(hot), "s_h", "left_anti")
     inter = (
         candidates.join(exc.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
         .join(
@@ -514,13 +517,11 @@ def _verify_jaccard(docs: DataFrame, candidates: DataFrame, hashed: DataFrame | 
             (F.col("doc_b") == F.col("eb.doc_id")) & (F.col("ea.s_h") == F.col("eb.s_h")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("ea.n_sh").alias("n_a"),
-            F.first("eb.n_sh").alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _jaccard(inter)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return _jaccard(inter.join(sa, "doc_a").join(sb, "doc_b"))
 
 
 _DF_CAP_DUCK = (
@@ -588,8 +589,14 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     the quadratic-fanout risk) -> explode i<j pairs per bucket -> count
     per pair (shingle sets are distinct, so the pair count == |A ∩ B|).
     Per-doc set sizes ride inside the bucket structs, so no sizes join.
+
+    The shingle relation is materialized ONCE (r17): the capped-bucket
+    builder reads it twice (hot-key count + anti-join collect), and
+    recomputing it re-runs tokenize+shingle+md5 over the corpus per pass
+    — the same lineage cut ``minhash_lsh_pairs`` carries (guide §2.4/§5:
+    remove the duplicated full-corpus subtree instead of paying it).
     """
-    ex = _exploded_hashed(docs)
+    ex = cut_lineage(_exploded_hashed(docs), eager=False)
     buckets = _capped_sorted_buckets(
         ex, ["s_h"], F.struct("doc_id", "n_sh"), _doc_cap(docs)
     )
@@ -638,8 +645,14 @@ def minhash_error_report(docs: DataFrame) -> DataFrame:
     broadcast. Everything after the hash is exact int64 (ppm via integer
     div; per-decile mean as sum div count), so the report is bit-identical
     across engines — no float boundary anywhere.
+
+    The hashed shingle relation is materialized ONCE (r17) and feeds the
+    bucket builder's two passes AND the signature aggregate (previously
+    ``minhash_signatures(docs)`` re-shingled the corpus a third time):
+    min over the distinct shingle set equals min over the multiset, so
+    the signatures are value-identical to the registered operator's.
     """
-    ex = _exploded_hashed(docs)
+    ex = cut_lineage(_exploded_hashed(docs), eager=False)
     buckets = _capped_sorted_buckets(
         ex, ["s_h"], F.struct("doc_id", "n_sh"), _doc_cap(docs)
     )
@@ -649,7 +662,11 @@ def minhash_error_report(docs: DataFrame) -> DataFrame:
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
     )
-    sigs = minhash_signatures(docs)
+    mixes = [
+        F.min(F.expr(f"({a} * (s_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}")).alias(f"mh{k}")
+        for k, (a, b) in enumerate(_MIX)
+    ]
+    sigs = ex.groupBy("doc_id").agg(*mixes)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(N_HASHES)],
@@ -1722,8 +1739,11 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     ``ngram_jaccard_pairs`` (set sizes ride inside the bucket structs, no
     sizes join); containments are exact integer ppm so the relation
     hash-matches structurally. Emitted when EITHER direction crosses the
-    threshold; both directions are reported for triage."""
-    ex = _exploded_hashed(docs)
+    threshold; both directions are reported for triage.
+
+    Shingle relation materialized once (r17) — same double-read cut as
+    ``ngram_jaccard_pairs``."""
+    ex = cut_lineage(_exploded_hashed(docs), eager=False)
     buckets = _capped_sorted_buckets(
         ex, ["s_h"], F.struct("doc_id", "n_sh"), _doc_cap(docs)
     )
