@@ -1032,10 +1032,23 @@ def dedup_clusters(
         edges = minhash_lsh_pairs(collapse_doc_identity(docs)).select(
             "doc_a", "doc_b"
         )
-    # undirected adjacency, deduplicated once up front
-    adj = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    # undirected adjacency, deduplicated once up front. Built by exploding
+    # each edge into both directions in ONE pass (r17) — the previous
+    # union-of-two-selects scanned the edge relation twice, and on the
+    # edges=None path that relation is the whole LSH pipeline (guide §2.4:
+    # duplicated subtrees). (A repartition-before-checkpoint to pre-key
+    # the loop joins was tried and reverted: LogicalRDD from
+    # localCheckpoint reports UnknownPartitioning under AQE, so the
+    # downstream exchanges reappear regardless — measured, not assumed.)
+    both_dirs = F.array(
+        F.struct(F.col("doc_a"), F.col("doc_b")),
+        F.struct(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")),
+    )
+    adj = (
+        edges.select(F.explode(both_dirs).alias("e"))
+        .select("e.doc_a", "e.doc_b")
+        .distinct()
+    )
     adj = cut_lineage(adj, eager=True)  # cut lineage: edges are reused every round
     # seed = least(self, min neighbor): the first propagation half-round
     # folded into the node-list aggregation (adj is symmetric, so every
@@ -1149,11 +1162,17 @@ def winnow_match_spans(docs: DataFrame) -> DataFrame:
     the fingerprint build and the pair stage's cap aggregate."""
     docs = collapse_doc_identity(docs)
     fps = cut_lineage(_winnow_fingerprints_body(docs), eager=False)
-    pairs = _winnow_match_pairs_body(docs, fps).select("doc_a", "doc_b")
+    # The pair relation is read three times below (both member-prune
+    # sides + the alignment join anchor); materialize it once (r17) —
+    # previously each read re-ran the whole pair stage over fps
+    # (guide §2.4 duplicated subtrees). Members come from ONE explode
+    # pass instead of a union of two scans for the same reason.
+    pairs = cut_lineage(
+        _winnow_match_pairs_body(docs, fps).select("doc_a", "doc_b"), eager=False
+    )
     # same member-prune pattern as streaming/neardup.py's verify stage
     members = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
     fps_matched = fps.join(members, "doc_id", "left_semi")
@@ -1807,7 +1826,15 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     clusters = dedup_clusters(
         docs, edges=minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     )
-    q = quality_score(docs).select("doc_id", "quality_score")
+    # Quality only for docs that are IN a cluster (what the docstring
+    # promises): semi-join against the materialized cluster membership
+    # BEFORE the tokenize/regexp feature pass instead of computing
+    # features corpus-wide and letting the final inner join discard them
+    # (r17; guide §2.3 project/filter before the expensive work).
+    # quality_score is strictly per-row, so pruning rows cannot change
+    # any surviving value.
+    clustered = docs.join(clusters.select("doc_id"), "doc_id", "semi")
+    q = quality_score(clustered).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
@@ -1868,9 +1895,18 @@ def pagerank_pairs(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     metadata on the driver. Isolated nodes cannot occur (the node set
     is defined by the edge list)."""
     edges = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    adj = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    # one-pass undirected expansion (r17): explode each edge into both
+    # directions instead of unioning two scans of the LSH pipeline
+    # (guide §2.4 duplicated subtrees) — same change as dedup_clusters
+    both_dirs = F.array(
+        F.struct(F.col("doc_a"), F.col("doc_b")),
+        F.struct(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")),
+    )
+    adj = (
+        edges.select(F.explode(both_dirs).alias("e"))
+        .select("e.doc_a", "e.doc_b")
+        .distinct()
+    )
     adj = cut_lineage(adj, eager=True)  # reused every round
     deg = adj.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -1997,10 +2033,11 @@ def triangle_count(docs: DataFrame) -> DataFrame:
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # one explode pass over the triangle relation (r17): the previous
+    # 3-way unionAll evaluated the full triangle join once per corner
+    # (guide §2.4 duplicated subtrees)
     member = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
