@@ -483,8 +483,16 @@ def copurchase_affinity(lineitem: DataFrame) -> DataFrame:
     metric's definition).
     """
     from .dedup import _capped_sorted_buckets, _explode_pairs_ids
+    from ..lineage import cut_lineage
 
-    baskets_src = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # materialized once (r17): this distinct basket relation is read four
+    # times (order count, part counts, bucket builder's hot-key count +
+    # collect) and each read previously re-ran the scan + distinct
+    # (guide §2.4 duplicated subtrees — 10 parquet scans in the before
+    # plan, 2 after)
+    baskets_src = cut_lineage(
+        lineitem.select("l_orderkey", "l_partkey").distinct(), eager=False
+    )
     n_orders_df = baskets_src.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )

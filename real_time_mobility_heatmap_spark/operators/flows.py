@@ -157,11 +157,18 @@ def encounter_pairs(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     bounded by n_buckets × C(ENC_CAP, 2).
     """
     snapped = snap_pings(pings, cfg)
-    triples = snapped.select(
-        "cell_id",
-        F.window("eventTs", f"{ENC_WINDOW_MIN} minutes").start.alias("w_start"),
-        "vehicleId",
-    ).distinct()
+    # materialized once (r17): the bucket builder reads the triple
+    # relation twice (hot-key count + collect) and each read previously
+    # re-ran the events scan + snap + distinct (guide §2.4 — 4 parquet
+    # scans before, 2 after)
+    triples = cut_lineage(
+        snapped.select(
+            "cell_id",
+            F.window("eventTs", f"{ENC_WINDOW_MIN} minutes").start.alias("w_start"),
+            "vehicleId",
+        ).distinct(),
+        eager=False,
+    )
     buckets = _capped_sorted_buckets(
         triples, ["cell_id", "w_start"], "vehicleId", ENC_CAP
     )

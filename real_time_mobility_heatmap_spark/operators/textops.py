@@ -709,6 +709,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= REP_MIN_TOKENS)
     )
+    # materialized once (r17): both the token-count branch and the bigram
+    # branch read this relation, and each previously re-ran the corpus
+    # scan + regexp tokenize (guide §2.4 — 4 parquet scans before, 2 after)
+    tok = cut_lineage(tok, eager=False)
     t = tok.select(
         "doc_id", F.size("toks").alias("n_tokens"), F.explode("toks").alias("tk")
     )
@@ -1328,6 +1332,11 @@ def lm_score(docs: DataFrame) -> DataFrame:
             ).alias("tri"),
         )
     )
+    # materialized once (r17): the trigram relation is read three times
+    # (model aggregate, corpus total, scoring join) and Catalyst re-plans
+    # the scan + explode per reader (guide §2.4 duplicated subtrees —
+    # 6 parquet scans in the before plan)
+    tri = cut_lineage(tri, eager=False)
     model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
     total = tri.agg(F.count(F.lit(1)).alias("total"))
     micro = (

@@ -68,16 +68,20 @@ N_MICRO_BATCHES = 3
 
 
 def _bands(sigs: DataFrame) -> DataFrame:
-    """Signatures -> (doc_id, band, bh) LSH band rows."""
-    rows = None
-    for b in range(N_BANDS):
-        r = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.expr(_band_hash_spark(b)).alias("bh"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    """Signatures -> (doc_id, band, bh) LSH band rows.
+
+    One explode pass (r17) — the previous N_BANDS-way union scanned the
+    signature relation once per band (guide §2.4 duplicated subtrees;
+    same shape as ``operators.dedup._lsh_buckets``)."""
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.expr(_band_hash_spark(b)).alias("bh"))
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
 
 
 def _verified_pairs(
@@ -88,9 +92,10 @@ def _verified_pairs(
     # prune the rows relation to candidate members BEFORE the intersection
     # join: the verify stage's shuffle then carries candidate shingles, not
     # the whole accumulated index, every batch
+    # one explode pass over the candidate relation (r17) instead of a
+    # union of two scans (guide §2.4)
     members = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        candidates.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
     rows_cand = rows_all.join(members, "doc_id", "left_semi")
@@ -177,8 +182,13 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE aggregate carries both the MinHash signature and the set
         # size (they share the same doc_id shuffle) -> one store, one
         # append, one read instead of two of each
-        b_stats = b_rows.groupBy("doc_id").agg(
-            *mixes, F.count(F.lit(1)).alias("n_sh")
+        # materialized eagerly (r17): this relation is read by the batch
+        # band build, the all_stats union (itself scanned by the index
+        # band build and the sizes lookup), and the index append — each
+        # previously re-ran the signature aggregate over the shingle rows
+        b_stats = cut_lineage(
+            b_rows.groupBy("doc_id").agg(*mixes, F.count(F.lit(1)).alias("n_sh")),
+            eager=True,
         )
         have_index = os.path.isdir(idx_stats) and any(
             f.endswith(".parquet") for f in os.listdir(idx_stats)
