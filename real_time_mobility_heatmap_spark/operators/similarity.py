@@ -1646,6 +1646,11 @@ def embedding_drift_report(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
         .filter(F.col("embedding").isNotNull())
         .join(docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id")
     )
+    # materialized once (r17): the source-centroid, corpus-centroid and
+    # per-source count branches all read this scan+join frontier, and
+    # Catalyst re-planned it per branch (12 parquet scans in the before
+    # plan; guide §2.4 duplicated subtrees)
+    tagged = cut_lineage(tagged, eager=False)
     cells = tagged.select(
         "source", F.posexplode(_as_double("embedding")).alias("pos", "v")
     )

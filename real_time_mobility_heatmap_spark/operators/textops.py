@@ -356,7 +356,13 @@ def bm25_top_terms(docs: DataFrame) -> DataFrame:
     tok = spread(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once (r17): both the df/dl windows and the avgdl
+    # total read the tf relation, and each previously re-ran the corpus
+    # tokenize + explode + aggregate (guide §2.4)
+    tf = cut_lineage(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        eager=False,
+    )
     enriched = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     ).withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
@@ -1665,8 +1671,15 @@ def quality_decile_report(docs: DataFrame) -> DataFrame:
     with no percentile-interpolation float drift. The 9-threshold array
     is a 1-row broadcast; decile assignment is map-side.
     """
-    s = quality_score(docs).select(
-        "doc_id", F.col("quality_score").alias("qs"), "n_tokens"
+    # materialized once (r17): the histogram, the total and the decile
+    # assignment all read the scored relation, and each previously
+    # re-ran the corpus scan + tokenize/regexp feature pass (guide §2.4
+    # duplicated subtrees — 6 parquet scans in the before plan)
+    s = cut_lineage(
+        quality_score(docs).select(
+            "doc_id", F.col("quality_score").alias("qs"), "n_tokens"
+        ),
+        eager=False,
     )
     vc = s.groupBy("qs").agg(F.count(F.lit(1)).alias("cnt"))
     cum = vc.withColumn(
@@ -1828,7 +1841,12 @@ def cms_token_counts(docs: DataFrame) -> DataFrame:
     from ..operators.dedup import _MIX, MERSENNE_P
 
     toks = spread(docs).select(F.explode(tokens(F.col("text"))).alias("token"))
-    hashed = toks.withColumn("t_h", F.expr(hash60_spark_sql("token")))
+    # materialized once (r17): the sketch-cell aggregate and the exact
+    # heavy-hitter count both read the hashed token relation, and each
+    # previously re-ran the corpus tokenize + explode + md5 (guide §2.4)
+    hashed = cut_lineage(
+        toks.withColumn("t_h", F.expr(hash60_spark_sql("token"))), eager=False
+    )
     mixes = _MIX[:CMS_K]
     pos = [
         f"(({a} * (t_h % {MERSENNE_P}) + {b}) % {MERSENNE_P}) % {CMS_W}"

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.epochs import epoch_s_sql
+from ..lineage import cut_lineage
 from ..functions.grid import cell_id, cell_id_sql
 from ..functions.keys import tile_id, tile_id_sql
 from ..functions.rounding import avg_2dec_exact_sql, micro_units, round_half_up, round_half_up_sql
@@ -171,9 +172,16 @@ def hierarchical_rollups(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataF
             F.sum("micro").alias("sum_speed_micro"),
         )
     )
+    # each level is materialized once (r17): the union's branches embed
+    # the previous level's plan, so without the cut the raw scan + snap
+    # + finest-grain aggregate re-ran inside EVERY coarser branch (6
+    # parquet scans in the before plan) — physically violating the
+    # "raw scan happens once" cascade this operator exists to model
+    # (guide §2.4 duplicated subtrees)
+    level = cut_lineage(level, eager=False)
     out = level.withColumn("grain", F.lit(ROLLUP_GRAINS[0][0]))
     for grain, width in ROLLUP_GRAINS[1:]:
-        level = (
+        level = cut_lineage(
             level.groupBy(
                 "cell_id",
                 F.expr(f"(bucket_epoch div {width}) * {width}").alias("bucket_epoch"),
@@ -181,7 +189,8 @@ def hierarchical_rollups(pings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataF
             .agg(
                 F.sum("n_pings").alias("n_pings"),
                 F.sum("sum_speed_micro").alias("sum_speed_micro"),
-            )
+            ),
+            eager=False,
         )
         out = out.unionByName(level.withColumn("grain", F.lit(grain)))
     return out.select(

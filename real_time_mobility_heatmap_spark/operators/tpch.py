@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import money_sum, money_sum_sql
 from ..functions.rounding import round_half_up_sql
+from ..lineage import cut_lineage
 from ..sources.tables import load_table
 
 # per-line revenue in SQL form — the money expression every revenue
@@ -853,6 +854,13 @@ def late_shipment_suppliers(
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
             "int"
         ),
+    )
+    # materialized once, projected to the three columns both consumers
+    # need (r17): the per-order aggregate and the sole-late filter each
+    # re-ran the lineitem ⋈ orders join (guide §2.4 duplicated subtrees
+    # + §2.3 project before the exchange — 12 parquet scans before)
+    lines = cut_lineage(
+        lines.select("o_orderkey", "l_suppkey", "is_late"), eager=False
     )
     per_order = lines.groupBy("o_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
