@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
+from ..lineage import cut_lineage
 from ..functions.rounding import (
     avg_2dec_exact_sql,
     fixed_units,
@@ -775,8 +776,15 @@ def scd2_merge_apply(events: DataFrame) -> DataFrame:
         "user_id", F.col("event_type").alias("segment"), "ts", "event_id"
     )
     cutoff = F.lit(SCD2_CUTOFF).cast("timestamp")
-    snapshot = _scd2_changes(shaped.filter(F.col("ts") < cutoff))
-    delta = shaped.filter(F.col("ts") >= cutoff)
+    # both materialized once (r17): the snapshot feeds the untouched-keep
+    # anti-join AND the touched-rebuild semi-join (each previously re-ran
+    # the history scan + change-detect window), and the delta feeds the
+    # touched-user distinct AND the merge union (guide §2.4 — 5 events
+    # scans in the before plan, 1 after)
+    snapshot = cut_lineage(
+        _scd2_changes(shaped.filter(F.col("ts") < cutoff)), eager=False
+    )
+    delta = cut_lineage(shaped.filter(F.col("ts") >= cutoff), eager=False)
     touched = delta.select("user_id").distinct()
     keep = _scd2_finalize(snapshot.join(touched, "user_id", "left_anti"))
     merged = snapshot.join(touched, "user_id", "left_semi").unionByName(delta)
