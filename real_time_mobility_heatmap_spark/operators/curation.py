@@ -319,6 +319,9 @@ def semantic_decontaminate(embeddings: DataFrame) -> DataFrame:
     rounded to ROUND_COS before the threshold compare so the flag bit is
     engine-identical; ties on best cosine break to the smallest test id.
     """
+    # r17: _dot_unrolled measured SLOWER here (0.61 -> 0.77 interleaved
+    # A/B) — the per-label train x test volume is small enough that the
+    # guard + get() overhead beats the fold's interpretation cost.
     from .similarity import ROUND_COS, _dot, _with_norm
 
     test = _with_norm(embeddings.filter(F.col("vec_id") % TEST_MOD == 0), "test")

@@ -96,8 +96,25 @@ def _as_double(col: str):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def _dot(a, b):
+def _dot(a, b, n: int = DIM):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dot_unrolled(a, b, n: int = DIM):
+    """``_dot`` with the fixed-width fast path unrolled into a plain
+    left-to-right sum — bit-identical to the fold (same accumulation
+    order from 0.0; any other array length falls back to the fold, so
+    out-of-contract behavior is unchanged) but codegen-able instead of
+    an interpreted higher-order function (guide §4.1). ONLY for sites
+    with one dot per row (the pair-verify joins): stacking several
+    unrolled dots in one projection (banding's 16, dist2's 3 x nlist)
+    blows the expression past codegen limits and measured 2-3x SLOWER,
+    so the general ``_dot`` stays the default everywhere else.
+    """
+    s = F.lit(0.0)
+    for i in range(n):
+        s = s + F.get(a, i) * F.get(b, i)
+    return F.when((F.size(a) == n) & (F.size(b) == n), s).otherwise(_dot(a, b))
 
 
 def _with_norm(df: DataFrame, prefix: str) -> DataFrame:
@@ -416,7 +433,7 @@ def _verified_pairs(
             "vec_a",
             "vec_b",
             round0(
-                _dot(F.col("qa_emb"), F.col("qb_emb"))
+                _dot_unrolled(F.col("qa_emb"), F.col("qb_emb"))
                 / (F.col("qa_norm") * F.col("qb_norm")),
                 ROUND_COS,
             ).alias("cosine"),
@@ -1142,7 +1159,7 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
         .select(
             F.col("hi_id").alias("vec_id"),
             round0(
-                _dot(F.col("lo_e"), F.col("hi_e"))
+                _dot_unrolled(F.col("lo_e"), F.col("hi_e"))
                 / (F.col("lo_nrm") * F.col("hi_nrm")),
                 ROUND_COS,
             ).alias("cos"),
@@ -1467,13 +1484,13 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
     q = proj.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("r").alias("qr"),
-        F.sqrt(_dot(F.col("r"), F.col("r"))).alias("qn"),
+        F.sqrt(_dot(F.col("r"), F.col("r"), RP_DIM)).alias("qn"),
     )
     scored = (
         proj.select(
             F.col("vec_id").alias("cand_id"),
             F.col("r").alias("cr"),
-            F.sqrt(_dot(F.col("r"), F.col("r"))).alias("cn"),
+            F.sqrt(_dot(F.col("r"), F.col("r"), RP_DIM)).alias("cn"),
         )
         .crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -1481,7 +1498,7 @@ def rp_recall_report(embeddings: DataFrame) -> DataFrame:
             "query_id",
             "cand_id",
             round0(
-                _dot(F.col("qr"), F.col("cr")) / (F.col("qn") * F.col("cn")),
+                _dot(F.col("qr"), F.col("cr"), RP_DIM) / (F.col("qn") * F.col("cn")),
                 ROUND_COS,
             ).alias("cosine"),
         )
@@ -1580,7 +1597,7 @@ def modality_agreement_report(docs: DataFrame, embeddings: DataFrame) -> DataFra
             "doc_b",
             "jaccard",
             round0(
-                _dot(F.col("emb_a"), F.col("emb_b"))
+                _dot_unrolled(F.col("emb_a"), F.col("emb_b"))
                 / (F.col("nrm_a") * F.col("nrm_b")),
                 ROUND_COS,
             ).alias("cosine"),
