@@ -539,6 +539,61 @@ def _centroids(embeddings: DataFrame, nlist: int = N_CENTROIDS) -> DataFrame:
     )
 
 
+def _assign_inline(src: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-row nearest-centroid assignment as a PROJECTION (r17, guide
+    §2.4 "remove shuffles outright"): the centroid table collapses into
+    one broadcast row holding a c_id-sorted array, and each source row
+    folds its argmin over that array — no corpus exchange, no sort, no
+    back-join, and consumers keep every ``src`` column (so the member
+    join the old window form required downstream disappears too).
+
+    ``src`` must carry ``vec_id`` and a double-array column ``e``.
+    dist2 per centroid is the IDENTICAL expression the crossJoin form
+    computed (round0(<e,e> - 2<e,c> + <c,c>)), so values hash-match;
+    the fold keeps the (dist2 ASC, c_id ASC) lexicographic minimum —
+    exactly the old window's first row. The init sentinel (+inf) can
+    never win because validated embeddings make every dist2 finite, and
+    the empty-centroid-table guard reproduces the old crossJoin
+    behavior (no centroids -> no output rows)."""
+    cent_arr = cents.agg(
+        F.sort_array(F.collect_list(F.struct("c_id", "c_emb"))).alias("cs")
+    )
+    e = F.col("e")
+    scored = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            round0(
+                _dot(e, e)
+                - 2 * _dot(e, c["c_emb"])
+                + _dot(c["c_emb"], c["c_emb"]),
+                ROUND_COS,
+            ).alias("dist2"),
+            c["c_id"].alias("c_id"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).cast("double").alias("dist2"),
+        F.lit(None).cast("long").alias("c_id"),
+    )
+    best = F.aggregate(
+        scored,
+        init,
+        lambda acc, x: F.when(
+            (x["dist2"] < acc["dist2"])
+            | ((x["dist2"] == acc["dist2"]) & (x["c_id"] < acc["c_id"])),
+            x,
+        ).otherwise(acc),
+    )
+    return (
+        src.crossJoin(F.broadcast(cent_arr))
+        .filter(F.size("cs") > 0)
+        .withColumn("_best", best)
+        .withColumn("centroid_id", F.col("_best.c_id"))
+        .withColumn("dist2", F.col("_best.dist2"))
+        .drop("_best", "cs")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     nlist: int = N_CENTROIDS,
@@ -546,12 +601,14 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid per vector by squared L2.
 
-    Plan shape: broadcast the tiny centroid table against every vector,
-    compute dist2 = <e,e> - 2<e,c> + <c,c> (one fold per pair), rank
-    with a per-vector window (dist2 rounded before ranking so float
-    noise cannot flip an order; centroid id breaks ties). At 100 TB
-    this is one scan + a broadcast join with nlist rows — the shape a
-    real coarse quantizer runs in."""
+    Plan shape (r17): broadcast the tiny centroid table as ONE array
+    row against every vector and fold the argmin per row
+    (``_assign_inline``) — dist2 = <e,e> - 2<e,c> + <c,c> rounded
+    before comparison so float noise cannot flip an order, centroid id
+    breaking ties. At 100 TB this is one scan + a broadcast, zero
+    shuffles — the shape a real coarse quantizer runs in (the previous
+    crossJoin + rank-window form shuffled and sorted corpus x nlist
+    rows to pick each vector's minimum)."""
     if base is not None:
         e = base.select("vec_id", F.col("emb").alias("e"))
         cents = base.filter(F.col("vec_id") < nlist).select(
@@ -560,22 +617,7 @@ def ivf_assign(
     else:
         e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
         cents = _centroids(embeddings, nlist)
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "c_id",
-        round0(
-            _dot(F.col("e"), F.col("e"))
-            - 2 * _dot(F.col("e"), F.col("c_emb"))
-            + _dot(F.col("c_emb"), F.col("c_emb")),
-            ROUND_COS,
-        ).alias("dist2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("c_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_id").alias("centroid_id"), "dist2")
-    )
+    return _assign_inline(e, cents).select("vec_id", "centroid_id", "dist2")
 
 
 _DIST2_DUCK = round0_sql(
@@ -612,35 +654,21 @@ def topk_cosine_ivf(
     ~1/nlist of the corpus per query; recall-vs-cost is tuned by
     probing more cells, never by scanning everything.
 
-    The assignment is lineage-cut (lazy): both the query and candidate
-    branches consume it, and without the cut Catalyst plans the whole
-    corpus-sized assign subtree (scan + broadcast-centroid join + rank
-    window) into EACH branch — the r11 duplicate-corpus-scan audit's
-    finding. One materialization of the narrow (vec_id, centroid_id)
-    relation serves both readers."""
-    assign = cut_lineage(
-        ivf_assign(embeddings, base=base).select("vec_id", "centroid_id"),
-        eager=False,
-    )
-    if base is not None:
-        with_cell = base.join(assign, "vec_id")
-        q = _prefixed_cell(with_cell.filter(F.col("vec_id") < N_QUERIES), "query")
-        c = _prefixed_cell(with_cell, "cand")
-    else:
-        with_cell = embeddings.join(assign, "vec_id")
-        # carry the computed cell through _with_norm's "{prefix}_label" column
-        q = _with_norm(
-            with_cell.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
-                "label", "orig_label"
-            ).withColumnRenamed("centroid_id", "label"),
-            "query",
-        )
-        c = _with_norm(
-            spread(with_cell).withColumnRenamed("label", "orig_label").withColumnRenamed(
-                "centroid_id", "label"
-            ),
-            "cand",
-        )
+    The assignment is an inline projection (r17, ``_assign_inline``):
+    each row keeps its vector and norm next to its computed cell, so
+    the old materialize-assignment-then-join-back-by-vec_id dance (and
+    its lineage cut) is gone — the query branch's vec_id filter pushes
+    below the fold, so only the candidate branch pays the corpus-sized
+    assignment, once."""
+    src = base if base is not None else _norm_base(embeddings)
+    with_cell = _assign_inline(
+        src.select("vec_id", F.col("emb").alias("e"), "nrm"),
+        src.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+        ),
+    ).select("vec_id", "centroid_id", F.col("e").alias("emb"), "nrm")
+    q = _prefixed_cell(with_cell.filter(F.col("vec_id") < N_QUERIES), "query")
+    c = _prefixed_cell(with_cell, "cand")
     scored = (
         c.join(F.broadcast(q), F.col("cand_label") == F.col("query_label"))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -727,9 +755,18 @@ def topk_cosine_ivf_probe2(embeddings: DataFrame) -> DataFrame:
     list, and both scoring sides, so the plan scans the corpus once
     (r12 frontier-cut pass; scan count pinned in tests/test_plans.py)."""
     b = cut_lineage(_norm_base(embeddings), eager=False)
-    assign = ivf_assign(embeddings, base=b).select("vec_id", "centroid_id")
     probes = ivf_probe_cells(embeddings, base=b)
-    c = _prefixed_cell(b.join(assign, "vec_id"), "cand")
+    # inline assignment (r17): the candidate rows keep their vector and
+    # norm next to the computed cell — no assignment join back on vec_id
+    c = _prefixed_cell(
+        _assign_inline(
+            b.select("vec_id", F.col("emb").alias("e"), "nrm"),
+            b.filter(F.col("vec_id") < N_CENTROIDS).select(
+                F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+            ),
+        ).select("vec_id", "centroid_id", F.col("e").alias("emb"), "nrm"),
+        "cand",
+    )
     q = _prefixed(b.filter(F.col("vec_id") < N_QUERIES), "query").join(
         F.broadcast(probes), "query_id"
     )
@@ -793,17 +830,17 @@ def kmeans_update(embeddings: DataFrame) -> DataFrame:
     (centroid, dimension), the mean of the member vectors' components,
     plus the member count.
 
-    Plan shape: broadcast-assign (ivf_assign), then posexplode each
-    member vector to (centroid_id, pos, v) and hash-aggregate the mean —
-    one scan + one shuffle on (centroid_id, pos), k*dim output rows.
-    At 100 TB the update aggregate carries k*dim cells of partial
-    (sum, count), not vectors; this is the canonical distributed k-means
-    round (MLlib's KMeans does the same reduce, RDD-side)."""
-    assign = ivf_assign(embeddings).select("vec_id", "centroid_id")
-    members = (
-        spread(embeddings)
-        .join(assign, "vec_id")
-        .select("centroid_id", F.posexplode(_as_double("embedding")).alias("pos", "v"))
+    Plan shape (r17): inline broadcast-assign (``_assign_inline``
+    keeps the vector on the assigned row, so the old corpus re-scan +
+    vec_id join is gone), then posexplode each member vector to
+    (centroid_id, pos, v) and hash-aggregate the mean — one scan + ONE
+    shuffle on (centroid_id, pos), k*dim output rows. At 100 TB the
+    update aggregate carries k*dim cells of partial (sum, count), not
+    vectors; this is the canonical distributed k-means round (MLlib's
+    KMeans does the same reduce, RDD-side)."""
+    e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
+    members = _assign_inline(e, _centroids(embeddings)).select(
+        "centroid_id", F.posexplode("e").alias("pos", "v")
     )
     return members.groupBy("centroid_id", "pos").agg(
         round0(F.avg("v"), ROUND_COS).alias("coord"),
@@ -841,9 +878,9 @@ def ivf_assign_trained(
     embeddings: DataFrame, cents: DataFrame | None = None
 ) -> DataFrame:
     """IVF assignment against the TRAINED (round-1 Lloyd) centroids —
-    the read side of the training loop: same broadcast + dist2 + window
-    shape as ``ivf_assign``, against k mean vectors instead of the k
-    seeds. Rounded coords enter identically in both engines, and both
+    the read side of the training loop: the same inline broadcast +
+    dist2 fold as ``ivf_assign``, against k mean vectors instead of the
+    k seeds. Rounded coords enter identically in both engines, and both
     fold the dot products sequentially, so dist2 hashes match.
     ``cents``: a pre-built (usually lineage-cut) ``_trained_centroids``
     relation, so a caller that ALSO reads the centroid table does not
@@ -851,22 +888,7 @@ def ivf_assign_trained(
     if cents is None:
         cents = _trained_centroids(embeddings)
     e = spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "c_id",
-        round0(
-            _dot(F.col("e"), F.col("e"))
-            - 2 * _dot(F.col("e"), F.col("c_emb"))
-            + _dot(F.col("c_emb"), F.col("c_emb")),
-            ROUND_COS,
-        ).alias("dist2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("c_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_id").alias("centroid_id"), "dist2")
-    )
+    return _assign_inline(e, cents).select("vec_id", "centroid_id", "dist2")
 
 
 IVF_ASSIGN_TRAINED_ORACLE = f"""
@@ -1132,13 +1154,15 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
     corpus scans into one materialization (pinned in
     tests/test_plans.py)."""
     b = cut_lineage(_norm_base(embeddings), eager=False)
-    assign = ivf_assign(embeddings, SEM_NLIST, base=b).select(
-        "vec_id", "centroid_id"
-    )
+    # inline assignment (r17): each row keeps (e, nrm) next to its
+    # computed cell, so the old assignment join back on vec_id is gone
     m = cut_lineage(
-        b.join(assign, "vec_id").select(
-            "vec_id", "centroid_id", F.col("emb").alias("e"), "nrm"
-        ),
+        _assign_inline(
+            b.select("vec_id", F.col("emb").alias("e"), "nrm"),
+            b.filter(F.col("vec_id") < SEM_NLIST).select(
+                F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+            ),
+        ).select("vec_id", "centroid_id", "e", "nrm"),
         eager=False,
     )
     lo = m.select(

@@ -742,7 +742,11 @@ FRONTIER_CUT_SCAN_PINS = {
     "mobility_pipeline_report": 0,    # was 6
     "similar_speed_profiles": 0,      # was 6
     "active_cells_setops": 0,         # was 6
-    "topk_cosine_ivf": 2,             # r11 assign cut; q/c branch scans remain
+    # r17 inline assignment: ONE corpus scan (was 2 around the cut
+    # assignment join) + three pushed-filter scans of <= N_QUERIES rows
+    # (LessThan(vec_id, 4/5) reaches the parquet scan) — more scan
+    # NODES, strictly fewer corpus passes and no assignment join
+    "topk_cosine_ivf": 4,
     "rp_recall_report": 4,            # adjudicated: filter-pushed q branches, no real dup
     "quantized_recall_report": 0,     # was 4 (r12 re-audit straggler)
     "media_phash_pairs": 0,           # was 4 (one media hash pass, not three)
