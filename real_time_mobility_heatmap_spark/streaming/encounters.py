@@ -138,14 +138,19 @@ def ingest_encounter_batch(
         index, new_tri = None, b_tri
     new_tri = cut_lineage(new_tri, eager=True)  # read 3x below
 
+    # ONE bounded-metadata collect per batch (r17: the days list and the
+    # horizon max ran as two separate jobs): distinct DAYS of one
+    # micro-batch (a time span, never row data) drive partition pruning,
+    # and the per-day max w_start folds to the horizon update below
+    day_rows = new_tri.groupBy("day").agg(F.max("w_start").alias("mx")).collect()
+    days = [r["day"] for r in day_rows]
+    latest = max((r["mx"] for r in day_rows), default=None)
+
     # pair the new triples against (index slice + new triples);
     # canonical a < b; left side is new-only, so a pair is emitted
     # exactly in the batch where its second member first co-locates
     nt = new_tri.select("cell_id", "w_start", F.col("vehicleId").alias("v1"), "day")
     if index is not None:
-        # bounded metadata collect: distinct DAYS of one micro-batch
-        # (a time span, never row data) — drives partition pruning
-        days = [r["day"] for r in new_tri.select("day").distinct().collect()]
         idx_slice = index.filter(F.col("day").isin(days)) if days else index
         others = idx_slice.unionByName(new_tri)
     else:
@@ -168,7 +173,7 @@ def ingest_encounter_batch(
     new_tri.write.mode("append").partitionBy("day").parquet(idx_dir)
 
     # retention: evict whole index DAY partitions beyond the horizon
-    latest = new_tri.agg(F.max("w_start").alias("mx")).first()["mx"]
+    # (``latest`` folded from the day_rows collect above — no extra job)
     if latest is not None:
         import datetime as dt
 
@@ -228,7 +233,13 @@ def run_streaming_encounters(
             F.lit(N_MICRO_BATCHES - 1),
             F.expr(f"(unix_timestamp(ts) - {lo}) div {span}"),
         ),
-    ).coalesce(1).write.partitionBy("mb").mode("overwrite").parquet(stage)
+    ).repartition(N_MICRO_BATCHES, "mb").write.partitionBy("mb").mode(
+        # hash-repartition on mb (r17): every row of one mb value lands
+        # in ONE task, so each partition dir still gets exactly one file
+        # (the copy loop's invariant), but the rewrite runs N-way
+        # parallel instead of the old single-task coalesce(1)
+        "overwrite"
+    ).parquet(stage)
     import time as _time
 
     t0 = _time.time()
