@@ -587,13 +587,17 @@ def token_commonness(docs: DataFrame) -> DataFrame:
     flags OCR noise, code dumps, and gibberish the way a unigram LM
     would.
 
-    Plan shape: ONE tokenize pass feeds both sides — the vocabulary
-    aggregate (shuffle on token) and the token->vocabulary equi-join
-    (the big-to-big join: at 100 TB the vocabulary itself is too large
-    to broadcast, so both sides shuffle on the token key) — then a
-    per-doc aggregate. All sums are int64 (exact, associative); the two
-    ratios divide exact integers, so cross-engine determinism is
-    structural, not probabilistic.
+    Plan shape: the token relation feeds both the vocabulary aggregate
+    (shuffle on token) and the token->vocabulary equi-join (the
+    big-to-big join: at 100 TB the vocabulary itself is too large to
+    broadcast, so both sides shuffle on the token key) — then a per-doc
+    aggregate. Catalyst plans the tokenize scan into each branch (2
+    passes); a ``cut_lineage`` of the token rows was A/B-measured
+    SLOWER (0.89 -> 1.10 s fresh-build at sf0.1, r17): materializing
+    the corpus-sized token relation costs more than re-tokenizing, the
+    same adjudication as ``rp_recall_report``. All sums are int64
+    (exact, associative); the two ratios divide exact integers, so
+    cross-engine determinism is structural, not probabilistic.
     """
     tok = spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
     vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("tf"))
@@ -1504,6 +1508,10 @@ def source_mixture_report(docs: DataFrame) -> DataFrame:
             F.sum("bad_chars").alias("n_chars_mismatch"),
         )
     )
+    # |source|-row relation read by the totals branch AND the final
+    # join; without the cut each branch re-plans the corpus scan + token
+    # count (2 full passes — r17 scan audit)
+    per = cut_lineage(per, eager=False)
     totals = per.agg(
         F.sum("n_docs").alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
     )
