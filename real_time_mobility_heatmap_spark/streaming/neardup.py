@@ -157,7 +157,13 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(N_MICRO_BATCHES - 1),
             F.expr(f"(doc_id - {lo}) div {span}"),
         ),
-    ).coalesce(1).write.partitionBy("mb").mode("overwrite").parquet(stage)
+    ).repartition(N_MICRO_BATCHES, "mb").write.partitionBy("mb").mode(
+        # hash-repartition on mb (r17): every row of one mb value lands
+        # in ONE task, so each partition dir still gets exactly one file
+        # (the copy loop's invariant), but the rewrite runs N-way
+        # parallel instead of the old single-task coalesce(1)
+        "overwrite"
+    ).parquet(stage)
     for i in range(N_MICRO_BATCHES):
         part_dir = os.path.join(stage, f"mb={i}")
         for f in os.listdir(part_dir):
