@@ -359,10 +359,14 @@ def _vband_buckets(
         if base is not None
         else spread(embeddings).select("vec_id", _as_double("embedding").alias("e"))
     )
-    exploded = (
-        src
-        .select("vec_id", F.explode(bands).alias("bb"))
-        .select("vec_id", "bb.band", "bb.bval")
+    exploded = cut_lineage(
+        # materialized once (r17): _capped_sorted_buckets reads its input
+        # twice (hot-key histogram + collect), and each read re-ran the
+        # 16-plane banding fold over the corpus (~0.25 s/pass at sf0.1)
+        src.select("vec_id", F.explode(bands).alias("bb")).select(
+            "vec_id", "bb.band", "bb.bval"
+        ),
+        eager=False,
     )
     cap = (base if base is not None else embeddings).agg(
         F.greatest(
