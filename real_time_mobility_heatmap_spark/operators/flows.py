@@ -1216,6 +1216,13 @@ def cell_reachability(
     visited = cut_lineage(
         seed.withColumn("hops", F.lit(0).cast("int")), eager=True
     )
+    # per-round layers stay separate checkpointed frames (r17): the old
+    # loop re-checkpointed the whole visited union every round (one
+    # extra eager job per hop); a union of already-cut layers costs
+    # nothing to build, each reader scans cached RDD blocks, and the
+    # plan still cannot grow with lineage — only with max_hops, which
+    # is a constant
+    layers = [visited]
     frontier = visited.select("cell_id")
     for h in range(1, max_hops + 1):
         nxt = (
@@ -1223,17 +1230,23 @@ def cell_reachability(
             .select(F.col("to_cell").alias("cell_id"))
             .distinct()
         )
+        seen = layers[0].select("cell_id")
+        for lyr in layers[1:]:
+            seen = seen.unionByName(lyr.select("cell_id"))
         new = cut_lineage(
-            nxt.join(visited.select("cell_id"), "cell_id", "left_anti").withColumn(
+            nxt.join(seen, "cell_id", "left_anti").withColumn(
                 "hops", F.lit(h).cast("int")
             ),
             eager=True,
         )
         if new.limit(1).count() == 0:
             break
-        visited = cut_lineage(visited.unionByName(new), eager=True)
+        layers.append(new)
         frontier = new.select("cell_id")
-    return visited
+    out = layers[0]
+    for lyr in layers[1:]:
+        out = out.unionByName(lyr)
+    return out
 
 
 def cell_reachability_oracle(
