@@ -258,10 +258,19 @@ def source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of accumulating throwaway temp dirs
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     base = os.path.join(tempfile.gettempdir(), f"source_roundtrip_{tag}")
+    # the three format writes are independent jobs; overlapping them from
+    # a small thread pool lets each job's tail back-fill the others'
+    # idle cores (guide §2.6) instead of running strictly serially
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(fmt: str) -> None:
+        write_table_as(ev, f"{base}/{fmt}", fmt)
+
+    with ThreadPoolExecutor(max_workers=len(ROUNDTRIP_FORMATS)) as pool:
+        list(pool.map(_write, ROUNDTRIP_FORMATS))
     outs = []
     for fmt in ROUNDTRIP_FORMATS:
         path = f"{base}/{fmt}"
-        write_table_as(ev, path, fmt)
         back = read_table_as(spark, path, fmt, ev.schema)
         # per-format global aggregate, not union-then-groupBy: emits one
         # row per format even when the source is EMPTY (matching the
