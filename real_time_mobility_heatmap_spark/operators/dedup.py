@@ -1935,9 +1935,13 @@ def pagerank_pairs(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.sum("share").alias("inbound"))
         )
-        ranks = (
-            ranks.join(inbound, "doc_id", "left")
-            .select(
+        ranks = cut_lineage(
+            # cut per round (r17): round k's ranks reference round k-1's
+            # TWICE (inbound aggregate + the carry join), so the uncut
+            # plan re-computed the previous round per reference —
+            # exponential in iters. Interleaved A/B: 6.5 -> 5.0 s warm,
+            # 20 -> 9.5 s cold, values 0-diff.
+            ranks.join(inbound, "doc_id", "left").select(
                 "doc_id",
                 "deg",
                 "n",
@@ -1947,7 +1951,8 @@ def pagerank_pairs(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                         f"({PR_DAMP_NUM} * coalesce(inbound, 0L)) div {PR_DAMP_DEN}"
                     )
                 ).alias("r"),
-            )
+            ),
+            eager=False,
         )
     return ranks.select("doc_id", "deg", F.col("r").alias("rank_ppb"))
 
