@@ -952,7 +952,10 @@ def winnow_match_pairs(docs: DataFrame, fps: DataFrame | None = None) -> DataFra
     Remediation-family entry: the corpus is identity-collapsed (see
     ``collapse_doc_identity``) before the cap aggregate and fingerprint
     build, so results are deterministic on PK-violating input."""
-    docs = collapse_doc_identity(docs)
+    # collapsed corpus materialized once (r17): it feeds the
+    # fingerprint build AND the pair stage's cap aggregate, and the
+    # fingerprint checkpoint boundary breaks exchange reuse between them
+    docs = cut_lineage(collapse_doc_identity(docs), eager=False)
     if fps is None:
         # materialize once: the capped-bucket builder reads the
         # fingerprint relation TWICE (hot-key count + anti-join collect),
@@ -1167,7 +1170,9 @@ def winnow_match_spans(docs: DataFrame) -> DataFrame:
     Remediation-family entry: the corpus is identity-collapsed ONCE here
     (see ``collapse_doc_identity``) and the collapsed frame feeds both
     the fingerprint build and the pair stage's cap aggregate."""
-    docs = collapse_doc_identity(docs)
+    # collapsed corpus materialized once (r17) — same reasoning as
+    # winnow_match_pairs: two consumers across a checkpoint boundary
+    docs = cut_lineage(collapse_doc_identity(docs), eager=False)
     fps = cut_lineage(_winnow_fingerprints_body(docs), eager=False)
     # The pair relation is read three times below (both member-prune
     # sides + the alignment join anchor); materialize it once (r17) —
@@ -1829,7 +1834,11 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     relations (components ≪ corpus); quality is computed only for docs
     that are IN a cluster — at 100 TB the non-clustered majority never
     enters the shuffle."""
-    docs = collapse_doc_identity(docs)  # remediation-family entry (r16)
+    # remediation-family entry (r16); materialized once (r17): the
+    # collapsed corpus feeds the LSH pipeline AND the quality semi-join
+    # branch, and the LSH side's shingle checkpoint breaks exchange
+    # reuse between them — interleaved A/B 11.2 -> 8.0 s, values 0-diff
+    docs = cut_lineage(collapse_doc_identity(docs), eager=False)
     clusters = dedup_clusters(
         docs, edges=minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     )
@@ -2179,7 +2188,9 @@ def leakage_safe_split(docs: DataFrame) -> DataFrame:
     from ..functions.textfns import hash60_spark_sql
     from .textops import _split_case
 
-    docs = collapse_doc_identity(docs)  # remediation-family entry (r16)
+    # remediation-family entry (r16); materialized once (r17) — same
+    # two-consumer-across-a-checkpoint shape as dedup_keep_best
+    docs = cut_lineage(collapse_doc_identity(docs), eager=False)
     clusters = dedup_clusters(
         docs, edges=minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     ).select("doc_id", "cluster_id")
