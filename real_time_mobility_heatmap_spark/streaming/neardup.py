@@ -229,8 +229,22 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _verified_pairs(candidates, all_rows, all_sizes).write.mode("append").parquet(
             out_dir
         )
-        b_rows.write.mode("append").parquet(idx_rows)
-        b_stats.write.mode("append").parquet(idx_stats)
+        # the two index appends are independent of each other (both read
+        # already-materialized checkpoints and target different stores);
+        # overlap them so the second's tail back-fills the first's idle
+        # cores (guide §2.6). Both still strictly AFTER the pairs append
+        # — the crash-replay argument orders pairs before index, not the
+        # index stores between themselves.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            a = pool.submit(
+                lambda: b_rows.write.mode("append").parquet(idx_rows)
+            )
+            b = pool.submit(
+                lambda: b_stats.write.mode("append").parquet(idx_stats)
+            )
+            a.result(), b.result()
 
     q = (
         spark.readStream.schema(schema)
