@@ -396,12 +396,32 @@ def above_avg_orders(orders: DataFrame) -> DataFrame:
     scalar subquery into; the oracle keeps the correlated formulation to
     prove the equivalence."""
     # o_totalprice is 2-decimal money: cents-exact order-free mean +
-    # shared half-up rounding (r12 conversion of the exact-ratio class)
-    cust_avg = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.expr(avg_2dec_exact_sql("o_totalprice", 6)).alias("cust_avg")
-    )
+    # shared half-up rounding (r12 conversion of the exact-ratio class).
+    # r17: the mean is attached as a WINDOW over the per-customer frame
+    # (one shuffle+sort) instead of a groupBy + equi-join back, which
+    # scanned and shuffled orders twice (guide §2.4, §3.1). The window
+    # computes the SAME cents-exact fragment — sum of int64 cents over
+    # the partition / 100 / count — so cust_avg is bit-identical.
+    w = Window.partitionBy("o_custkey")
+    cents = F.expr(fixed_units_sql("o_totalprice", "100"))
     return (
-        orders.join(cust_avg, orders.o_custkey == F.col("ck"))
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.sum(cents).over(w).alias("_cents"),
+            F.count("o_totalprice").over(w).alias("_n"),
+        )
+        .withColumn(
+            "cust_avg",
+            # NULL-key mask: the correlated form (and the old equi-join)
+            # yields NULL cust_avg for a NULL o_custkey — the window would
+            # instead pool NULL keys into one partition, so mask it back.
+            F.when(
+                F.col("o_custkey").isNotNull(),
+                F.expr(round_half_up_sql("CAST(_cents AS DOUBLE) / 100 / _n", 6)),
+            ),
+        )
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
@@ -772,11 +792,16 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     back by key — also not broadcast."""
     brand_parts = part.filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
     items = lineitem.join(brand_parts, lineitem.l_partkey == F.col("p_partkey"))
-    cutoff = items.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_cut")
+    # r17: the per-part cutoff is a WINDOW over the SAME brand-filtered
+    # frame instead of a groupBy + join-back, which physically duplicated
+    # the lineitem ⋈ brand_parts subtree (10 Exchange / 8 scans before;
+    # guide §2.4). Quantities are integral, so the window mean is the
+    # identical order-free value the keyed aggregate produced.
+    cut = F.round(
+        0.2 * F.avg("l_quantity").over(Window.partitionBy("l_partkey")), 6
     )
     return (
-        items.join(cutoff, items.l_partkey == F.col("pk"))
+        items.withColumn("qty_cut", cut)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -2080,6 +2105,17 @@ def join_size_estimate(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     end-to-end (signed ppm error), so the audit itself is
     hash-oracle-checked.
     """
+    # r17 adjudication (guide §1 measure-first): a per-key-counts rewrite
+    # (derive bucket stats AND actual = Σ_k ka·kb from one groupBy(key)
+    # pass per side — halves the full-table shuffles at cluster scale
+    # where neither side broadcasts) was built, proven oracle-identical
+    # under the dupkeys/ties/xval sweep, and measured SLOWER fresh-build
+    # at sf0.1: old 0.58 s vs per-key 0.73 s vs per-key+lazy-cut 0.78 s
+    # (quiet interleaved A/B, min of 4). Locally the row-level `actual`
+    # join is a key-only BroadcastHashJoin and the countDistinct expand is
+    # trivial, so the extra aggregate stages only add fixed cost. Kept the
+    # two-scan form per the fresh-build rule (same call as
+    # token_commonness / rp_recall_report).
     a = orders.groupBy(
         F.expr(f"o_orderkey div {JSE_BUCKET}").alias("bucket")
     ).agg(

@@ -32,7 +32,7 @@ DuckDB oracle keep identical row sets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import money_sum, money_sum_sql
@@ -117,9 +117,16 @@ def min_cost_supplier(
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     )
-    best = pair_cost.groupBy("p_partkey").agg(F.min("cost").alias("best_cost"))
+    # r17: per-part MIN attached as a window over the SAME frame instead of
+    # a groupBy + join-back — the join-back form physically duplicated the
+    # whole 5-table pair_cost subtree (26 Exchange / 20 scans before); the
+    # window is one extra sort on the already-small pair relation (guide
+    # §2.4 duplicated subtrees, §3.1 remove the join outright). MIN is
+    # order-free, so the surviving row set is bit-identical.
     return (
-        pair_cost.join(best, "p_partkey")
+        pair_cost.withColumn(
+            "best_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
+        )
         .filter(F.col("cost") == F.col("best_cost"))
         .select(
             "p_partkey",
@@ -792,9 +799,15 @@ def excess_shipment_suppliers(
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("pair_qty"))
     )
-    part_avg = pair_qty.groupBy("l_partkey").agg(F.avg("pair_qty").alias("avg_qty"))
+    # r17: part-level mean attached as a window over the SAME frame instead
+    # of a groupBy + join-back, which physically duplicated the whole
+    # filtered-lineitem ⋈ part ⋈ aggregate subtree (20 Exchange / 14 scans
+    # before; guide §2.4). pair_qty values are exact sums of integral
+    # quantities, so the mean is order-free and the row set is stable.
     return (
-        pair_qty.join(part_avg, "l_partkey")
+        pair_qty.withColumn(
+            "avg_qty", F.avg("pair_qty").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("pair_qty") > 1.2 * F.col("avg_qty"))
         .select("l_suppkey")
         .distinct()
@@ -1189,10 +1202,16 @@ def important_parts(
         ),
         supplier.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey")
-    per_part = (
+    # r17: one lazy lineage cut so the threshold aggregate and the filter
+    # read ONE materialization of the per-part frame — the global-scalar
+    # subquery otherwise duplicates the lineitem ⋈ supplier aggregate
+    # subtree (16 Exchange / 12 scans before; guide §2.4, §5 lineage cuts).
+    # The cut relation is per-partkey (10^7 rows at 100 TB), not corpus-sized.
+    per_part = cut_lineage(
         lineitem.join(n7, lineitem.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value")),
+        eager=False,
     )
     # threshold's true value has 5 decimals (cents x 0.001): exact-DECIMAL
     # sum so the half-cent rounding can't flip cross-engine (r11 sweep
