@@ -594,9 +594,16 @@ def autocorrelation_report(events: DataFrame) -> DataFrame:
     A lag with zero variance on either side (or no overlapping hours)
     emits NULL acf rather than a division by zero.
     """
-    hourly = (
+    # r17: the hourly series is lazily lineage-cut — it feeds both the
+    # lag-shifted side and the join's right side, so uncut the corpus
+    # aggregate re-planned into each (2 events scans before; guide §2.4).
+    # The cut relation is one row per hour, bounded by the time span.
+    from ..lineage import cut_lineage
+
+    hourly = cut_lineage(
         events.groupBy(F.expr(f"{epoch_s_sql('ts')} div 3600").alias("hour_id"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        eager=False,
     )
     lags = (
         events.sparkSession.range(1, ACF_MAX_LAG + 1)

@@ -745,7 +745,14 @@ def key_skew_report(lineitem: DataFrame) -> DataFrame:
     hash-matches exactly cross-engine."""
     from pyspark.sql import Window
 
-    counts = lineitem.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    # r17: per-key counts lazily cut — both the 1-row total and the
+    # top-N read COUNTS, so uncut the keyed aggregate (a full lineitem
+    # scan + shuffle) re-planned into each branch (2 scans before;
+    # guide §2.4). The cut relation is one row per part key.
+    counts = cut_lineage(
+        lineitem.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt")),
+        eager=False,
+    )
     total = counts.agg(F.sum("cnt").alias("total"))
     top = counts.orderBy(F.desc("cnt"), F.asc("l_partkey")).limit(SKEW_TOP_N)
     w = Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))
@@ -1972,9 +1979,19 @@ def k_anonymity_report(customer: DataFrame) -> DataFrame:
 
     One hash aggregate on the quasi-id; the corpus-wide risk share is a
     1-row aggregate broadcast back. Exact integer ppm.
+
+    r17: the group relation is lineage-cut (lazily) — the 1-row risk
+    aggregate derives from GROUPS, not the base table, so without the
+    cut the whole corpus-scan aggregate re-planned into the broadcast
+    branch (2 customer scans in the before plan; guide §2.4). The cut
+    relation is bounded by the quasi-id domain (|nations| x |segments|
+    rows), trivial at any scale.
     """
-    groups = customer.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("group_size")
+    groups = cut_lineage(
+        customer.groupBy("c_nationkey", "c_mktsegment").agg(
+            F.count(F.lit(1)).alias("group_size")
+        ),
+        eager=False,
     )
     tot = groups.agg(
         F.sum("group_size").alias("n_total"),
@@ -2040,9 +2057,16 @@ def l_diversity_report(customer: DataFrame) -> DataFrame:
     bucket = F.expr(
         f"CAST((c_acctbal + 1000.00) * 100 AS BIGINT) div {LDIV_BUCKET_CENTS}"
     )
-    groups = customer.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("group_size"),
-        F.count_distinct(bucket).alias("l_distinct"),
+    # r17: lazily cut for the same reason as k_anonymity_report — the
+    # corpus-wide share aggregate reads GROUPS, and without the cut the
+    # quasi-id aggregate re-planned into that branch (2 customer scans
+    # before); the cut relation is quasi-id-domain-bounded.
+    groups = cut_lineage(
+        customer.groupBy("c_nationkey", "c_mktsegment").agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(bucket).alias("l_distinct"),
+        ),
+        eager=False,
     )
     tot = groups.agg(
         F.sum("group_size").alias("n_total"),

@@ -571,7 +571,14 @@ def top_suppliers(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    revs = q.groupBy("l_suppkey").agg(money_sum(_REV_SQL).alias("total_revenue"))
+    # r17: per-supplier revenues lazily cut — the scalar MAX derives from
+    # REVS, so uncut the filtered-lineitem aggregate re-planned into the
+    # broadcast branch too (2 lineitem scans before; guide §2.4). The cut
+    # relation is one row per supplier in the quarter.
+    revs = cut_lineage(
+        q.groupBy("l_suppkey").agg(money_sum(_REV_SQL).alias("total_revenue")),
+        eager=False,
+    )
     top = revs.agg(F.max("total_revenue").alias("max_revenue"))
     winners = revs.crossJoin(F.broadcast(top)).filter(
         F.col("total_revenue") == F.col("max_revenue")
