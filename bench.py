@@ -171,7 +171,14 @@ def main() -> None:
         # with an unchanged diff). Recording the version makes that
         # attributable instead of looking like 28 code regressions.
         "pyspark": pyspark.__version__,
-        "cpus": os.cpu_count(),
+        # the EFFECTIVE Spark core count (the same source session.py sizes
+        # local[N] and shuffle.partitions from), NOT os.cpu_count(): the
+        # driver's low-core scaling run sets $SPARK_GRAFT_CPUS=8 on a
+        # 32-CPU host, and stamping the host count made that run
+        # fingerprint-identical to the 32-core pin — its quiet read then
+        # overwrote the ratchet and every 32-core comparison against it
+        # flagged phantom regressions (r17 verdict #2).
+        "cpus": int(os.getenv("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))),
         "jvm": spark.sparkContext._jvm.System.getProperty("java.version"),
     }
     # drift attribution: was the baseline round recorded on the same
@@ -259,8 +266,27 @@ def _persist_detail(detail: dict) -> Path:
     the driver's noisy per-round read landed in the ratchet; routing by
     the run's own quiet verdict removes the ritual without changing any
     gate semantics (the quiet pin stays the only baseline source, and a
-    noisy run's record is still fully preserved for adjudication)."""
+    noisy run's record is still fully preserved for adjudication).
+
+    QUIET is necessary but not sufficient (r17 verdict #2): the driver's
+    quiet 8-core scaling run overwrote the 32-core pin, so the next
+    32-core run would have compared every query against 8-core
+    baselines. A quiet run only refreshes the ratchet when its
+    environment fingerprint (cpus/pyspark/jvm) matches the committed
+    pin's; a quiet run on a DIFFERENT environment routes to the side
+    file like a noisy one. A pin with no/unknown fingerprint is
+    refreshable (first pin, or a pre-fingerprint record)."""
     target = DETAIL_PATH if detail.get("quiet") else LAST_RUN_PATH
+    if detail.get("quiet"):
+        try:
+            pin = json.loads(DETAIL_PATH.read_text())
+        except (OSError, ValueError):
+            pin = {}
+        keys = ("cpus", "pyspark", "jvm")
+        if all(k in pin for k in keys) and any(
+            pin.get(k) != detail.get(k) for k in keys
+        ):
+            target = LAST_RUN_PATH
     try:
         target.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
     except OSError:

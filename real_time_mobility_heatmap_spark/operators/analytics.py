@@ -31,6 +31,7 @@ from ..functions.epochs import epoch_s_sql
 from ..functions.percentiles import percentile_disc_exact
 from ..functions.rounding import fixed_units, fixed_units_sql, round0, round0_sql
 from ..functions.rounding import round_half_up, round_half_up_sql
+from ..lineage import cut_lineage
 from ..sources.tables import load_table
 
 WEEK_S = 7 * 24 * 3600  # cohort bucket width, epoch seconds
@@ -483,8 +484,6 @@ def copurchase_affinity(lineitem: DataFrame) -> DataFrame:
     metric's definition).
     """
     from .dedup import _capped_sorted_buckets, _explode_pairs_ids
-    from ..lineage import cut_lineage
-
     # materialized once (r17): this distinct basket relation is read four
     # times (order count, part counts, bucket builder's hot-key count +
     # collect) and each read previously re-ran the scan + distinct
@@ -598,8 +597,6 @@ def autocorrelation_report(events: DataFrame) -> DataFrame:
     # lag-shifted side and the join's right side, so uncut the corpus
     # aggregate re-planned into each (2 events scans before; guide §2.4).
     # The cut relation is one row per hour, bounded by the time span.
-    from ..lineage import cut_lineage
-
     hourly = cut_lineage(
         events.groupBy(F.expr(f"{epoch_s_sql('ts')} div 3600").alias("hour_id"))
         .agg(F.count(F.lit(1)).alias("n")),

@@ -154,3 +154,40 @@ def test_nonquiet_detail_never_mutates_the_ratchet(tmp_path, monkeypatch):
     quiet = {"quiet": True, "value": 238.0}
     assert bench._persist_detail(quiet) == detail_path
     assert json.loads(detail_path.read_text())["value"] == 238.0
+
+
+def test_quiet_run_on_other_env_never_mutates_the_ratchet(tmp_path, monkeypatch):
+    """r17 verdict #2: the driver's quiet 8-core scaling run overwrote
+    the 32-core pin (the old stamp recorded os.cpu_count(), so the
+    fingerprints LOOKED identical). A quiet run whose cpus/pyspark/jvm
+    fingerprint differs from the committed pin's must route to
+    BENCH_LAST_RUN.json; a same-env quiet run still refreshes the pin."""
+    detail_path = tmp_path / "BENCH_DETAIL.json"
+    last_run_path = tmp_path / "BENCH_LAST_RUN.json"
+    monkeypatch.setattr(bench, "DETAIL_PATH", detail_path)
+    monkeypatch.setattr(bench, "LAST_RUN_PATH", last_run_path)
+    pin = {"quiet": True, "value": 254.0, **ENV}
+    detail_path.write_text(json.dumps(pin))
+
+    eight_core = {"quiet": True, "value": 218.0, **{**ENV, "cpus": 8}}
+    assert bench._persist_detail(eight_core) == last_run_path
+    assert json.loads(detail_path.read_text()) == pin  # pin untouched
+    assert json.loads(last_run_path.read_text())["value"] == 218.0
+
+    same_env = {"quiet": True, "value": 250.0, **ENV}
+    assert bench._persist_detail(same_env) == detail_path
+    assert json.loads(detail_path.read_text())["value"] == 250.0
+
+
+def test_unfingerprinted_pin_is_refreshable(tmp_path, monkeypatch):
+    """A pin missing any fingerprint key (pre-fingerprint record, or a
+    hand-restored stub) cannot veto a quiet refresh — same conservative
+    env-UNKNOWN posture as _env_match_prev, pointed the other way: with
+    no recorded env to compare, the quiet verdict alone governs."""
+    detail_path = tmp_path / "BENCH_DETAIL.json"
+    monkeypatch.setattr(bench, "DETAIL_PATH", detail_path)
+    monkeypatch.setattr(bench, "LAST_RUN_PATH", tmp_path / "BENCH_LAST_RUN.json")
+    detail_path.write_text(json.dumps({"quiet": True, "value": 254.0}))
+    quiet = {"quiet": True, "value": 238.0, **ENV}
+    assert bench._persist_detail(quiet) == detail_path
+    assert json.loads(detail_path.read_text())["value"] == 238.0
