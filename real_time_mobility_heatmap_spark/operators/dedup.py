@@ -146,31 +146,37 @@ def _shingle_rows(docs: DataFrame, distinct: bool = True) -> DataFrame:
     result is invariant under duplicate shingles (MinHash: the min over a
     multiset equals the min over its set). Jaccard consumers need the set.
 
-    Built as posexplode + two window ``lead``s + concat rather than a
-    higher-order ``transform(sequence, i -> concat_ws(slice(...)))`` over
-    token arrays: array slicing inside ``transform`` is interpreted (not
-    codegen) and allocates per shingle — the window form measured ~4x
-    faster at sf0.1 and scales as a plain shuffle-by-doc_id sort, which a
-    real cluster does per-partition. Output strings are identical, so the
-    DuckDB oracles keep the list-comprehension form.
+    Built as a SHUFFLE-FREE higher-order transform over the token array —
+    ``transform(sequence, i -> concat_ws(toks[i-1], toks[i], toks[i+1]))``
+    with direct 0-based subscripts — then one explode (guide §2.4
+    "remove shuffles outright"). Two earlier forms, both measured:
+
+    - ``transform`` with ``slice(...)`` inside the lambda (r<=9):
+      allocates a sub-array per shingle, measured ~4x slower than the
+      window form at sf0.1 — the adjudication that originally picked the
+      window form. Direct indexing has no per-shingle allocation and is
+      NOT that shape.
+    - posexplode + two window ``lead``s + concat (r10-r17): codegen'd,
+      but the window costs a full corpus token-row shuffle + sort in
+      every non-pre-partitioned caller. The indexed transform is
+      value-identical (r18: multiset diff 0 on the sf0.1 corpus) and
+      measured ~2x faster at sf0.1 (0.88 -> 0.58 s distinct,
+      0.75 -> 0.25 s multiset), and at 100 TB it removes the one
+      corpus-wide exchange every shingle consumer paid.
+
+    Output strings are identical, so the DuckDB oracles keep their
+    list-comprehension form.
     """
     tok = (
         spread(docs)
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    rows = (
-        tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
-        .select(
-            "doc_id",
-            "tk",
-            F.lead("tk", 1).over(w).alias("t1"),
-            F.lead("tk", 2).over(w).alias("t2"),
-        )
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tk", "t1", "t2").alias("s"))
+    sh = F.expr(
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
     )
+    rows = tok.select("doc_id", F.explode(sh).alias("s"))
     return rows.distinct() if distinct else rows
 
 
