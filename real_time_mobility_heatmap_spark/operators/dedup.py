@@ -863,45 +863,52 @@ def _winnow_fingerprints_body(docs: DataFrame) -> DataFrame:
     hashes, and keep each window's minimum — a position-aware fingerprint
     set with guaranteed density, the standard local-similarity sketch.
 
-    Selection is expressed as two window passes over one sort order
-    (Spark plans a single shuffle+sort per doc partition and chains the
-    frames): ``wmin`` = min hash per full window; a position is selected
-    iff some window containing it attains its hash — equivalently
-    ``max(wmin) over the following W frame == h`` (all wmin <= h, so the
-    max reaches h exactly when one equals it). This "all minima" variant
-    is deterministic with no tie-break rule; 60-bit hashes make in-window
-    ties vanishingly rare anyway.
+    Selection: ``wmin`` = min hash per full backward window of W; a
+    position is selected iff some window containing it attains its hash
+    — equivalently ``max(wmin) over the following W frame == h`` (all
+    wmin <= h, so the max reaches h exactly when one equals it). This
+    "all minima" variant is deterministic with no tie-break rule; 60-bit
+    hashes make in-window ties vanishingly rare anyway.
+
+    Both passes run as SHUFFLE-FREE array transforms over the per-doc
+    token array (r18, guide §2.4 — same conversion as
+    ``_shingle_rows``): the hash sequence, the backward-window minima,
+    and the forward-window selection all live inside one row, so the
+    whole fingerprint build is a narrow map over the corpus scan. The
+    previous posexplode + window form paid a corpus token-row
+    shuffle + sort whenever the input wasn't already doc_id-partitioned.
+    ``array_min``/``array_max`` skip NULL entries exactly as the window
+    MIN/MAX did; positions with no full backward window carry a NULL
+    wmin, and a NULL forward max selects nothing (``= h`` is NULL →
+    filtered), matching the window form on short documents.
     """
     tok = (
         spread(docs)
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
-        .select(
-            "doc_id",
-            "pos",
-            F.lead("tk", 1).over(w).alias("t1"),
-            F.lead("tk", 2).over(w).alias("t2"),
-            "tk",
-        )
-        .filter(F.col("t2").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.expr(hash60_spark_sql("concat_ws(' ', tk, t1, t2)")).alias("h"),
-        )
+    h_of = hash60_spark_sql("concat_ws(' ', toks[i-1], toks[i], toks[i+1])")
+    hs = tok.select(
+        "doc_id",
+        F.expr(f"transform(sequence(1, size(toks) - 2), i -> {h_of})").alias("hs"),
     )
-    back = w.rowsBetween(-(WINNOW_W - 1), 0)
-    fwd = w.rowsBetween(0, WINNOW_W - 1)
-    full = F.count(F.lit(1)).over(back) == WINNOW_W
-    wmin = F.when(full, F.min("h").over(back))
-    sel = sh.withColumn("wmin", wmin).withColumn(
-        "sel", F.max("wmin").over(fwd) == F.col("h")
+    wm = hs.select(
+        "doc_id",
+        "hs",
+        F.expr(
+            f"transform(sequence(1, size(hs)), p -> CASE WHEN p >= {WINNOW_W} "
+            f"THEN array_min(slice(hs, p - {WINNOW_W - 1}, {WINNOW_W})) END)"
+        ).alias("wm"),
     )
-    return sel.filter(F.col("sel")).select("doc_id", "pos", F.col("h").alias("fp_hash"))
+    sel = F.expr(
+        "filter(transform(sequence(1, size(hs)), p -> "
+        "struct(p - 1 AS pos, element_at(hs, p) AS fp_hash, "
+        f"array_max(slice(wm, p, {WINNOW_W})) = element_at(hs, p) AS sel)), "
+        "x -> x.sel)"
+    )
+    return wm.select("doc_id", F.explode(sel).alias("f")).select(
+        "doc_id", F.col("f.pos").alias("pos"), F.col("f.fp_hash").alias("fp_hash")
+    )
 
 
 def winnow_fingerprints_oracle() -> str:
@@ -1267,21 +1274,20 @@ def repeated_span_report(docs: DataFrame) -> DataFrame:
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= K_SPAN)
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pos = tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
-    lead_cols = [F.lead("tk", i).over(w).alias(f"t{i}") for i in range(1, K_SPAN)]
-    grams = (
-        pos.select("doc_id", "pos", "tk", *lead_cols)
-        .filter(F.col(f"t{K_SPAN - 1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.expr(
-                hash60_spark_sql(
-                    "concat_ws(' ', tk, " + ", ".join(f"t{i}" for i in range(1, K_SPAN)) + ")"
-                )
-            ).alias("h"),
-        )
+    # positioned grams as a shuffle-free array transform (r18, guide
+    # §2.4 — same conversion as _shingle_rows; the old posexplode +
+    # K_SPAN-1 lead() windows paid a corpus token-row shuffle + sort)
+    gram_str = "concat_ws(' ', " + ", ".join(
+        f"toks[i+{j}-1]" for j in range(K_SPAN)
+    ) + ")"
+    g_expr = (
+        f"transform(sequence(1, size(toks) - {K_SPAN - 1}), "
+        f"i -> struct(i - 1 AS pos, {gram_str} AS s))"
+    )
+    grams = tok.select("doc_id", F.explode(F.expr(g_expr)).alias("g")).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        F.expr(hash60_spark_sql("g.s")).alias("h"),
     )
     grams = cut_lineage(grams, eager=False)
     shared = (

@@ -712,8 +712,6 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     second tiny aggregate on the same doc_id partitioning. Docs with
     < 2 tokens have no bigram and are excluded (mirrored in the oracle).
     """
-    from pyspark.sql import Window
-
     tok = (
         spread(docs)
         .select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -732,15 +730,18 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "n_tokens")
         .agg(F.max("c").alias("top_token_count"))
     )
-    # bigrams with multiplicity (occurrence counts, so no array_distinct):
-    # the posexplode + lead window form — same rationale as dedup's
-    # _shingle_rows (codegen'd, one sort per doc partition)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        tok.select("doc_id", F.posexplode("toks").alias("pos", "tk"))
-        .select("doc_id", "tk", F.lead("tk", 1).over(w).alias("t1"))
-        .filter(F.col("t1").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tk", "t1").alias("bg"))
+    # bigrams with multiplicity (occurrence counts, so no array_distinct)
+    # as a shuffle-free array transform (r18, guide §2.4 — same
+    # conversion as dedup's _shingle_rows; the old posexplode + lead
+    # window form paid a token-row shuffle + sort per pass)
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat_ws(' ', toks[i-1], toks[i]))"
+            )
+        ).alias("bg"),
     )
     btop = (
         bg.groupBy("doc_id", "bg")
