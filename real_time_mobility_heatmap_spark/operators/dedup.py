@@ -798,13 +798,42 @@ def collapse_doc_identity(docs: DataFrame) -> DataFrame:
     On in-contract corpora the collapse is value-identity (unique keys
     make the groupBy a pass-through).
 
-    Scale: one map-side-combinable aggregate shuffling (doc_id, text) —
-    and every downstream consumer's first wide stage already partitions
-    by doc_id (the shingle windows / signature aggregates), so the
-    exchange is REUSED, not added: the collapse replaces the token-row
-    shuffle with a cheaper text-row shuffle.
+    Shape (r18, guide §2.3 "shuffle keys and metadata instead of
+    payloads"): collapse ONLY the doc_ids that are actually duplicated.
+    A doc_id-projected count aggregate finds the violating keys (a
+    narrow, map-side-combined shuffle of ints — never text); rows with
+    unique keys pass through a null-safe ANTI join against that
+    (usually empty) set, and only the violating rows reach the
+    ``min(text)`` aggregate. The previous single
+    ``groupBy(doc_id).agg(min(text))`` shuffled the ENTIRE corpus text
+    to collapse what is, in contract, nothing — the r16 correctness
+    work's +1.0-1.4 s/query cost on the quiet pin. NULL-safe joins keep
+    the one-group-per-NULL-doc_id semantics of the groupBy (two NULL
+    doc_ids collapse to one row, exactly as before). Values are
+    bit-identical on every corpus: unique keys pass through (min over a
+    1-row group IS the row), duplicated keys aggregate exactly as the
+    old formulation did; proven by the unchanged pk1 oracles on the
+    --dupkeys sweep.
+
+    Scale: the clean-corpus fast path is one corpus scan + a broadcast
+    anti join on an empty set — the text payload never crosses the
+    network. On a heavily violating corpus AQE falls back to keyed
+    joins and the cost approaches the old full-shuffle form.
     """
-    return spread(docs).groupBy("doc_id").agg(F.min("text").alias("text"))
+    d = spread(docs).select("doc_id", "text")
+    dup = (
+        d.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select(F.col("doc_id").alias("_dup_id"))
+    )
+    clean = d.join(dup, d["doc_id"].eqNullSafe(dup["_dup_id"]), "left_anti")
+    collapsed = (
+        d.join(dup, d["doc_id"].eqNullSafe(dup["_dup_id"]), "left_semi")
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
+    return clean.unionByName(collapsed)
 
 
 def pk1_oracle(sql: str) -> str:
@@ -1045,9 +1074,14 @@ def dedup_clusters(
     corpora, so it must be deterministic on exactly that input.
     """
     if edges is None:
-        edges = minhash_lsh_pairs(collapse_doc_identity(docs)).select(
-            "doc_a", "doc_b"
-        )
+        # collapsed corpus materialized once (r18): minhash_lsh_pairs
+        # reads its input twice (hashed-shingle pipeline + _doc_cap), and
+        # the duplicate-only collapse split would otherwise re-plan its
+        # three scans into each reader — the same cut dedup_keep_best /
+        # winnow_match_pairs already carry for the same reason
+        edges = minhash_lsh_pairs(
+            cut_lineage(collapse_doc_identity(docs), eager=False)
+        ).select("doc_a", "doc_b")
     # undirected adjacency, deduplicated once up front. Built by exploding
     # each edge into both directions in ONE pass (r17) — the previous
     # union-of-two-selects scanned the edge relation twice, and on the
