@@ -68,27 +68,31 @@ N_MICRO_BATCHES = 3
 
 
 def _bands(sigs: DataFrame) -> DataFrame:
-    """Signatures -> (doc_id, band, bh) LSH band rows.
+    """Signatures -> (doc_id, band, bh, n_sh) LSH band rows.
 
     One explode pass (r17) — the previous N_BANDS-way union scanned the
     signature relation once per band (guide §2.4 duplicated subtrees;
-    same shape as ``operators.dedup._lsh_buckets``)."""
+    same shape as ``operators.dedup._lsh_buckets``). The per-doc shingle
+    set size rides along each band row (r18): it lives on the same stats
+    row the bands derive from, so the verify stage's two sizes joins
+    disappear — the same ride-along idiom as the batch side's
+    ``_exploded_hashed`` (guide §2.4, two removed joins per batch)."""
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.expr(_band_hash_spark(b)).alias("bh"))
             for b in range(N_BANDS)
         ]
     )
-    return sigs.select("doc_id", F.explode(bands).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    return sigs.select("doc_id", "n_sh", F.explode(bands).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"), "n_sh"
     )
 
 
-def _verified_pairs(
-    candidates: DataFrame, rows_all: DataFrame, sizes_all: DataFrame
-) -> DataFrame:
-    """Exact-Jaccard verify of (doc_a, doc_b) candidates against the hashed
-    shingle rows; mirrors operators.dedup._jaccard's rounding/threshold."""
+def _verified_pairs(candidates: DataFrame, rows_all: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of (doc_a, doc_b, n_a, n_b) candidates against
+    the hashed shingle rows; mirrors operators.dedup._jaccard's
+    rounding/threshold. Set sizes arrive ON the candidate rows (see
+    ``_bands``), so no sizes relation is joined here."""
     # prune the rows relation to candidate members BEFORE the intersection
     # join: the verify stage's shuffle then carries candidate shingles, not
     # the whole accumulated index, every batch
@@ -101,22 +105,19 @@ def _verified_pairs(
     rows_cand = rows_all.join(members, "doc_id", "left_semi")
     ra = rows_cand.select(F.col("doc_id").alias("doc_a"), "s_h")
     rb = rows_cand.select(F.col("doc_id").alias("doc_b"), "s_h")
+    # n_a/n_b are functionally dependent on (doc_a, doc_b) — grouping by
+    # all four keys yields exactly the old (doc_a, doc_b) groups
     inter = (
         candidates.join(ra, "doc_a")
         .join(rb, ["doc_b", "s_h"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes_all.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes_all.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = round_half_up(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
     )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", j.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return inter.select("doc_a", "doc_b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
@@ -127,8 +128,13 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver against the pure-SQL batch oracle."""
     tmp = tempfile.mkdtemp(prefix=f"streaming-neardup-{uuid.uuid4().hex[:8]}-")
     in_dir = os.path.join(tmp, "in")
-    idx_rows = os.path.join(tmp, "index_rows")
-    idx_stats = os.path.join(tmp, "index_stats")  # signatures + set sizes
+    # ONE index store, hive-partitioned by kind (rows = hashed shingles,
+    # stats = signatures + set sizes) — r18: the two per-batch appends to
+    # separate stores were two write jobs; one partitioned append commits
+    # both kinds in a single job (and closes the old crash window between
+    # the two index appends). Readers prune by the kind partition, so
+    # each read still scans only its own files.
+    idx_store = os.path.join(tmp, "index")
     out_dir = os.path.join(tmp, "pairs")
     os.makedirs(in_dir)
 
@@ -196,29 +202,45 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             b_rows.groupBy("doc_id").agg(*mixes, F.count(F.lit(1)).alias("n_sh")),
             eager=True,
         )
-        have_index = os.path.isdir(idx_stats) and any(
-            f.endswith(".parquet") for f in os.listdir(idx_stats)
+        stats_dir = os.path.join(idx_store, "kind=stats")
+        have_index = os.path.isdir(stats_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(stats_dir)
         )
+        mh_cols = [f"mh{k}" for k in range(len(_MIX))]
         if have_index:
             ss = batch.sparkSession
-            all_stats = ss.read.parquet(idx_stats).unionByName(b_stats)
-            all_rows = ss.read.parquet(idx_rows).unionByName(b_rows)
+            index = ss.read.parquet(idx_store)
+            all_stats = (
+                index.filter(F.col("kind") == "stats")
+                .select("doc_id", *mh_cols, "n_sh")
+                .unionByName(b_stats)
+            )
+            all_rows = (
+                index.filter(F.col("kind") == "rows")
+                .select("doc_id", "s_h")
+                .unionByName(b_rows)
+            )
         else:
             all_stats, all_rows = b_stats, b_rows
-        all_sizes = all_stats.select("doc_id", "n_sh")
         # candidates: batch bands against ALL bands (index + batch), pair
         # canonicalized a < b; require at least one side in this batch —
-        # guaranteed because the left side is batch-only
+        # guaranteed because the left side is batch-only. Set sizes ride
+        # along the band rows (see _bands), oriented with the pair.
         bb = _bands(b_stats).select(
-            F.col("doc_id").alias("d1"), "band", "bh"
+            F.col("doc_id").alias("d1"), "band", "bh", F.col("n_sh").alias("n1")
         )
-        ab = _bands(all_stats).select(F.col("doc_id").alias("d2"), "band", "bh")
+        ab = _bands(all_stats).select(
+            F.col("doc_id").alias("d2"), "band", "bh", F.col("n_sh").alias("n2")
+        )
+        a_first = F.col("d1") < F.col("d2")
         candidates = (
             bb.join(ab, ["band", "bh"])
             .filter(F.col("d1") != F.col("d2"))
             .select(
                 F.least("d1", "d2").alias("doc_a"),
                 F.greatest("d1", "d2").alias("doc_b"),
+                F.when(a_first, F.col("n1")).otherwise(F.col("n2")).alias("n_a"),
+                F.when(a_first, F.col("n2")).otherwise(F.col("n1")).alias("n_b"),
             )
             .distinct()
         )
@@ -226,25 +248,17 @@ def run_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # band join is batch-only, so a pair is discoverable only in the
         # first batch where BOTH members exist — i.e. when its second
         # member arrives — regardless of arrival order.
-        _verified_pairs(candidates, all_rows, all_sizes).write.mode("append").parquet(
-            out_dir
+        _verified_pairs(candidates, all_rows).write.mode("append").parquet(out_dir)
+        # ONE index append for both kinds, strictly AFTER the pairs append
+        # (the crash-replay argument orders pairs before index)
+        (
+            b_rows.withColumn("kind", F.lit("rows"))
+            .unionByName(b_stats.withColumn("kind", F.lit("stats")),
+                         allowMissingColumns=True)
+            .write.mode("append")
+            .partitionBy("kind")
+            .parquet(idx_store)
         )
-        # the two index appends are independent of each other (both read
-        # already-materialized checkpoints and target different stores);
-        # overlap them so the second's tail back-fills the first's idle
-        # cores (guide §2.6). Both still strictly AFTER the pairs append
-        # — the crash-replay argument orders pairs before index, not the
-        # index stores between themselves.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            a = pool.submit(
-                lambda: b_rows.write.mode("append").parquet(idx_rows)
-            )
-            b = pool.submit(
-                lambda: b_stats.write.mode("append").parquet(idx_stats)
-            )
-            a.result(), b.result()
 
     q = (
         spark.readStream.schema(schema)
