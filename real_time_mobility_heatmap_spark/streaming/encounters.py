@@ -136,7 +136,12 @@ def ingest_encounter_batch(
         new_tri = b_tri.join(index, ["cell_id", "w_start", "vehicleId"], "left_anti")
     else:
         index, new_tri = None, b_tri
-    new_tri = cut_lineage(new_tri, eager=True)  # read 3x below
+    # lazy cut (r18): the day_rows collect right below is the first
+    # action and has a single branch, so it materializes the checkpoint
+    # blocks in ITS job — an eager cut here ran a separate
+    # materialization job per batch for no extra sharing (the pair build
+    # and the index append still read the same blocks)
+    new_tri = cut_lineage(new_tri, eager=False)  # read 3x below
 
     # ONE bounded-metadata collect per batch (r17: the days list and the
     # horizon max ran as two separate jobs): distinct DAYS of one
