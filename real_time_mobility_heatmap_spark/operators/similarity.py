@@ -339,13 +339,66 @@ def _band_bits(
     return bval
 
 
+def _sign_code(base: DataFrame) -> DataFrame:
+    """(vec_id, 16-bit sign code) over a ``_norm_base``-shaped relation —
+    plane p contributes 2^p, identical weights to ``_band_bits``, so any
+    band geometry's bval is a pure shift/mask of this one code:
+    ``bval(b) = (code >> b*bits) & (2^bits - 1)``. The geometry report
+    cuts THIS relation once and derives both geometries from it (r18) —
+    previously each geometry re-ran the 16-plane dot fold over the
+    corpus."""
+    code = None
+    for p, weights in enumerate(_planes()):
+        w = F.array(*[F.lit(v) for v in weights])
+        bit = F.when(_dot(F.col("emb"), w) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return base.select("vec_id", code.alias("code"))
+
+
+def _code_band_rows(code: DataFrame, n_bands: int) -> DataFrame:
+    """(vec_id, band, bval) rows for a geometry, derived from a
+    ``_sign_code`` relation by shift/mask — exact integer equality with
+    ``_band_bits`` (bit i of band b is plane b*bits+i at weight 2^i)."""
+    bits = N_PLANES // n_bands
+    mask = (1 << bits) - 1
+    bands = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> struct(b AS band, shiftright(code, b * {bits}) & {mask} AS bval))"
+    )
+    return code.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", "bb.band", "bb.bval"
+    )
+
+
 def _vband_buckets(
-    embeddings: DataFrame, n_bands: int, base: DataFrame | None = None
+    embeddings: DataFrame,
+    n_bands: int,
+    base: DataFrame | None = None,
+    code: DataFrame | None = None,
 ) -> DataFrame:
     """Capped sign-LSH bucket relation (band, bval, ds, cap) for the given
     band geometry — shared by ``embedding_neardup`` and the geometry
     report. ``base``: a lineage-cut ``_norm_base`` relation to band from
-    instead of re-planning the corpus scan."""
+    instead of re-planning the corpus scan. ``code``: a (usually
+    lineage-cut) ``_sign_code`` relation — band rows then derive by
+    shift/mask and need no cut of their own (the double-read of
+    ``_capped_sorted_buckets`` re-reads the code blocks, not the dot
+    fold)."""
+    if code is not None:
+        exploded = _code_band_rows(code, n_bands)
+        cap_src = base if base is not None else embeddings
+        cap = cap_src.agg(
+            F.greatest(
+                F.least(
+                    F.floor(F.count(F.lit(1)) * F.lit(BUCKET_CAP_FRAC)).cast("bigint"),
+                    F.lit(BUCKET_CAP_MAX).cast("bigint"),
+                ),
+                F.lit(2),
+            ).alias("cap")
+        )
+        from .dedup import _capped_sorted_buckets
+
+        return _capped_sorted_buckets(exploded, ["band", "bval"], "vec_id", cap)
     planes = _planes()
     bits = N_PLANES // n_bands
     bands = F.array(
@@ -1388,18 +1441,25 @@ def vband_geometry_report(embeddings: DataFrame) -> DataFrame:
     recall cost (the wide geometry finds fewer of the fixture's
     weak-cosine pairs)."""
     b = cut_lineage(_norm_base(embeddings), eager=False)
+    # the 16 plane dots run ONCE for both geometries (r18): the sign code
+    # is geometry-independent, and each geometry's band values derive
+    # from it by shift/mask (_code_band_rows) — previously each geometry
+    # materialized its own band rows with a full 16-dot corpus fold
+    code = cut_lineage(_sign_code(b), eager=False)
     rows = []
     for g in (N_VBANDS, WIDE_VBANDS):
         # ONE bucket relation per geometry feeds both the stats aggregate
         # and the verified-pair count (building it twice doubles the
         # banding dot-products — measured ~2s of the report's cost).
         # The bucket relation is ALSO lineage-cut: without the cut its
-        # subtree (scan + banding fold + cap window) re-plans into each
+        # subtree (band derivation + cap anti-join) re-plans into each
         # of its two readers, and the shared corpus frontier re-plans
         # into every geometry branch — 16 scans of one file in the r11
         # audit; post-cut the corpus materializes once (pinned in
         # tests/test_plans.py).
-        buckets = cut_lineage(_vband_buckets(embeddings, g, base=b), eager=False)
+        buckets = cut_lineage(
+            _vband_buckets(embeddings, g, base=b, code=code), eager=False
+        )
         stats = buckets.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.coalesce(
