@@ -174,16 +174,27 @@ def late_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 
     Adaptation: no l_commitdate/l_receiptdate in this schema — "late" is
     l_shipdate more than 30 days after o_orderdate.
+
+    Shape (r18, guide §2.3 "aggregate before you shuffle"): o_orderdate
+    is constant per order, so EXISTS(one late item) ⟺
+    max(l_shipdate) > o_orderdate + 30 days. The per-order MAX is a
+    map-side-combinable aggregate whose exchange carries one row per
+    (orderkey, mapper) instead of every line item; the previous LEFT
+    SEMI join shuffled the full (l_orderkey, l_shipdate) projection.
+    The join against the quarter-filtered orders is then a keyed join
+    of two order-grained relations (AQE broadcasts the filtered side
+    when it fits). Timestamps compare exactly — no rounding boundary.
     """
     o = orders.filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    late = (
-        F.col("l_orderkey") == F.col("o_orderkey")
-    ) & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_max_ship")
+    )
     return (
-        o.join(lineitem, on=late, how="left_semi")
+        o.join(last_ship, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("_max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
@@ -464,15 +475,24 @@ def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataF
     WHERE — pushing it to WHERE would turn the outer join inner and drop the
     c_count = 0 bucket. The second aggregate's input is |customers| rows
     grouped to at most a few dozen counts, so its shuffle is negligible.
+
+    Shape (r18, guide §2.3 "aggregate before you shuffle"): the ON-clause
+    priority filter commutes with a per-custkey pre-aggregate, so the
+    outer join's right side is one count row per ordering customer
+    instead of every order row — the join shuffles |custkeys| ints, not
+    |orders| rows, and the zero-order bucket comes back via
+    coalesce(c_count, 0) on the LEFT join exactly as the old
+    count-over-nulls did (count(o_orderkey) over an unmatched left row
+    was 0; NULL o_custkey groups never match a customer in either form).
     """
-    cond = (customer.c_custkey == orders.o_custkey) & (
-        orders.o_orderpriority != "5-LOW"
+    cnt = (
+        orders.filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("_n_orders"))
     )
-    per_cust = (
-        customer.join(orders, on=cond, how="left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    per_cust = customer.join(
+        cnt, customer.c_custkey == cnt.o_custkey, "left"
+    ).select(F.coalesce(F.col("_n_orders"), F.lit(0).cast("long")).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
