@@ -195,3 +195,50 @@ def test_dedup_family_wall_ratio_stays_subquadratic(spark, sf_dir, tmp_path):
             f"{fn.__name__}: 10x corpus wall {wn:.2f}s vs 1x {w1:.2f}s - "
             "sub-quadratic scale claim violated (SCALE.md r16 curve)"
         )
+
+
+def test_ivf_assign_and_pair_family_wall_scales_subquadratic(
+    spark, sf_dir, tmp_path
+):
+    """r17 verdict #6: wall pins for this optimization wave's new shapes.
+
+    ivf_assign (r17): the corpus x nlist crossJoin + rank window became a
+    per-row argmin over one broadcast centroid array — zero corpus
+    shuffles, so a 10x corpus must cost ~10x wall, never the ~N^2 the
+    window form's corpus sort would reintroduce. ngram_jaccard_pairs
+    (r17 shingle lineage cut + r18 shuffle-free array shingling): the
+    corpus-sized localCheckpoint intermediate must stay
+    cheaper-than-recompute at volume. Bounds mirror
+    test_dedup_family_wall_ratio_stays_subquadratic (an order looser
+    than the measured curve; quadratic fails by another order)."""
+    import time
+
+    from real_time_mobility_heatmap_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from real_time_mobility_heatmap_spark.operators.similarity import (
+        ivf_assign,
+        load_embeddings,
+    )
+
+    scaled = str(tmp_path / "scaled")
+    build_scaled_corpus(sf_dir, scaled, FACTOR)
+
+    def wall(fn, loader, d):
+        rel = loader(d)
+        t0 = time.perf_counter()
+        fn(rel).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    cases = [
+        (ivf_assign, lambda d: load_embeddings(spark, d)),
+        (ngram_jaccard_pairs, lambda d: load_table(spark, d, "documents")),
+    ]
+    for fn, loader in cases:
+        wall(fn, loader, sf_dir)  # warm-up: plan compile + codegen
+        w1 = wall(fn, loader, sf_dir)
+        wn = wall(fn, loader, scaled)
+        assert wn <= 8 * w1 + 5.0, (
+            f"{fn.__name__}: 10x corpus wall {wn:.2f}s vs 1x {w1:.2f}s - "
+            "sub-quadratic scale claim violated (SCALE.md r18 curve)"
+        )
