@@ -147,57 +147,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
         # (1) CHANGED this round (re-verify the round code lands):
-        "polygon_zone_counts": spatial.q_polygon_zone_counts,
-        "unpivot_tile_metrics": _q_unpivot_tile_metrics,
-        "mobility_tiles": _q_mobility_tiles,
-        "zone_counts": spatial.q_zone_counts,
-        "demux_tiles": multiplex.q_demux_tiles,
-        "fresh_tiles": geojson.q_fresh_tiles,
-        "sliding_cell_counts": windows.q_sliding_cell_counts,
-        "salted_cell_counts": windows.q_salted_cell_counts,
-        "vehicle_sessions": windows.q_vehicle_sessions,
-        "latest_window_snapshot": latest.q_latest_window_snapshot,
-        "cell_speed_trend": flows.q_cell_speed_trend,
-        "streaming_tiles": run_streaming_tiles,
-        "streaming_sessions": run_streaming_sessions,
-        "similar_speed_profiles": trajectory.q_similar_speed_profiles,
-        "resample_trajectories": trajectory.q_resample_trajectories,
-        "co_dwell_pairs": flows.q_co_dwell_pairs,
-        "tile_gap_fill": flows.q_tile_gap_fill,
-        "tile_speed_locf": flows.q_tile_speed_locf,
-        "cusum_anomaly_report": science.q_cusum_anomaly_report,
-        "moving_avg_speed": relational.q_moving_avg_speed,
-        "range_frame_speed": relational.q_range_frame_speed,
-        "zscore_outliers": analytics.q_zscore_outliers,
-        "salted_join_stats": relational.q_salted_join_stats,
+        "minhash_signatures": dedup.q_minhash_signatures,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "minhash_error_report": dedup.q_minhash_error_report,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "containment_pairs": dedup.q_containment_pairs,
+        "incremental_dedup": dedup.q_incremental_dedup,
+        "pagerank_pairs": dedup.q_pagerank_pairs,
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
+        "leakage_safe_split": dedup.q_leakage_safe_split,
+        "source_overlap_matrix": dedup.q_source_overlap_matrix,
+        "triangle_count": dedup.q_triangle_count,
+        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,
+        "decontaminate": dedup.q_decontaminate,
+        "decontaminate_bloom": dedup.q_decontaminate_bloom,
+        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,
+        "streaming_neardup": run_streaming_neardup,
+        "lsh_candidate_stats": dedup.q_lsh_candidate_stats,
+        "convoy_clusters": flows.q_convoy_clusters,
+        "modality_agreement_report": similarity.q_modality_agreement_report,
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,
+        "winnow_match_pairs": dedup.q_winnow_match_pairs,
+        "winnow_match_spans": dedup.q_winnow_match_spans,
+        "repeated_span_report": dedup.q_repeated_span_report,
+        "repetition_stats": textops.q_repetition_stats,
+        "vband_geometry_report": similarity.q_vband_geometry_report,
+        "late_order_priority": tpch.q_late_order_priority,
+        "customer_order_distribution": tpch.q_customer_order_distribution,
+        "streaming_encounters": run_streaming_encounters,
         "embedding_neardup": similarity.q_embedding_neardup,
-        "hierarchical_rollups": _q_hierarchical_rollups,
-        "rollup_delta_merge": _q_rollup_delta_merge,
-        "attribution_report": relational.q_attribution_report,
+        "ivf_assign": similarity.q_ivf_assign,
+        "ivf_assign_trained": similarity.q_ivf_assign_trained,
+        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,
+        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,
+        "kmeans_update": similarity.q_kmeans_update,
+        "cluster_quality_report": similarity.q_cluster_quality_report,
+        "ivf_recall_report": similarity.q_ivf_recall_report,
+        "semantic_dedup": similarity.q_semantic_dedup,
+        "min_cost_supplier": tpch.q_min_cost_supplier,
+        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,
+        "small_quantity_revenue": relational.q_small_quantity_revenue,
+        "above_avg_orders": relational.q_above_avg_orders,
+        "important_parts": tpch.q_important_parts,
+        "scd2_merge_apply": windows.q_scd2_merge_apply,
+        "scd2_user_segments": windows.q_scd2_user_segments,
+        "source_roundtrip": source_roundtrip,
+        "cell_reachability": flows.q_cell_reachability,
+        "quality_decile_report": textops.q_quality_decile_report,
+        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,
+        "cms_token_counts": textops.q_cms_token_counts,
         # (2) oldest-green-first rotation:
-        "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r10
-        "convoy_clusters": flows.q_convoy_clusters,  # r10
-        "copurchase_affinity": analytics.q_copurchase_affinity,  # r10
-        "dataset_split": textops.q_dataset_split,  # r10
-        "encounter_pairs": flows.q_encounter_pairs,  # r10
-        "event_type_pivot": relational.q_event_type_pivot,  # r10
-        "feature_hashing": mlprep.q_feature_hashing,  # r10
-        "funnel_conversions": relational.q_funnel_conversions,  # r10
-        "home_work_locations": flows.q_home_work_locations,  # r10
-        "jump_length_report": science.q_jump_length_report,  # r10
-        "kring_smooth": flows.q_kring_smooth,  # r10
-        "l_diversity_report": relational.q_l_diversity_report,  # r10
-        "lsh_candidate_stats": dedup.q_lsh_candidate_stats,  # r10
-        "od_matrix": flows.q_od_matrix,  # r10
-        "padding_waste_report": curation.q_padding_waste_report,  # r10
-        "per_source_cap": curation.q_per_source_cap,  # r10
-        "radius_of_gyration": science.q_radius_of_gyration,  # r10
-        "rfm_segments": analytics.q_rfm_segments,  # r10
-        "route_trigrams": flows.q_route_trigrams,  # r10
-        "streaming_encounters": run_streaming_encounters,  # r10
-        "target_encoding": mlprep.q_target_encoding,  # r10
-        "term_frequencies": textops.q_term_frequencies,  # r10
-        "tfidf_top_terms": textops.q_tfidf_top_terms,  # r10
         # ------------- end of driver window (50 entries) -------------
         "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,  # r10
         "training_order": curation.q_training_order,  # r10
@@ -205,7 +205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
         "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,  # r11
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r11
-        "important_parts": tpch.q_important_parts,  # r11
         "market_share": tpch.q_market_share,  # r11
         "mixture_sample": textops.q_mixture_sample,  # r11
         "pricing_summary": relational.q_pricing_summary,  # r11
@@ -213,12 +212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": tpch.q_promo_revenue_share,  # r11
         "recent_tiles_merged": latest.q_recent_tiles_merged,  # r11
         "redact_pii": textops.q_redact_pii,  # r11
-        "repetition_stats": textops.q_repetition_stats,  # r11
         "sql_pricing_summary": wire.q_sql_pricing_summary,  # r11
         "token_commonness": textops.q_token_commonness,  # r11
         "vehicle_travel_stats": windows.q_vehicle_travel_stats,  # r11
         "vehicle_trips": windows.q_vehicle_trips,  # r11
-        "above_avg_orders": relational.q_above_avg_orders,  # r12
         "active_cells_setops": relational.q_active_cells_setops,  # r12
         "corpus_stats": textops.q_corpus_stats,  # r12
         "lang_id": textops.q_lang_id,  # r12
@@ -226,29 +223,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_entropy": science.q_location_entropy,  # r12
         "media_phash_pairs": multimodal.q_media_phash_pairs,  # r12
         "order_rank_report": relational.q_order_rank_report,  # r12
-        "scd2_merge_apply": windows.q_scd2_merge_apply,  # r12
-        "scd2_user_segments": windows.q_scd2_user_segments,  # r12
         "snapshot_diff_report": relational.q_snapshot_diff_report,  # r12
-        "source_roundtrip": source_roundtrip,  # r12
         "stratified_sample": textops.q_stratified_sample,  # r12
-        "streaming_neardup": run_streaming_neardup,  # r12
         "tile_colors": wire.q_tile_colors,  # r12
         "value_histogram": windows.q_value_histogram,  # r12
         "wire_encode": wire.q_wire_encode,  # r12
         "boilerplate_scrub": textops.q_boilerplate_scrub,  # r13
         "chunk_documents": textops.q_chunk_documents,  # r13
-        "containment_pairs": dedup.q_containment_pairs,  # r13
         "fuzzy_part_matches": relational.q_fuzzy_part_matches,  # r13
         "idle_customer_balance": tpch.q_idle_customer_balance,  # r13
         "key_skew_report": relational.q_key_skew_report,  # r13
-        "late_order_priority": tpch.q_late_order_priority,  # r13
         "lsh_buckets": similarity.q_lsh_buckets,  # r13
         "markov_transitions": analytics.q_markov_transitions,  # r13
         "media_features": multimodal.q_media_features,  # r13
         "media_resize": multimodal.q_media_resize,  # r13
-        "minhash_error_report": dedup.q_minhash_error_report,  # r13
-        "pagerank_pairs": dedup.q_pagerank_pairs,  # r13
-        "quality_decile_report": textops.q_quality_decile_report,  # r13
         "quality_filter": textops.q_quality_filter,  # r13
         "quality_score": textops.q_quality_score,  # r13
         "shipmode_priority_counts": relational.q_shipmode_priority_counts,  # r13
@@ -258,10 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_terms": textops.q_bm25_top_terms,  # r14
         "bpe_merge_round": textops.q_bpe_merge_round,  # r14
         "brand_volume": relational.q_brand_volume,  # r14
-        "cms_token_counts": textops.q_cms_token_counts,  # r14
         "compaction_plan": spatial.q_compaction_plan,  # r14
-        "customer_order_distribution": tpch.q_customer_order_distribution,  # r14
-        "dedup_pipeline_report": dedup.q_dedup_pipeline_report,  # r14
         "dq_expectations": relational.q_dq_expectations,  # r14
         "fingerprint": textops.q_fingerprint,  # r14
         "grouping_sets_sales": relational.q_grouping_sets_sales,  # r14
@@ -269,24 +254,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_decode": decode.q_json_decode,  # r14
         "k_anonymity_report": relational.q_k_anonymity_report,  # r14
         "lang_mix_report": textops.q_lang_mix_report,  # r14
-        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,  # r14
         "latest_maxby": latest.q_latest_maxby,  # r14
         "latest_positions": latest.q_latest_positions,  # r14
         "media_frame_sample": multimodal.q_media_frame_sample,  # r14
         "media_metadata": multimodal.q_media_metadata,  # r14
         "media_phash": multimodal.q_media_phash,  # r14
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # r14
-        "minhash_signatures": dedup.q_minhash_signatures,  # r14
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,  # r14
         "ngram_novelty_report": textops.q_ngram_novelty_report,  # r14
         "position_features": geojson.q_position_features,  # r14
         "props_key_stats": decode.q_props_key_stats,  # r14
-        "repeated_span_report": dedup.q_repeated_span_report,  # r14
         "rolling_fingerprint": textops.q_rolling_fingerprint,  # r14
-        "source_overlap_matrix": dedup.q_source_overlap_matrix,  # r14
         "streaming_exact_dedup": dedup.q_streaming_exact_dedup,  # r14
         "token_count": textops.q_token_count,  # r14
-        "triangle_count": dedup.q_triangle_count,  # r14
         "vocab_coverage_report": textops.q_vocab_coverage_report,  # r14
         "weighted_sample": textops.q_weighted_sample,  # r14
         "approx_percentile_accuracy": windows.q_approx_percentile_accuracy,  # r15
@@ -300,7 +278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": tpch.q_disjunctive_revenue,  # r15
         "distinct_vehicles_per_cell": relational.q_distinct_vehicles_per_cell,  # r15
         "exact_dedup": dedup.q_exact_dedup,  # r15
-        "excess_shipment_suppliers": tpch.q_excess_shipment_suppliers,  # r15
         "forecast_revenue_change": tpch.q_forecast_revenue_change,  # r15
         "gps_jump_report": flows.q_gps_jump_report,  # r15
         "large_volume_customers": tpch.q_large_volume_customers,  # r15
@@ -308,7 +285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_rownum": latest.q_latest_rownum,  # r15
         "local_supplier_volume": relational.q_local_supplier_volume,  # r15
         "mad_outliers": analytics.q_mad_outliers,  # r15
-        "min_cost_supplier": tpch.q_min_cost_supplier,  # r15
         "mobility_pipeline_report": flows.q_mobility_pipeline_report,  # r15
         "nation_trade_volume": tpch.q_nation_trade_volume,  # r15
         "normalize": decode.q_normalize,  # r15
@@ -326,23 +302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers": tpch.q_top_suppliers,  # r15
         "value_domain_report": relational.q_value_domain_report,  # r15
         "active_cells_flags": relational.q_active_cells_flags,  # r16
-        "cell_reachability": flows.q_cell_reachability,  # r16
-        "cluster_quality_report": similarity.q_cluster_quality_report,  # r16
-        "decontaminate": dedup.q_decontaminate,  # r16
-        "decontaminate_bloom": dedup.q_decontaminate_bloom,  # r16
-        "decontaminate_bloom_bitmap": dedup.q_decontaminate_bloom_bitmap,  # r16
-        "dedup_clusters": dedup.q_dedup_clusters,  # r16
-        "dedup_keep_best": dedup.q_dedup_keep_best,  # r16
         "embedding_drift_report": similarity.q_embedding_drift_report,  # r16
         "ewma_speed": analytics.q_ewma_speed,  # r16
         "filtered_topk_recall_report": similarity.q_filtered_topk_recall_report,  # r16
-        "incremental_dedup": dedup.q_incremental_dedup,  # r16
-        "ivf_assign": similarity.q_ivf_assign,  # r16
-        "ivf_assign_trained": similarity.q_ivf_assign_trained,  # r16
-        "ivf_recall_report": similarity.q_ivf_recall_report,  # r16
-        "kmeans_update": similarity.q_kmeans_update,  # r16
-        "leakage_safe_split": dedup.q_leakage_safe_split,  # r16
-        "modality_agreement_report": similarity.q_modality_agreement_report,  # r16
         "multiplex_summary": multiplex.q_multiplex_summary,  # r16
         "orders_with_big_items": relational.q_orders_with_big_items,  # r16
         "pack_sequences": textops.q_pack_sequences,  # r16
@@ -355,25 +317,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_recall_report": similarity.q_rp_recall_report,  # r16
         "sales_rollup": relational.q_sales_rollup,  # r16
         "semantic_decontaminate": curation.q_semantic_decontaminate,  # r16
-        "semantic_dedup": similarity.q_semantic_dedup,  # r16
         "simhash": dedup.q_simhash,  # r16
         "skewjoin_aqe_stats": relational.q_skewjoin_aqe_stats,  # r16
-        "small_quantity_revenue": relational.q_small_quantity_revenue,  # r16
         "tile_feature_collection": geojson.q_tile_feature_collection,  # r16
         "tile_features_flat": geojson.q_tile_features_flat,  # r16
         "top_window": latest.q_top_window,  # r16
         "topk_cosine": similarity.q_topk_cosine,  # r16
         "topk_cosine_blocked": similarity.q_topk_cosine_blocked,  # r16
         "topk_cosine_filtered": similarity.q_topk_cosine_filtered,  # r16
-        "topk_cosine_ivf": similarity.q_topk_cosine_ivf,  # r16
-        "topk_cosine_ivf_probe2": similarity.q_topk_cosine_ivf_probe2,  # r16
         "value_percentiles": windows.q_value_percentiles,  # r16
-        "vband_geometry_report": similarity.q_vband_geometry_report,  # r16
         "watermark_latedrop": latest.q_watermark_latedrop,  # r16
-        "winnow_fingerprints": dedup.q_winnow_fingerprints,  # r16
-        "winnow_match_pairs": dedup.q_winnow_match_pairs,  # r16
-        "winnow_match_spans": dedup.q_winnow_match_spans,  # r16
         "wire_roundtrip": decode.q_wire_roundtrip,  # r16
+        "attribution_report": relational.q_attribution_report,  # r17
+        "cell_speed_percentiles": flows.q_cell_speed_percentiles,  # r17
+        "cell_speed_trend": flows.q_cell_speed_trend,  # r17
+        "co_dwell_pairs": flows.q_co_dwell_pairs,  # r17
+        "copurchase_affinity": analytics.q_copurchase_affinity,  # r17
+        "cusum_anomaly_report": science.q_cusum_anomaly_report,  # r17
+        "dataset_split": textops.q_dataset_split,  # r17
+        "demux_tiles": multiplex.q_demux_tiles,  # r17
+        "encounter_pairs": flows.q_encounter_pairs,  # r17
+        "event_type_pivot": relational.q_event_type_pivot,  # r17
+        "feature_hashing": mlprep.q_feature_hashing,  # r17
+        "fresh_tiles": geojson.q_fresh_tiles,  # r17
+        "funnel_conversions": relational.q_funnel_conversions,  # r17
+        "hierarchical_rollups": _q_hierarchical_rollups,  # r17
+        "home_work_locations": flows.q_home_work_locations,  # r17
+        "jump_length_report": science.q_jump_length_report,  # r17
+        "kring_smooth": flows.q_kring_smooth,  # r17
+        "l_diversity_report": relational.q_l_diversity_report,  # r17
+        "latest_window_snapshot": latest.q_latest_window_snapshot,  # r17
+        "mobility_tiles": _q_mobility_tiles,  # r17
+        "moving_avg_speed": relational.q_moving_avg_speed,  # r17
+        "od_matrix": flows.q_od_matrix,  # r17
+        "padding_waste_report": curation.q_padding_waste_report,  # r17
+        "per_source_cap": curation.q_per_source_cap,  # r17
+        "polygon_zone_counts": spatial.q_polygon_zone_counts,  # r17
+        "radius_of_gyration": science.q_radius_of_gyration,  # r17
+        "range_frame_speed": relational.q_range_frame_speed,  # r17
+        "resample_trajectories": trajectory.q_resample_trajectories,  # r17
+        "rfm_segments": analytics.q_rfm_segments,  # r17
+        "rollup_delta_merge": _q_rollup_delta_merge,  # r17
+        "route_trigrams": flows.q_route_trigrams,  # r17
+        "salted_cell_counts": windows.q_salted_cell_counts,  # r17
+        "salted_join_stats": relational.q_salted_join_stats,  # r17
+        "similar_speed_profiles": trajectory.q_similar_speed_profiles,  # r17
+        "sliding_cell_counts": windows.q_sliding_cell_counts,  # r17
+        "streaming_sessions": run_streaming_sessions,  # r17
+        "streaming_tiles": run_streaming_tiles,  # r17
+        "target_encoding": mlprep.q_target_encoding,  # r17
+        "term_frequencies": textops.q_term_frequencies,  # r17
+        "tfidf_top_terms": textops.q_tfidf_top_terms,  # r17
+        "tile_gap_fill": flows.q_tile_gap_fill,  # r17
+        "tile_speed_locf": flows.q_tile_speed_locf,  # r17
+        "unpivot_tile_metrics": _q_unpivot_tile_metrics,  # r17
+        "vehicle_sessions": windows.q_vehicle_sessions,  # r17
+        "zone_counts": spatial.q_zone_counts,  # r17
+        "zscore_outliers": analytics.q_zscore_outliers,  # r17
     }
 
 
