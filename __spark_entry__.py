@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver window (regenerated by tools/rotate_window.py) ----
         # (1) CHANGED this round (re-verify the round code lands):
+        "trip_distance_report": flows.q_trip_distance_report,
+        "training_order": curation.q_training_order,
+        "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,
         "minhash_signatures": dedup.q_minhash_signatures,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "minhash_error_report": dedup.q_minhash_error_report,
@@ -191,17 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": relational.q_above_avg_orders,
         "important_parts": tpch.q_important_parts,
         "scd2_merge_apply": windows.q_scd2_merge_apply,
-        "scd2_user_segments": windows.q_scd2_user_segments,
         "source_roundtrip": source_roundtrip,
         "cell_reachability": flows.q_cell_reachability,
         "quality_decile_report": textops.q_quality_decile_report,
-        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,
-        "cms_token_counts": textops.q_cms_token_counts,
         # (2) oldest-green-first rotation:
         # ------------- end of driver window (50 entries) -------------
-        "tokenizer_fertility_report": curation.q_tokenizer_fertility_report,  # r10
-        "training_order": curation.q_training_order,  # r10
-        "trip_distance_report": flows.q_trip_distance_report,  # r10
         "asof_clicks_last_purchase": asof.q_clicks_with_last_purchase,  # r11
         "asof_clicks_next_purchase": asof.q_clicks_with_next_purchase,  # r11
         "asof_clicks_recent_purchase": asof.q_clicks_with_recent_purchase,  # r11
@@ -223,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_entropy": science.q_location_entropy,  # r12
         "media_phash_pairs": multimodal.q_media_phash_pairs,  # r12
         "order_rank_report": relational.q_order_rank_report,  # r12
+        "scd2_user_segments": windows.q_scd2_user_segments,  # r12
         "snapshot_diff_report": relational.q_snapshot_diff_report,  # r12
         "stratified_sample": textops.q_stratified_sample,  # r12
         "tile_colors": wire.q_tile_colors,  # r12
@@ -246,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_terms": textops.q_bm25_top_terms,  # r14
         "bpe_merge_round": textops.q_bpe_merge_round,  # r14
         "brand_volume": relational.q_brand_volume,  # r14
+        "cms_token_counts": textops.q_cms_token_counts,  # r14
         "compaction_plan": spatial.q_compaction_plan,  # r14
         "dq_expectations": relational.q_dq_expectations,  # r14
         "fingerprint": textops.q_fingerprint,  # r14
@@ -254,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_decode": decode.q_json_decode,  # r14
         "k_anonymity_report": relational.q_k_anonymity_report,  # r14
         "lang_mix_report": textops.q_lang_mix_report,  # r14
+        "late_shipment_suppliers": tpch.q_late_shipment_suppliers,  # r14
         "latest_maxby": latest.q_latest_maxby,  # r14
         "latest_positions": latest.q_latest_positions,  # r14
         "media_frame_sample": multimodal.q_media_frame_sample,  # r14
