@@ -1425,14 +1425,14 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
     names, so it must not itself read doc_id as row identity (r15
     verdict #3; seed-1506 isolation pinned the divergence).
     """
-    # no lineage cut on the collapsed frame: its only expensive consumer
-    # is the hashed-shingle branch (computed once); the _doc_cap branches
-    # column-prune straight through the collapse to a doc_id-only
-    # aggregate (verified in the physical plan — the min(text) and the
-    # text shuffle both drop out), so recompute is cheap and a
-    # localCheckpoint of the corpus text would cost more than it saves
-    # (r16 profile)
-    pairs = minhash_lsh_pairs(collapse_doc_identity(docs))
+    # collapsed frame materialized once (r18, superseding the r16
+    # no-cut adjudication): that adjudication relied on _doc_cap
+    # column-pruning straight through the old single-aggregate collapse;
+    # the r18 duplicate-only split re-plans THREE scans per reader (r18
+    # scan audit read 12 document scans here, 3 -> 12), so one lazy cut
+    # is now strictly cheaper — the same cut every other
+    # minhash_lsh_pairs caller carries
+    pairs = minhash_lsh_pairs(cut_lineage(collapse_doc_identity(docs), eager=False))
     return (
         pairs.filter(F.pmod(F.col("doc_b"), F.lit(INCOMING_MOD)) == 0)
         .groupBy(F.col("doc_b").alias("new_doc_id"))
