@@ -603,8 +603,15 @@ def test_registry_wide_plan_lint_global_windows_are_allowlisted(spark):
 
 
 def test_tpch_exists_shapes_plan_as_semi_anti(spark):
-    # Q4: EXISTS -> left semi with the lateness residual on the hash join
-    assert "LeftSemi" in _plan(spark, "late_order_priority")
+    # Q4 (r18): EXISTS(late item) == max(l_shipdate) > cutoff per order —
+    # the probe must be a MAP-SIDE-COMBINED per-order aggregate (a
+    # partial_max below the exchange), not a semi join shuffling the full
+    # lineitem projection; the lateness predicate is a residual above it
+    p4 = _plan(spark, "late_order_priority")
+    assert "partial_max(l_shipdate" in p4, (
+        "Q4 lost its map-side per-order max; the lineitem shuffle is back"
+    )
+    assert "LeftSemi" not in p4
     # Q22: NOT EXISTS(recent orders) -> left anti
     assert "LeftAnti" in _plan(spark, "idle_customer_balance")
     # Q16: supplier denylist NOT IN -> broadcast left anti
